@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft._
+import graft.classify.Classify
+import graft.overlay.WeightedOverlay
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-native capability queries over the driver fixtures.
+  *
+  * Pseudo-rasters (FIXTURES.md §B): lineitem rows become cells —
+  * cell_id = l_orderkey % 10000, three "layers" from l_quantity /
+  * l_extendedprice / l_discount. A cell's layer value is max() over its
+  * rows (order-independent, exact), so every declared query is
+  * deterministic and DuckDB-oracle-checkable.
+  */
+object WroQueries {
+
+  /** Layer name -> (source column, weight*10). */
+  val layers: Seq[(String, String, Int)] = Seq(
+    ("quantity", "l_quantity", 5),
+    ("extendedprice", "l_extendedprice", 3),
+    ("discount", "l_discount", 2))
+
+  /** One row per (cell, layer): long+narrow raster representation that
+    * partitions/scales (SURVEY §1.3 raster cells mapping). Single scan of
+    * lineitem; the 3 layers unpivot via explode(map(...)). */
+  def cells(spark: SparkSession, dir: String): DataFrame = {
+    val kv = layers.flatMap { case (name, src, _) =>
+      Seq(lit(name), col(src).cast("double")) }
+    table(spark, dir, "lineitem")
+      .select((col("l_orderkey") % 10000).as("cell_id"),
+              explode(map(kv: _*)).as(Seq("layer", "value")))
+      .groupBy("cell_id", "layer")
+      .agg(max("value").as("value"))
+  }
+
+  /** Decoded catalog derived from per-layer stats (R7/R9). */
+  def catalog(spark: SparkSession, dir: String): DataFrame =
+    cells(spark, dir)
+      .groupBy("layer")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+      .select(col("layer"),
+              Classify.equalInterval(col("mn"), col("mx")).as("ranges"))
+
+  private def weights(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    layers.map { case (n, _, w) => (n, w) }.toDF("layer", "w10")
+  }
+
+  /** Flagship (R31/J6/A7): equal-interval classify each layer, range-join
+    * cells to ranges (broadcast), weighted-sum to a per-cell score. */
+  def flagship(spark: SparkSession, dir: String): DataFrame =
+    WeightedOverlay(cells(spark, dir), catalog(spark, dir), weights(spark))
+      .select(col("cell_id"), col("score10").cast("long").as("score10"),
+              col("n_layers"))
+      .orderBy("cell_id")
+
+  /** R9 as a declared query: the derived classification table itself. */
+  def classifyEqualInterval(spark: SparkSession, dir: String): DataFrame =
+    WeightedOverlay.explodeRanges(catalog(spark, dir))
+      .orderBy("layer", "class_idx")
+
+  // ---- shared oracle-SQL fragments (DuckDB dialect) ----
+
+  private val cellsSql: String = layers.map { case (name, src, _) =>
+    s"SELECT l_orderkey % 10000 AS cell_id, '$name' AS layer, CAST($src AS DOUBLE) AS value FROM lineitem"
+  }.mkString(
+    "SELECT cell_id, layer, max(value) AS value FROM (", " UNION ALL ",
+    ") GROUP BY cell_id, layer")
+
+  private val rangesSql: String =
+    s"""WITH cells AS ($cellsSql),
+       |stats AS (SELECT layer, min(value) AS mn, max(value) AS mx FROM cells GROUP BY layer),
+       |ranges AS (
+       |  SELECT layer, CAST(i AS INT) AS class_idx,
+       |    CASE i WHEN 0 THEN 'Very Low' WHEN 1 THEN 'Low' WHEN 2 THEN 'Medium' WHEN 3 THEN 'High' ELSE 'Very High' END AS label,
+       |    mn + CAST(i AS DOUBLE) * ((mx - mn) / 5.0) AS lo,
+       |    CASE WHEN i = 4 THEN mx + 1.0 ELSE mn + CAST(i + 1 AS DOUBLE) * ((mx - mn) / 5.0) END AS hi,
+       |    CASE i WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 5 WHEN 3 THEN 7 ELSE 9 END AS out
+       |  FROM stats, (SELECT unnest(generate_series(0, 4)) AS i))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wro_overlay_flagship" -> flagship,
+    "wro_classify_equal_interval" -> classifyEqualInterval
+  )
+
+  val oracle: Map[String, String] = Map(
+    "wro_overlay_flagship" ->
+      s"""$rangesSql,
+         |weights AS (${layers.map { case (n, _, w) => s"SELECT '$n' AS layer, $w AS w10" }.mkString(" UNION ALL ")}),
+         |remapped AS (
+         |  SELECT c.cell_id, c.layer, r.out
+         |  FROM cells c JOIN ranges r ON c.layer = r.layer AND c.value >= r.lo AND c.value < r.hi)
+         |SELECT m.cell_id, CAST(sum(m.out * w.w10) AS BIGINT) AS score10, count(*) AS n_layers
+         |FROM remapped m JOIN weights w ON m.layer = w.layer
+         |GROUP BY m.cell_id ORDER BY m.cell_id""".stripMargin,
+    "wro_classify_equal_interval" ->
+      s"""$rangesSql
+         |SELECT layer, class_idx, label, lo, hi, out FROM ranges
+         |ORDER BY layer, class_idx""".stripMargin
+  )
+}
