@@ -57,18 +57,36 @@ object Classify {
       lit(5).as("out")))
   }
 
-  /** Unique-value classification (makeDataFromUniqueColorizer +
-    * createInputRangesForRemap, pyt:1010-1138): each distinct value v_i
-    * becomes [v_i, v_{i+1}) with the last range [v_n, v_n+1); labels are
-    * supplied positionally (colorizer labels) or default to the value
-    * itself; all outputs 5 (pyt:1072-1075, pyt:1097-1101). */
-  def uniqueValues(values: Column, labels: Column = null): Column = {
+  /** Unique-value classification, no colorizer labels (pyt:1081-1108):
+    * distinct values v_1<...<v_n become [v_i, v_{i+1}) with the last range
+    * [v_n, v_n+1); labels default to the value itself; all outputs 5
+    * (pyt:1097-1101). */
+  def uniqueValues(values: Column): Column = {
     val ranges = RangeCodec.valuesToRanges(values)
-    transform(ranges, (r, i) => struct(
-      (if (labels == null) r("lo").cast(StringType)
-       else coalesce(element_at(labels, i + 1), r("lo").cast(StringType)))
-        .as("label"),
+    transform(ranges, r => struct(
+      r("lo").cast(StringType).as("label"),
       r("lo").as("lo"), r("hi").as("hi"),
+      lit(5).as("out")))
+  }
+
+  /** Unique-value classification with positional colorizer labels
+    * (makeDataFromUniqueColorizer, pyt:1010-1078): labels travel WITH
+    * their values through the sort (pairs sorted together), and duplicate
+    * input values are kept as zero-width ranges — both matching the
+    * reference, which sorts the combined value list without dedup
+    * (pyt:1119-1138). Null labels fall back to the value rendered as a
+    * string. */
+  def uniqueValues(values: Column, labels: Column): Column = {
+    val pairs = array_sort(
+      zip_with(values.cast(ArrayType(DoubleType)), labels,
+               (v, l) => struct(v.as("v"), l.as("l"))),
+      (a, b) => when(a("v") < b("v"), -1).when(a("v") > b("v"), 1)
+        .otherwise(0))
+    val vs = transform(pairs, p => p("v"))
+    transform(pairs, (p, i) => struct(
+      coalesce(p("l"), p("v").cast(StringType)).as("label"),
+      p("v").as("lo"),
+      coalesce(element_at(vs, i + 2), p("v") + lit(1.0)).as("hi"),
       lit(5).as("out")))
   }
 

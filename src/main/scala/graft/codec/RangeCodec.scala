@@ -31,10 +31,14 @@ object RangeCodec {
     * already ordered (min, break1, ..., breakK). */
   def boundsToRanges(bounds: Column): Column = {
     val n = size(bounds)
-    transform(slice(bounds, lit(1), n - 1), (x, i) => struct(
+    val ranges = transform(slice(bounds, lit(1), n - 1), (x, i) => struct(
       x.as("lo"),
       when(i === n - 2, element_at(bounds, n) + lit(1.0))
         .otherwise(element_at(bounds, i + 2)).as("hi")))
+    // degenerate inputs (empty / single bound) yield an empty range list
+    // instead of a runtime error (negative slice length)
+    when(n >= 2, ranges)
+      .otherwise(lit(Array.empty[Int]).cast("array<struct<lo:double,hi:double>>"))
   }
 
   /** Flatten array<struct<lo,hi>> to the stored CSV form
@@ -50,9 +54,15 @@ object RangeCodec {
   def decodeRanges(csv: Column): Column = {
     val nums = transform(split(csv, ","), s => s.cast(DoubleType))
     val k = size(nums) / 2
-    transform(sequence(lit(0), k - 1), i => struct(
+    val pairs = transform(sequence(lit(0), k - 1), i => struct(
       element_at(nums, i * 2 + 1).as("lo"),
       element_at(nums, i * 2 + 2).as("hi")))
+    // empty / null / odd-token CSV yields the complete pairs only (empty
+    // array for ""), never an out-of-bounds element_at: split("") gives
+    // [""], whose cast is null and size 1 -> k=0 -> sequence(0,-1) would
+    // error, hence the guard.
+    when(size(nums) >= 2, pairs)
+      .otherwise(lit(Array.empty[Int]).cast("array<struct<lo:double,hi:double>>"))
   }
 
   /** Contiguity check over array<struct<lo,hi>> (pyt:199-218):

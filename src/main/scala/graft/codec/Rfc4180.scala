@@ -67,7 +67,10 @@ object Rfc4180 {
           else inQuotes = false
         } else cur.append(ch)
       } else ch match {
-        case '"' => inQuotes = true
+        // a quote only opens quote mode at the start of a field; a quote
+        // in the middle of an unquoted field stays literal (matches Python
+        // csv.reader, the reference's csv_string_to_list pyt:1328-1332)
+        case '"' if cur.length == 0 => inQuotes = true
         case ',' => out += cur.toString; cur.setLength(0)
         case c   => cur.append(c)
       }
