@@ -12,10 +12,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.WroQueries.queries
+    ops.WroQueries.queries ++ ops.RelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.WroQueries.oracle
+    ops.WroQueries.oracle ++ ops.RelQueries.oracle
+
+  /** Headline subset timed by Bench (one per operator family — timing
+    * every declared query would measure count, not the engine). */
+  def headline: Seq[String] = Seq(
+    "wro_overlay_flagship", "wro_classify_equal_interval",
+    "j2_shuffle_join", "a2_groupby", "w1_rank", "o2_topk", "f3_datetime")
 }

@@ -1,0 +1,596 @@
+package graft.ops
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface (SURVEY §2.B rows P/J/A/W/O/F/SRC/SNK)
+  * as declared, DuckDB-oracle-checked queries over the driver fixtures.
+  *
+  * Oracle-exactness rules (the driver compare is EXACT after sorting):
+  *  - money sums go through `decimal(18,2)` casts BEFORE aggregation so the
+  *    result is order-independent (float sums are not associative);
+  *  - integer-valued doubles (l_quantity) sum exactly — left as-is;
+  *  - inherently-float results (stddev) are rounded;
+  *  - timestamps leave the engine as DATE or epoch-microsecond longs, never
+  *    raw timestamps (parquet tz-annotation differs between writers);
+  *  - every window/top-k has a full deterministic tie-break key.
+  *
+  * Scale posture: every query is a declarative single plan — joins are
+  * plain equi-joins Catalyst is free to broadcast at small SF and shuffle
+  * at 100 TB (AQE decides from runtime stats); no collect, no driver loops.
+  * Windows partition by a real key (customer/user), never a global window,
+  * except w5_ntile whose global quantile assignment is documented below.
+  */
+object RelQueries {
+
+  private val dec = "decimal(18,2)"
+
+  // ---------- P: projection / filter / predicates ----------
+
+  /** P2: conjunctive predicate filter (bool, comparison, null-check). */
+  def p2Filter(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "A" && col("l_discount") > 0.05 &&
+        col("l_shipdate").isNotNull && col("l_linestatus") === "F")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** P3: point lookup by key — pushdown-able single-row predicate scan. */
+  def p3PointLookup(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .filter(col("o_orderkey") === 7L)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** P4: regex + prefix predicates (R22/R23 analogues). */
+  def p4Regex(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part")
+      .filter(col("p_name").rlike("^[ab]") && col("p_type").startsWith("S"))
+      .select("p_partkey", "p_name", "p_type")
+
+  /** P5: when/otherwise dispatch (R28 sourcetype routing analogue). */
+  def p5Case(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .select(
+        when(col("o_orderpriority").startsWith("1") ||
+             col("o_orderpriority").startsWith("2"), "high")
+          .when(col("o_orderpriority").startsWith("3"), "medium")
+          .otherwise("low").as("urgency"))
+      .groupBy("urgency").agg(count(lit(1)).as("n"))
+
+  // ---------- J: joins ----------
+
+  /** J2: large×large equi-join + group-by (shuffle/SMJ at scale; AQE may
+    * broadcast the orders side at small SF — same declarative plan). */
+  def j2ShuffleJoin(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           sum("l_quantity").cast("long").as("sum_qty"),
+           sum(col("l_extendedprice").cast(dec)).as("sum_price"))
+
+  /** J3: left outer join preserving unmatched left rows. */
+  def j3LeftOuter(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .join(table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(count(col("l_orderkey")).as("n_items"),
+           coalesce(sum("l_quantity").cast("long"), lit(0L)).as("sum_qty"))
+
+  /** J4: left semi join — existence check (R6/R12 precheck analogue). */
+  def j4Semi(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  /** J5: left anti join — difference check (R17 diff-detection analogue). */
+  def j5Anti(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  /** J7: as-of join — for each purchase, the latest click at-or-before it
+    * by the same user. Composed scale-safely as ONE pass: union the two
+    * event kinds, a single partitioned window carries the last click
+    * forward (no join, no per-key skew explosion — the join+argmax
+    * formulation re-reads every earlier click per purchase). */
+  def j7AsOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+    // at equal ts a click sorts before the purchase ('click' < 'purchase'),
+    // matching the oracle's c.ts <= p.ts inclusivity
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts_us", "event_type", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickState = when(col("event_type") === "click",
+      struct(col("ts_us"), col("event_id")))
+    ev.withColumn("last_click", last(clickState, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+              col("last_click.ts_us").as("click_ts_us"),
+              col("last_click.event_id").as("click_id"))
+  }
+
+  /** J8: cross join (small dimension × small dimension). */
+  def j8Cross(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "nation").select(col("n_name"))
+      .crossJoin(table(s, dir, "region").select(col("r_name")))
+
+  /** J9: interval-overlap self-join — pairs of error events by the same
+    * user whose 10-minute windows overlap. Equi-join on user_id (hash
+    * partitionable) with the interval predicate as join filter — never a
+    * cartesian; per-user density bounds the output. */
+  def j9IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    def errs(alias: String) = table(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as(s"${alias}_id"),
+              col("user_id").as(s"${alias}_user"),
+              unix_micros(col("ts")).as(s"${alias}_us"))
+    val win = 600L * 1000000L
+    errs("a").join(errs("b"),
+        col("a_user") === col("b_user") && col("a_id") < col("b_id") &&
+        col("b_us") < col("a_us") + win && col("a_us") < col("b_us") + win)
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"))
+  }
+
+  // ---------- A: aggregations ----------
+
+  /** A1: global min/max/count/avg/stddev in one pass. avg of an
+    * integer-valued double is exact (integer sum / count); stddev is
+    * rounded — it is the one inherently float-ordering-dependent stat. */
+  def a1Stats(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n"),
+           min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+           sum("l_quantity").cast("long").as("sum_qty"),
+           avg("l_quantity").as("avg_qty"),
+           round(stddev("l_quantity"), 6).as("sd_qty"),
+           min(col("l_extendedprice").cast(dec)).as("min_price"),
+           max(col("l_extendedprice").cast(dec)).as("max_price"))
+
+  /** A2: hash group-by aggregation (partial+final via Catalyst). */
+  def a2GroupBy(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+           sum("l_quantity").cast("long").as("sum_qty"),
+           sum(col("l_extendedprice").cast(dec)).as("sum_price"))
+
+  /** A3: count distinct per group (expand+two-phase under the hood). */
+  def a3Distinct(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(countDistinct("l_partkey").as("n_parts"),
+           countDistinct("l_suppkey").as("n_supps"))
+
+  /** A4: approx_count_distinct (HLL++). HLL sketches differ across
+    * engines, so the oracle checks the CONTRACT instead of the sketch:
+    * the approximation must land within 5% of the exact count (the
+    * query emits the exact count and a pass flag; oracle recomputes the
+    * exact count and expects flag=1). */
+  def a4ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .agg(countDistinct("l_partkey").as("exact_nd"),
+           approx_count_distinct("l_partkey", 0.02).as("approx_nd"))
+      .select(col("exact_nd"),
+        (abs(col("approx_nd") - col("exact_nd")) <=
+          col("exact_nd") * 0.05).cast("int").as("within_5pct"))
+
+  /** A5: rollup with grouping_id (same bitmask convention as DuckDB's
+    * GROUPING(a,b): leftmost key = most significant bit). */
+  def a5Rollup(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+           sum("l_quantity").cast("long").as("sum_qty"))
+
+  /** A6: collect_set made deterministic: sort then join to one string. */
+  def a6Collect(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus"))))
+        .as("statuses"))
+
+  /** A8: argmax via max_by over a (value, tiebreak) struct — fully
+    * deterministic even with duplicate account balances. */
+  def a8ArgMax(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey")))
+             .as("top_customer"),
+           max(col("c_acctbal").cast(dec)).as("top_acctbal"))
+
+  // ---------- W: window functions ----------
+
+  /** W1: ranking — top order per customer (row_number, tie-broken). */
+  def w1Rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_totalprice").cast(dec).as("top_price"))
+  }
+
+  /** W2: lag — inter-event gap per user in microseconds. */
+  def w2Lag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .select(col("event_id"), col("user_id"),
+              lag("event_id", 1).over(w).as("prev_id"),
+              (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
+  }
+
+  /** W3: running aggregate (rowsBetween unboundedPreceding..current).
+    * Decimal accumulator: a running float sum is order-exact only
+    * per-prefix; decimal makes it engine-exact too. */
+  def w3Running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"),
+              col("value").cast(dec).as("v"))
+      .select(col("event_id"), col("user_id"),
+              count(lit(1)).over(w).as("run_n"),
+              sum("v").over(w).as("run_sum"))
+  }
+
+  /** W4: range frame — trailing 10-minute moving sum per user over event
+    * time (rangeBetween on epoch micros). */
+  def w4Moving(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-600L * 1000000L, 0)
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"),
+              col("value").cast(dec).as("v"))
+      .select(col("event_id"), col("user_id"),
+              count(lit(1)).over(w).as("win_n"),
+              sum("v").over(w).as("win_sum"))
+  }
+
+  /** W5: ntile + percent_rank. A single global window: acceptable here
+    * because quantile ASSIGNMENT is inherently a total order — at 100 TB
+    * this becomes approx percentiles or a two-pass range partitioner. */
+  def w5Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(s, dir, "orders")
+      .select(col("o_orderkey"),
+              ntile(4).over(w).as("quartile"),
+              percent_rank().over(w).as("pr"))
+  }
+
+  // ---------- O: sort / limit / set ops ----------
+
+  /** O2: top-k (TakeOrderedAndProject — no global sort materialized). */
+  def o2TopK(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice").cast(dec).as("price"))
+
+  /** O3: union all + aggregate over the union. */
+  def o3Union(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .unionByName(
+        table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n_rows"))
+
+  /** O4: except + intersect, tagged into one result. */
+  def o4SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val p = table(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.except(p).withColumn("op", lit("except"))
+      .unionByName(c.intersect(p).withColumn("op", lit("intersect")))
+  }
+
+  // ---------- F: scalar function families ----------
+
+  /** F1: string family over part names. */
+  def f1String(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part").select(
+      col("p_partkey"),
+      lower(col("p_name")).as("lo_name"),
+      upper(col("p_brand")).as("up_brand"),
+      length(col("p_name")).as("name_len"),
+      substring_index(col("p_name"), " ", 1).as("first_word"),
+      regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+      regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+      col("p_type").startsWith("STANDARD").cast("int").as("is_std"))
+
+  /** F3: date/time family — monthly order rollup. Timestamps leave as
+    * DATE (writer tz-annotation-proof). */
+  def f3DateTime(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+                 .as("month_start"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(dec)).as("sum_price"))
+      .select(col("month_start"),
+              year(col("month_start")).as("yr"),
+              quarter(col("month_start")).as("qtr"),
+              col("n_orders"), col("sum_price"))
+
+  /** F6: JSON family — extract props.k, aggregate by it. */
+  def f6Json(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+              col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_value"))
+
+  // ---------- SRC/SNK: sources and sinks ----------
+
+  private def ioDir(dir: String, name: String): String = {
+    val sf = dir.replaceAll("[^0-9.]", "")
+    s"/tmp/graft_io/$name-$sf"
+  }
+
+  /** SRC2: CSV round-trip with RFC-4180 quote handling — values carrying
+    * commas and embedded quotes survive write+read (escape=quote, i.e.
+    * doubled quotes, NOT Spark's backslash default). */
+  def src2Csv(s: SparkSession, dir: String): DataFrame = {
+    val out = ioDir(dir, "src2csv")
+    val tricky = table(s, dir, "nation").select(
+      col("n_nationkey"),
+      concat(lit("x,\""), col("n_name"), lit("\"y")).as("tricky"))
+    tricky.coalesce(1).write.mode("overwrite")
+      .option("quote", "\"").option("escape", "\"").option("header", "true")
+      .csv(out)
+    s.read
+      .option("quote", "\"").option("escape", "\"").option("header", "true")
+      .schema("n_nationkey INT, tricky STRING")
+      .csv(out)
+  }
+
+  /** SRC3: JSON-lines source — parse the props column as a JSON dataset
+    * (schema inference + read), then aggregate. */
+  def src3Json(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jsonl = table(s, dir, "events").select(col("props")).as[String]
+    s.read.json(jsonl)
+      .groupBy(col("k").cast("int").as("k"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** SNK2: partitioned parquet sink + partition-pruned read-back (the
+    * 100 TB mosaic layout, R26/SNK2): write events partitioned by
+    * event_type, read back only two partitions (directory pruning — the
+    * scan never touches the other partitions' files). */
+  def snk2Partitioned(s: SparkSession, dir: String): DataFrame = {
+    val out = ioDir(dir, "snk2part")
+    table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+              col("value").cast(dec).as("v"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_value"))
+  }
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p2_filter" -> p2Filter,
+    "p3_point_lookup" -> p3PointLookup,
+    "p4_regex" -> p4Regex,
+    "p5_case" -> p5Case,
+    "j2_shuffle_join" -> j2ShuffleJoin,
+    "j3_left_outer" -> j3LeftOuter,
+    "j4_semi" -> j4Semi,
+    "j5_anti" -> j5Anti,
+    "j7_asof" -> j7AsOf,
+    "j8_cross" -> j8Cross,
+    "j9_interval_overlap" -> j9IntervalOverlap,
+    "a1_stats" -> a1Stats,
+    "a2_groupby" -> a2GroupBy,
+    "a3_distinct" -> a3Distinct,
+    "a4_approx_distinct" -> a4ApproxDistinct,
+    "a5_rollup" -> a5Rollup,
+    "a6_collect" -> a6Collect,
+    "a8_argmax" -> a8ArgMax,
+    "w1_rank" -> w1Rank,
+    "w2_lag" -> w2Lag,
+    "w3_running" -> w3Running,
+    "w4_moving" -> w4Moving,
+    "w5_ntile" -> w5Ntile,
+    "o2_topk" -> o2TopK,
+    "o3_union" -> o3Union,
+    "o4_setops" -> o4SetOps,
+    "f1_string" -> f1String,
+    "f3_datetime" -> f3DateTime,
+    "f6_json" -> f6Json,
+    "src2_csv_roundtrip" -> src2Csv,
+    "src3_json_source" -> src3Json,
+    "snk2_partitioned" -> snk2Partitioned
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p2_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'A' AND l_discount > 0.05
+        |  AND l_shipdate IS NOT NULL AND l_linestatus = 'F'""".stripMargin,
+    "p3_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey = 7""".stripMargin,
+    "p4_regex" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE regexp_matches(p_name, '^[ab]') AND p_type LIKE 'S%'""".stripMargin,
+    "p5_case" ->
+      """SELECT CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%' THEN 'high'
+        |            WHEN o_orderpriority LIKE '3%' THEN 'medium'
+        |            ELSE 'low' END AS urgency, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "j2_shuffle_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "j3_left_outer" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items,
+        |  coalesce(CAST(sum(l_quantity) AS BIGINT), 0) AS sum_qty
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    "j4_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j5_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j7_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  max(epoch_us(c.ts)) AS click_ts_us,
+        |  arg_max(c.event_id, c.ts) AS click_id
+        |FROM events p
+        |LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
+    "j8_cross" ->
+      "SELECT n_name, r_name FROM nation CROSS JOIN region",
+    "j9_interval_overlap" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND epoch_us(b.ts) < epoch_us(a.ts) + 600000000
+        | AND epoch_us(a.ts) < epoch_us(b.ts) + 600000000
+        |WHERE a.event_type = 'error' AND b.event_type = 'error'""".stripMargin,
+    "a1_stats" ->
+      """SELECT count(*) AS n,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  avg(l_quantity) AS avg_qty,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
+        |  max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price
+        |FROM lineitem""".stripMargin,
+    "a2_groupby" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "a3_distinct" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "a4_approx_distinct" ->
+      "SELECT count(DISTINCT l_partkey) AS exact_nd, 1 AS within_5pct FROM lineitem",
+    "a5_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "a6_collect" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "a8_argmax" ->
+      """SELECT c_nationkey, c_name AS top_customer,
+        |  CAST(top_bal AS DECIMAL(18,2)) AS top_acctbal
+        |FROM (SELECT c_nationkey, c_name,
+        |        max(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS top_bal,
+        |        row_number() OVER (PARTITION BY c_nationkey
+        |                           ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |      FROM customer)
+        |WHERE rn = 1""".stripMargin,
+    "w1_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS top_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+        |WHERE rn = 1""".stripMargin,
+    "w2_lag" ->
+      """SELECT event_id, user_id,
+        |  lag(event_id) OVER w AS prev_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "w3_running" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS run_n,
+        |  sum(CAST(value AS DECIMAL(18,2))) OVER w AS run_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w4_moving" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS win_n,
+        |  sum(CAST(value AS DECIMAL(18,2))) OVER w AS win_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w5_ntile" ->
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pr
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "o2_topk" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "o3_union" ->
+      """SELECT nationkey, count(*) AS n_rows FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |GROUP BY 1""".stripMargin,
+    "o4_setops" ->
+      """SELECT nationkey, 'except' AS op FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'intersect' AS op FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)""".stripMargin,
+    "f1_string" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS lo_name,
+        |  upper(p_brand) AS up_brand,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  coalesce(regexp_extract(p_brand, '([0-9]+)', 1), '') AS brand_num,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS snake_name,
+        |  substr(p_type, 1, 5) AS type5,
+        |  trim('  ' || p_brand || '  ') AS trimmed,
+        |  CAST(p_type LIKE 'STANDARD%' AS INT) AS is_std
+        |FROM part""".stripMargin,
+    "f3_datetime" ->
+      """SELECT month_start, CAST(year(month_start) AS INT) AS yr,
+        |  CAST(quarter(month_start) AS INT) AS qtr, n_orders, sum_price
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |        count(*) AS n_orders,
+        |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |      FROM orders GROUP BY 1)""".stripMargin,
+    "f6_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "src2_csv_roundtrip" ->
+      """SELECT n_nationkey, 'x,"' || n_name || '"y' AS tricky FROM nation""".stripMargin,
+    "src3_json_source" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "snk2_partitioned" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events WHERE event_type IN ('purchase', 'error')
+        |GROUP BY 1""".stripMargin
+  )
+}

@@ -11,7 +11,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * where built-ins genuinely can't express the semantics (RFC-4180 decode).
   */
 package object graft {
-  /** Load a driver fixture table (TESTDATA.md) from a scale-factor dir. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Load a driver fixture table (TESTDATA.md) from a scale-factor dir.
+    *
+    * `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark 4's
+    * vectorized reader rejects outright; read it as a long (legacy
+    * nanosAsLong) and rebuild a proper TimestampType column at microsecond
+    * precision (integer DIV — double division would lose precision above
+    * 2^53 ns). DuckDB's epoch_us() on TIMESTAMP_NS floors identically, so
+    * oracle comparisons on the rebuilt column stay exact. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 }
