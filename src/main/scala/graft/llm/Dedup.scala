@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (SURVEY §2.B D1/D2).
+  *
+  * Scale posture (the 100 TB question): every path here is
+  * explode→groupBy→join-on-equality — hash-partitionable, no all-pairs
+  * product anywhere. Candidate generation is LSH banding (equi-join on
+  * band signature); only the candidate pairs — a vanishingly small set at
+  * any corpus size — pay the exact-verification join.
+  */
+object Dedup {
+
+  /** D1: exact content dedup. Groups by a 64-bit content hash (xxhash64 —
+    * at 100 TB you group by the hash, not the document body, so the
+    * shuffle carries 8 bytes per doc instead of the text); emits one
+    * keeper (min id) per group plus the group size and an md5 content
+    * fingerprint for audit. */
+  def exact(docs: DataFrame, id: Column, content: Column): DataFrame =
+    docs
+      .groupBy(xxhash64(content).as("h"))
+      .agg(max(md5(content)).as("fp"),
+           min(id).as("keep_id"),
+           count(lit(1)).as("n_copies"))
+      .drop("h")
+
+  /** Distinct word `n`-gram shingles per document: (doc_id, sh).
+    * Documents shorter than `n` words yield no shingles (guarded —
+    * sequence(1, 0) would count DOWN, not produce empty). */
+  def shingles(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    val words = split(text, " ")
+    val shs = array_distinct(transform(
+      sequence(lit(1), size(words) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*)))
+    docs.select(
+        id.as("doc_id"),
+        when(size(words) >= n, shs)
+          .otherwise(lit(Array.empty[String])).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+  }
+
+  /** D2: MinHash + LSH near-duplicate pairs.
+    *
+    * shingle → k minhashes (one groupBy pass, k aggregate mins) →
+    * b bands of r rows → equi-self-join on (band, signature) for
+    * candidates → exact-Jaccard verification of candidates only.
+    * With (k=32, b=16, r=2) a pair at Jaccard 0.8 is missed with
+    * probability (1-0.8²)^16 ≈ 8·10⁻⁸ — the declared-query oracle can
+    * therefore be the exact all-pairs answer.
+    *
+    * NEVER an all-pairs join: candidates come from hash-bucket equality,
+    * so cost scales with Σ_bucket |bucket|², which stays tiny because a
+    * bucket collision IS a near-duplicate signal. */
+  def minhashLsh(sh: DataFrame, k: Int = 32, bands: Int = 16,
+                 threshold: Double = 0.8): DataFrame = {
+    val r = k / bands
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: (0 until r).map(j => col(s"mh${b * r + j}")): _*)
+          .as("bsig"))
+    }
+    val banded = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** D2b: 16-bit SimHash per document over the token multiset. Each md5
+    * hex digit position contributes one vote bit (digit ≥ '8' = high bit
+    * set); the signature bit is the sign of the summed votes. Engine-
+    * portable by construction: md5 and byte-wise string comparison are
+    * identical everywhere, so the oracle can recompute it exactly. */
+  def simhash16(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(split(text, " ")).as("tok"))
+    val voteCols = (1 to 16).map(j =>
+      sum(when(substring(md5(col("tok")), j, 1) >= "8", 1).otherwise(-1))
+        .as(s"v$j"))
+    val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val shBits = (1 to 16).map(j =>
+      when(col(s"v$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+    votes.select(col("doc_id"), shBits.reduce(_ + _).as("sh16"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.B D5): media payloads ride as
+  * opaque `binary` columns beside typed metadata structs and embedding
+  * vectors; per-item decode/feature-extraction runs at a typed
+  * mapPartitions boundary — the one place imperative per-item work is
+  * the right Spark tool, because a real decoder (image/audio codec) is
+  * a library call, not a column expression.
+  *
+  * The decode step itself is a STUB (this container has no media
+  * codecs): a deterministic function of the bytes, so the Spark-side
+  * plumbing — schema, encoders, partition-preserving batch shape — is
+  * real and oracle-checkable end to end.
+  */
+object Multimodal {
+
+  case class MediaMeta(lang: String, source: String)
+  case class MediaRow(doc_id: Long, media: Array[Byte], meta: MediaMeta,
+                      label: Int)
+  case class MediaFeature(doc_id: Long, lang: String, label: Int, feat: Long)
+
+  /** STUB decoder: stands in for image/audio decode + featurize. Real
+    * implementations replace only this function; the pipeline shape
+    * (typed rows in, typed features out, partition-local batches) is
+    * what the engine guarantees. Deterministic: byte length + first
+    * byte value. */
+  def decodeStub(m: MediaRow): MediaFeature =
+    MediaFeature(m.doc_id, m.meta.lang, m.label,
+      m.media.length.toLong +
+        (if (m.media.nonEmpty) (m.media(0) & 0xff).toLong else 0L))
+
+  /** Assemble the multimodal dataset: text payload as binary media,
+    * metadata struct, embedding label. One narrow join (embeddings side
+    * grouped by key — equi-join, shuffle-partitionable). */
+  def assemble(spark: SparkSession, docs: DataFrame, embs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.join(embs, docs("doc_id") === embs("vec_id"))
+      .select(col("doc_id"),
+              col("text").cast("binary").as("media"),
+              struct(col("lang"), col("source")).as("meta"),
+              col("label"))
+      .as[MediaRow]
+  }
+
+  /** Decode (stub) + aggregate features per (lang, label). The
+    * mapPartitions call preserves partitioning; the aggregation after it
+    * is an ordinary hash group-by. */
+  def featuresByLangLabel(spark: SparkSession, docs: DataFrame,
+                          embs: DataFrame): DataFrame = {
+    import spark.implicits._
+    assemble(spark, docs, embs)
+      .mapPartitions(_.map(decodeStub))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n"), sum("feat").as("sum_feat"))
+  }
+}

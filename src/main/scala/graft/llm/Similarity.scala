@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY §2.B D3).
+  *
+  * Baseline is brute-force cosine (exact, one pass over the corpus per
+  * query — the right answer when the query set is small and the corpus
+  * scan is the floor anyway). The scale path is LSH bucketing: a cheap
+  * deterministic bucket id per vector turns top-k into a bucket-local
+  * search — at 100 TB the bucket id is a partition column, so a query
+  * reads one partition instead of the corpus.
+  */
+object Similarity {
+
+  /** Element-wise float→double view of an embedding column. */
+  def asDouble(emb: Column): Column = transform(emb, _.cast("double"))
+
+  /** Codegen-friendly cosine between two double-array columns:
+    * zip_with for products, aggregate (sequential fold — deterministic
+    * order) for sums. No UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** D3: exact top-k by cosine against one query vector (brute force —
+    * the corpus side stays distributed; the 1-row query side is
+    * broadcast). Ranking is on round(cos, 6) with an id tie-break so the
+    * cut is engine-exact. */
+  def topK(corpus: DataFrame, id: Column, emb: Column,
+           query: DataFrame, queryEmb: Column, k: Int): DataFrame = {
+    val scored = corpus
+      .select(id.as("vec_id"), asDouble(emb).as("v"))
+      .crossJoin(broadcast(query.select(asDouble(queryEmb).as("q"))))
+      .select(col("vec_id"), round(cosine(col("v"), col("q")), 6).as("cos_sim"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-LSH bucket id from the first `bits` coordinates (axis-aligned
+    * random-hyperplane LSH — deterministic and engine-portable; with
+    * unit-scale embeddings each coordinate sign is a balanced hash bit).
+    * At scale this is the partition column of the vector store. */
+  def signBucket(embDouble: Column, bits: Int = 8): Column =
+    (0 until bits).map(i =>
+      when(element_at(embDouble, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** D3b: ANN top-k — search only the query's sign-LSH bucket. Same
+    * scoring as [[topK]]; the candidate set is the bucket, i.e. a
+    * ~2^-bits fraction of the corpus. */
+  def annTopK(corpus: DataFrame, id: Column, emb: Column,
+              query: DataFrame, queryEmb: Column, k: Int,
+              bits: Int = 8): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), asDouble(emb).as("v"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val q = query.select(asDouble(queryEmb).as("q"))
+      .withColumn("qbucket", signBucket(col("q"), bits))
+    c.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), round(cosine(col("v"), col("q")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold. This
+    * baseline IS all-pairs (exact); at scale callers bucket first
+    * ([[signBucket]]) and run it per bucket — near-identical vectors
+    * share a bucket with probability ≈ 1. */
+  def cosineNearDup(corpus: DataFrame, id: Column, embDouble: Column,
+                    threshold: Double): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), embDouble.as("v"))
+    c.select(col("vec_id").as("a_id"), col("v").as("va"))
+      .join(c.select(col("vec_id").as("b_id"), col("v").as("vb")),
+            col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

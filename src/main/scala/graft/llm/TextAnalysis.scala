@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators (SURVEY §2.B D4/D6): tokenization, token
+  * frequency, TF-IDF, unigram language identification, content
+  * fingerprinting, quality statistics. All pure column expressions —
+  * codegen'd, shuffle only at the declared group-bys. */
+object TextAnalysis {
+
+  /** Whitespace tokens, exploded: (doc_id, tok). */
+  def tokens(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(split(text, " ")).as("tok"))
+
+  /** Global top-k tokens by frequency (count desc, token asc). */
+  def topTokens(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+    tokens(docs, id, text)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(k)
+
+  /** TF-IDF: tf(term, doc) · ln(N / df(term)). Ranking on round(tfidf, 6)
+    * with a term tie-break keeps the per-doc top-k engine-exact. */
+  def tfIdfTopTerms(docs: DataFrame, id: Column, text: Column,
+                    perDoc: Int): DataFrame = {
+    val toks = tokens(docs, id, text)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(id).as("n_docs"))
+    val scored = tf.join(df_, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("tok").asc)))
+      .filter(col("rank") <= perDoc)
+  }
+
+  /** Unigram language ID: build a per-language lexicon (top `lexSize`
+    * tokens by in-language frequency) from a labeled corpus, then
+    * classify each doc by argmax lexicon-hit votes (tie → lexicographic
+    * language). Returns (doc_id, pred_lang). The lexicon is tiny —
+    * broadcast — so classification is one scan of the token stream. */
+  def langId(docs: DataFrame, id: Column, text: Column, lang: Column,
+             lexSize: Int = 10): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), lang.as("lang"),
+      explode(split(text, " ")).as("tok"))
+    val lexicon = toks.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("tok").asc)))
+      .filter(col("rk") <= lexSize)
+      .select(col("lang").as("lex_lang"), col("tok"))
+    val votes = toks.select("doc_id", "tok")
+      .join(broadcast(lexicon), "tok")
+      .groupBy("doc_id", "lex_lang").agg(count(lit(1)).as("votes"))
+    votes.withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("votes").desc, col("lex_lang").asc)))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lex_lang").as("pred_lang"))
+  }
+
+  /** Content fingerprint: min md5 over distinct word-3-gram shingles —
+    * a 1-hash MinHash; docs sharing a fingerprint are near-dup
+    * candidates. Engine-portable (md5 + lexicographic min). */
+  def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame =
+    Dedup.shingles(docs, id, text)
+      .groupBy("doc_id").agg(min(md5(col("sh"))).as("fp"))
+
+  /** A BPE-ish token count: runs of letters, runs of digits, runs of
+    * other non-space chars each count as one token. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"), lit(0)))
+
+  /** D6: per-source quality statistics. Counts/sums are exact; the one
+    * order-dependent float (mean of per-doc stopword ratios) is rounded. */
+  def qualityBySource(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords)))
+    docs
+      .select(col("source"), col("n_chars"), col("text"),
+        nTok.as("n_tok"),
+        (nStop.cast("double") / nTok).as("stop_ratio"),
+        bpeishCount(col("text")).as("n_bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").as("sum_chars"),
+           avg("n_chars").as("avg_chars"),
+           avg("n_tok").as("avg_toks"),
+           sum("n_bpe").cast("long").as("sum_bpe"),
+           round(avg("stop_ratio"), 6).as("avg_stop_ratio"),
+           sum(when(col("n_chars") < 150, 1).otherwise(0)).cast("long")
+             .as("n_short"))
+  }
+}

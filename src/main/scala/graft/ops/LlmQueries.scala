@@ -1,0 +1,298 @@
+package graft.ops
+
+import graft._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline queries (SURVEY §2.B D1–D6) over the
+  * `documents` / `embeddings` fixtures, each with a DuckDB oracle.
+  *
+  * The fixtures contain no duplicates, so dedup queries first inject
+  * deterministic duplicates/near-duplicates (a SQL-expressible
+  * construction the oracle repeats verbatim): exact copies for D1,
+  * one-word-appended copies for D2 (word-3-gram Jaccard ≈ s/(s+1) ≥ 0.8),
+  * first-coordinate-perturbed vectors for embedding near-dup (cos ≈ 1).
+  */
+object LlmQueries {
+
+  // ---------- corpora with injected duplicates ----------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+
+  /** documents ∪ exact copies of every 7th doc (new ids +2000000). */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-dup copies of every 10th doc: one appended word
+    * (new ids +1000000). */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" qqzz")).as("text")))
+  }
+
+  /** embeddings (as double arrays) ∪ perturbed copies of every 20th
+    * vector: first coordinate +0.05 (new ids +1000000). */
+  private def embsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    e.unionByName(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + 0.05),
+               slice(col("v"), 2, 63)).as("v")))
+  }
+
+  // ---------- queries ----------
+
+  def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithExactDups(s, dir), col("doc_id"), col("text"))
+
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(
+      Dedup.shingles(docsWithNearDups(s, dir), col("doc_id"), col("text")))
+
+  def d2Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
+
+  def d2CosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(embsWithNearDups(s, dir),
+      col("vec_id"), col("v"), 0.95)
+
+  def d3CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    Similarity.topK(e.filter(col("vec_id") =!= 0), col("vec_id"),
+      col("embedding"), e.filter(col("vec_id") === 0), col("embedding"), 10)
+  }
+
+  def d3AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    Similarity.annTopK(e.filter(col("vec_id") =!= 0), col("vec_id"),
+      col("embedding"), e.filter(col("vec_id") === 0), col("embedding"),
+      k = 5, bits = 4)
+  }
+
+  def d4TopTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTokens(docs(s, dir), col("doc_id"), col("text"), 20)
+
+  def d4TfIdf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(docs(s, dir).filter(col("doc_id") < 50),
+      col("doc_id"), col("text"), 3)
+
+  def d4LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.langId(d, col("doc_id"), col("text"), col("lang"))
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang").as("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def d4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(docs(s, dir), col("doc_id"), col("text"))
+
+  def d5Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featuresByLangLabel(s, docs(s, dir),
+      table(s, dir, "embeddings"))
+
+  def d6Quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityBySource(docs(s, dir), Seq("the", "data", "value"))
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> d1DedupExact,
+    "d2_minhash_lsh" -> d2MinhashLsh,
+    "d2_simhash" -> d2Simhash,
+    "d2_cosine_neardup" -> d2CosineNearDup,
+    "d3_cosine_topk" -> d3CosineTopK,
+    "d3_ann_lsh" -> d3AnnLsh,
+    "d4_top_tokens" -> d4TopTokens,
+    "d4_tfidf" -> d4TfIdf,
+    "d4_langid" -> d4LangId,
+    "d4_fingerprint" -> d4Fingerprint,
+    "d5_multimodal" -> d5Multimodal,
+    "d6_quality" -> d6Quality
+  )
+
+  // ---------- oracle SQL (DuckDB dialect) ----------
+
+  /** Shared CTE: word-3-gram distinct shingles of a `corpus(doc_id, text)`. */
+  private val shingleCtes =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+      |sh AS (SELECT DISTINCT doc_id, w[i.x] || ' ' || w[i.x+1] || ' ' || w[i.x+2] AS s
+      |       FROM words, LATERAL (SELECT unnest(range(1, len(w)-1)) AS x) i
+      |       WHERE len(w) >= 3)""".stripMargin
+
+  /** Cosine of doc pairs `(a_id, va, b_id, vb)` via explicit position sum. */
+  private def cosPairSql(pairsCte: String): String =
+    s"""$pairsCte,
+       |dots AS (
+       |  SELECT a_id, b_id,
+       |    sum(va[i.x] * vb[i.x]) AS dot,
+       |    sqrt(sum(va[i.x] * va[i.x])) AS na,
+       |    sqrt(sum(vb[i.x] * vb[i.x])) AS nb
+       |  FROM pairs, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val simhashVotes = (1 to 16)
+    .map(j => s"sum(CASE WHEN substr(md5(tok), $j, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
+    .mkString(",\n  ")
+  private val simhashBits = (1 to 16)
+    .map(j => s"CASE WHEN v$j > 0 THEN ${1L << (j - 1)} ELSE 0 END")
+    .mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT max(md5(text)) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM corpus GROUP BY text""".stripMargin,
+    "d2_minhash_lsh" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' qqzz' FROM documents WHERE doc_id % 10 = 0),
+         |$shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    "d2_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |votes AS (SELECT doc_id,
+         |  $simhashVotes
+         |  FROM toks GROUP BY 1)
+         |SELECT doc_id, CAST($simhashBits AS BIGINT) AS sh16 FROM votes""".stripMargin,
+    "d2_cosine_neardup" -> (
+      cosPairSql(
+        """WITH corpus AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |    [CAST(embedding[1] AS DOUBLE) + 0.05] ||
+          |    list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
+          |  FROM embeddings WHERE vec_id % 20 = 0),
+          |pairs AS (
+          |  SELECT a.vec_id AS a_id, a.v AS va, b.vec_id AS b_id, b.v AS vb
+          |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)""".stripMargin) +
+      """
+        |SELECT a_id, b_id, round(dot / (na * nb), 6) AS cos_sim
+        |FROM dots WHERE round(dot / (na * nb), 6) >= 0.95""".stripMargin),
+    "d3_cosine_topk" -> (
+      cosPairSql(
+        """WITH pairs AS (
+          |  SELECT e.vec_id AS a_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS va,
+          |         q.vec_id AS b_id, list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS vb
+          |  FROM embeddings e, embeddings q
+          |  WHERE q.vec_id = 0 AND e.vec_id != 0)""".stripMargin) +
+      """
+        |SELECT vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT a_id AS vec_id, round(dot / (na * nb), 6) AS cos_sim,
+        |    row_number() OVER (ORDER BY round(dot / (na * nb), 6) DESC, a_id ASC) AS rank
+        |  FROM dots)
+        |WHERE rank <= 10""".stripMargin),
+    "d3_ann_lsh" -> (
+      cosPairSql(
+        """WITH bucketed AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+          |     CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+          |     CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+          |  FROM embeddings),
+          |pairs AS (
+          |  SELECT e.vec_id AS a_id, e.v AS va, q.vec_id AS b_id, q.v AS vb
+          |  FROM bucketed e, bucketed q
+          |  WHERE q.vec_id = 0 AND e.vec_id != 0 AND e.bucket = q.bucket)""".stripMargin) +
+      """
+        |SELECT vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT a_id AS vec_id, round(dot / (na * nb), 6) AS cos_sim,
+        |    row_number() OVER (ORDER BY round(dot / (na * nb), 6) DESC, a_id ASC) AS rank
+        |  FROM dots)
+        |WHERE rank <= 5""".stripMargin),
+    "d4_top_tokens" ->
+      """SELECT tok, n FROM (
+        |  SELECT tok, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1)
+        |ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin,
+    "d4_tfidf" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM docs),
+        |scored AS (
+        |  SELECT doc_id, tf.tok,
+        |    round(tf * ln(CAST(nd AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.tok = df.tok, n)
+        |SELECT doc_id, tok, tfidf, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY tfidf DESC, tok ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
+    "d4_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT lang AS lex_lang, tok FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |               ORDER BY n DESC, tok ASC) AS rk FROM freq)
+        |  WHERE rk <= 10),
+        |votes AS (
+        |  SELECT t.doc_id, l.lex_lang, count(*) AS votes
+        |  FROM toks t JOIN lex l ON t.tok = l.tok
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, lex_lang AS pred_lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY votes DESC, lex_lang ASC) AS rk FROM votes)
+        |  WHERE rk = 1)
+        |SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+        |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    "d4_fingerprint" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$shingleCtes
+         |SELECT doc_id, min(md5(s)) AS fp FROM sh GROUP BY 1""".stripMargin,
+    "d5_multimodal" ->
+      """SELECT d.lang, e.label, count(*) AS n,
+        |  CAST(sum(octet_length(encode(d.text)) + ascii(d.text)) AS BIGINT) AS sum_feat
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY 1, 2""".stripMargin,
+    "d6_quality" ->
+      """WITH per_doc AS (
+        |  SELECT source, n_chars,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'data', 'value'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS n_bpe
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  avg(n_chars) AS avg_chars,
+        |  avg(n_tok) AS avg_toks,
+        |  CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
+        |  round(avg(stop_ratio), 6) AS avg_stop_ratio,
+        |  CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |FROM per_doc GROUP BY 1""".stripMargin
+  )
+}
