@@ -86,7 +86,8 @@ object Classify {
     transform(pairs, (p, i) => struct(
       coalesce(p("l"), p("v").cast(StringType)).as("label"),
       p("v").as("lo"),
-      coalesce(element_at(vs, i + 2), p("v") + lit(1.0)).as("hi"),
+      // try_element_at: past-the-end is null -> +1 bump (ANSI-safe)
+      coalesce(try_element_at(vs, i + 2), p("v") + lit(1.0)).as("hi"),
       lit(5).as("out")))
   }
 

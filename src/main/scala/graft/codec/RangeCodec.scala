@@ -20,9 +20,11 @@ object RangeCodec {
     * array<struct<lo:double, hi:double>>. */
   def valuesToRanges(values: Column): Column = {
     val v = array_sort(array_distinct(values))
+    // try_element_at: past-the-end must yield null for the coalesce
+    // fallback (plain element_at THROWS under Spark 4's ANSI default)
     transform(v, (x, i) => struct(
       x.as("lo"),
-      coalesce(element_at(v, i + 2), x + lit(1.0)).as("hi")))
+      coalesce(try_element_at(v, i + 2), x + lit(1.0)).as("hi")))
   }
 
   /** Classify-colorizer variant (pyt:977-999): bounds = min :: breaks;
@@ -36,9 +38,10 @@ object RangeCodec {
       when(i === n - 2, element_at(bounds, n) + lit(1.0))
         .otherwise(element_at(bounds, i + 2)).as("hi")))
     // degenerate inputs (empty / single bound) yield an empty range list
-    // instead of a runtime error (negative slice length)
+    // instead of a runtime error (negative slice length); array() is
+    // ARRAY<NULL>, the one array type ANSI lets us cast to the struct form
     when(n >= 2, ranges)
-      .otherwise(lit(Array.empty[Int]).cast("array<struct<lo:double,hi:double>>"))
+      .otherwise(array().cast("array<struct<lo:double,hi:double>>"))
   }
 
   /** Flatten array<struct<lo,hi>> to the stored CSV form
@@ -52,8 +55,11 @@ object RangeCodec {
   /** Parse "lo1,hi1,lo2,hi2,..." back to array<struct<lo,hi>>
     * (pyt:163-177: split + positional pairing). */
   def decodeRanges(csv: Column): Column = {
-    val nums = transform(split(csv, ","), s => s.cast(DoubleType))
-    val k = size(nums) / 2
+    // try_cast: non-numeric/empty tokens become null instead of an ANSI
+    // cast error (split("") yields [""])
+    val nums = transform(split(csv, ","), s => s.try_cast(DoubleType))
+    // Column `/` is double division; sequence() needs an integral stop
+    val k = (size(nums) / 2).cast(IntegerType)
     val pairs = transform(sequence(lit(0), k - 1), i => struct(
       element_at(nums, i * 2 + 1).as("lo"),
       element_at(nums, i * 2 + 2).as("hi")))
@@ -62,15 +68,17 @@ object RangeCodec {
     // [""], whose cast is null and size 1 -> k=0 -> sequence(0,-1) would
     // error, hence the guard.
     when(size(nums) >= 2, pairs)
-      .otherwise(lit(Array.empty[Int]).cast("array<struct<lo:double,hi:double>>"))
+      .otherwise(array().cast("array<struct<lo:double,hi:double>>"))
   }
 
   /** Contiguity check over array<struct<lo,hi>> (pyt:199-218):
-    * every range[i].hi must equal range[i+1].lo. Returns boolean. */
+    * every range[i].hi must equal range[i+1].lo. Returns boolean;
+    * lists of fewer than two ranges are vacuously contiguous (the
+    * unguarded slice would error on a negative length). */
   def isContiguous(ranges: Column): Column =
-    forall(
+    when(size(ranges) < 2, lit(true)).otherwise(forall(
       zip_with(slice(ranges, lit(1), size(ranges) - 1),
                slice(ranges, lit(2), size(ranges) - 1),
                (a, b) => a("hi") === b("lo")),
-      identity[Column])
+      identity[Column]))
 }

@@ -1,0 +1,96 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator unit tests on tiny in-memory corpora. */
+class LlmSpec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("Dedup.exact groups identical content, keeps min id") {
+    val d = docsDf((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val out = Dedup.exact(d, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("Dedup.shingles: word 3-grams, distinct, short docs yield none") {
+    val d = docsDf((1L, "a b c d"), (2L, "a b"))
+    val sh = Dedup.shingles(d, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("Dedup.minhashLsh finds a near-dup pair and reports exact Jaccard") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docsDf((1L, base), (2L, base + " extra"), (3L, "p q r s t u v w"))
+    val sh = Dedup.shingles(d, col("doc_id"), col("text"))
+    val pairs = Dedup.minhashLsh(sh, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc1 has 28 shingles, doc2 those plus 1 new -> J = 28/29
+    assert(pairs.toSeq == Seq((1L, 2L, 28.0 / 29.0)))
+  }
+
+  test("simhash16 equal for identical docs, in 16-bit range") {
+    val d = docsDf((1L, "a b c d e"), (2L, "a b c d e"), (3L, "zz yy xx"))
+    val m = Dedup.simhash16(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("Similarity.cosine: orthogonal -> 0, identical -> 1") {
+    val row = spark.range(1).select(
+      Similarity.cosine(typedLit(Seq(1.0, 0.0)), typedLit(Seq(0.0, 1.0))).as("o"),
+      Similarity.cosine(typedLit(Seq(0.5, 0.5)), typedLit(Seq(0.5, 0.5))).as("i"))
+      .head()
+    assert(row.getDouble(0) == 0.0)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("Similarity.topK ranks by cosine desc with id tie-break") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+                     (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.topK(corpus, col("vec_id"), col("embedding"),
+        q, col("embedding"), 2)
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("TextAnalysis.langId recovers the dominant-vocabulary language") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hello world hello there", "en"),
+      (2L, "hello world again today", "en"),
+      (3L, "hola mundo hola amigo", "es"),
+      (4L, "hola mundo bueno dia", "es"))
+      .toDF("doc_id", "text", "lang")
+    val pred = TextAnalysis.langId(d, col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "en", 2L -> "en", 3L -> "es", 4L -> "es"))
+  }
+
+  test("Multimodal decode stub: feature = byte length + first byte") {
+    import Multimodal._
+    val f = decodeStub(MediaRow(7L, "abc".getBytes("UTF-8"),
+      MediaMeta("en", "s"), 3))
+    assert(f == MediaFeature(7L, "en", 3, 3L + 'a'.toLong))
+    assert(decodeStub(MediaRow(8L, Array.empty, MediaMeta("x", "y"), 0)).feat == 0L)
+  }
+
+  test("Multimodal.featuresByLangLabel end-to-end on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab", "en", "s0", 2L), (2L, "cd", "fr", "s1", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val embs = Seq((1L, 5), (2L, 5)).toDF("vec_id", "label")
+    val out = Multimodal.featuresByLangLabel(spark, docs, embs)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(("en", 5, 1L, 2L + 'a'.toLong), ("fr", 5, 1L, 2L + 'c'.toLong)))
+  }
+}
