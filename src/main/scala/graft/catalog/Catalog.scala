@@ -1,0 +1,110 @@
+package graft.catalog
+
+import graft.codec.{RangeCodec, Rfc4180}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The mosaic-catalog tools: encode/decode between the decoded
+  * array-of-structs classification and the reference's stored CSV-string
+  * columns (R13–R16, pyt:929-936/1279/1308-1332), per-field diff
+  * detection (R17, pyt:245-273), and update-by-predicate rewrites (R18,
+  * pyt:318-324) with the reference's validations (V2 contiguity
+  * pyt:199-218, V3 coverage snap/error pyt:307-314).
+  *
+  * Scale posture: the catalog is dimension-sized; every operation here
+  * is a narrow projection or a broadcast-friendly equi-join keyed on
+  * `name`. Updates are immutable rewrites (when(pred, new).otherwise(old))
+  * — the Delta-style MERGE shape, expressed as a projection so Catalyst
+  * folds it into the scan. */
+object Catalog {
+
+  /** Encode a decoded catalog (name, ranges: array<struct<label,lo,hi,out>>)
+    * to the stored string form (R13/R14/R16-inverse). */
+  def encode(decoded: DataFrame, nameCol: String = "layer",
+             rangesCol: String = "ranges"): DataFrame =
+    decoded.select(
+      col(nameCol).as("name"),
+      RangeCodec.encodeRanges(col(rangesCol)).as("input_ranges"),
+      Rfc4180.encodeList(transform(col(rangesCol), r => r("label")))
+        .as("range_labels"),
+      array_join(transform(col(rangesCol), r => r("out").cast(StringType)), ",")
+        .as("output_values"))
+
+  /** Decode stored strings back to the array-of-structs form (R15/R16,
+    * pyt:161-177: positional zip of labels / range pairs / outputs). */
+  def decodeRangesCol: Column = {
+    val pairs = RangeCodec.decodeRanges(col("input_ranges"))
+    val labels = Rfc4180.decodeList(col("range_labels"))
+    val outs = transform(split(col("output_values"), ","),
+      s => s.try_cast(IntegerType))
+    transform(pairs, (p, i) => struct(
+      try_element_at(labels, i + 1).as("label"),
+      p("lo").as("lo"), p("hi").as("hi"),
+      try_element_at(outs, i + 1).as("out")))
+  }
+
+  def decode(encoded: DataFrame): DataFrame =
+    encoded.withColumn("ranges", decodeRangesCol)
+
+  /** R17: per-field diff between two catalog versions keyed on `name`.
+    * Emits one row per changed field (null-safe comparison). */
+  def diff(oldCat: DataFrame, newCat: DataFrame,
+           fields: Seq[String]): DataFrame = {
+    val o = oldCat.select(col("name") +: fields.map(f => col(f).as(s"o_$f")): _*)
+    val n = newCat.select(col("name") +: fields.map(f => col(f).as(s"n_$f")): _*)
+    val entries = fields.map(f => struct(
+      lit(f).as("field"), col(s"o_$f").as("old_value"),
+      col(s"n_$f").as("new_value")))
+    o.join(n, "name")
+      .select(col("name"), explode(array(entries: _*)).as("d"))
+      .select(col("name"), col("d.field").as("field"),
+              col("d.old_value").as("old_value"),
+              col("d.new_value").as("new_value"))
+      .filter(!(col("old_value") <=> col("new_value")))
+  }
+
+  /** UpdateWroClassification (pyt:222-330): apply an edited
+    * classification to one catalog row, with the reference's validations:
+    *  - V3 snap (pyt:309-311): the first range's lo is snapped to the
+    *    raster minimum (auto-fix, the reference warns);
+    *  - V3 error (pyt:312-314): the last range's hi must exceed the
+    *    raster maximum — half-open ranges must cover the true max;
+    *  - V2 (pyt:199-218): edited ranges must be contiguous.
+    * `newRanges` is the edited array<struct<label,lo,hi,out>> (typically
+    * literal-built from user input); `stats` is a one-row DataFrame with
+    * the layer's raster statistics as columns `mn`/`mx` — kept as a
+    * DataFrame so the statistics stay computed in-plan (no driver-side
+    * collect, mirroring pyt:303-304's GetRasterProperties without the
+    * round-trip). Returns the rewritten catalog (immutable R18
+    * update-by-predicate). */
+  def updateClassification(encodedCat: DataFrame, name: String,
+                           newRanges: Column, stats: DataFrame): DataFrame = {
+    val mn = col("mn")
+    val mx = col("mx")
+    val snapped = transform(newRanges, (r, i) => struct(
+      r("label").as("label"),
+      when(i === 0, mn).otherwise(r("lo")).as("lo"),
+      r("hi").as("hi"), r("out").as("out")))
+    val lastHi = element_at(snapped, size(snapped))("hi")
+    val validated =
+      when(!RangeCodec.isContiguous(snapped),
+        raise_error(lit("edited ranges are not contiguous")))
+      .when(lastHi <= mx,
+        raise_error(concat(lit("classification must cover the raster "),
+          lit("maximum: last hi "), lastHi.cast(StringType),
+          lit(" <= max "), mx.cast(StringType))))
+      .otherwise(snapped)
+    val enc = encode(
+      stats.select(lit(name).as("layer"), validated.as("ranges")))
+    // broadcast the 1-row edited encoding; rewrite is a projection
+    encodedCat.as("c")
+      .join(broadcast(enc.as("e")
+          .withColumnRenamed("name", "e_name")),
+        col("c.name") === col("e_name"), "left")
+      .select(col("c.name").as("name"),
+        coalesce(col("e.input_ranges"), col("c.input_ranges")).as("input_ranges"),
+        coalesce(col("e.range_labels"), col("c.range_labels")).as("range_labels"),
+        coalesce(col("e.output_values"), col("c.output_values")).as("output_values"))
+  }
+}

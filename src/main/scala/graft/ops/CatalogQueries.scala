@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft._
+import graft.catalog.{Catalog, Validate}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog-tool queries (R13–R18, V2/V4/V5): encode/decode round-trip
+  * through the stored CSV-string form, update-by-predicate with the
+  * reference's validations, per-field diff detection, and the validation
+  * predicates as a golden table. */
+object CatalogQueries {
+
+  /** The derived catalog with comma-bearing labels ("<label>, b<idx>") so
+    * the RFC-4180 encoder's quote-wrapping is actually exercised. */
+  def catalogDecorated(s: SparkSession, dir: String): DataFrame =
+    WroQueries.catalog(s, dir).select(col("layer"),
+      transform(col("ranges"), (r, i) => struct(
+        concat(r("label"), lit(", b"), i.cast("string")).as("label"),
+        r("lo").as("lo"), r("hi").as("hi"), r("out").as("out"))).as("ranges"))
+
+  /** R13/R14/R16: the encoded catalog table (stored string form). */
+  def catalogEncoded(s: SparkSession, dir: String): DataFrame =
+    Catalog.encode(catalogDecorated(s, dir))
+
+  /** R15/R16: decode(encode(catalog)) — the full storage round-trip,
+    * exploded back to per-class rows for comparison against the direct
+    * derivation. */
+  def catalogRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Catalog.decode(catalogEncoded(s, dir))
+      .select(col("name").as("layer"),
+              posexplode(col("ranges")).as(Seq("class_idx", "r")))
+      .select(col("layer"), col("class_idx"),
+              col("r.label").as("label"), col("r.lo").as("lo"),
+              col("r.hi").as("hi"), col("r.out").as("out"))
+
+  /** The user's edited classification for the `quantity` layer: first lo
+    * deliberately off the raster min (2.0 -> snapped), one comma-bearing
+    * label, valid coverage (51.0 > max), contiguous. */
+  private def editedRanges = array(
+    struct(lit("low, band").as("label"), lit(2.0).as("lo"),
+           lit(10.0).as("hi"), lit(2).as("out")),
+    struct(lit("mid").as("label"), lit(10.0).as("lo"),
+           lit(30.0).as("hi"), lit(5).as("out")),
+    struct(lit("high").as("label"), lit(30.0).as("lo"),
+           lit(51.0).as("hi"), lit(8).as("out")))
+
+  private def quantityStats(s: SparkSession, dir: String): DataFrame =
+    WroQueries.perCell(s, dir)
+      .agg(min("quantity").as("mn"), max("quantity").as("mx"))
+
+  /** R18 + V2/V3 (pyt:222-330): apply the edit to one catalog row. */
+  def updateClassification(s: SparkSession, dir: String): DataFrame =
+    Catalog.updateClassification(catalogEncoded(s, dir), "quantity",
+      editedRanges, quantityStats(s, dir))
+
+  /** R17 (pyt:245-273): per-field diff, old catalog vs updated. */
+  def catalogDiff(s: SparkSession, dir: String): DataFrame =
+    Catalog.diff(catalogEncoded(s, dir), updateClassification(s, dir),
+      Seq("input_ranges", "range_labels", "output_values"))
+
+  /** V2/V4/V5 as a golden validation table over literal inputs. */
+  def validations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Seq(
+      ("contig", "a", "1.0,10.0,10.0,20.0"),
+      ("contig", "b", "1.0,10.0,12.0,20.0"),
+      ("url", "c", "https://example.org/x"),
+      ("url", "d", "ftp://example.org/x"),
+      ("url", "e", "HTTP://EXAMPLE.ORG"),
+      ("ident", "f", "good_name"),
+      ("ident", "g", "bad name!"),
+      ("ident", "h", "tab|pipe"))
+    rows.toDF("kind", "name", "v")
+      .select(col("kind"), col("name"),
+        when(col("kind") === "contig", Validate.rangesContiguous(col("v")))
+          .when(col("kind") === "url", Validate.urlOk(col("v")))
+          .otherwise(Validate.identifierOk(col("v")))
+          .cast("int").as("ok"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wro_catalog_encoded" -> catalogEncoded,
+    "wro_catalog_roundtrip" -> catalogRoundtrip,
+    "wro_update_classification" -> updateClassification,
+    "wro_catalog_diff" -> catalogDiff,
+    "wro_validations" -> validations
+  )
+
+  // ---------- oracle SQL ----------
+
+  /** Decorated + encoded catalog, built from WroQueries.rangesSql. All
+    * decorated labels contain ", b<idx>" so RFC-4180 always quotes. */
+  private val encodedSql =
+    s"""${WroQueries.rangesSql},
+       |encoded AS (
+       |  SELECT layer AS name,
+       |    string_agg(CAST(lo AS VARCHAR) || ',' || CAST(hi AS VARCHAR),
+       |               ',' ORDER BY class_idx) AS input_ranges,
+       |    string_agg('"' || label || ', b' || class_idx || '"',
+       |               ',' ORDER BY class_idx) AS range_labels,
+       |    string_agg(CAST(out AS VARCHAR), ',' ORDER BY class_idx) AS output_values
+       |  FROM ranges GROUP BY layer)""".stripMargin
+
+  private val updatedSql =
+    s"""$encodedSql,
+       |qstats AS (SELECT min(value) AS mn, max(value) AS mx
+       |           FROM cells WHERE layer = 'quantity'),
+       |updated AS (
+       |  SELECT e.name,
+       |    CASE WHEN e.name = 'quantity'
+       |      THEN CAST(s.mn AS VARCHAR) || ',10.0,10.0,30.0,30.0,51.0'
+       |      ELSE e.input_ranges END AS input_ranges,
+       |    CASE WHEN e.name = 'quantity'
+       |      THEN '"low, band",mid,high'
+       |      ELSE e.range_labels END AS range_labels,
+       |    CASE WHEN e.name = 'quantity'
+       |      THEN '2,5,8'
+       |      ELSE e.output_values END AS output_values
+       |  FROM encoded e, qstats s)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "wro_catalog_encoded" ->
+      s"""$encodedSql
+         |SELECT name, input_ranges, range_labels, output_values FROM encoded""".stripMargin,
+    "wro_catalog_roundtrip" ->
+      s"""${WroQueries.rangesSql}
+         |SELECT layer, class_idx, label || ', b' || class_idx AS label,
+         |       lo, hi, out
+         |FROM ranges""".stripMargin,
+    "wro_update_classification" ->
+      s"""$updatedSql
+         |SELECT name, input_ranges, range_labels, output_values FROM updated""".stripMargin,
+    "wro_catalog_diff" ->
+      s"""$updatedSql
+         |SELECT e.name, d.field, d.old_value, d.new_value
+         |FROM encoded e
+         |JOIN updated u ON e.name = u.name,
+         |LATERAL (SELECT * FROM (VALUES
+         |  ('input_ranges', e.input_ranges, u.input_ranges),
+         |  ('range_labels', e.range_labels, u.range_labels),
+         |  ('output_values', e.output_values, u.output_values))
+         |  AS t(field, old_value, new_value)) d
+         |WHERE d.old_value IS DISTINCT FROM d.new_value""".stripMargin,
+    "wro_validations" ->
+      """SELECT * FROM (VALUES
+        |  ('contig', 'a', 1), ('contig', 'b', 0),
+        |  ('url', 'c', 1), ('url', 'd', 0), ('url', 'e', 1),
+        |  ('ident', 'f', 1), ('ident', 'g', 0), ('ident', 'h', 0))
+        |  AS t(kind, name, ok)""".stripMargin
+  )
+}

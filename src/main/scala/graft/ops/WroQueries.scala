@@ -80,15 +80,66 @@ object WroQueries {
   def classifyEqualInterval(spark: SparkSession, dir: String): DataFrame =
     WeightedOverlay.explodeRanges(catalog(spark, dir))
 
+  private def explodeClasses(df: DataFrame, ranges: org.apache.spark.sql.Column): DataFrame =
+    df.select(posexplode(ranges).as(Seq("class_idx", "r")))
+      .select(col("class_idx"), col("r.label").as("label"),
+              col("r.lo").as("lo"), col("r.hi").as("hi"), col("r.out").as("out"))
+
+  /** R11 (pyt:1081-1108) as a declared query: unique-value classification
+    * over the distinct l_linenumber values (a thematic pseudo-raster).
+    * Distinct collapses to a bounded set before any driver-side array work
+    * — collect_set output is #distinct-values sized, not data-sized. */
+  def classifyUnique(spark: SparkSession, dir: String): DataFrame = {
+    val vals = table(spark, dir, "lineitem")
+      .agg(collect_set(col("l_linenumber").cast("double")).as("vs"))
+    explodeClasses(vals, Classify.uniqueValues(col("vs")))
+  }
+
+  /** R10 (pyt:941-1008) as a declared query: classify-colorizer breaks
+    * over l_quantity stats — breaks at 25%/50%/100% of the value span,
+    * "lo to hi" labels, all outputs 5, final max-bump. */
+  def classifyBreaks(spark: SparkSession, dir: String): DataFrame = {
+    val stats = table(spark, dir, "lineitem")
+      .agg(min(col("l_quantity").cast("double")).as("mn"),
+           max(col("l_quantity").cast("double")).as("mx"))
+    val span = col("mx") - col("mn")
+    val breaks = array(col("mn") + span * 0.25, col("mn") + span * 0.5,
+                       col("mn") + span * 1.0)
+    explodeClasses(stats, Classify.fromBreaks(col("mn"), breaks))
+  }
+
+  /** R12 (pyt:1021-1078) as a declared query: unique-value classification
+    * where labels come from a colorizer lookup joined CASE-INSENSITIVELY
+    * to the raster attribute table's class field (pyt:1059-1068). The
+    * colorizer is dimension-sized -> broadcast; values and labels stay
+    * paired through collection (struct list), so ordering is irrelevant. */
+  def classifyLabelJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rat = table(spark, dir, "lineitem")
+      .select(col("l_linenumber").cast("double").as("v"),
+              concat(lit("cls"), col("l_linenumber")).as("field"))
+      .distinct()
+    val colorizer = Seq(
+      ("CLS1", "One"), ("CLS2", "Two"), ("CLS3", "Three"), ("CLS4", "Four"),
+      ("CLS5", "Five"), ("CLS6", "Six"), ("CLS7", "Seven"))
+      .toDF("cval", "clabel")
+    val pairs = rat
+      .join(broadcast(colorizer), lower(col("field")) === lower(col("cval")))
+      .agg(collect_list(struct(col("v"), col("clabel"))).as("ps"))
+      .select(transform(col("ps"), p => p("v")).as("vs"),
+              transform(col("ps"), p => p("clabel")).as("ls"))
+    explodeClasses(pairs, Classify.uniqueValues(col("vs"), col("ls")))
+  }
+
   // ---- shared oracle-SQL fragments (DuckDB dialect) ----
 
-  private val cellsSql: String = layers.map { case (name, src, _) =>
+  private[ops] val cellsSql: String = layers.map { case (name, src, _) =>
     s"SELECT l_orderkey % 10000 AS cell_id, '$name' AS layer, CAST($src AS DOUBLE) AS value FROM lineitem"
   }.mkString(
     "SELECT cell_id, layer, max(value) AS value FROM (", " UNION ALL ",
     ") GROUP BY cell_id, layer")
 
-  private val rangesSql: String =
+  private[ops] val rangesSql: String =
     s"""WITH cells AS ($cellsSql),
        |stats AS (SELECT layer, min(value) AS mn, max(value) AS mx FROM cells GROUP BY layer),
        |ranges AS (
@@ -101,7 +152,10 @@ object WroQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wro_overlay_flagship" -> flagship,
-    "wro_classify_equal_interval" -> classifyEqualInterval
+    "wro_classify_equal_interval" -> classifyEqualInterval,
+    "wro_classify_unique" -> classifyUnique,
+    "wro_classify_breaks" -> classifyBreaks,
+    "wro_classify_labeljoin" -> classifyLabelJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -117,6 +171,53 @@ object WroQueries {
     "wro_classify_equal_interval" ->
       s"""$rangesSql
          |SELECT layer, class_idx, label, lo, hi, out FROM ranges
-         |ORDER BY layer, class_idx""".stripMargin
+         |ORDER BY layer, class_idx""".stripMargin,
+    "wro_classify_unique" ->
+      """WITH v AS (SELECT DISTINCT CAST(l_linenumber AS DOUBLE) AS v FROM lineitem),
+        |ordered AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) - 1 AS idx,
+        |         lead(v) OVER (ORDER BY v) AS nxt
+        |  FROM v)
+        |SELECT CAST(idx AS INT) AS class_idx, CAST(v AS VARCHAR) AS label,
+        |       v AS lo, coalesce(nxt, v + 1) AS hi, 5 AS out
+        |FROM ordered""".stripMargin,
+    "wro_classify_breaks" ->
+      """WITH stats AS (
+        |  SELECT min(CAST(l_quantity AS DOUBLE)) AS mn,
+        |         max(CAST(l_quantity AS DOUBLE)) AS mx FROM lineitem),
+        |bounds AS (
+        |  SELECT * FROM (
+        |    SELECT 0 AS idx, mn AS b FROM stats
+        |    UNION ALL SELECT 1, mn + (mx - mn) * 0.25 FROM stats
+        |    UNION ALL SELECT 2, mn + (mx - mn) * 0.5 FROM stats
+        |    UNION ALL SELECT 3, mn + (mx - mn) * 1.0 FROM stats)),
+        |ranges AS (
+        |  SELECT idx AS class_idx, b AS lo,
+        |    CASE WHEN idx = 2 THEN (SELECT max(b) FROM bounds) + 1.0
+        |         ELSE lead(b) OVER (ORDER BY idx) END AS hi
+        |  FROM bounds QUALIFY idx < 3)
+        |SELECT CAST(class_idx AS INT) AS class_idx,
+        |  CAST(lo AS VARCHAR) || ' to ' || CAST(hi AS VARCHAR) AS label,
+        |  lo, hi, 5 AS out
+        |FROM ranges""".stripMargin,
+    "wro_classify_labeljoin" ->
+      """WITH rat AS (
+        |  SELECT DISTINCT CAST(l_linenumber AS DOUBLE) AS v,
+        |         'cls' || CAST(l_linenumber AS VARCHAR) AS field
+        |  FROM lineitem),
+        |colorizer AS (
+        |  SELECT * FROM (VALUES ('CLS1','One'), ('CLS2','Two'), ('CLS3','Three'),
+        |    ('CLS4','Four'), ('CLS5','Five'), ('CLS6','Six'), ('CLS7','Seven'))
+        |    AS t(cval, clabel)),
+        |joined AS (
+        |  SELECT r.v, c.clabel
+        |  FROM rat r JOIN colorizer c ON lower(r.field) = lower(c.cval)),
+        |ordered AS (
+        |  SELECT v, clabel, row_number() OVER (ORDER BY v) - 1 AS idx,
+        |         lead(v) OVER (ORDER BY v) AS nxt
+        |  FROM joined)
+        |SELECT CAST(idx AS INT) AS class_idx, clabel AS label,
+        |       v AS lo, coalesce(nxt, v + 1) AS hi, 5 AS out
+        |FROM ordered""".stripMargin
   )
 }

@@ -1,0 +1,81 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Catalog update-tool semantics: V1 field presence, V3 snap/error
+  * behavior (pyt:307-314), V2 contiguity rejection, R17 diff. */
+class CatalogSpec extends SparkSpec {
+
+  private def ranges(rs: (String, Double, Double, Int)*) = array(rs.map {
+    case (l, lo, hi, out) => struct(lit(l).as("label"), lit(lo).as("lo"),
+      lit(hi).as("hi"), lit(out).as("out"))
+  }: _*)
+
+  private def baseCat = {
+    import spark.implicits._
+    Catalog.encode(Seq(1).toDF("one").select(lit("L").as("layer"),
+      ranges(("a", 0.0, 5.0, 1), ("b", 5.0, 11.0, 9)).as("ranges")))
+  }
+
+  private def stats(mn: Double, mx: Double) = {
+    import spark.implicits._
+    Seq((mn, mx)).toDF("mn", "mx")
+  }
+
+  test("encode produces the stored CSV-string row") {
+    val r = baseCat.head()
+    assert(r.getString(0) == "L")
+    assert(r.getString(1) == "0.0,5.0,5.0,11.0")
+    assert(r.getString(2) == "a,b")
+    assert(r.getString(3) == "1,9")
+  }
+
+  test("update snaps first lo to the raster min (V3 warn/auto-fix)") {
+    val out = Catalog.updateClassification(baseCat, "L",
+      ranges(("x", 2.0, 6.0, 3), ("y", 6.0, 11.0, 7)), stats(0.0, 10.0))
+      .head()
+    assert(out.getString(1) == "0.0,6.0,6.0,11.0") // 2.0 snapped to 0.0
+    assert(out.getString(3) == "3,7")
+  }
+
+  test("update errors when last hi <= raster max (V3 hard error)") {
+    val ex = intercept[Exception] {
+      Catalog.updateClassification(baseCat, "L",
+        ranges(("x", 0.0, 5.0, 3), ("y", 5.0, 9.0, 7)), stats(0.0, 10.0))
+        .collect()
+    }
+    assert(ex.getMessage.contains("cover the raster maximum"))
+  }
+
+  test("update errors on non-contiguous edit (V2)") {
+    val ex = intercept[Exception] {
+      Catalog.updateClassification(baseCat, "L",
+        ranges(("x", 0.0, 4.0, 3), ("y", 5.0, 11.0, 7)), stats(0.0, 10.0))
+        .collect()
+    }
+    assert(ex.getMessage.contains("not contiguous"))
+  }
+
+  test("diff emits only changed fields, null-safe") {
+    import spark.implicits._
+    val oldCat = Seq(("L", "1", "x", "5")).toDF(
+      "name", "input_ranges", "range_labels", "output_values")
+    val newCat = Seq(("L", "1", "y", "5")).toDF(
+      "name", "input_ranges", "range_labels", "output_values")
+    val d = Catalog.diff(oldCat, newCat,
+      Seq("input_ranges", "range_labels", "output_values")).collect()
+    assert(d.map(_.getString(1)).toSeq == Seq("range_labels"))
+    assert(d.head.getString(2) == "x" && d.head.getString(3) == "y")
+  }
+
+  test("requireFields passes when present, throws naming the missing (V1)") {
+    import spark.implicits._
+    val df = Seq(("a", "b")).toDF("Title", "Url")
+    Validate.requireFields(df, Seq("title", "url")) // case-insensitive ok
+    val ex = intercept[IllegalArgumentException] {
+      Validate.requireFields(df, Seq("Title", "InputRanges"))
+    }
+    assert(ex.getMessage.contains("InputRanges"))
+  }
+}
