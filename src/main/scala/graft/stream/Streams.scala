@@ -1,0 +1,81 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` shape (SURVEY §2.B
+  * S1–S6). The transforms are written against a DataFrame so the SAME
+  * code path serves batch (oracle-checkable: `window`/`session_window`
+  * work in batch mode) and `readStream` inputs — batch-equivalence is
+  * the correctness argument for the streaming path (SURVEY §5.2-5).
+  *
+  * Event time leaves as epoch microseconds (engine-portable), money sums
+  * as decimal. At scale every aggregation below is keyed (window bucket,
+  * user) — state partitions by key; watermarks bound state size. */
+object Streams {
+
+  /** S1: tumbling 10-minute window — count + value sum per window. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("sum_value"))
+
+  /** S2: sliding 10-minute window, 5-minute slide (each event lands in
+    * two windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("sum_value"))
+
+  /** S3: per-user session windows with a 30-minute inactivity gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+              col("n"), col("sum_value"))
+
+  /** S4: tumbling aggregation with a 10-minute watermark — on a stream,
+    * events later than (max seen ts - 10 min) are dropped and window
+    * state is finalized; in batch the watermark is a no-op, so batch
+    * output == stream output when nothing is late. */
+  def tumblingWatermarked(events: DataFrame): DataFrame =
+    tumbling(events.withWatermark("ts", "10 minutes"))
+
+  /** S5: stateful dedup by event_id within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** S6 state: running per-user aggregate carried across micro-batches. */
+  case class UserEvent(user_id: Long, ts_us: Long, value: Double)
+  case class UserState(n: Long, total: Double)
+  case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** S6: arbitrary stateful processing — a per-user running count/total
+    * via mapGroupsWithState (update mode). The state object is tiny and
+    * keyed; at 100 TB this is the canonical shape for sessionization or
+    * drift tracking that windows can't express. */
+  def runningTotals(spark: SparkSession, events: Dataset[UserEvent])
+      : Dataset[UserRunning] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserRunning](GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val (n, total) = evs.foldLeft((prev.n, prev.total)) {
+            case ((c, t), e) => (c + 1, t + e.value)
+          }
+          state.update(UserState(n, total))
+          UserRunning(user, n, total)
+      }
+  }
+
+  val update: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,106 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming semantics that batch oracles can't express (SURVEY §2.B
+  * S4–S6 and §5.2-5): batch-vs-stream equivalence, watermark late-data
+  * drop, stateful dedup, arbitrary state across micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private def eventsDf(rows: (Long, Long, Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("event_id", "mins", "user_id", "value")
+      .select(col("event_id"), timestamp_millis(col("mins") * 60000).as("ts"),
+              col("user_id"), col("value"))
+  }
+
+  test("S1 batch == stream for the tumbling aggregation") {
+    import spark.implicits._
+    val rows = Seq((1L, 0L, 1L, 1.0), (2L, 5L, 1L, 2.0), (3L, 12L, 2L, 4.0))
+    val batch = Streams.tumbling(eventsDf(rows: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val input = MemoryStream[(Long, Long, Long, Double)](spark)
+    val streamed = Streams.tumbling(
+      input.toDF().toDF("event_id", "mins", "user_id", "value")
+        .select(timestamp_millis(col("mins") * 60000).as("ts"), col("value")))
+    val q = streamed.writeStream.format("memory").queryName("s1eq")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("s1eq")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("S4 watermark drops events later than the horizon") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, Double)](spark)
+    val streamed = Streams.tumblingWatermarked(
+      input.toDF().toDF("mins", "value")
+        .select(timestamp_millis(col("mins") * 60000).as("ts"), col("value")))
+    val q = streamed.writeStream.format("memory").queryName("s4wm")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((0L, 1.0), (5L, 2.0)))   // window [0,10)
+      q.processAllAvailable()
+      input.addData(Seq((40L, 3.0)))             // advances watermark to 30min
+      q.processAllAvailable()
+      input.addData(Seq((1L, 100.0)))            // late: 1min << 30min horizon
+      q.processAllAvailable()
+      input.addData(Seq((80L, 4.0)))             // flush closable windows
+      q.processAllAvailable()
+      val finalized = spark.table("s4wm")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+      // the [0,10) window finalized WITHOUT the late 100.0 event
+      val w0 = finalized.find(_._1 == 0L).get
+      assert(w0._2 == 2L && w0._3 == 3.0)
+    } finally q.stop()
+  }
+
+  test("S5 dropDuplicatesWithinWatermark removes repeated event ids") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long, Double)](spark)
+    val streamed = Streams.dedupWithinWatermark(
+      input.toDF().toDF("event_id", "mins", "user_id", "value")
+        .select(col("event_id"), timestamp_millis(col("mins") * 60000).as("ts"),
+                col("user_id"), col("value")))
+    val q = streamed.writeStream.format("memory").queryName("s5dd")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, 0L, 1L, 1.0), (1L, 1L, 1L, 1.0), (2L, 2L, 1L, 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq((2L, 3L, 1L, 2.0), (3L, 4L, 2L, 3.0)))
+      q.processAllAvailable()
+      val ids = spark.table("s5dd").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("S6 mapGroupsWithState carries per-user state across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[Streams.UserEvent](spark)
+    val q = Streams.runningTotals(spark, input.toDS())
+      .writeStream.format("memory").queryName("s6st")
+      .outputMode("update").start()
+    try {
+      input.addData(Streams.UserEvent(1L, 0L, 1.0), Streams.UserEvent(1L, 1L, 2.0))
+      q.processAllAvailable()
+      input.addData(Streams.UserEvent(1L, 2L, 4.0), Streams.UserEvent(2L, 3L, 8.0))
+      q.processAllAvailable()
+      val byBatchLatest = spark.table("s6st")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // user 1: first batch (2, 3.0), second batch carries state -> (3, 7.0)
+      assert(byBatchLatest.contains((1L, 2L, 3.0)))
+      assert(byBatchLatest.contains((1L, 3L, 7.0)))
+      assert(byBatchLatest.contains((2L, 1L, 8.0)))
+    } finally q.stop()
+  }
+}
