@@ -37,11 +37,18 @@ object Similarity {
       .select(id.as("vec_id"), asDouble(emb).as("v"))
       .crossJoin(broadcast(query.select(asDouble(queryEmb).as("q"))))
       .select(col("vec_id"), round(cosine(col("v"), col("q")), 6).as("cos_sim"))
+    rankedTopK(scored, k)
+  }
+
+  /** Top-k cut as orderBy+limit (TakeOrderedAndProject: per-partition
+    * partial top-k, merged — never a global sort), then a rank column
+    * computed over only the k surviving rows. */
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame =
     scored
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
-      .filter(col("rank") <= k)
-  }
 
   /** Sign-LSH bucket id from the first `bits` coordinates (axis-aligned
     * random-hyperplane LSH — deterministic and engine-portable; with
@@ -62,11 +69,9 @@ object Similarity {
       .withColumn("bucket", signBucket(col("v"), bits))
     val q = query.select(asDouble(queryEmb).as("q"))
       .withColumn("qbucket", signBucket(col("q"), bits))
-    c.join(broadcast(q), col("bucket") === col("qbucket"))
+    val scored = c.join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col("vec_id"), round(cosine(col("v"), col("q")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
-      .filter(col("rank") <= k)
+    rankedTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold. This

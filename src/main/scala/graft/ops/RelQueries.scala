@@ -87,10 +87,13 @@ object RelQueries {
             col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
 
-  /** J5: left anti join — difference check (R17 diff-detection analogue). */
+  /** J5: left anti join — difference check (R17 diff-detection analogue).
+    * The right side is pre-filtered (customers with no URGENT order) so the
+    * result is non-empty on the fixtures, where every FK is fully covered. */
   def j5Anti(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "customer")
-      .join(table(s, dir, "orders"),
+      .join(table(s, dir, "orders")
+              .filter(col("o_orderpriority") === "1-URGENT"),
             col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
 
@@ -452,7 +455,9 @@ object RelQueries {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "j5_anti" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')""".stripMargin,
     "j7_asof" ->
       """SELECT p.event_id, p.user_id,
         |  max(epoch_us(c.ts)) AS click_ts_us,
