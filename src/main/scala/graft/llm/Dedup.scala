@@ -56,32 +56,41 @@ object Dedup {
   def minhashLsh(sh: DataFrame, k: Int = 32, bands: Int = 16,
                  threshold: Double = 0.8): DataFrame = {
     val r = k / bands
-    val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
-    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // one groupBy pass computes the shingle count AND all k minhashes
+    val aggs = count(lit(1)).as("n_sh") +:
+      (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b) +: (0 until r).map(j => col(s"mh${b * r + j}")): _*)
           .as("bsig"))
     }
-    val banded = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    // candidate generation is ONE shuffle: group by band signature and
+    // emit in-bucket pairs (no self-join — a self-join would compute the
+    // whole minhash subtree twice). n_sh rides along in the bucket so no
+    // size join is needed later. Bucket pair-count is quadratic in bucket
+    // size, which stays tiny when exact dedup (D1) runs first — identical
+    // docs are the only mass-collision source.
+    val banded = sig.select(
+      struct(col("doc_id"), col("n_sh")).as("d"),
+      explode(array(bandCols: _*)).as("bs"))
+    val buckets = banded.groupBy(col("bs.band"), col("bs.bsig"))
+      .agg(sort_array(collect_set(col("d"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val cand = buckets.select(
+        explode(flatten(transform(col("ds"), (a, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
+            struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("a_id"), col("p.a.n_sh").as("na"),
+              col("p.b.doc_id").as("b_id"), col("p.b.n_sh").as("nb"))
       .distinct()
 
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // exact-Jaccard verification of candidates only
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
