@@ -210,6 +210,20 @@ object RelQueries {
              .as("top_customer"),
            max(col("c_acctbal").cast(dec)).as("top_acctbal"))
 
+  /** A10: custom typed Aggregator — the reference's remap-range merge
+    * (pyt:1119-1138) run distributed per group. Each distinct value feeds
+    * the aggregator twice (a degenerate (v,v) pair, §1.4(6) unique-value
+    * semantics); finish = sort, drop first, max-bump, comma-join. */
+  def a10RangeMerge(s: SparkSession, dir: String): DataFrame = {
+    val rangeMerge = udaf(new graft.classify.RangeMergeAgg)
+    table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linenumber").cast("double").as("v"))
+      .distinct()
+      .select(col("l_returnflag"), explode(array(col("v"), col("v"))).as("b"))
+      .groupBy("l_returnflag")
+      .agg(rangeMerge(col("b")).as("remap"))
+  }
+
   // ---------- W: window functions ----------
 
   /** W1: ranking — top order per customer (row_number, tie-broken). */
@@ -406,6 +420,7 @@ object RelQueries {
     "a5_rollup" -> a5Rollup,
     "a6_collect" -> a6Collect,
     "a8_argmax" -> a8ArgMax,
+    "a10_range_merge" -> a10RangeMerge,
     "w1_rank" -> w1Rank,
     "w2_lag" -> w2Lag,
     "w3_running" -> w3Running,
@@ -515,6 +530,18 @@ object RelQueries {
         |                           ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
         |      FROM customer)
         |WHERE rn = 1""".stripMargin,
+    "a10_range_merge" ->
+      """SELECT l_returnflag,
+        |  array_to_string(list_concat(l[2:], [l[-1] + 1]), ',') AS remap
+        |FROM (
+        |  SELECT l_returnflag, list(b ORDER BY b) AS l
+        |  FROM (
+        |    SELECT l_returnflag, CAST(l_linenumber AS DOUBLE) AS b
+        |    FROM lineitem GROUP BY 1, 2
+        |    UNION ALL
+        |    SELECT l_returnflag, CAST(l_linenumber AS DOUBLE)
+        |    FROM lineitem GROUP BY 1, 2)
+        |  GROUP BY 1)""".stripMargin,
     "w1_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS top_price

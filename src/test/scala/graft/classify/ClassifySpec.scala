@@ -84,4 +84,25 @@ class ClassifySpec extends SparkSpec {
       .head().getDouble(0)
     assert(v == 1234.5)
   }
+
+  test("RangeMergeAgg: sort, drop first, max-bump, comma-join (pyt:1119-1138)") {
+    import spark.implicits._
+    val merge = udaf(new RangeMergeAgg)
+    // two contiguous range lists combined: mins+maxes of [0,10),[10,20),[20,30)
+    val got = Seq(0.0, 10.0, 20.0, 10.0, 20.0, 30.0).toDF("b")
+      .agg(merge($"b").as("remap")).head().getString(0)
+    assert(got == "10.0,10.0,20.0,20.0,30.0,31.0")
+    // fewer than two bounds is the reference's error path -> empty string
+    assert(Seq(5.0).toDF("b").agg(merge($"b")).head().getString(0) == "")
+  }
+
+  test("RangeMergeAgg merge is partition-order-independent") {
+    val a = new RangeMergeAgg
+    val xs = Seq(3.0, 1.0, 2.0, 1.0)
+    val one = a.finish(xs.foldLeft(a.zero)(a.reduce))
+    val split = a.finish(a.merge(
+      xs.take(2).foldLeft(a.zero)(a.reduce),
+      xs.drop(2).foldLeft(a.zero)(a.reduce)))
+    assert(one == split && one == "1.0,2.0,3.0,4.0")
+  }
 }
