@@ -76,6 +76,24 @@ object WroQueries {
               col("n_layers"))
   }
 
+  /** F9/J6-phase-2 (SURVEY §7.4) as a declared query: the remap kernel
+    * WITHOUT a range join — per-layer sorted bounds + outs arrays ride a
+    * tiny broadcast, and the codegen'd [[graft.functions.RangeRemap]]
+    * binary-searches them inside whole-stage codegen. Result is identical
+    * to the join-based remap (the flagship path) by construction. */
+  def remapExpr(spark: SparkSession, dir: String): DataFrame = {
+    val cs = cellsFrom(perCell(spark, dir).cache())
+    val dim = catalogFrom(cs).select(
+      col("layer"),
+      concat(transform(col("ranges"), r => r("lo")),
+             array(element_at(col("ranges"), -1)("hi"))).as("bounds"),
+      transform(col("ranges"), r => r("out")).as("outs"))
+    cs.join(broadcast(dim), "layer")
+      .select(col("cell_id"), col("layer"),
+              graft.functions.RangeRemap(
+                col("value"), col("bounds"), col("outs")).as("out"))
+  }
+
   /** R9 as a declared query: the derived classification table itself. */
   def classifyEqualInterval(spark: SparkSession, dir: String): DataFrame =
     WeightedOverlay.explodeRanges(catalog(spark, dir))
@@ -152,6 +170,7 @@ object WroQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wro_overlay_flagship" -> flagship,
+    "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
     "wro_classify_unique" -> classifyUnique,
     "wro_classify_breaks" -> classifyBreaks,
@@ -168,6 +187,11 @@ object WroQueries {
          |SELECT m.cell_id, CAST(sum(m.out * w.w10) AS BIGINT) AS score10, count(*) AS n_layers
          |FROM remapped m JOIN weights w ON m.layer = w.layer
          |GROUP BY m.cell_id ORDER BY m.cell_id""".stripMargin,
+    "f9_remap_expr" ->
+      s"""$rangesSql
+         |SELECT c.cell_id, c.layer, r.out
+         |FROM cells c JOIN ranges r
+         |  ON c.layer = r.layer AND c.value >= r.lo AND c.value < r.hi""".stripMargin,
     "wro_classify_equal_interval" ->
       s"""$rangesSql
          |SELECT layer, class_idx, label, lo, hi, out FROM ranges

@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RangeRemap: half-open binary-search remap (§1.4(1)), codegen and
+  * interpreted paths, and the SQL registration via GraftExtensions. */
+class RangeRemapSpec extends SparkSpec {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types._
+
+  private val bounds = Seq(0.0, 10.0, 20.0, 30.0)
+  private val outs = Seq(1, 3, 5)
+
+  test("codegen path: min-inclusive, max-exclusive, null outside") {
+    import spark.implicits._
+    val df = Seq(-0.1, 0.0, 9.999, 10.0, 29.999, 30.0).toDF("v")
+      .select(col("v"), RangeRemap(col("v"),
+        typedLit(bounds), typedLit(outs)).as("out"))
+    assert(df.collect().map(r => if (r.isNullAt(1)) null else r.getInt(1)).toSeq
+      == Seq(null, 1, 1, 3, 5, null))
+  }
+
+  test("interpreted path (direct eval) matches codegen") {
+    val e = RangeRemap(
+      Literal(10.0),
+      Literal.create(bounds, ArrayType(DoubleType)),
+      Literal.create(outs, ArrayType(IntegerType)))
+    assert(e.eval(null) == 3)
+    assert(RangeRemap(Literal(30.0),
+      Literal.create(bounds, ArrayType(DoubleType)),
+      Literal.create(outs, ArrayType(IntegerType))).eval(null) == null)
+    // degenerate: fewer than 2 bounds -> always null
+    assert(RangeRemap(Literal(1.0),
+      Literal.create(Seq(1.0), ArrayType(DoubleType)),
+      Literal.create(Seq.empty[Int], ArrayType(IntegerType))).eval(null) == null)
+  }
+
+  test("SQL registration via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT range_remap(CAST(15 AS DOUBLE), array(0D, 10D, 20D, 30D), array(1, 3, 5)) AS out," +
+      "       rfc4180_decode('a,\"b,c\",d') AS parts")
+      .head()
+    assert(r.getInt(0) == 3)
+    assert(r.getSeq[String](1) == Seq("a", "b,c", "d"))
+  }
+}
