@@ -75,15 +75,34 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold. This
-    * baseline IS all-pairs (exact); at scale callers bucket first
-    * ([[signBucket]]) and run it per bucket — near-identical vectors
-    * share a bucket with probability ≈ 1. */
+    * baseline IS all-pairs (exact, O(n²)); only for small corpora or
+    * within-bucket verification — the scale path is
+    * [[cosineNearDupBucketed]]. */
   def cosineNearDup(corpus: DataFrame, id: Column, embDouble: Column,
                     threshold: Double): DataFrame = {
     val c = corpus.select(id.as("vec_id"), embDouble.as("v"))
     c.select(col("vec_id").as("a_id"), col("v").as("va"))
       .join(c.select(col("vec_id").as("b_id"), col("v").as("vb")),
             col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Near-dup pairs with a sign-LSH bucket prefilter: pairs only form
+    * inside a bucket, so the join is an equi-join on the bucket id (hash
+    * partitionable — work is n²/2^bits instead of n²). Near-identical
+    * vectors split buckets only when a used coordinate sits within the
+    * perturbation of zero, so recall stays ≈ 1; the declared-query oracle
+    * replicates the bucketing, keeping the compare exact. */
+  def cosineNearDupBucketed(corpus: DataFrame, id: Column, embDouble: Column,
+                            threshold: Double, bits: Int = 6): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), embDouble.as("v"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+    c.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("va"))
+      .join(c.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("vb")),
+            Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
               round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

@@ -61,8 +61,8 @@ object LlmQueries {
     Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
 
   def d2CosineNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDup(embsWithNearDups(s, dir),
-      col("vec_id"), col("v"), 0.95)
+    Similarity.cosineNearDupBucketed(embsWithNearDups(s, dir),
+      col("vec_id"), col("v"), 0.95, bits = 6)
 
   def d3CosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "embeddings")
@@ -188,9 +188,19 @@ object LlmQueries {
           |    [CAST(embedding[1] AS DOUBLE) + 0.05] ||
           |    list_transform(embedding[2:], x -> CAST(x AS DOUBLE))
           |  FROM embeddings WHERE vec_id % 20 = 0),
+          |bucketed AS (
+          |  SELECT vec_id, v,
+          |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+          |     CASE WHEN v[3] > 0 THEN 4 ELSE 0 END +
+          |     CASE WHEN v[4] > 0 THEN 8 ELSE 0 END +
+          |     CASE WHEN v[5] > 0 THEN 16 ELSE 0 END +
+          |     CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
+          |  FROM corpus),
           |pairs AS (
           |  SELECT a.vec_id AS a_id, a.v AS va, b.vec_id AS b_id, b.v AS vb
-          |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)""".stripMargin) +
+          |  FROM bucketed a JOIN bucketed b
+          |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin) +
       """
         |SELECT a_id, b_id, round(dot / (na * nb), 6) AS cos_sim
         |FROM dots WHERE round(dot / (na * nb), 6) >= 0.95""".stripMargin),
