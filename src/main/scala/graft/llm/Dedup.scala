@@ -26,20 +26,23 @@ object Dedup {
            count(lit(1)).as("n_copies"))
       .drop("h")
 
-  /** Distinct word `n`-gram shingles per document: (doc_id, sh).
-    * Documents shorter than `n` words yield no shingles (guarded —
-    * sequence(1, 0) would count DOWN, not produce empty). */
-  def shingles(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+  /** Distinct word `n`-gram shingles of a text column, as one array per
+    * row — a pure expression, so per-doc reductions over shingles
+    * (minhash, fingerprint) can stay inside codegen with NO explode and
+    * NO shuffle. Documents shorter than `n` words yield an empty array
+    * (guarded — sequence(1, 0) would count DOWN, not produce empty). */
+  def shingleArray(text: Column, n: Int = 3): Column = {
     val words = split(text, " ")
     val shs = array_distinct(transform(
       sequence(lit(1), size(words) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*)))
-    docs.select(
-        id.as("doc_id"),
-        when(size(words) >= n, shs)
-          .otherwise(lit(Array.empty[String])).as("shs"))
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    when(size(words) >= n, shs).otherwise(lit(Array.empty[String]))
   }
+
+  /** Exploded form: (doc_id, sh) — for set operations across documents
+    * (exact-Jaccard intersection joins). */
+  def shingles(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    docs.select(id.as("doc_id"), explode(shingleArray(text, n)).as("sh"))
 
   /** D2: MinHash + LSH near-duplicate pairs.
     *
@@ -53,12 +56,26 @@ object Dedup {
     * NEVER an all-pairs join: candidates come from hash-bucket equality,
     * so cost scales with Σ_bucket |bucket|², which stays tiny because a
     * bucket collision IS a near-duplicate signal. */
-  def minhashLsh(sh: DataFrame, k: Int = 32, bands: Int = 16,
+  def minhashLsh(docs: DataFrame, id: Column, text: Column, n: Int = 3,
+                 k: Int = 32, bands: Int = 16,
                  threshold: Double = 0.8): DataFrame = {
     val r = k / bands
-    // one groupBy pass computes the shingle count AND all k minhashes
+    // one groupBy pass computes the shingle count AND all k minhashes.
+    // (A per-row array-reduction formulation is a trap here: CollapseProject
+    // inlines the shingle-array alias into every consuming expression, so
+    // the array gets recomputed k+1 times per row — the Aggregate is the
+    // reliable materialization barrier.) The k hash families come from two
+    // real hashes via h_i = h1 + i*h2 (Kirsch-Mitzenmacher), so codegen
+    // subexpression elimination leaves 2 hashes + k fused mult-adds per
+    // shingle instead of k independent hashes. Mixing is XOR + bit-rotate
+    // (never add/multiply: ANSI mode makes long overflow an ERROR).
+    val sh = shingles(docs, id, text, n)
+    val h1 = xxhash64(col("sh"))
+    val h2 = xxhash64(lit(7), col("sh"))
+    def rot(c: Column, i: Int): Column =
+      if (i == 0) c else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
     val aggs = count(lit(1)).as("n_sh") +:
-      (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+      (0 until k).map(i => min(h1.bitwiseXOR(rot(h2, i))).as(s"mh$i"))
     val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -65,10 +65,17 @@ object TextAnalysis {
 
   /** Content fingerprint: min md5 over distinct word-3-gram shingles —
     * a 1-hash MinHash; docs sharing a fingerprint are near-dup
-    * candidates. Engine-portable (md5 + lexicographic min). */
+    * candidates. Engine-portable (md5 + lexicographic min). A per-row
+    * array reduction — no explode, no shuffle; docs too short to shingle
+    * have no fingerprint (dropped, matching the exploded formulation). */
   def fingerprint(docs: DataFrame, id: Column, text: Column): DataFrame =
-    Dedup.shingles(docs, id, text)
-      .groupBy("doc_id").agg(min(md5(col("sh"))).as("fp"))
+    docs
+      // cheap word-count prefilter (split only), NOT a post-filter on fp —
+      // a post-filter gets pushed below the projection and re-evaluates
+      // the whole shingle+md5 chain a second time per row
+      .filter(size(split(text, " ")) >= 3)
+      .select(id.as("doc_id"),
+        array_min(transform(Dedup.shingleArray(text), s => md5(s))).as("fp"))
 
   /** A BPE-ish token count: runs of letters, runs of digits, runs of
     * other non-space chars each count as one token. */

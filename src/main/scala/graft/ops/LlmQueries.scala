@@ -54,8 +54,7 @@ object LlmQueries {
     Dedup.exact(docsWithExactDups(s, dir), col("doc_id"), col("text"))
 
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(
-      Dedup.shingles(docsWithNearDups(s, dir), col("doc_id"), col("text")))
+    Dedup.minhashLsh(docsWithNearDups(s, dir), col("doc_id"), col("text"))
 
   def d2Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))

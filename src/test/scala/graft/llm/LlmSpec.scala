@@ -28,8 +28,7 @@ class LlmSpec extends SparkSpec {
   test("Dedup.minhashLsh finds a near-dup pair and reports exact Jaccard") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val d = docsDf((1L, base), (2L, base + " extra"), (3L, "p q r s t u v w"))
-    val sh = Dedup.shingles(d, col("doc_id"), col("text"))
-    val pairs = Dedup.minhashLsh(sh, threshold = 0.8)
+    val pairs = Dedup.minhashLsh(d, col("doc_id"), col("text"), threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     // doc1 has 28 shingles, doc2 those plus 1 new -> J = 28/29
     assert(pairs.toSeq == Seq((1L, 2L, 28.0 / 29.0)))
