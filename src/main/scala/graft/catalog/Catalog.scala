@@ -87,10 +87,15 @@ object Catalog {
       when(i === 0, mn).otherwise(r("lo")).as("lo"),
       r("hi").as("hi"), r("out").as("out")))
     val lastHi = element_at(snapped, size(snapped))("hi")
+    // NULL-hostile validations: a NULL condition (empty layer -> null
+    // mn/mx, null bounds) must ERROR like the reference, not silently
+    // skip the raise_error branch and emit a half-updated row
     val validated =
-      when(!RangeCodec.isContiguous(snapped),
+      when(coalesce(mn.isNull || mx.isNull, lit(true)),
+        raise_error(lit("raster statistics unavailable for update")))
+      .when(coalesce(!RangeCodec.isContiguous(snapped), lit(true)),
         raise_error(lit("edited ranges are not contiguous")))
-      .when(lastHi <= mx,
+      .when(coalesce(lastHi <= mx, lit(true)),
         raise_error(concat(lit("classification must cover the raster "),
           lit("maximum: last hi "), lastHi.cast(StringType),
           lit(" <= max "), mx.cast(StringType))))

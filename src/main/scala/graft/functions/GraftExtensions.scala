@@ -13,14 +13,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    def arity(name: String, n: Int)(children: Seq[Expression]): Seq[Expression] = {
+      require(children.length == n,
+        s"$name expects $n arguments, got ${children.length}")
+      children
+    }
     ext.injectFunction((
       FunctionIdentifier("range_remap"),
       new ExpressionInfo(classOf[RangeRemap].getName, "range_remap"),
-      (children: Seq[Expression]) =>
-        RangeRemap(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => {
+        val Seq(v, b, o) = arity("range_remap", 3)(children)
+        RangeRemap(v, b, o)
+      }))
     ext.injectFunction((
       FunctionIdentifier("rfc4180_decode"),
       new ExpressionInfo(classOf[Rfc4180Decode].getName, "rfc4180_decode"),
-      (children: Seq[Expression]) => Rfc4180Decode(children.head)))
+      (children: Seq[Expression]) =>
+        Rfc4180Decode(arity("rfc4180_decode", 1)(children).head)))
   }
 }

@@ -49,15 +49,19 @@ case class RangeRemap(value: Expression, bounds: Expression, outs: Expression)
     val b = bs.asInstanceOf[ArrayData]
     val o = os.asInstanceOf[ArrayData]
     val n = b.numElements()
-    if (n < 2 || x < b.getDouble(0) || x >= b.getDouble(n - 1)) null
+    // malformed input (outs arity mismatch, null bounds) -> null, never an
+    // out-of-bounds read: this is SQL-exposed via GraftExtensions
+    if (n < 2 || o.numElements() != n - 1 ||
+        b.isNullAt(0) || b.isNullAt(n - 1) ||
+        x < b.getDouble(0) || x >= b.getDouble(n - 1)) null
     else {
       var lo = 0
       var hi = n - 1
       while (lo + 1 < hi) {
         val m = (lo + hi) >>> 1
-        if (b.getDouble(m) <= x) lo = m else hi = m
+        if (!b.isNullAt(m) && b.getDouble(m) <= x) lo = m else hi = m
       }
-      o.getInt(lo)
+      if (o.isNullAt(lo)) null else o.getInt(lo)
     }
   }
 
@@ -69,16 +73,19 @@ case class RangeRemap(value: Expression, bounds: Expression, outs: Expression)
       val m = ctx.freshName("m")
       s"""
          |final int $n = $b.numElements();
-         |if ($n < 2 || $v < $b.getDouble(0) || $v >= $b.getDouble($n - 1)) {
+         |if ($n < 2 || $o.numElements() != $n - 1 ||
+         |    $b.isNullAt(0) || $b.isNullAt($n - 1) ||
+         |    $v < $b.getDouble(0) || $v >= $b.getDouble($n - 1)) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $lo = 0;
          |  int $hi = $n - 1;
          |  while ($lo + 1 < $hi) {
          |    final int $m = ($lo + $hi) >>> 1;
-         |    if ($b.getDouble($m) <= $v) $lo = $m; else $hi = $m;
+         |    if (!$b.isNullAt($m) && $b.getDouble($m) <= $v) $lo = $m; else $hi = $m;
          |  }
-         |  ${ev.value} = $o.getInt($lo);
+         |  if ($o.isNullAt($lo)) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $o.getInt($lo); }
          |}
        """.stripMargin
     })

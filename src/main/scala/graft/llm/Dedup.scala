@@ -59,6 +59,9 @@ object Dedup {
   def minhashLsh(docs: DataFrame, id: Column, text: Column, n: Int = 3,
                  k: Int = 32, bands: Int = 16,
                  threshold: Double = 0.8): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      s"bands ($bands) must be >= 1 and divide k ($k) — r = k/bands rows " +
+      "per band; r = 0 would put the whole corpus in one bucket (all-pairs)")
     val r = k / bands
     // one groupBy pass computes the shingle count AND all k minhashes.
     // (A per-row array-reduction formulation is a trap here: CollapseProject

@@ -26,11 +26,14 @@ object Multimodal {
     * implementations replace only this function; the pipeline shape
     * (typed rows in, typed features out, partition-local batches) is
     * what the engine guarantees. Deterministic: byte length + first
-    * byte value. */
-  def decodeStub(m: MediaRow): MediaFeature =
+    * code point of the UTF-8 payload (matches the oracle's
+    * octet_length(encode(text)) + ascii(text) for any input, not just
+    * ASCII — a raw first-byte read diverges on multibyte leads). */
+  def decodeStub(m: MediaRow): MediaFeature = {
+    val s = new String(m.media, java.nio.charset.StandardCharsets.UTF_8)
     MediaFeature(m.doc_id, m.meta.lang, m.label,
-      m.media.length.toLong +
-        (if (m.media.nonEmpty) (m.media(0) & 0xff).toLong else 0L))
+      m.media.length.toLong + (if (s.isEmpty) 0L else s.codePointAt(0).toLong))
+  }
 
   /** Assemble the multimodal dataset: text payload as binary media,
     * metadata struct, embedding label. One narrow join (embeddings side

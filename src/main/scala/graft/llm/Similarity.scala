@@ -35,7 +35,10 @@ object Similarity {
            query: DataFrame, queryEmb: Column, k: Int): DataFrame = {
     val scored = corpus
       .select(id.as("vec_id"), asDouble(emb).as("v"))
-      .crossJoin(broadcast(query.select(asDouble(queryEmb).as("q"))))
+      // limit(1) enforces the documented single-query contract — a
+      // multi-row query df would otherwise silently merge all queries
+      // into one ranked list
+      .crossJoin(broadcast(query.select(asDouble(queryEmb).as("q")).limit(1)))
       .select(col("vec_id"), round(cosine(col("v"), col("q")), 6).as("cos_sim"))
     rankedTopK(scored, k)
   }
@@ -55,8 +58,12 @@ object Similarity {
     * unit-scale embeddings each coordinate sign is a balanced hash bit).
     * At scale this is the partition column of the vector store. */
   def signBucket(embDouble: Column, bits: Int = 8): Column =
+    // try_element_at: a vector shorter than `bits` contributes 0-bits
+    // (null > 0 is false) instead of an ANSI array-index error; matches
+    // the oracle, where v[i] past the end is NULL
     (0 until bits).map(i =>
-      when(element_at(embDouble, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      when(try_element_at(embDouble, lit(i + 1)) > 0, lit(1L << i))
+        .otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** D3b: ANN top-k — search only the query's sign-LSH bucket. Same
@@ -67,7 +74,7 @@ object Similarity {
               bits: Int = 8): DataFrame = {
     val c = corpus.select(id.as("vec_id"), asDouble(emb).as("v"))
       .withColumn("bucket", signBucket(col("v"), bits))
-    val q = query.select(asDouble(queryEmb).as("q"))
+    val q = query.select(asDouble(queryEmb).as("q")).limit(1)
       .withColumn("qbucket", signBucket(col("q"), bits))
     val scored = c.join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col("vec_id"), round(cosine(col("v"), col("q")), 6).as("cos_sim"))

@@ -474,14 +474,16 @@ object RelQueries {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')""".stripMargin,
     "j7_asof" ->
-      """SELECT p.event_id, p.user_id,
-        |  max(epoch_us(c.ts)) AS click_ts_us,
-        |  arg_max(c.event_id, c.ts) AS click_id
-        |FROM events p
-        |LEFT JOIN events c
-        |  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
-        |WHERE p.event_type = 'purchase'
-        |GROUP BY 1, 2""".stripMargin,
+      """SELECT event_id, user_id, click_ts_us, click_id FROM (
+        |  SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |    epoch_us(c.ts) AS click_ts_us, c.event_id AS click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) AS rn
+        |  FROM events p
+        |  LEFT JOIN events c
+        |    ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        |  WHERE p.event_type = 'purchase')
+        |WHERE rn = 1""".stripMargin,
     "j8_cross" ->
       "SELECT n_name, r_name FROM nation CROSS JOIN region",
     "j9_interval_overlap" ->

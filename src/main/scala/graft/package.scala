@@ -16,16 +16,18 @@ package object graft {
     * `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark 4's
     * vectorized reader rejects outright; read it as a long (legacy
     * nanosAsLong) and rebuild a proper TimestampType column at microsecond
-    * precision (integer DIV — double division would lose precision above
-    * 2^53 ns). DuckDB's epoch_us() on TIMESTAMP_NS floors identically, so
-    * oracle comparisons on the rebuilt column stay exact. */
+    * precision (integer arithmetic — double division would lose precision
+    * above 2^53 ns). FLOOR division, not `div` truncation: DuckDB's
+    * epoch_us() on TIMESTAMP_NS floors, and the two differ by 1us on
+    * pre-epoch nanos. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+            org.apache.spark.sql.functions.expr(
+              "(ts - pmod(ts, 1000)) div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

@@ -36,6 +36,21 @@ class RangeRemapSpec extends SparkSpec {
       Literal.create(Seq.empty[Int], ArrayType(IntegerType))).eval(null) == null)
   }
 
+  test("malformed input: outs arity mismatch -> null, never OOB read") {
+    import spark.implicits._
+    val r = Seq(15.0).toDF("v")
+      .select(RangeRemap(col("v"), typedLit(bounds), typedLit(Seq(1))).as("out"))
+      .head()
+    assert(r.isNullAt(0))
+  }
+
+  test("wrong SQL arity is a descriptive error, not IndexOutOfBounds") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT range_remap(1.0, array(0D,1D))").collect()
+    }
+    assert(e.getMessage.contains("range_remap"))
+  }
+
   test("SQL registration via GraftExtensions") {
     val r = spark.sql(
       "SELECT range_remap(CAST(15 AS DOUBLE), array(0D, 10D, 20D, 30D), array(1, 3, 5)) AS out," +

@@ -75,12 +75,15 @@ class LlmSpec extends SparkSpec {
     assert(pred == Map(1L -> "en", 2L -> "en", 3L -> "es", 4L -> "es"))
   }
 
-  test("Multimodal decode stub: feature = byte length + first byte") {
+  test("Multimodal decode stub: feature = byte length + first code point") {
     import Multimodal._
     val f = decodeStub(MediaRow(7L, "abc".getBytes("UTF-8"),
       MediaMeta("en", "s"), 3))
     assert(f == MediaFeature(7L, "en", 3, 3L + 'a'.toLong))
     assert(decodeStub(MediaRow(8L, Array.empty, MediaMeta("x", "y"), 0)).feat == 0L)
+    // multibyte lead: 3 UTF-8 bytes + code point U+4F60, not raw byte 0xE4
+    assert(decodeStub(MediaRow(9L, "你".getBytes("UTF-8"),
+      MediaMeta("zh", "s"), 1)).feat == 3L + 0x4f60L)
   }
 
   test("Multimodal.featuresByLangLabel end-to-end on a tiny corpus") {
