@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys.
+  *
+  * AQE's skew-join split (on by default) handles sort-merge skew at
+  * runtime; explicit salting is the fallback when one key's rows exceed
+  * what a single task can hold even after AQE splits — the classic
+  * hot-row problem of a 100 TB fact table joining a dimension where 30%
+  * of rows share one key.
+  */
+object Skew {
+
+  /** Salted equi-join: scatter the (large, skewed) left side across
+    * `salts` sub-keys with a uniform deterministic-per-run salt, replicate
+    * the (small) right side into every sub-key, join on (key, salt). The
+    * hot key's rows land in `salts` different tasks instead of one.
+    * Result is exactly the plain inner equi-join (the salt is internal). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+        .cast("int"))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+}
