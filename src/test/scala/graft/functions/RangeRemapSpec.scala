@@ -51,6 +51,25 @@ class RangeRemapSpec extends SparkSpec {
     assert(e.getMessage.contains("range_remap"))
   }
 
+  test("property: binary search agrees with a linear scan on random bounds") {
+    import graft.PropCheck.checkProp
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      raw <- Gen.nonEmptyListOf(Gen.chooseNum(-1000.0, 1000.0))
+      v <- Gen.chooseNum(-1100.0, 1100.0)
+    } yield (raw.distinct.sorted, v)
+    checkProp(Prop.forAll(gen) { case (bs, v) =>
+      val os = bs.indices.dropRight(1).toList
+      val expect: Any = bs.sliding(2).zipWithIndex.collectFirst {
+        case (Seq(lo, hi), i) if v >= lo && v < hi => i
+      }.getOrElse(null)
+      val got = RangeRemap(Literal(v),
+        Literal.create(bs, ArrayType(DoubleType)),
+        Literal.create(os, ArrayType(IntegerType))).eval(null)
+      got == expect
+    })
+  }
+
   test("SQL registration via GraftExtensions") {
     val r = spark.sql(
       "SELECT range_remap(CAST(15 AS DOUBLE), array(0D, 10D, 20D, 30D), array(1, 3, 5)) AS out," +
