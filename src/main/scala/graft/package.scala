@@ -23,11 +23,15 @@ package object graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr(
-              "(ts - pmod(ts, 1000)) div 1000")))
+      rebuildEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Rebuild the nanos-as-long `ts` column as a microsecond TimestampType —
+    * shared by the batch reader above and streaming file sources (the
+    * rebuild must be identical or batch-equivalence checks drift). */
+  def rebuildEventTs(df: DataFrame): DataFrame =
+    df.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
 }

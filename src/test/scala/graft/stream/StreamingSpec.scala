@@ -103,4 +103,31 @@ class StreamingSpec extends SparkSpec {
       assert(byBatchLatest.contains((2L, 1L, 8.0)))
     } finally q.stop()
   }
+
+  test("S1 from a real parquet file source equals the batch result") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val batch = Streams.tumbling(graft.table(spark, dir, "events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    // the file source wants a directory: stage the fixture in a tmp dir
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-s1file")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    // same nanos-as-long schema and the SAME ts rebuild as the batch path
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = graft.rebuildEventTs(
+      spark.readStream.schema(schema).parquet(srcDir.toString))
+    val q = Streams.tumbling(src)
+      .writeStream.format("memory").queryName("s1file")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000))
+      val streamed = spark.table("s1file")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
