@@ -23,6 +23,12 @@ object Validate {
   def rangesContiguous(inputRanges: Column): Column =
     RangeCodec.isContiguous(RangeCodec.decodeRanges(inputRanges))
 
+  /** R3 (pyt:1149-1159, pyt:738-740): duplicate-name guard — returns the
+    * names appearing more than once with their counts; empty = valid.
+    * The reference errors on any duplicate layer name. */
+  def duplicateNames(df: DataFrame, nameCol: String = "name"): DataFrame =
+    df.groupBy(col(nameCol)).agg(count(lit(1)).as("n")).filter(col("n") > 1)
+
   /** V4 (pyt:485-491): URL must start with http:// or https://,
     * case-insensitively. */
   def urlOk(url: Column): Column = url.rlike("(?i)^https?://")

@@ -78,4 +78,12 @@ class CatalogSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("InputRanges"))
   }
+
+  test("duplicateNames flags repeated layer names (R3, pyt:1149-1159)") {
+    import spark.implicits._
+    val cat = Seq("slope", "aspect", "slope", "slope").toDF("name")
+    val dups = Validate.duplicateNames(cat).collect()
+    assert(dups.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("slope", 3L)))
+    assert(Validate.duplicateNames(Seq("a", "b").toDF("name")).isEmpty)
+  }
 }
