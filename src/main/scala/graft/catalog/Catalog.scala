@@ -64,6 +64,38 @@ object Catalog {
       .filter(!(col("old_value") <=> col("new_value")))
   }
 
+  /** UpdateWROLayerInfo (pyt:345-556): rewrite Title/Description/Url/
+    * Metadata for one catalog row by name. Reference semantics:
+    *  - V4 (pyt:480-493): Url and Metadata (also a URL field) must begin
+    *    with http:// or https:// when non-empty — hard error;
+    *  - empty strings normalize to null before the write (pyt:536-543;
+    *    the reference's `if metadata == "": url = None` line is an
+    *    obvious transcription slip we do not reproduce);
+    *  - wholesale update-by-predicate of the four fields (pyt:547-550),
+    *    expressed as an immutable projection.
+    * Parameter validation is plan-build-time plain Scala — these are UI
+    * parameters in the reference, validated before execute. */
+  def updateLayerInfo(cat: DataFrame, name: String, title: String,
+                      description: String, url: String,
+                      metadata: String): DataFrame = {
+    def checkUrl(v: String, field: String): Unit =
+      if (v != null && v.nonEmpty &&
+          !v.toLowerCase.startsWith("http://") &&
+          !v.toLowerCase.startsWith("https://"))
+        throw new IllegalArgumentException(
+          s"$field must begin with http:// or https://")
+    checkUrl(url, "Url")
+    checkUrl(metadata, "Metadata")
+    def norm(v: String): Column =
+      if (v == null || v.isEmpty) lit(null).cast(StringType) else lit(v)
+    val isTarget = col("name") === lit(name)
+    Seq("title" -> title, "description" -> description,
+        "url" -> url, "metadata" -> metadata)
+      .foldLeft(cat) { case (df, (field, v)) =>
+        df.withColumn(field, when(isTarget, norm(v)).otherwise(col(field)))
+      }
+  }
+
   /** UpdateWroClassification (pyt:222-330): apply an edited
     * classification to one catalog row, with the reference's validations:
     *  - V3 snap (pyt:309-311): the first range's lo is snapped to the

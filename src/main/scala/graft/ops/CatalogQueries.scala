@@ -54,6 +54,23 @@ object CatalogQueries {
     Catalog.updateClassification(catalogEncoded(s, dir), "quantity",
       editedRanges, quantityStats(s, dir))
 
+  /** The encoded catalog decorated with layer-info fields (deterministic
+    * from the name, so the oracle can rebuild them). */
+  private def catalogWithInfo(s: SparkSession, dir: String): DataFrame =
+    catalogEncoded(s, dir).select(col("name"),
+      concat(lit("t_"), col("name")).as("title"),
+      concat(lit("d_"), col("name")).as("description"),
+      concat(lit("https://example.org/"), col("name")).as("url"),
+      concat(lit("https://meta.example.org/"), col("name")).as("metadata"))
+
+  /** UpdateWROLayerInfo (pyt:345-556) as a declared query: retitle the
+    * `quantity` layer, clear its description (empty -> null), point its
+    * url somewhere new, null its metadata. */
+  def updateLayerInfo(s: SparkSession, dir: String): DataFrame =
+    Catalog.updateLayerInfo(catalogWithInfo(s, dir), "quantity",
+      title = "Quantity v2", description = "",
+      url = "https://example.org/q2", metadata = null)
+
   /** R17 (pyt:245-273): per-field diff, old catalog vs updated. */
   def catalogDiff(s: SparkSession, dir: String): DataFrame =
     Catalog.diff(catalogEncoded(s, dir), updateClassification(s, dir),
@@ -83,6 +100,7 @@ object CatalogQueries {
     "wro_catalog_encoded" -> catalogEncoded,
     "wro_catalog_roundtrip" -> catalogRoundtrip,
     "wro_update_classification" -> updateClassification,
+    "wro_update_layerinfo" -> updateLayerInfo,
     "wro_catalog_diff" -> catalogDiff,
     "wro_validations" -> validations
   )
@@ -131,6 +149,19 @@ object CatalogQueries {
     "wro_update_classification" ->
       s"""$updatedSql
          |SELECT name, input_ranges, range_labels, output_values FROM updated""".stripMargin,
+    "wro_update_layerinfo" ->
+      """WITH names AS (
+        |  SELECT unnest(['quantity', 'extendedprice', 'discount']) AS name)
+        |SELECT name,
+        |  CASE WHEN name = 'quantity' THEN 'Quantity v2'
+        |       ELSE 't_' || name END AS title,
+        |  CASE WHEN name = 'quantity' THEN NULL
+        |       ELSE 'd_' || name END AS description,
+        |  CASE WHEN name = 'quantity' THEN 'https://example.org/q2'
+        |       ELSE 'https://example.org/' || name END AS url,
+        |  CASE WHEN name = 'quantity' THEN NULL
+        |       ELSE 'https://meta.example.org/' || name END AS metadata
+        |FROM names""".stripMargin,
     "wro_catalog_diff" ->
       s"""$updatedSql
          |SELECT e.name, d.field, d.old_value, d.new_value

@@ -79,6 +79,36 @@ class CatalogSpec extends SparkSpec {
     assert(ex.getMessage.contains("InputRanges"))
   }
 
+  test("updateLayerInfo: rewrite by name, empty -> null, others untouched") {
+    import spark.implicits._
+    val cat = Seq(
+      ("slope", "t_s", "d_s", "https://a/s", "https://m/s"),
+      ("aspect", "t_a", "d_a", "https://a/a", "https://m/a"))
+      .toDF("name", "title", "description", "url", "metadata")
+    val out = Catalog.updateLayerInfo(cat, "slope",
+        title = "Slope v2", description = "", url = "https://a/s2",
+        metadata = null)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+                           r.getString(3), r.getString(4))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("aspect", "t_a", "d_a", "https://a/a", "https://m/a"),
+      ("slope", "Slope v2", null, "https://a/s2", null)))
+  }
+
+  test("updateLayerInfo rejects non-http(s) urls (V4, pyt:480-493)") {
+    import spark.implicits._
+    val cat = Seq(("s", "t", "d", "https://a", "https://m"))
+      .toDF("name", "title", "description", "url", "metadata")
+    val e = intercept[IllegalArgumentException] {
+      Catalog.updateLayerInfo(cat, "s", "t", "d", "ftp://x", null)
+    }
+    assert(e.getMessage.contains("Url"))
+    val e2 = intercept[IllegalArgumentException] {
+      Catalog.updateLayerInfo(cat, "s", "t", "d", "HTTPS://ok", "gopher://x")
+    }
+    assert(e2.getMessage.contains("Metadata"))
+  }
+
   test("duplicateNames flags repeated layer names (R3, pyt:1149-1159)") {
     import spark.implicits._
     val cat = Seq("slope", "aspect", "slope", "slope").toDF("name")
