@@ -76,6 +76,49 @@ object WroQueries {
               col("n_layers"))
   }
 
+  /** R2 (pyt:710-745): the layer-filter chain — keep rasters, optionally
+    * visible only, never mosaic/web/datasource-less layers, skip names
+    * containing \\Boundary / \\Footprint / \\Image, first-wins dedup by
+    * name. Faithful quirk: the reference tests `longName.find(x) > 0`,
+    * so a match at position 0 (long name STARTING with \\Boundary) is
+    * kept — expressed as locate(...) <= 1. Dedup is row_number over the
+    * layer order (the reference keeps the first encountered), not
+    * dropDuplicates, which picks an arbitrary row per key. */
+  def layerFilter(layers: DataFrame, visibleOnly: Boolean): DataFrame = {
+    def skip(pat: String) = locate("\\" + pat, col("long_name")) <= 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("name").orderBy("layer_id")
+    layers
+      .filter(col("is_raster") &&
+        (!lit(visibleOnly) || col("visible")) &&
+        col("dataset_type") =!= "MosaicDataset" &&
+        !col("is_web") && col("datasource").isNotNull &&
+        skip("Boundary") && skip("Footprint") && skip("Image"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("layer_id", "name", "long_name")
+  }
+
+  /** R2 as a declared query over a golden layer table covering every
+    * rejection reason plus the position-0 quirk and a duplicate name. */
+  def layerFilterGolden(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val layers = Seq(
+      (1L, "elev", "grp\\elev", true, true, false, "RasterDataset", "d1"),
+      (2L, "table1", "grp\\table1", false, true, false, "Table", "d2"),
+      (3L, "hidden", "grp\\hidden", true, false, false, "RasterDataset", "d3"),
+      (4L, "mosaic1", "grp\\mosaic1", true, true, false, "MosaicDataset", "d4"),
+      (5L, "web1", "grp\\web1", true, true, true, "RasterDataset", "d5"),
+      (6L, "nods", "grp\\nods", true, true, false, "RasterDataset", null),
+      (7L, "bnd", "grp\\Boundary\\bnd", true, true, false, "RasterDataset", "d7"),
+      (8L, "bndstart", "\\Boundary\\c", true, true, false, "RasterDataset", "d8"),
+      (9L, "elev", "grp2\\elev", true, true, false, "RasterDataset", "d9"),
+      (10L, "slope", "grp\\slope", true, true, false, "RasterDataset", "d10"))
+      .toDF("layer_id", "name", "long_name", "is_raster", "visible",
+            "is_web", "dataset_type", "datasource")
+    layerFilter(layers, visibleOnly = true)
+  }
+
   /** F9/J6-phase-2 (SURVEY §7.4) as a declared query: the remap kernel
     * WITHOUT a range join — per-layer sorted bounds + outs arrays ride a
     * tiny broadcast, and the codegen'd [[graft.functions.RangeRemap]]
@@ -170,6 +213,7 @@ object WroQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wro_overlay_flagship" -> flagship,
+    "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
     "wro_classify_unique" -> classifyUnique,
@@ -187,6 +231,27 @@ object WroQueries {
          |SELECT m.cell_id, CAST(sum(m.out * w.w10) AS BIGINT) AS score10, count(*) AS n_layers
          |FROM remapped m JOIN weights w ON m.layer = w.layer
          |GROUP BY m.cell_id ORDER BY m.cell_id""".stripMargin,
+    "wro_layer_filter" ->
+      """WITH layers(layer_id, name, long_name, is_raster, visible, is_web,
+        |            dataset_type, datasource) AS (VALUES
+        |  (1, 'elev', 'grp\elev', true, true, false, 'RasterDataset', 'd1'),
+        |  (2, 'table1', 'grp\table1', false, true, false, 'Table', 'd2'),
+        |  (3, 'hidden', 'grp\hidden', true, false, false, 'RasterDataset', 'd3'),
+        |  (4, 'mosaic1', 'grp\mosaic1', true, true, false, 'MosaicDataset', 'd4'),
+        |  (5, 'web1', 'grp\web1', true, true, true, 'RasterDataset', 'd5'),
+        |  (6, 'nods', 'grp\nods', true, true, false, 'RasterDataset', NULL),
+        |  (7, 'bnd', 'grp\Boundary\bnd', true, true, false, 'RasterDataset', 'd7'),
+        |  (8, 'bndstart', '\Boundary\c', true, true, false, 'RasterDataset', 'd8'),
+        |  (9, 'elev', 'grp2\elev', true, true, false, 'RasterDataset', 'd9'),
+        |  (10, 'slope', 'grp\slope', true, true, false, 'RasterDataset', 'd10'))
+        |SELECT CAST(layer_id AS BIGINT) AS layer_id, name, long_name
+        |FROM layers
+        |WHERE is_raster AND visible AND dataset_type != 'MosaicDataset'
+        |  AND NOT is_web AND datasource IS NOT NULL
+        |  AND instr(long_name, '\Boundary') <= 1
+        |  AND instr(long_name, '\Footprint') <= 1
+        |  AND instr(long_name, '\Image') <= 1
+        |QUALIFY row_number() OVER (PARTITION BY name ORDER BY layer_id) = 1""".stripMargin,
     "f9_remap_expr" ->
       s"""$rangesSql
          |SELECT c.cell_id, c.layer, r.out
