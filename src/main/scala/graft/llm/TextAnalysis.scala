@@ -92,6 +92,8 @@ object TextAnalysis {
       .select(col("source"), col("n_chars"), col("text"),
         nTok.as("n_tok"),
         (nStop.cast("double") / nTok).as("stop_ratio"),
+        (regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double") /
+          col("n_chars")).as("punct_ratio"),
         bpeishCount(col("text")).as("n_bpe"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -100,6 +102,7 @@ object TextAnalysis {
            avg("n_tok").as("avg_toks"),
            sum("n_bpe").cast("long").as("sum_bpe"),
            round(avg("stop_ratio"), 6).as("avg_stop_ratio"),
+           round(avg("punct_ratio"), 6).as("avg_punct_ratio"),
            sum(when(col("n_chars") < 150, 1).otherwise(0)).cast("long")
              .as("n_short"))
   }

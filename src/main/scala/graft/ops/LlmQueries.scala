@@ -293,6 +293,8 @@ object LlmQueries {
         |    CAST(len(list_filter(string_split(text, ' '),
         |      t -> t IN ('the', 'data', 'value'))) AS DOUBLE)
         |      / len(string_split(text, ' ')) AS stop_ratio,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+        |      / n_chars AS punct_ratio,
         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS n_bpe
         |  FROM documents)
         |SELECT source, count(*) AS n_docs,
@@ -301,6 +303,7 @@ object LlmQueries {
         |  avg(n_tok) AS avg_toks,
         |  CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
         |  round(avg(stop_ratio), 6) AS avg_stop_ratio,
+        |  round(avg(punct_ratio), 6) AS avg_punct_ratio,
         |  CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
         |FROM per_doc GROUP BY 1""".stripMargin
   )
