@@ -48,6 +48,40 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame-sampler: stands in for video frame extraction. Emits up
+    * to `n` fixed-stride byte windows of the payload as one row per
+    * frame — the real thing swaps the slicing for a codec call; the
+    * engine-side shape (one media row fans out to n frame rows, typed,
+    * partition-local) is what matters at scale. */
+  def frameSampleStub(m: MediaRow, n: Int, frameBytes: Int = 8): Seq[Frame] = {
+    if (m.media.isEmpty) Seq.empty
+    else {
+      val stride = math.max(1, m.media.length / n)
+      (0 until math.min(n, m.media.length)).map { i =>
+        val start = i * stride
+        Frame(m.doc_id, i,
+          m.media.slice(start, math.min(start + frameBytes, m.media.length)))
+      }.filter(_.frame.nonEmpty)
+    }
+  }
+
+  /** STUB resize: truncate/pad the payload to `bytes` — stands in for
+    * image resize; byte-length normalization is the deterministic
+    * equivalent of fixing the output resolution. */
+  def resizeStub(media: Array[Byte], bytes: Int): Array[Byte] =
+    if (media.length >= bytes) media.take(bytes)
+    else media ++ Array.fill[Byte](bytes - media.length)(0)
+
+  /** Fan media rows out to sampled frames: flatMap at the typed boundary
+    * (narrow — no shuffle; downstream ops see ordinary typed rows). */
+  def sampleFrames(spark: SparkSession, rows: Dataset[MediaRow],
+                   n: Int): Dataset[Frame] = {
+    import spark.implicits._
+    rows.flatMap(frameSampleStub(_, n))
+  }
+
   /** Decode (stub) + aggregate features per (lang, label). The
     * mapPartitions call preserves partitioning; the aggregation after it
     * is an ordinary hash group-by. */

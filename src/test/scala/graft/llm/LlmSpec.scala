@@ -86,6 +86,21 @@ class LlmSpec extends SparkSpec {
       MediaMeta("zh", "s"), 1)).feat == 3L + 0x4f60L)
   }
 
+  test("Multimodal frame sampling: n typed frame rows per media row") {
+    import Multimodal._
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, Array.tabulate[Byte](40)(_.toByte), MediaMeta("en", "s"), 0),
+      MediaRow(2L, Array.empty[Byte], MediaMeta("en", "s"), 0)).toDS()
+    val frames = sampleFrames(spark, rows, n = 4).collect()
+    assert(frames.map(_.doc_id).forall(_ == 1L) && frames.length == 4)
+    // stride 10, frame width 8: frame i starts at byte 10*i
+    assert(frames.sortBy(_.frame_idx).map(_.frame.head.toInt).toSeq
+      == Seq(0, 10, 20, 30))
+    assert(resizeStub(Array[Byte](1, 2, 3), 5).toSeq == Seq[Byte](1, 2, 3, 0, 0))
+    assert(resizeStub(Array[Byte](1, 2, 3), 2).toSeq == Seq[Byte](1, 2))
+  }
+
   test("Multimodal.featuresByLangLabel end-to-end on a tiny corpus") {
     import spark.implicits._
     val docs = Seq((1L, "ab", "en", "s0", 2L), (2L, "cd", "fr", "s1", 2L))
