@@ -76,6 +76,24 @@ object CatalogQueries {
     Catalog.diff(catalogEncoded(s, dir), updateClassification(s, dir),
       Seq("input_ranges", "range_labels", "output_values"))
 
+  /** R27 (pyt:1186-1218) as a golden query: basename, web /ImageServer
+    * truncation (last occurrence), extension strip. */
+  def nameNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Seq(
+      ("a", "C:\\data\\dem.tif", false, "tif"),
+      ("b", "https://svc/rest/elev/ImageServer", true, ""),
+      ("c", "https://a/ImageServer/b/ImageServer", true, ""),
+      ("d", "relative.png", false, "png"),
+      ("e", "C:\\x\\noext", false, ""),
+      ("f", "https://a/ImageServer/x", false, "tif"),
+      ("g", "C:\\y\\keep.tif", false, "png"))
+    rows.toDF("id", "path", "is_web", "ext")
+      .select(col("id"),
+        catalog.Names.normalizeRasterName(
+          col("path"), col("is_web"), col("ext")).as("name"))
+  }
+
   /** V2/V4/V5 as a golden validation table over literal inputs. */
   def validations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -102,6 +120,7 @@ object CatalogQueries {
     "wro_update_classification" -> updateClassification,
     "wro_update_layerinfo" -> updateLayerInfo,
     "wro_catalog_diff" -> catalogDiff,
+    "wro_name_normalize" -> nameNormalize,
     "wro_validations" -> validations
   )
 
@@ -173,6 +192,11 @@ object CatalogQueries {
          |  ('output_values', e.output_values, u.output_values))
          |  AS t(field, old_value, new_value)) d
          |WHERE d.old_value IS DISTINCT FROM d.new_value""".stripMargin,
+    "wro_name_normalize" ->
+      """SELECT * FROM (VALUES
+        |  ('a', 'dem'), ('b', 'elev'), ('c', 'b'), ('d', 'relative'),
+        |  ('e', 'noext'), ('f', 'https://a/ImageServer/x'), ('g', 'keep.tif'))
+        |  AS t(id, name)""".stripMargin,
     "wro_validations" ->
       """SELECT * FROM (VALUES
         |  ('contig', 'a', 1), ('contig', 'b', 0),
