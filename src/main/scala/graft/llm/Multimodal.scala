@@ -56,7 +56,7 @@ object Multimodal {
     * engine-side shape (one media row fans out to n frame rows, typed,
     * partition-local) is what matters at scale. */
   def frameSampleStub(m: MediaRow, n: Int, frameBytes: Int = 8): Seq[Frame] = {
-    if (m.media.isEmpty) Seq.empty
+    if (n <= 0 || m.media.isEmpty) Seq.empty
     else {
       val stride = math.max(1, m.media.length / n)
       (0 until math.min(n, m.media.length)).map { i =>

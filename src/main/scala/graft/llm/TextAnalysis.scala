@@ -92,8 +92,11 @@ object TextAnalysis {
       .select(col("source"), col("n_chars"), col("text"),
         nTok.as("n_tok"),
         (nStop.cast("double") / nTok).as("stop_ratio"),
-        (regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double") /
-          col("n_chars")).as("punct_ratio"),
+        // null (excluded from avg) for empty docs — a bare division would
+        // be a DIVIDE_BY_ZERO error under ANSI mode
+        when(col("n_chars") > 0,
+          regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double") /
+            col("n_chars")).as("punct_ratio"),
         bpeishCount(col("text")).as("n_bpe"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

@@ -21,11 +21,15 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val l = left.withColumn("_salt",
+    // collision-proof internal column name — a fixed "_salt" would
+    // silently clobber a business column of that name
+    val taken = (left.columns ++ right.columns).toSet
+    val saltCol = Iterator.from(0).map(i => s"_salt$i").filterNot(taken).next()
+    val l = left.withColumn(saltCol,
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
         .cast("int"))
-    val r = right.withColumn("_salt",
+    val r = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
-    l.join(r, Seq(key, "_salt")).drop("_salt")
+    l.join(r, Seq(key, saltCol)).drop(saltCol)
   }
 }

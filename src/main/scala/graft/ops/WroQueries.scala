@@ -91,7 +91,9 @@ object WroQueries {
     layers
       .filter(col("is_raster") &&
         (!lit(visibleOnly) || col("visible")) &&
-        col("dataset_type") =!= "MosaicDataset" &&
+        // null dataset_type is KEPT: the reference only rejects when the
+        // Describe object has a datasetType attribute (pyt:721-724)
+        coalesce(col("dataset_type") =!= "MosaicDataset", lit(true)) &&
         !col("is_web") && col("datasource").isNotNull &&
         skip("Boundary") && skip("Footprint") && skip("Image"))
       .withColumn("rn", row_number().over(w))
@@ -113,7 +115,8 @@ object WroQueries {
       (7L, "bnd", "grp\\Boundary\\bnd", true, true, false, "RasterDataset", "d7"),
       (8L, "bndstart", "\\Boundary\\c", true, true, false, "RasterDataset", "d8"),
       (9L, "elev", "grp2\\elev", true, true, false, "RasterDataset", "d9"),
-      (10L, "slope", "grp\\slope", true, true, false, "RasterDataset", "d10"))
+      (10L, "slope", "grp\\slope", true, true, false, "RasterDataset", "d10"),
+      (11L, "notype", "grp\\notype", true, true, false, null, "d11"))
       .toDF("layer_id", "name", "long_name", "is_raster", "visible",
             "is_web", "dataset_type", "datasource")
     layerFilter(layers, visibleOnly = true)
@@ -243,10 +246,12 @@ object WroQueries {
         |  (7, 'bnd', 'grp\Boundary\bnd', true, true, false, 'RasterDataset', 'd7'),
         |  (8, 'bndstart', '\Boundary\c', true, true, false, 'RasterDataset', 'd8'),
         |  (9, 'elev', 'grp2\elev', true, true, false, 'RasterDataset', 'd9'),
-        |  (10, 'slope', 'grp\slope', true, true, false, 'RasterDataset', 'd10'))
+        |  (10, 'slope', 'grp\slope', true, true, false, 'RasterDataset', 'd10'),
+        |  (11, 'notype', 'grp\notype', true, true, false, NULL, 'd11'))
         |SELECT CAST(layer_id AS BIGINT) AS layer_id, name, long_name
         |FROM layers
-        |WHERE is_raster AND visible AND dataset_type != 'MosaicDataset'
+        |WHERE is_raster AND visible
+        |  AND (dataset_type IS NULL OR dataset_type != 'MosaicDataset')
         |  AND NOT is_web AND datasource IS NOT NULL
         |  AND instr(long_name, '\Boundary') <= 1
         |  AND instr(long_name, '\Footprint') <= 1

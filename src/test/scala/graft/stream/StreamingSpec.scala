@@ -107,8 +107,10 @@ class StreamingSpec extends SparkSpec {
   test("S1 from a real parquet file source equals the batch result") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString)
     val batch = Streams.tumbling(graft.table(spark, dir, "events"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(key).toSet
     assert(batch.nonEmpty)
     // the file source wants a directory: stage the fixture in a tmp dir
     val srcDir = java.nio.file.Files.createTempDirectory("graft-s1file")
@@ -125,8 +127,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     try {
       assert(q.awaitTermination(120000))
-      val streamed = spark.table("s1file")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamed = spark.table("s1file").collect().map(key).toSet
       assert(streamed == batch)
     } finally q.stop()
   }
