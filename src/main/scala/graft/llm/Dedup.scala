@@ -31,13 +31,18 @@ object Dedup {
     * (minhash, fingerprint) can stay inside codegen with NO explode and
     * NO shuffle. Documents shorter than `n` words yield an empty array
     * (guarded — sequence(1, 0) would count DOWN, not produce empty). */
-  def shingleArray(text: Column, n: Int = 3): Column = {
-    val words = split(text, " ")
-    val shs = array_distinct(transform(
-      sequence(lit(1), size(words) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*)))
-    when(size(words) >= n, shs).otherwise(lit(Array.empty[String]))
-  }
+  def shingleArray(text: Column, n: Int = 3): Column =
+    // let-binding via a single-element transform: the lambda variable `w`
+    // materializes split() ONCE per row. Referencing a named `val words`
+    // instead would inline the split expression tree into every
+    // element_at/size call (3n+ evaluations per row — measured 2x the
+    // whole pipeline's cost)
+    flatten(transform(array(split(text, " ")), w =>
+      when(size(w) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(w) - (n - 1)), i =>
+            concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
+      .otherwise(lit(Array.empty[String]))))
 
   /** Exploded form: (doc_id, sh) — for set operations across documents
     * (exact-Jaccard intersection joins). */
@@ -104,11 +109,27 @@ object Dedup {
       .select(col("p.a.doc_id").as("a_id"), col("p.a.n_sh").as("na"),
               col("p.b.doc_id").as("b_id"), col("p.b.n_sh").as("nb"))
       .distinct()
+      // cached: the pair list is consumed three times (output join + the
+      // two candidate-id semi-joins) and is small by construction — a
+      // bucket collision IS a near-dup signal, so |cand| << |corpus|.
+      // Without this the whole shingle->minhash->bucket pipeline would
+      // run once per consumer.
+      .cache()
 
-    // exact-Jaccard verification of candidates only
+    // exact-Jaccard verification of candidates only. Shingle ONLY the
+    // candidate docs: a broadcast semi-join on the candidate-id list
+    // before the explode, so the verification joins shuffle candidate
+    // shingles, not the whole corpus's. (The identical candidate-id
+    // broadcast appears twice — ReuseExchange computes it once.)
+    val candIds = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as("cid"))
+      .distinct()
+    val candSh = shingles(
+      docs.join(broadcast(candIds), id === col("cid"), "left_semi"),
+      id, text, n)
     val inter = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .join(candSh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+      .join(candSh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
       .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
     inter
       .select(col("a_id"), col("b_id"),
