@@ -85,19 +85,27 @@ object TextAnalysis {
   /** D6: per-source quality statistics. Counts/sums are exact; the one
     * order-dependent float (mean of per-doc stopword ratios) is rounded. */
   def qualityBySource(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val nStop = size(filter(toks, t => t.isInCollection(stopwords)))
+    // token stats come out of ONE lambda over the split array (let-binding:
+    // the lambda var materializes the split once per row; a named val
+    // would inline the split tree into every size/filter reference) and
+    // explode through a 1-element array so the two output columns don't
+    // re-inline the lambda either
+    val tokStats = explode(transform(array(split(col("text"), " ")), w =>
+      struct(size(w).as("n_tok"),
+        (size(filter(w, t => t.isInCollection(stopwords))).cast("double") /
+          size(w)).as("stop_ratio"))))
     docs
       .select(col("source"), col("n_chars"), col("text"),
-        nTok.as("n_tok"),
-        (nStop.cast("double") / nTok).as("stop_ratio"),
+        tokStats.as("ts"),
         // null (excluded from avg) for empty docs — a bare division would
         // be a DIVIDE_BY_ZERO error under ANSI mode
         when(col("n_chars") > 0,
           regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double") /
             col("n_chars")).as("punct_ratio"),
         bpeishCount(col("text")).as("n_bpe"))
+      .select(col("source"), col("n_chars"),
+        col("ts.n_tok").as("n_tok"), col("ts.stop_ratio").as("stop_ratio"),
+        col("punct_ratio"), col("n_bpe"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            sum("n_chars").as("sum_chars"),
