@@ -134,7 +134,10 @@ object Catalog {
       .otherwise(snapped)
     val enc = encode(
       stats.select(lit(name).as("layer"), validated.as("ranges")))
-    // broadcast the 1-row edited encoding; rewrite is a projection
+    // broadcast the 1-row edited encoding; rewrite is a projection.
+    // (Catalyst constant-folds the e_name key to a literal, so this plans
+    // as a BroadcastNestedLoopJoin — of a ONE-row build side, i.e. a
+    // per-row predicate, not a quadratic join.)
     encodedCat.as("c")
       .join(broadcast(enc.as("e")
           .withColumnRenamed("name", "e_name")),
