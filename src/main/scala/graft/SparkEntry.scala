@@ -27,5 +27,6 @@ object SparkEntry {
     * every declared query would measure count, not the engine). */
   def headline: Seq[String] = Seq(
     "wro_overlay_flagship", "wro_classify_equal_interval",
-    "j2_shuffle_join", "a2_groupby", "w1_rank", "o2_topk", "f3_datetime")
+    "j2_shuffle_join", "a2_groupby", "w1_rank", "o2_topk", "f3_datetime",
+    "q3_shipping_priority")
 }

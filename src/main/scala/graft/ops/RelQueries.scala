@@ -399,6 +399,50 @@ object RelQueries {
       .agg(count(lit(1)).as("n"), sum("v").as("sum_value"))
   }
 
+  // ---------- composite analytical queries ----------
+
+  /** TPC-H Q3 shape: 3-way join with predicates pushed to all three
+    * scans, revenue aggregation, deterministic top-10. Proves the
+    * operator surface COMPOSES — pushdown + join order + agg + top-k in
+    * one declarative plan. Revenue is per-row double arithmetic cast to
+    * decimal BEFORE the sum (order-independent). */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01")
+    table(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"),
+               col("o_orderdate").cast("date").as("odate"),
+               col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(dec)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-table join (two dimension sides broadcast), local
+    * supplier volume per nation in one region over a date window. */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1998-01-01"))
+      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(table(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(dec)).as("revenue"))
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -434,7 +478,9 @@ object RelQueries {
     "f6_json" -> f6Json,
     "src2_csv_roundtrip" -> src2Csv,
     "src3_json_source" -> src3Json,
-    "snk2_partitioned" -> snk2Partitioned
+    "snk2_partitioned" -> snk2Partitioned,
+    "q3_shipping_priority" -> q3Shipping,
+    "q5_local_supplier" -> q5LocalSupplier
   )
 
   val oracle: Map[String, String] = Map(
@@ -625,6 +671,31 @@ object RelQueries {
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
         |FROM events WHERE event_type IN ('purchase', 'error')
+        |GROUP BY 1""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1""".stripMargin
   )
 }
