@@ -401,6 +401,13 @@ object RelQueries {
 
   // ---------- composite analytical queries ----------
 
+  /** Per-row discounted revenue, cast to decimal BEFORE the sum so the
+    * aggregate is order-independent (one definition for every composite
+    * query — money-rounding rules must not diverge between them). */
+  private def revenue =
+    sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+      .as("revenue")
+
   /** TPC-H Q3 shape: 3-way join with predicates pushed to all three
     * scans, revenue aggregation, deterministic top-10. Proves the
     * operator surface COMPOSES — pushdown + join order + agg + top-k in
@@ -417,8 +424,7 @@ object RelQueries {
       .groupBy(col("l_orderkey"),
                col("o_orderdate").cast("date").as("odate"),
                col("o_orderpriority"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(dec)).as("revenue"))
+      .agg(revenue)
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -440,8 +446,7 @@ object RelQueries {
             col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(dec)).as("revenue"))
+      .agg(revenue)
 
   // ---------- registry ----------
 
