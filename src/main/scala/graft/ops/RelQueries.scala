@@ -202,13 +202,17 @@ object RelQueries {
         .as("statuses"))
 
   /** A8: argmax via max_by over a (value, tiebreak) struct — fully
-    * deterministic even with duplicate account balances. */
+    * deterministic even with duplicate account balances. Money leaves as
+    * BIGINT cents: exact decimal arithmetic, and a representation the
+    * gate hashes identically in every engine (a DECIMAL column renders
+    * "9987.10" via pyarrow but "9987.1" via a float64 bridge). */
   def a8ArgMax(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "customer")
       .groupBy("c_nationkey")
       .agg(max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey")))
              .as("top_customer"),
-           max(col("c_acctbal").cast(dec)).as("top_acctbal"))
+           (max(col("c_acctbal").cast(dec)) * 100).cast("long")
+             .as("top_acctbal_cents"))
 
   /** A10: custom typed Aggregator — the reference's remap-range merge
     * (pyt:1119-1138) run distributed per group. Each distinct value feeds
@@ -234,7 +238,8 @@ object RelQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("o_orderkey"),
-              col("o_totalprice").cast(dec).as("top_price"))
+              (col("o_totalprice").cast(dec) * 100).cast("long")
+                .as("top_price_cents"))
   }
 
   /** W2: lag — inter-event gap per user in microseconds. */
@@ -259,7 +264,7 @@ object RelQueries {
               col("value").cast(dec).as("v"))
       .select(col("event_id"), col("user_id"),
               count(lit(1)).over(w).as("run_n"),
-              sum("v").over(w).as("run_sum"))
+              (sum("v").over(w) * 100).cast("long").as("run_sum_cents"))
   }
 
   /** W4: range frame — trailing 10-minute moving sum per user over event
@@ -273,7 +278,7 @@ object RelQueries {
               col("value").cast(dec).as("v"))
       .select(col("event_id"), col("user_id"),
               count(lit(1)).over(w).as("win_n"),
-              sum("v").over(w).as("win_sum"))
+              (sum("v").over(w) * 100).cast("long").as("win_sum_cents"))
   }
 
   /** W5: ntile + percent_rank. A single global window: acceptable here
@@ -328,18 +333,21 @@ object RelQueries {
       trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
       col("p_type").startsWith("STANDARD").cast("int").as("is_std"))
 
-  /** F3: date/time family — monthly order rollup. Timestamps leave as
-    * DATE (writer tz-annotation-proof). */
+  /** F3: date/time family — monthly order rollup. The month leaves as an
+    * ISO string and money as BIGINT cents: bare DATE/DECIMAL columns render
+    * differently across the gate's two readers (date vs midnight-datetime,
+    * "x.10" vs "x.1"), so outputs stay on hash-stable primitives. */
   def f3DateTime(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
-                 .as("month_start"))
+                 .as("m"))
       .agg(count(lit(1)).as("n_orders"),
            sum(col("o_totalprice").cast(dec)).as("sum_price"))
-      .select(col("month_start"),
-              year(col("month_start")).as("yr"),
-              quarter(col("month_start")).as("qtr"),
-              col("n_orders"), col("sum_price"))
+      .select(date_format(col("m"), "yyyy-MM-dd").as("month_start"),
+              year(col("m")).as("yr"),
+              quarter(col("m")).as("qtr"),
+              col("n_orders"),
+              (col("sum_price") * 100).cast("long").as("sum_price_cents"))
 
   /** F6: JSON family — extract props.k, aggregate by it. */
   def f6Json(s: SparkSession, dir: String): DataFrame =
@@ -347,7 +355,9 @@ object RelQueries {
       .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
               col("value"))
       .groupBy("k")
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+           (sum(col("value").cast(dec)) * 100).cast("long")
+             .as("sum_value_cents"))
 
   // ---------- SRC/SNK: sources and sinks ----------
 
@@ -427,6 +437,10 @@ object RelQueries {
       .agg(revenue)
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
+      .select(col("l_orderkey"),
+              date_format(col("odate"), "yyyy-MM-dd").as("odate"),
+              col("o_orderpriority"),
+              (col("revenue") * 100).cast("long").as("revenue_cents"))
   }
 
   /** TPC-H Q5 shape: 6-table join (two dimension sides broadcast), local
@@ -576,7 +590,7 @@ object RelQueries {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "a8_argmax" ->
       """SELECT c_nationkey, c_name AS top_customer,
-        |  CAST(top_bal AS DECIMAL(18,2)) AS top_acctbal
+        |  CAST(top_bal * 100 AS BIGINT) AS top_acctbal_cents
         |FROM (SELECT c_nationkey, c_name,
         |        max(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS top_bal,
         |        row_number() OVER (PARTITION BY c_nationkey
@@ -597,7 +611,7 @@ object RelQueries {
         |  GROUP BY 1)""".stripMargin,
     "w1_rank" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS top_price
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS top_price_cents
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
         |WHERE rn = 1""".stripMargin,
@@ -610,14 +624,14 @@ object RelQueries {
     "w3_running" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS run_n,
-        |  sum(CAST(value AS DECIMAL(18,2))) OVER w AS run_sum
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w * 100 AS BIGINT) AS run_sum_cents
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "w4_moving" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS win_n,
-        |  sum(CAST(value AS DECIMAL(18,2))) OVER w AS win_sum
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w * 100 AS BIGINT) AS win_sum_cents
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
@@ -657,15 +671,18 @@ object RelQueries {
         |  CAST(p_type LIKE 'STANDARD%' AS INT) AS is_std
         |FROM part""".stripMargin,
     "f3_datetime" ->
-      """SELECT month_start, CAST(year(month_start) AS INT) AS yr,
-        |  CAST(quarter(month_start) AS INT) AS qtr, n_orders, sum_price
-        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      """SELECT strftime(m, '%Y-%m-%d') AS month_start,
+        |  CAST(year(m) AS INT) AS yr,
+        |  CAST(quarter(m) AS INT) AS qtr, n_orders,
+        |  CAST(sum_price * 100 AS BIGINT) AS sum_price_cents
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
         |        count(*) AS n_orders,
         |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
         |      FROM orders GROUP BY 1)""".stripMargin,
     "f6_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1""".stripMargin,
     "src2_csv_roundtrip" ->
       """SELECT n_nationkey, 'x,"' || n_name || '"y' AS tricky FROM nation""".stripMargin,
@@ -678,17 +695,20 @@ object RelQueries {
         |FROM events WHERE event_type IN ('purchase', 'error')
         |GROUP BY 1""".stripMargin,
     "q3_shipping_priority" ->
-      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revenue
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |  AND l_shipdate > TIMESTAMP '1998-01-01'
-        |GROUP BY 1, 2, 3
-        |ORDER BY revenue DESC, l_orderkey ASC
-        |LIMIT 10""".stripMargin,
+      """SELECT l_orderkey, strftime(odate, '%Y-%m-%d') AS odate, o_orderpriority,
+        |  CAST(revenue * 100 AS BIGINT) AS revenue_cents
+        |FROM (
+        |  SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revenue
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2, 3
+        |  ORDER BY revenue DESC, l_orderkey ASC
+        |  LIMIT 10)""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revenue

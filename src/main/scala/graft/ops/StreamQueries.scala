@@ -29,13 +29,13 @@ object StreamQueries {
   val oracle: Map[String, String] = Map(
     "s1_tumbling" ->
       """SELECT ws_us, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
         |FROM (SELECT epoch_us(ts) - epoch_us(ts) % 600000000 AS ws_us, value
         |      FROM events)
         |GROUP BY 1""".stripMargin,
     "s2_sliding" ->
       """SELECT ws_us, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
         |FROM (SELECT (epoch_us(ts) // 300000000 - k.k) * 300000000 AS ws_us,
         |             value
         |      FROM events, (SELECT unnest([0, 1]) AS k) k)
@@ -52,7 +52,7 @@ object StreamQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |      FROM m)
         |SELECT user_id, min(t) AS session_start_us, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
         |FROM s GROUP BY user_id, sid""".stripMargin
   )
 }

@@ -15,31 +15,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * user) — state partitions by key; watermarks bound state size. */
 object Streams {
 
+  /** Exact decimal value-sum rendered as BIGINT cents — money stays on
+    * hash-stable primitives (bare DECIMAL renders "x.10" via one parquet
+    * reader and "x.1" via a float64 bridge, failing byte-level compares). */
+  private def sumCents =
+    (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+
   /** S1: tumbling 10-minute window — count + value sum per window. */
   def tumbling(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "10 minutes").as("w"))
-      .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
-      .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("sum_value"))
+      .agg(count(lit(1)).as("n"), sumCents.as("sum_value_cents"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("n"),
+              col("sum_value_cents"))
 
   /** S2: sliding 10-minute window, 5-minute slide (each event lands in
     * two windows). */
   def sliding(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
-      .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
-      .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("sum_value"))
+      .agg(count(lit(1)).as("n"), sumCents.as("sum_value_cents"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("n"),
+              col("sum_value_cents"))
 
   /** S3: per-user session windows with a 30-minute inactivity gap. */
   def sessions(events: DataFrame): DataFrame =
     events
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sumCents.as("sum_value_cents"))
       .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
-              col("n"), col("sum_value"))
+              col("n"), col("sum_value_cents"))
 
   /** S4: tumbling aggregation with a 10-minute watermark — on a stream,
     * events later than (max seen ts - 10 min) are dropped and window

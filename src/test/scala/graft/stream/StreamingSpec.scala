@@ -58,10 +58,10 @@ class StreamingSpec extends SparkSpec {
       input.addData(Seq((80L, 4.0)))             // flush closable windows
       q.processAllAvailable()
       val finalized = spark.table("s4wm")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       // the [0,10) window finalized WITHOUT the late 100.0 event
       val w0 = finalized.find(_._1 == 0L).get
-      assert(w0._2 == 2L && w0._3 == 3.0)
+      assert(w0._2 == 2L && w0._3 == 300L) // 3.00 as cents
     } finally q.stop()
   }
 
@@ -108,7 +108,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.Trigger
     val dir = "/root/testdata/sf0.001"
     def key(r: org.apache.spark.sql.Row) =
-      (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     val batch = Streams.tumbling(graft.table(spark, dir, "events"))
       .collect().map(key).toSet
     assert(batch.nonEmpty)
