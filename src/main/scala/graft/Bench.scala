@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
 /** Benchmark main: times every declared query (count() action) at the
   * SF dir from SPARK_GRAFT_SF_DIR and emits ONE JSON line on stdout
   * (raw — build.sbt sets run/outputStrategy=StdoutOutput so sbt does
-  * not prefix it) plus a bench_out.json file as a fallback. */
+  * not prefix it) plus a bench_out.json file as a fallback.
+  *
+  * Contract (BASELINE.md:16): "total" = wall-clock sum over ALL declared
+  * queries. The per-family headline subset is still reported under
+  * "headline" for round-over-round comparability. A failed query is
+  * excluded from the total (a crash must not read as a fast run) and
+  * listed under "failed". */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,6 +20,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -21,25 +28,30 @@ object Bench {
     // parquet reader init, and JIT warm-up are paid once up front instead
     // of being billed to whichever query runs first. (Different dir =>
     // different plan, so nothing warm-up-cached is reused in timed runs.)
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.headline.foreach { name =>
+      names.foreach { name =>
         try { SparkEntry.queries(name)(spark, warmDir).count() }
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.headline.map { name =>
+    val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      // a failed query must not masquerade as a fast run: record -1
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val headline = results.filter(r => SparkEntry.headline.contains(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""headline":$headline,"failed":$failed,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line)
     spark.stop()
     // last line, bare, after Spark's shutdown chatter

@@ -20,16 +20,18 @@ import org.apache.spark.sql.types._
 object Catalog {
 
   /** Encode a decoded catalog (name, ranges: array<struct<label,lo,hi,out>>)
-    * to the stored string form (R13/R14/R16-inverse). */
+    * to the stored string form (R13/R14/R16-inverse). `keep` carries
+    * extra pass-through columns (e.g. the mosaic Title). */
   def encode(decoded: DataFrame, nameCol: String = "layer",
-             rangesCol: String = "ranges"): DataFrame =
+             rangesCol: String = "ranges",
+             keep: Seq[String] = Nil): DataFrame =
     decoded.select(
-      col(nameCol).as("name"),
-      RangeCodec.encodeRanges(col(rangesCol)).as("input_ranges"),
-      Rfc4180.encodeList(transform(col(rangesCol), r => r("label")))
-        .as("range_labels"),
-      array_join(transform(col(rangesCol), r => r("out").cast(StringType)), ",")
-        .as("output_values"))
+      Seq(col(nameCol).as("name"),
+        RangeCodec.encodeRanges(col(rangesCol)).as("input_ranges"),
+        Rfc4180.encodeList(transform(col(rangesCol), r => r("label")))
+          .as("range_labels"),
+        array_join(transform(col(rangesCol), r => r("out").cast(StringType)),
+          ",").as("output_values")) ++ keep.map(col): _*)
 
   /** Decode stored strings back to the array-of-structs form (R15/R16,
     * pyt:161-177: positional zip of labels / range pairs / outputs). */

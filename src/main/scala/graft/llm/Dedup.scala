@@ -13,18 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** D1: exact content dedup. Groups by a 64-bit content hash (xxhash64 —
-    * at 100 TB you group by the hash, not the document body, so the
-    * shuffle carries 8 bytes per doc instead of the text); emits one
-    * keeper (min id) per group plus the group size and an md5 content
-    * fingerprint for audit. */
+  /** D1: exact content dedup. Groups by a (xxhash64, md5) content-hash
+    * pair (at 100 TB you group by hashes, not the document body, so the
+    * shuffle carries ~24 bytes per doc instead of the text; a silent
+    * merge of distinct texts now needs a simultaneous collision in two
+    * independent hash families); emits one keeper (min id) per group
+    * plus the group size and the md5 content fingerprint for audit. */
   def exact(docs: DataFrame, id: Column, content: Column): DataFrame =
     docs
-      .groupBy(xxhash64(content).as("h"))
-      .agg(max(md5(content)).as("fp"),
-           min(id).as("keep_id"),
+      .groupBy(xxhash64(content).as("h"), md5(content).as("fp"))
+      .agg(min(id).as("keep_id"),
            count(lit(1)).as("n_copies"))
       .drop("h")
+      .select(col("fp"), col("keep_id"), col("n_copies"))
 
   /** Distinct word `n`-gram shingles of a text column, as one array per
     * row — a pure expression, so per-doc reductions over shingles

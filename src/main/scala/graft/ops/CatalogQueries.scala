@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft._
-import graft.catalog.{Catalog, Validate}
+import graft.catalog.{Catalog, Mosaic, Validate}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -114,7 +114,55 @@ object CatalogQueries {
           .cast("int").as("ok"))
   }
 
+  /** R26+R28 (pyt:780-893 + 1160-1296) as a golden query: the full
+    * CreateWeightedOverlayMosaic composition over a fixture layer table
+    * covering every dispatch branch — equal-interval with and without a
+    * strippable extension (R9), unique colorizer (R12), classify
+    * colorizer over the discount raster's stats (R10), a skipped
+    * VECTOR_UV layer, the no-statistics fallback (pyt:1263-1269, the
+    * one kernel no other query reaches), and an R2-rejected table row.
+    * The catalog is written through a partitioned sink and read back —
+    * the reference's create-then-query flow (pyt:814/879). */
+  def createMosaicGolden(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val meta = Seq(
+      (1L, "quantity.tif", "grp\\quantity.tif", true, true, false,
+        "RasterDataset", "c:\\data\\quantity.tif", "tif", "GENERIC",
+        null.asInstanceOf[String], None, None, None),
+      (2L, "extendedprice", "grp\\extendedprice", true, true, false,
+        "RasterDataset", "c:\\data\\extendedprice", "", "ELEVATION",
+        null.asInstanceOf[String], None, None, None),
+      (3L, "linecls", "grp\\linecls", true, true, false,
+        "RasterDataset", "c:\\data\\linecls", "", "THEMATIC",
+        "RasterUniqueValueColorizer", None,
+        Some(Seq(1.0, 2.0, 3.0)), Some(Seq("One", "Two", "Three"))),
+      (4L, "qbreaks", "grp\\qbreaks", true, true, false,
+        "RasterDataset", "c:\\data\\discount.tif", "tif", "GENERIC",
+        "RasterClassifyColorizer", Some(Seq(0.02, 0.05, 0.08)), None, None),
+      (5L, "wind", "grp\\wind", true, true, false,
+        "RasterDataset", "c:\\data\\wind", "", "VECTOR_UV",
+        null.asInstanceOf[String], None, None, None),
+      (6L, "nostats.img", "grp\\nostats.img", true, true, false,
+        "RasterDataset", "c:\\data\\nostats.img", "img", "GENERIC",
+        null.asInstanceOf[String], None, None, None),
+      (7L, "atable", "grp\\atable", false, true, false,
+        "Table", "c:\\data\\atable", "", "GENERIC",
+        null.asInstanceOf[String], None, None, None))
+      .toDF("layer_id", "name", "long_name", "is_raster", "visible",
+            "is_web", "dataset_type", "datasource", "extension",
+            "sourcetype", "colorizer_type", "breaks", "uvals", "ulabels")
+    val mosaic = Mosaic.createMosaic(meta, WroQueries.cells(s, dir))
+    val sf = dir.replaceAll("[^0-9.]", "")
+    val path = s"/tmp/graft_io/mosaic-$sf"
+    mosaic.write.mode("overwrite").partitionBy("Name").parquet(path)
+    s.read.parquet(path).select(
+      "Name", "Title", "Description", "Url", "InputRanges", "NoDataRanges",
+      "RangeLabels", "NoDataRangeLabels", "OutputValues", "Metadata",
+      "dataset_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wro_create_mosaic" -> createMosaicGolden,
     "wro_catalog_encoded" -> catalogEncoded,
     "wro_catalog_roundtrip" -> catalogRoundtrip,
     "wro_update_classification" -> updateClassification,
@@ -157,6 +205,45 @@ object CatalogQueries {
        |  FROM encoded e, qstats s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "wro_create_mosaic" ->
+      s"""${WroQueries.rangesSql},
+         |eqenc AS (
+         |  SELECT layer,
+         |    string_agg(CAST(lo AS VARCHAR) || ',' || CAST(hi AS VARCHAR),
+         |               ',' ORDER BY class_idx) AS ir,
+         |    string_agg(label, ',' ORDER BY class_idx) AS rl,
+         |    string_agg(CAST(out AS VARCHAR), ',' ORDER BY class_idx) AS ov
+         |  FROM ranges WHERE layer IN ('quantity', 'extendedprice')
+         |  GROUP BY layer),
+         |dmn AS (SELECT CAST(min(value) AS VARCHAR) AS mn
+         |        FROM cells WHERE layer = 'discount'),
+         |qb AS (
+         |  SELECT mn || ',0.02,0.02,0.05,0.05,1.08' AS ir,
+         |         mn || ' to 0.02,0.02 to 0.05,0.05 to 1.08' AS rl,
+         |         '5,5,5' AS ov
+         |  FROM dmn),
+         |rws AS (
+         |  SELECT 'quantity' AS nm, 'quantity' AS ti, ir, rl, ov
+         |  FROM eqenc WHERE layer = 'quantity'
+         |  UNION ALL
+         |  SELECT 'extendedprice', 'extendedprice', ir, rl, ov
+         |  FROM eqenc WHERE layer = 'extendedprice'
+         |  UNION ALL
+         |  SELECT 'discount', 'qbreaks', ir, rl, ov FROM qb
+         |  UNION ALL
+         |  SELECT 'linecls', 'linecls', '1.0,2.0,2.0,3.0,3.0,4.0',
+         |         'One,Two,Three', '5,5,5'
+         |  UNION ALL
+         |  SELECT 'nostats', 'nostats',
+         |         '1.0,50.0,50.0,100.0,100.0,150.0,150.0,200.0,200.0,256.0',
+         |         'Very Low,Low,Medium,High,Very High', '1,3,5,7,9')
+         |SELECT nm AS Name, ti AS Title,
+         |  CAST(NULL AS VARCHAR) AS Description, CAST(NULL AS VARCHAR) AS Url,
+         |  ir AS InputRanges, CAST(NULL AS VARCHAR) AS NoDataRanges,
+         |  rl AS RangeLabels, CAST(NULL AS VARCHAR) AS NoDataRangeLabels,
+         |  ov AS OutputValues, CAST(NULL AS VARCHAR) AS Metadata,
+         |  CAST(NULL AS VARCHAR) AS dataset_id
+         |FROM rws""".stripMargin,
     "wro_catalog_encoded" ->
       s"""$encodedSql
          |SELECT name, input_ranges, range_labels, output_values FROM encoded""".stripMargin,

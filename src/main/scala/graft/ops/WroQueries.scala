@@ -98,7 +98,7 @@ object WroQueries {
         skip("Boundary") && skip("Footprint") && skip("Image"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select("layer_id", "name", "long_name")
+      .drop("rn")
   }
 
   /** R2 as a declared query over a golden layer table covering every
@@ -120,6 +120,7 @@ object WroQueries {
       .toDF("layer_id", "name", "long_name", "is_raster", "visible",
             "is_web", "dataset_type", "datasource")
     layerFilter(layers, visibleOnly = true)
+      .select("layer_id", "name", "long_name")
   }
 
   /** F9/J6-phase-2 (SURVEY §7.4) as a declared query: the remap kernel

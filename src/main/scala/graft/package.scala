@@ -19,12 +19,16 @@ package object graft {
     * precision (integer arithmetic — double division would lose precision
     * above 2^53 ns). FLOOR division, not `div` truncation: DuckDB's
     * epoch_us() on TIMESTAMP_NS floors, and the two differ by 1us on
-    * pre-epoch nanos. */
+    * pre-epoch nanos.
+    *
+    * The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (all graft mains and the
+    * test harness do) — setting it here per-read would mutate session-global
+    * state at plan-build time, racy under concurrent plan construction. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (name == "events")
       rebuildEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** Rebuild the nanos-as-long `ts` column as a microsecond TimestampType —
