@@ -98,6 +98,19 @@ object LlmQueries {
     Multimodal.featuresByLangLabel(s, docs(s, dir),
       table(s, dir, "embeddings"))
 
+  /** D5 frame fan-out: one media row → up to 4 sampled frame rows at the
+    * typed flatMap boundary (no shuffle). The frame payload leaves as a
+    * UTF-8 string so the gate hashes it bit-stably (the corpus is pure
+    * ASCII — verified — so DuckDB's char-based substring equals the
+    * engine's byte slicing). */
+  def d5Frames(s: SparkSession, dir: String): DataFrame = {
+    val rows = Multimodal.assemble(s, docs(s, dir),
+      table(s, dir, "embeddings"))
+    Multimodal.sampleFrames(s, rows, 4)
+      .select(col("doc_id"), col("frame_idx"),
+              col("frame").cast("string").as("frame_str"))
+  }
+
   def d6Quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityBySource(docs(s, dir), Seq("the", "data", "value"))
 
@@ -115,6 +128,7 @@ object LlmQueries {
     "d4_langid" -> d4LangId,
     "d4_fingerprint" -> d4Fingerprint,
     "d5_multimodal" -> d5Multimodal,
+    "d5_frames" -> d5Frames,
     "d6_quality" -> d6Quality
   )
 
@@ -286,6 +300,15 @@ object LlmQueries {
         |  CAST(sum(octet_length(encode(d.text)) + ascii(d.text)) AS BIGINT) AS sum_feat
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY 1, 2""".stripMargin,
+    "d5_frames" ->
+      """WITH m AS (
+        |  SELECT d.doc_id, d.text, length(d.text) AS len
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT doc_id, CAST(i.x AS INT) AS frame_idx,
+        |  substring(text, CAST(i.x * greatest(len // 4, 1) + 1 AS INT), 8)
+        |    AS frame_str
+        |FROM m, LATERAL (SELECT unnest(range(0, 4)) AS x) i
+        |WHERE i.x < least(4, len)""".stripMargin,
     "d6_quality" ->
       """WITH per_doc AS (
         |  SELECT source, n_chars,

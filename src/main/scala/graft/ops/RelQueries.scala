@@ -282,14 +282,37 @@ object RelQueries {
   }
 
   /** W5: ntile + percent_rank. A single global window: acceptable here
-    * because quantile ASSIGNMENT is inherently a total order — at 100 TB
-    * this becomes approx percentiles or a two-pass range partitioner. */
+    * because exact positional ntile is inherently a total order — the
+    * scale path is [[w5QuantileBuckets]] below. */
   def w5Ntile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     table(s, dir, "orders")
       .select(col("o_orderkey"),
               ntile(4).over(w).as("quartile"),
               percent_rank().over(w).as("pr"))
+  }
+
+  /** W5 scale path: value-based quartile assignment with NO
+    * single-partition window. Pass 1 computes the three quartile cut
+    * points as one distributed aggregate; pass 2 broadcast-joins the
+    * 1-row cut table and assigns buckets by comparison — every stage is
+    * keyed or map-side, so the plan survives a 100× scale-up (at 100 TB,
+    * swap `percentile` for `approx_percentile` with an accuracy bound;
+    * the plan shape is identical, but exact percentile keeps this
+    * oracle-checkable). Differs from positional ntile only in tie/
+    * remainder placement — documented, value-deterministic semantics. */
+  def w5QuantileBuckets(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("v"))
+    val cuts = o.agg(
+      percentile(col("v"), lit(0.25)).as("c25"),
+      percentile(col("v"), lit(0.50)).as("c50"),
+      percentile(col("v"), lit(0.75)).as("c75"))
+    o.join(broadcast(cuts))
+      .select(col("o_orderkey"),
+        (lit(1) + (col("v") >= col("c25")).cast("int")
+                + (col("v") >= col("c50")).cast("int")
+                + (col("v") >= col("c75")).cast("int")).as("quartile"))
   }
 
   // ---------- O: sort / limit / set ops ----------
@@ -489,6 +512,7 @@ object RelQueries {
     "w3_running" -> w3Running,
     "w4_moving" -> w4Moving,
     "w5_ntile" -> w5Ntile,
+    "w5_quantile_buckets" -> w5QuantileBuckets,
     "o2_topk" -> o2TopK,
     "o3_union" -> o3Union,
     "o4_setops" -> o4SetOps,
@@ -641,6 +665,18 @@ object RelQueries {
         |  percent_rank() OVER w AS pr
         |FROM orders
         |WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "w5_quantile_buckets" ->
+      """WITH c AS (
+        |  SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS c25,
+        |         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50) AS c50,
+        |         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS c75
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(1 + (CASE WHEN o_totalprice >= c25 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN o_totalprice >= c50 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN o_totalprice >= c75 THEN 1 ELSE 0 END) AS INT)
+        |    AS quartile
+        |FROM orders, c""".stripMargin,
     "o2_topk" ->
       """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

@@ -76,6 +76,46 @@ object WroQueries {
               col("n_layers"))
   }
 
+  /** R31 NoData variant: the flagship overlay with per-layer NoData
+    * masking (NoDataRanges, pyt:597 — declared by the reference with the
+    * InputRanges pair format but never populated; the service kernel
+    * consumes it here). Classification stats stay derived from the FULL
+    * raster (the mask applies at overlay time, not stats time), so the
+    * ranges match the flagship's and only the per-cell contributions
+    * change: a masked (cell, layer) drops out of both score10 and
+    * n_layers. */
+  def overlayNoData(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cs = cellsFrom(perCell(spark, dir).cache())
+    val nd = Seq(("quantity", 10.0, 20.0), ("discount", 0.0, 0.02))
+      .toDF("layer", "lo", "hi")
+      .groupBy("layer")
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("nd"))
+    WeightedOverlay(WeightedOverlay.maskNoData(cs, nd), catalogFrom(cs),
+        weights(spark))
+      .select(col("cell_id"), col("score10").cast("long").as("score10"),
+              col("n_layers"))
+  }
+
+  /** A9 as explicit bin COUNTS (pyt:903 grounding — the raster histogram
+    * behind classification): per-layer equi-width 5-bin histogram via a
+    * width_bucket-style expression. Stats ride a broadcast; the bin
+    * assignment is a map-side projection, so the only shuffle is the
+    * final keyed (layer, bin) count — ≤15 rows out at any scale. The
+    * true max is clamped into the top bin (half-open bins elsewhere). */
+  def a9Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val cs = cellsFrom(perCell(spark, dir).cache())
+    val stats = cs.groupBy(col("layer").as("s_layer"))
+      .agg(min("value").as("mn"), max("value").as("mx"))
+    cs.join(broadcast(stats), col("layer") === col("s_layer"))
+      .select(col("layer"),
+        least(floor((col("value") - col("mn")) /
+                    ((col("mx") - col("mn")) / lit(5.0))), lit(4))
+          .cast("int").as("bin"))
+      .groupBy("layer", "bin")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** R2 (pyt:710-745): the layer-filter chain — keep rasters, optionally
     * visible only, never mosaic/web/datasource-less layers, skip names
     * containing \\Boundary / \\Footprint / \\Image, first-wins dedup by
@@ -217,6 +257,8 @@ object WroQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wro_overlay_flagship" -> flagship,
+    "wro_overlay_nodata" -> overlayNoData,
+    "a9_histogram" -> a9Histogram,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -226,6 +268,28 @@ object WroQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "a9_histogram" ->
+      s"""WITH cells AS ($cellsSql),
+         |stats AS (SELECT layer, min(value) AS mn, max(value) AS mx
+         |          FROM cells GROUP BY layer)
+         |SELECT c.layer,
+         |  CAST(least(floor((c.value - s.mn) / ((s.mx - s.mn) / 5.0)), 4) AS INT) AS bin,
+         |  count(*) AS n
+         |FROM cells c JOIN stats s ON c.layer = s.layer
+         |GROUP BY 1, 2""".stripMargin,
+    "wro_overlay_nodata" ->
+      s"""$rangesSql,
+         |weights AS (${layers.map { case (n, _, w) => s"SELECT '$n' AS layer, $w AS w10" }.mkString(" UNION ALL ")}),
+         |masked AS (
+         |  SELECT * FROM cells
+         |  WHERE NOT (layer = 'quantity' AND value >= 10.0 AND value < 20.0)
+         |    AND NOT (layer = 'discount' AND value >= 0.0 AND value < 0.02)),
+         |remapped AS (
+         |  SELECT c.cell_id, c.layer, r.out
+         |  FROM masked c JOIN ranges r ON c.layer = r.layer AND c.value >= r.lo AND c.value < r.hi)
+         |SELECT m.cell_id, CAST(sum(m.out * w.w10) AS BIGINT) AS score10, count(*) AS n_layers
+         |FROM remapped m JOIN weights w ON m.layer = w.layer
+         |GROUP BY m.cell_id""".stripMargin,
     "wro_overlay_flagship" ->
       s"""$rangesSql,
          |weights AS (${layers.map { case (n, _, w) => s"SELECT '$n' AS layer, $w AS w10" }.mkString(" UNION ALL ")}),

@@ -43,6 +43,27 @@ object WeightedOverlay {
       .drop("r_layer")
   }
 
+  /** NoData masking (R31; NoDataRanges declared at pyt:597 with the same
+    * CSV pair format as InputRanges): drop cells whose value falls inside
+    * any of the layer's half-open [lo, hi) NoData ranges before remap, so
+    * a masked layer contributes neither a score term nor an n_layers
+    * count for that cell. `noData` columns: (layer,
+    * nd: array<struct<lo:double, hi:double>>); layers absent from the
+    * table are unmasked. Dimension-sized broadcast left join plus a
+    * per-row exists over a handful of ranges — no extra shuffle of the
+    * cell side. */
+  def maskNoData(cells: DataFrame, noData: DataFrame): DataFrame = {
+    val nd = broadcast(noData.select(col("layer").as("nd_layer"), col("nd")))
+    cells.join(nd, cells("layer") === col("nd_layer"), "left")
+      // coalesce: an unmasked layer has a null nd array -> exists is
+      // null, and the cell must be KEPT, not dropped by a null filter
+      .filter(!coalesce(
+        exists(col("nd"),
+          r => cells("value") >= r("lo") && cells("value") < r("hi")),
+        lit(false)))
+      .drop("nd_layer", "nd")
+  }
+
   /** Weighted overlay: remapped cells (cellCol, layer, out) x integer
     * weights (layer, w10) -> per-cell combined score.
     * score10 = sum(w10 * out) is exact (integer); score = score10/10. */

@@ -23,9 +23,10 @@ trait SparkSpec extends AnyFunSuite {
 /** ScalaCheck glue (the scalatest-plus bridge is not in the offline
   * cache): run a Prop, fail the surrounding scalatest test on falsify. */
 object PropCheck {
-  def checkProp(p: org.scalacheck.Prop): Unit = {
+  def checkProp(p: org.scalacheck.Prop, minTests: Int = 100): Unit = {
     val res = org.scalacheck.Test.check(
-      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100), p)
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(minTests), p)
     assert(res.passed, res.status.toString)
   }
 }

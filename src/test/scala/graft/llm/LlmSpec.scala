@@ -110,4 +110,46 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(out == Set(("en", 5, 1L, 2L + 'a'.toLong), ("fr", 5, 1L, 2L + 'c'.toLong)))
   }
+
+  test("minhashLsh recall: generated pairs with exact J >= 0.8 are all " +
+       "found, with the exact Jaccard reported (property)") {
+    import graft.PropCheck.checkProp
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    // With (k=32, b=16, r=2) a J>=0.8 pair is missed with probability
+    // <= (1-0.8^2)^16 ~= 8e-8 (Dedup.scala band bound) — across the
+    // handful of generated corpora here, expected misses ~0, so the
+    // property can assert EXACT recall (a single failure would signal a
+    // real banding bug, not bad luck).
+    val pairGen = for {
+      len <- Gen.chooseNum(25, 40)
+      drop <- Gen.chooseNum(0, 4)
+    } yield (len, drop)
+    checkProp(Prop.forAll(Gen.listOfN(4, pairGen)) { specs =>
+      val docs = specs.zipWithIndex.flatMap { case ((len, drop), i) =>
+        // pair i: a base doc and a variant with `drop` tail words swapped
+        // for fresh ones; vocabularies are disjoint across pairs, so
+        // cross-pair Jaccard is 0 and the only true pairs are (2i, 2i+1)
+        val base = (0 until len).map(j => s"p${i}w$j")
+        val variant = base.dropRight(drop) ++
+          (0 until drop).map(j => s"p${i}x$j")
+        Seq((2L * i, base.mkString(" ")),
+            (2L * i + 1, variant.mkString(" ")))
+      } :+ ((1000L, (0 until 30).map(j => s"noise$j").mkString(" ")))
+      def sh3(s: String): Set[String] = s.split(" ").toSeq.sliding(3)
+        .filter(_.size == 3).map(_.mkString(" ")).toSet
+      val byId = docs.toMap
+      val expected = specs.indices.flatMap { i =>
+        val a = sh3(byId(2L * i)); val b = sh3(byId(2L * i + 1))
+        val j = (a & b).size.toDouble / (a | b).size
+        if (j >= 0.8) Some(((2L * i, 2L * i + 1), j)) else None
+      }.toMap
+      val found = Dedup.minhashLsh(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), threshold = 0.8)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      found.keySet == expected.keySet &&
+        expected.forall { case (k, j) => math.abs(found(k) - j) < 1e-9 }
+    }, minTests = 5)
+  }
 }

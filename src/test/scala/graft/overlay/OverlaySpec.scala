@@ -42,4 +42,21 @@ class OverlaySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows == Set((1L, 9L * 7 + 1 * 3, 2L), (2L, 35L, 1L)))
   }
+
+  test("maskNoData: half-open NoData ranges drop cells; unmasked layers " +
+       "and boundary values survive") {
+    import spark.implicits._
+    val cells = Seq((1L, "A", 5.0), (2L, "A", 10.0), (3L, "A", 19.999),
+                    (4L, "A", 20.0), (5L, "B", 15.0))
+      .toDF("cell_id", "layer", "value")
+    val nd = Seq(("A", 10.0, 20.0)).toDF("layer", "lo", "hi")
+      .groupBy("layer")
+      .agg(org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct($"lo", $"hi")).as("nd"))
+    val kept = WeightedOverlay.maskNoData(cells, nd)
+      .collect().map(_.getLong(0)).toSet
+    // lo inclusive (10.0 masked), hi exclusive (20.0 kept), layer B
+    // has no NoData table entry -> untouched
+    assert(kept == Set(1L, 4L, 5L))
+  }
 }
