@@ -138,6 +138,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** D2d: EXACT n-gram Jaccard pairs via an inverted index — the
+    * posting-list formulation, not an all-pairs join: one shingle pass
+    * builds (shingle → sorted doc list) posting lists, in-list pair
+    * explosion yields co-occurrence counts, and |A∩B| falls out as the
+    * number of shared postings. Cost is Σ_shingle |postings|² — exact,
+    * and cheap while posting lists stay short. At 100 TB the standard
+    * refinement is prefix filtering (index only each doc's rarest
+    * shingles, bounded by the threshold) and a document-frequency cutoff
+    * for stop-shingles; the plan shape (groupBy shingle → groupBy pair)
+    * is unchanged. Complements [[minhashLsh]]: same answer on the same
+    * corpus, approximate-candidate vs exact-index trade. */
+  def ngramJaccard(docs: DataFrame, id: Column, text: Column, n: Int = 3,
+                   threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, id, text, n)
+    val sized = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), collect_list(col("sh")).as("shs"))
+      .select(struct(col("doc_id"), col("n_sh")).as("d"),
+              explode(col("shs")).as("sh"))
+    val posting = sized.groupBy("sh")
+      .agg(sort_array(collect_set(col("d"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    posting
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
+          struct(a.as("a"), b.as("b")))))).as("p"))
+      .groupBy(col("p.a.doc_id").as("a_id"), col("p.a.n_sh").as("na"),
+               col("p.b.doc_id").as("b_id"), col("p.b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** D2b: 16-bit SimHash per document over the token multiset. Each md5
     * hex digit position contributes one vote bit (digit ≥ '8' = high bit
     * set); the signature bit is the sign of the summed votes. Engine-

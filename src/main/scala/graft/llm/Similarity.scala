@@ -81,6 +81,43 @@ object Similarity {
     rankedTopK(scored, k)
   }
 
+  /** D3c: IVF top-k — inverted-file ANN, the other classic scale path
+    * beside sign-LSH. Coarse "centroids" are a deterministic corpus
+    * sample (every `stride`-th id — engine-portable; a trained k-means
+    * codebook drops in without changing the plan); every vector is
+    * assigned to its nearest centroid via one broadcast of the centroid
+    * table + a map-side argmax (no corpus shuffle for scoring, one keyed
+    * reduce for the argmax); the query probes its `nprobe` nearest
+    * centroids and scans ONLY those inverted lists. At 100 TB the
+    * centroid id is the vector store's partition column and assignment
+    * happens at ingest — a query touches nprobe partitions instead of
+    * the corpus. */
+  def ivfTopK(corpus: DataFrame, id: Column, emb: Column,
+              query: DataFrame, queryEmb: Column, k: Int,
+              stride: Long = 31, nprobe: Int = 2): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), asDouble(emb).as("v"))
+    val cents = c.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // argmax over centroids: ties broken to the LOWEST centroid id via
+    // the (score, -cid) struct — the oracle's ORDER BY cs DESC, cid ASC
+    val assigned = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+              round(cosine(col("v"), col("cv")), 6).as("cs"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"),
+           max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cid"))
+    val q = query.select(asDouble(queryEmb).as("q")).limit(1)
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("cid"), round(cosine(col("cv"), col("q")), 6).as("cs"))
+      .orderBy(col("cs").desc, col("cid").asc)
+      .limit(nprobe)
+    val scored = assigned
+      .join(broadcast(probes.select("cid")), "cid")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("q")), 6).as("cos_sim"))
+    rankedTopK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. This
     * baseline IS all-pairs (exact, O(n²)); only for small corpora or
     * within-bucket verification — the scale path is

@@ -56,6 +56,12 @@ object LlmQueries {
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docsWithNearDups(s, dir), col("doc_id"), col("text"))
 
+  /** Same corpus and threshold as d2_minhash_lsh, different algorithm
+    * (exact inverted index vs banded LSH) — the two queries
+    * cross-validate each other through the same oracle. */
+  def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docsWithNearDups(s, dir), col("doc_id"), col("text"))
+
   def d2Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
 
@@ -74,6 +80,13 @@ object LlmQueries {
     Similarity.annTopK(e.filter(col("vec_id") =!= 0), col("vec_id"),
       col("embedding"), e.filter(col("vec_id") === 0), col("embedding"),
       k = 5, bits = 4)
+  }
+
+  def d3IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), col("vec_id"),
+      col("embedding"), e.filter(col("vec_id") === 0), col("embedding"),
+      k = 5, stride = 31, nprobe = 2)
   }
 
   def d4TopTokens(s: SparkSession, dir: String): DataFrame =
@@ -119,10 +132,12 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1DedupExact,
     "d2_minhash_lsh" -> d2MinhashLsh,
+    "d2_ngram_jaccard" -> d2NgramJaccard,
     "d2_simhash" -> d2Simhash,
     "d2_cosine_neardup" -> d2CosineNearDup,
     "d3_cosine_topk" -> d3CosineTopK,
     "d3_ann_lsh" -> d3AnnLsh,
+    "d3_ivf_topk" -> d3IvfTopK,
     "d4_top_tokens" -> d4TopTokens,
     "d4_tfidf" -> d4TfIdf,
     "d4_langid" -> d4LangId,
@@ -159,6 +174,28 @@ object LlmQueries {
     .map(j => s"CASE WHEN v$j > 0 THEN ${1L << (j - 1)} ELSE 0 END")
     .mkString(" + ")
 
+  /** Exact all-pairs shingle-Jaccard over the near-dup corpus — the shared
+    * oracle for BOTH d2_minhash_lsh (whose banding miss probability at
+    * J>=0.8 is ~8e-8, below the gate's resolution) and d2_ngram_jaccard
+    * (exact by construction). */
+  private val exactJaccardSql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' qqzz' FROM documents WHERE doc_id % 10 = 0),
+       |$shingleCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """WITH corpus AS (
@@ -167,23 +204,8 @@ object LlmQueries {
         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0)
         |SELECT max(md5(text)) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM corpus GROUP BY text""".stripMargin,
-    "d2_minhash_lsh" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text || ' qqzz' FROM documents WHERE doc_id % 10 = 0),
-         |$shingleCtes,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT a_id, b_id,
-         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON sa.doc_id = a_id
-         |JOIN sizes sb ON sb.doc_id = b_id
-         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    "d2_minhash_lsh" -> exactJaccardSql,
+    "d2_ngram_jaccard" -> exactJaccardSql,
     "d2_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -249,6 +271,47 @@ object LlmQueries {
         |    row_number() OVER (ORDER BY round(dot / (na * nb), 6) DESC, a_id ASC) AS rank
         |  FROM dots)
         |WHERE rank <= 5""".stripMargin),
+    "d3_ivf_topk" ->
+      """WITH corp AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id != 0),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM corp WHERE vec_id % 31 = 0),
+        |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |      FROM embeddings WHERE vec_id = 0),
+        |ac AS (
+        |  SELECT c.vec_id, t.cid,
+        |    round(sum(c.v[i.x] * t.cv[i.x]) /
+        |      (sqrt(sum(c.v[i.x] * c.v[i.x])) * sqrt(sum(t.cv[i.x] * t.cv[i.x]))), 6) AS cs
+        |  FROM corp c, cents t, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+        |    FROM ac)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT cid FROM (
+        |    SELECT t.cid,
+        |      round(sum(t.cv[i.x] * q.qv[i.x]) /
+        |        (sqrt(sum(t.cv[i.x] * t.cv[i.x])) * sqrt(sum(q.qv[i.x] * q.qv[i.x]))), 6) AS cs
+        |    FROM cents t, q, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |    GROUP BY 1)
+        |  ORDER BY cs DESC, cid ASC LIMIT 2),
+        |scored AS (
+        |  SELECT c.vec_id,
+        |    round(sum(c.v[i.x] * q.qv[i.x]) /
+        |      (sqrt(sum(c.v[i.x] * c.v[i.x])) * sqrt(sum(q.qv[i.x] * q.qv[i.x]))), 6) AS cos_sim
+        |  FROM corp c
+        |  JOIN assigned a ON a.vec_id = c.vec_id
+        |  JOIN probes p ON a.cid = p.cid, q,
+        |  LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  GROUP BY 1)
+        |SELECT vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT vec_id, cos_sim,
+        |    row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "d4_top_tokens" ->
       """SELECT tok, n FROM (
         |  SELECT tok, count(*) AS n FROM (
