@@ -127,6 +127,33 @@ object LlmQueries {
   def d6Quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityBySource(docs(s, dir), Seq("the", "data", "value"))
 
+  /** Composite training-data pipeline — D1+D4+D6 composing end to end,
+    * the mix-building query a 100 TB corpus run actually looks like:
+    * inject dups → exact dedup (keep the min-id copy) → lexicon langid
+    * gate (predicted 'en') → length quality gate → per-source token
+    * budget. Every stage is a keyed shuffle or broadcast; the corpus is
+    * scanned once per independent aggregate (dedup keys, lexicon, final
+    * stats). */
+  def pipeTrainingMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+    val keep = Dedup.exact(corpus, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    val pred = TextAnalysis.langId(corpus, col("doc_id"), col("text"),
+      col("lang"))
+    corpus
+      .join(keep, "doc_id")
+      .join(pred, "doc_id")
+      .filter(col("pred_lang") === "en" && col("n_chars") >= 100)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " "))).cast("long").as("sum_toks"),
+           sum(TextAnalysis.bpeishCount(col("text"))).cast("long")
+             .as("sum_bpe"))
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -144,7 +171,8 @@ object LlmQueries {
     "d4_fingerprint" -> d4Fingerprint,
     "d5_multimodal" -> d5Multimodal,
     "d5_frames" -> d5Frames,
-    "d6_quality" -> d6Quality
+    "d6_quality" -> d6Quality,
+    "pipe_training_mix" -> pipeTrainingMix
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -372,6 +400,40 @@ object LlmQueries {
         |    AS frame_str
         |FROM m, LATERAL (SELECT unnest(range(0, 4)) AS x) i
         |WHERE i.x < least(4, len)""".stripMargin,
+    "pipe_training_mix" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+        |toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM corpus),
+        |freq AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT lang AS lex_lang, tok FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |               ORDER BY n DESC, tok ASC) AS rk FROM freq)
+        |  WHERE rk <= 10),
+        |votes AS (
+        |  SELECT t.doc_id, l.lex_lang, count(*) AS votes
+        |  FROM toks t JOIN lex l ON t.tok = l.tok
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, lex_lang AS pred_lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY votes DESC, lex_lang ASC) AS rk FROM votes)
+        |  WHERE rk = 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_toks,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))) AS BIGINT) AS sum_bpe
+        |FROM corpus c
+        |JOIN keep USING (doc_id)
+        |JOIN pred USING (doc_id)
+        |WHERE pred_lang = 'en' AND n_chars >= 100
+        |GROUP BY source""".stripMargin,
     "d6_quality" ->
       """WITH per_doc AS (
         |  SELECT source, n_chars,
