@@ -434,18 +434,24 @@ object RelQueries {
 
   // ---------- composite analytical queries ----------
 
-  /** Per-row discounted revenue, cast to decimal BEFORE the sum so the
-    * aggregate is order-independent (one definition for every composite
-    * query — money-rounding rules must not diverge between them). */
-  private def revenue =
-    sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
-      .as("revenue")
+  /** Per-row discounted revenue as integer CENTS, snapped BEFORE the sum
+    * so the aggregate is exact integer arithmetic (one definition for
+    * every composite query — money-rounding rules must not diverge
+    * between them). round(x*100) rather than CAST(x AS DECIMAL(18,2)):
+    * at an integer boundary both engines round ties away from zero,
+    * whereas the decimal cast diverges (Spark HALF_UP vs DuckDB) on
+    * products that land exactly on a representable .xx5 — observed as a
+    * 1-cent drift at sf0.1. */
+  private def revenueCents =
+    sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100)).cast("long"))
+      .as("revenue_cents")
 
   /** TPC-H Q3 shape: 3-way join with predicates pushed to all three
     * scans, revenue aggregation, deterministic top-10. Proves the
     * operator surface COMPOSES — pushdown + join order + agg + top-k in
-    * one declarative plan. Revenue is per-row double arithmetic cast to
-    * decimal BEFORE the sum (order-independent). */
+    * one declarative plan. Revenue is per-row cents BEFORE the sum
+    * (exact integer aggregate, order-independent). */
   def q3Shipping(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-01-01")
     table(s, dir, "customer")
@@ -457,13 +463,12 @@ object RelQueries {
       .groupBy(col("l_orderkey"),
                col("o_orderdate").cast("date").as("odate"),
                col("o_orderpriority"))
-      .agg(revenue)
-      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .agg(revenueCents)
+      .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
       .limit(10)
       .select(col("l_orderkey"),
               date_format(col("odate"), "yyyy-MM-dd").as("odate"),
-              col("o_orderpriority"),
-              (col("revenue") * 100).cast("long").as("revenue_cents"))
+              col("o_orderpriority"), col("revenue_cents"))
   }
 
   /** TPC-H Q5 shape: 6-table join (two dimension sides broadcast), local
@@ -483,7 +488,7 @@ object RelQueries {
             col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg(revenue)
+      .agg(revenueCents)
 
   // ---------- registry ----------
 
@@ -732,10 +737,10 @@ object RelQueries {
         |GROUP BY 1""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(odate, '%Y-%m-%d') AS odate, o_orderpriority,
-        |  CAST(revenue * 100 AS BIGINT) AS revenue_cents
+        |  revenue_cents
         |FROM (
         |  SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
-        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revenue
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |  FROM customer
         |  JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON o_orderkey = l_orderkey
@@ -743,11 +748,11 @@ object RelQueries {
         |    AND o_orderdate < TIMESTAMP '1998-01-01'
         |    AND l_shipdate > TIMESTAMP '1998-01-01'
         |  GROUP BY 1, 2, 3
-        |  ORDER BY revenue DESC, l_orderkey ASC
+        |  ORDER BY revenue_cents DESC, l_orderkey ASC
         |  LIMIT 10)""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
