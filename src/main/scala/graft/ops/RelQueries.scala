@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * as declared, DuckDB-oracle-checked queries over the driver fixtures.
   *
   * Oracle-exactness rules (the driver compare is EXACT after sorting):
-  *  - money sums go through `decimal(18,2)` casts BEFORE aggregation so the
-  *    result is order-independent (float sums are not associative);
+  *  - money aggregates through `decimal(18,2)` casts (raw columns) or
+  *    round(x*100) cents (computed products) BEFORE aggregation so the
+  *    result is order-independent (float sums are not associative), and
+  *    LEAVES the engine as BIGINT cents — never a DECIMAL column, which
+  *    the gate's two readers render differently ("x.10" vs "x.1");
   *  - integer-valued doubles (l_quantity) sum exactly — left as-is;
   *  - inherently-float results (stddev) are rounded;
-  *  - timestamps leave the engine as DATE or epoch-microsecond longs, never
-  *    raw timestamps (parquet tz-annotation differs between writers);
+  *  - timestamps leave the engine as ISO strings or epoch-microsecond
+  *    longs, never raw DATE/timestamps (reader rendering differs);
   *  - every window/top-k has a full deterministic tie-break key.
   *
   * Scale posture: every query is a declarative single plan — joins are
@@ -69,7 +72,8 @@ object RelQueries {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
            sum("l_quantity").cast("long").as("sum_qty"),
-           sum(col("l_extendedprice").cast(dec)).as("sum_price"))
+           (sum(col("l_extendedprice").cast(dec)) * 100).cast("long")
+             .as("sum_price_cents"))
 
   /** J3: left outer join preserving unmatched left rows. */
   def j3LeftOuter(s: SparkSession, dir: String): DataFrame =
@@ -155,8 +159,10 @@ object RelQueries {
            sum("l_quantity").cast("long").as("sum_qty"),
            avg("l_quantity").as("avg_qty"),
            round(stddev("l_quantity"), 6).as("sd_qty"),
-           min(col("l_extendedprice").cast(dec)).as("min_price"),
-           max(col("l_extendedprice").cast(dec)).as("max_price"))
+           (min(col("l_extendedprice").cast(dec)) * 100).cast("long")
+             .as("min_price_cents"),
+           (max(col("l_extendedprice").cast(dec)) * 100).cast("long")
+             .as("max_price_cents"))
 
   /** A2: hash group-by aggregation (partial+final via Catalyst). */
   def a2GroupBy(s: SparkSession, dir: String): DataFrame =
@@ -164,7 +170,8 @@ object RelQueries {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
            sum("l_quantity").cast("long").as("sum_qty"),
-           sum(col("l_extendedprice").cast(dec)).as("sum_price"))
+           (sum(col("l_extendedprice").cast(dec)) * 100).cast("long")
+             .as("sum_price_cents"))
 
   /** A3: count distinct per group (expand+two-phase under the hood). */
   def a3Distinct(s: SparkSession, dir: String): DataFrame =
@@ -323,7 +330,8 @@ object RelQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
       .select(col("o_orderkey"), col("o_custkey"),
-              col("o_totalprice").cast(dec).as("price"))
+              (col("o_totalprice").cast(dec) * 100).cast("long")
+                .as("price_cents"))
 
   /** O3: union all + aggregate over the union. */
   def o3Union(s: SparkSession, dir: String): DataFrame =
@@ -429,7 +437,8 @@ object RelQueries {
     s.read.parquet(out)
       .filter(col("event_type").isin("purchase", "error"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("v").as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+           (sum("v") * 100).cast("long").as("sum_value_cents"))
   }
 
   // ---------- composite analytical queries ----------
@@ -551,7 +560,7 @@ object RelQueries {
     "j2_shuffle_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
     "j3_left_outer" ->
@@ -593,13 +602,13 @@ object RelQueries {
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         |  avg(l_quantity) AS avg_qty,
         |  round(stddev_samp(l_quantity), 6) AS sd_qty,
-        |  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
-        |  max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price
+        |  CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS min_price_cents,
+        |  CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS max_price_cents
         |FROM lineitem""".stripMargin,
     "a2_groupby" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "a3_distinct" ->
       """SELECT l_returnflag, l_linestatus,
@@ -683,7 +692,7 @@ object RelQueries {
         |    AS quartile
         |FROM orders, c""".stripMargin,
     "o2_topk" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "o3_union" ->
       """SELECT nationkey, count(*) AS n_rows FROM (
@@ -732,7 +741,7 @@ object RelQueries {
         |FROM events GROUP BY 1""".stripMargin,
     "snk2_partitioned" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
         |FROM events WHERE event_type IN ('purchase', 'error')
         |GROUP BY 1""".stripMargin,
     "q3_shipping_priority" ->
