@@ -125,6 +125,22 @@ object RelQueries {
               col("last_click.event_id").as("click_id"))
   }
 
+  /** J10 (beyond §2.B): the skew-salting kernel through the gate —
+    * salted fact×dim equi-join (hot keys scattered across 8 sub-keys,
+    * dim replicated per salt), aggregated after. Must equal the PLAIN
+    * join by construction; the oracle is the plain join, so the gate
+    * proves salting is result-invariant, not just unit-tested. */
+  def j10SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(
+        table(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        table(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+                  col("o_orderpriority")),
+        "l_orderkey", salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           sum("l_quantity").cast("long").as("sum_qty"))
+
   /** J8: cross join (small dimension × small dimension). */
   def j8Cross(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "nation").select(col("n_name"))
@@ -512,6 +528,7 @@ object RelQueries {
     "j5_anti" -> j5Anti,
     "j7_asof" -> j7AsOf,
     "j8_cross" -> j8Cross,
+    "j10_salted_join" -> j10SaltedJoin,
     "j9_interval_overlap" -> j9IntervalOverlap,
     "a1_stats" -> a1Stats,
     "a2_groupby" -> a2GroupBy,
@@ -589,6 +606,11 @@ object RelQueries {
         |WHERE rn = 1""".stripMargin,
     "j8_cross" ->
       "SELECT n_name, r_name FROM nation CROSS JOIN region",
+    "j10_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "j9_interval_overlap" ->
       """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
         |FROM events a JOIN events b
