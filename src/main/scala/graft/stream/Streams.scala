@@ -58,6 +58,28 @@ object Streams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** S7 (beyond §2.B): stream-stream inner join — each purchase joined to
+    * the same user's clicks from the preceding 30 minutes. Both sides are
+    * watermarked so the join state is bounded: a buffered click can be
+    * dropped once the purchase-side watermark passes click_ts + 30 min.
+    * In batch mode the same transform is a plain interval join, which is
+    * the batch-equivalence argument (mirrors j7/j9's verified shapes). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+              unix_micros(col("click_ts")).as("click_ts_us"),
+              unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+  }
+
   /** S6 state: running per-user aggregate carried across micro-batches. */
   case class UserEvent(user_id: Long, ts_us: Long, value: Double)
   case class UserState(n: Long, total: Double)

@@ -40,6 +40,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S7 stream-stream join: purchases match prior clicks in-window, " +
+       "and equal the batch interval join") {
+    import spark.implicits._
+    // minute offsets start at 100: an event time EQUAL to the initial
+    // watermark (epoch 0) is treated as expired state on insert
+    val clicks = Seq((1L, 100L, 1L, 0.0), (2L, 120L, 1L, 0.0),
+                     (3L, 100L, 2L, 0.0))
+    val purchases = Seq((10L, 125L, 1L, 9.0), // joins clicks 1 (25m) & 2 (5m)
+                        (11L, 140L, 2L, 9.0)) // click 3 is 40m back: outside
+    val batch = Streams.clickPurchaseJoin(
+        eventsDf(clicks: _*), eventsDf(purchases: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(batch == Set((10L, 1L), (10L, 2L)))
+
+    val cIn = MemoryStream[(Long, Long, Long, Double)](spark)
+    val pIn = MemoryStream[(Long, Long, Long, Double)](spark)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "mins", "user_id", "value")
+        .select(col("event_id"),
+                timestamp_millis(col("mins") * 60000).as("ts"),
+                col("user_id"))
+    val q = Streams.clickPurchaseJoin(shape(cIn.toDF()), shape(pIn.toDF()))
+      .writeStream.format("memory").queryName("s7join")
+      .outputMode("append").start()
+    try {
+      // causal order, two micro-batches: clicks must be IN STATE before
+      // the purchase batch advances the global watermark past their
+      // event times, else the oldest click is late-dropped on arrival
+      cIn.addData(clicks)
+      q.processAllAvailable()
+      pIn.addData(purchases)
+      q.processAllAvailable()
+      val got = spark.table("s7join")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("S4 watermark drops events later than the horizon") {
     import spark.implicits._
     val input = MemoryStream[(Long, Double)](spark)
