@@ -125,9 +125,14 @@ object Dedup {
     val candIds = cand
       .select(explode(array(col("a_id"), col("b_id"))).as("cid"))
       .distinct()
+    // cached: the candidate shingle set feeds BOTH sides of the
+    // intersection join below (different join keys -> different
+    // exchanges, so ReuseExchange cannot dedupe the subtree). Candidates
+    // are few by construction, so materializing their shingles is tiny —
+    // unlike the full corpus's shingles, which stay recompute-only.
     val candSh = shingles(
       docs.join(broadcast(candIds), id === col("cid"), "left_semi"),
-      id, text, n)
+      id, text, n).cache()
     val inter = cand
       .join(candSh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
       .join(candSh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
