@@ -144,12 +144,22 @@ class LlmSpec extends SparkSpec {
         val j = (a & b).size.toDouble / (a | b).size
         if (j >= 0.8) Some(((2L * i, 2L * i + 1), j)) else None
       }.toMap
-      val found = Dedup.minhashLsh(docs.toDF("doc_id", "text"),
-          col("doc_id"), col("text"), threshold = 0.8)
+      val df = docs.toDF("doc_id", "text")
+      val found = Dedup.minhashLsh(df, col("doc_id"), col("text"),
+          threshold = 0.8)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // the exact inverted-index path must agree with both the expected
+      // set and the LSH path — approximate-candidates vs exact-index
+      // cross-validation on the same corpus
+      val exact = Dedup.ngramJaccard(df, col("doc_id"), col("text"),
+          threshold = 0.8)
         .collect()
         .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       found.keySet == expected.keySet &&
-        expected.forall { case (k, j) => math.abs(found(k) - j) < 1e-9 }
+        exact.keySet == expected.keySet &&
+        expected.forall { case (k, j) =>
+          math.abs(found(k) - j) < 1e-9 && math.abs(exact(k) - j) < 1e-9 }
     }, minTests = 5)
   }
 }
