@@ -30,5 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Rfc4180Decode].getName, "rfc4180_decode"),
       (children: Seq[Expression]) =>
         Rfc4180Decode(arity("rfc4180_decode", 1)(children).head)))
+    // literal range join -> codegen'd binary-search remap (plan rewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinToRemap)
   }
 }

@@ -50,8 +50,12 @@ case class RangeRemap(value: Expression, bounds: Expression, outs: Expression)
     val o = os.asInstanceOf[ArrayData]
     val n = b.numElements()
     // malformed input (outs arity mismatch, null bounds) -> null, never an
-    // out-of-bounds read: this is SQL-exposed via GraftExtensions
-    if (n < 2 || o.numElements() != n - 1 ||
+    // out-of-bounds read: this is SQL-exposed via GraftExtensions.
+    // NaN maps nowhere (its comparisons are all false, which would
+    // otherwise fall through the guards INTO the binary search and
+    // silently land in bucket 0 — diverging from the join formulation,
+    // where a NaN value matches no range)
+    if (x != x || n < 2 || o.numElements() != n - 1 ||
         b.isNullAt(0) || b.isNullAt(n - 1) ||
         x < b.getDouble(0) || x >= b.getDouble(n - 1)) null
     else {
@@ -73,7 +77,7 @@ case class RangeRemap(value: Expression, bounds: Expression, outs: Expression)
       val m = ctx.freshName("m")
       s"""
          |final int $n = $b.numElements();
-         |if ($n < 2 || $o.numElements() != $n - 1 ||
+         |if (java.lang.Double.isNaN($v) || $n < 2 || $o.numElements() != $n - 1 ||
          |    $b.isNullAt(0) || $b.isNullAt($n - 1) ||
          |    $v < $b.getDouble(0) || $v >= $b.getDouble($n - 1)) {
          |  ${ev.isNull} = true;
