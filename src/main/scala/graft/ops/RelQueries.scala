@@ -163,6 +163,25 @@ object RelQueries {
       .select(col("a_user").as("user_id"), col("a_id"), col("b_id"))
   }
 
+  /** J6 (auto-rewrite path): the NATURAL range-join formulation a user
+    * would write — fact `v` against a literal table of sorted contiguous
+    * half-open (lo, hi, out) ranges. The [[graft.plans.RangeJoinToRemap]]
+    * optimizer rule proves the invariant on the literal rows at plan time
+    * and rewrites the theta-join into the codegen'd O(log n)
+    * [[graft.functions.RangeRemap]] binary search — the optimized plan
+    * has NO join operator (asserted in RangeJoinToRemapSpec). The oracle
+    * runs the join the user wrote. */
+  def j6RangeAutoRewrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranges = Seq((0.0, 10.0, 1), (10.0, 25.0, 2), (25.0, 40.0, 3),
+                     (40.0, 55.0, 4)).toDF("lo", "hi", "out")
+    val li = table(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("double").as("v"))
+    li.join(ranges, li("v") >= ranges("lo") && li("v") < ranges("hi"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("out"))
+  }
+
   // ---------- A: aggregations ----------
 
   /** A1: global min/max/count/avg/stddev in one pass. avg of an
@@ -530,6 +549,7 @@ object RelQueries {
     "j8_cross" -> j8Cross,
     "j10_salted_join" -> j10SaltedJoin,
     "j9_interval_overlap" -> j9IntervalOverlap,
+    "j6_range_autorewrite" -> j6RangeAutoRewrite,
     "a1_stats" -> a1Stats,
     "a2_groupby" -> a2GroupBy,
     "a3_distinct" -> a3Distinct,
@@ -618,6 +638,14 @@ object RelQueries {
         | AND epoch_us(b.ts) < epoch_us(a.ts) + 600000000
         | AND epoch_us(a.ts) < epoch_us(b.ts) + 600000000
         |WHERE a.event_type = 'error' AND b.event_type = 'error'""".stripMargin,
+    "j6_range_autorewrite" ->
+      """WITH ranges(lo, hi, out) AS (
+        |  VALUES (0.0, 10.0, 1), (10.0, 25.0, 2), (25.0, 40.0, 3),
+        |         (40.0, 55.0, 4))
+        |SELECT l.l_orderkey, l.l_linenumber, r.out
+        |FROM lineitem l JOIN ranges r
+        |  ON CAST(l.l_quantity AS DOUBLE) >= r.lo
+        | AND CAST(l.l_quantity AS DOUBLE) < r.hi""".stripMargin,
     "a1_stats" ->
       """SELECT count(*) AS n,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

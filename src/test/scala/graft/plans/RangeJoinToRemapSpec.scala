@@ -81,6 +81,16 @@ class RangeJoinToRemapSpec extends SparkSpec {
     assert(q.count() == 4)
   }
 
+  test("fires on the declared j6_range_autorewrite gate query") {
+    val q = graft.ops.RelQueries.j6RangeAutoRewrite(
+      spark, "/root/testdata/sf0.001")
+    val joins = q.queryExecution.optimizedPlan.collect {
+      case j: logical.Join => j }
+    assert(joins.isEmpty, "the declared query must plan join-free")
+    assert(q.queryExecution.optimizedPlan.toString.contains("range_remap"))
+    assert(q.count() > 0)
+  }
+
   test("rewritten plan equals the join on a dense value sweep") {
     import spark.implicits._
     val vs = (0 to 640).map(i => i / 20.0)  // 0.00 .. 32.00 step 0.05
