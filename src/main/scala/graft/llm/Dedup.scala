@@ -192,4 +192,54 @@ object Dedup {
       when(col(s"v$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
     votes.select(col("doc_id"), shBits.reduce(_ + _).as("sh16"))
   }
+
+  /** D2 closure: collapse pairwise near-dup edges into dedup clusters —
+    * each document mapped to the minimum id of its connected component
+    * (the canonical keeper). Near-dup similarity is not transitive, so a
+    * pipeline that drops `b` for every (a,b) pair over-deletes chains;
+    * the component view keeps exactly one doc per cluster.
+    *
+    * Pregel-style iterative min-label propagation: each round is one
+    * fully-distributed join+groupBy (labels flow over edges, every node
+    * takes the min of its neighborhood), repeated until a fixpoint. The
+    * driver-side loop is the standard shape for iterative graph algs on
+    * DataFrames (cf. GraphX Pregel): per-round work is distributed, the
+    * driver only counts changed labels, and `localCheckpoint` truncates
+    * the growing lineage each round. Round count is bounded by component
+    * diameter — near-dup clusters are shallow (a chain of k suffix
+    * generations has diameter k), so this converges in a handful of
+    * rounds at any corpus size; the O(log n)-round alternative for
+    * adversarially long chains is the large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce"), same
+    * join+groupBy primitive per round. */
+  def dedupClusters(pairs: DataFrame, aId: Column, bId: Column,
+                    maxIter: Int = 25): DataFrame = {
+    val und = pairs.select(aId.cast("long").as("src"),
+                           bId.cast("long").as("dst"))
+    val nodes = und.select(col("src").as("id"))
+      .union(und.select(col("dst").as("id"))).distinct()
+    // symmetric closure + self-loops, so one join+min covers "my label
+    // vs all my neighbours' labels" without a second left join
+    val edges = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val next = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst").as("nid"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .withColumnRenamed("nid", "id")
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("cluster_id").as("prev")), "id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
 }

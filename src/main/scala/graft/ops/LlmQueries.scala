@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,6 +37,22 @@ object LlmQueries {
               concat(col("text"), lit(" qqzz")).as("text")))
   }
 
+  /** documents ∪ TWO suffix generations of every 10th doc: +1000000 (one
+    * appended word) and +3000000 (three appended words). For a base doc
+    * of w words the 3-gram Jaccards are (w-2)/(w-1) base~A, (w-1)/(w+1)
+    * A~B, (w-2)/(w+1) base~B — so docs of 10–13 words produce a CHAIN
+    * (base~A and A~B pass t=0.8, base~B does not) and longer docs a
+    * triangle. The chain is the case where pairwise dedup over-deletes
+    * and only the transitive closure clusters correctly. */
+  private def docsWithNearDupChains(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val tenth = d.filter(col("doc_id") % 10 === 0)
+    d.unionByName(tenth.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" qqzz")).as("text")))
+      .unionByName(tenth.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" qqzz wwoo eeyy")).as("text")))
+  }
+
   /** embeddings (as double arrays) ∪ perturbed copies of every 20th
     * vector: first coordinate +0.05 (new ids +1000000). */
   private def embsWithNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -64,6 +80,23 @@ object LlmQueries {
 
   def d2Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
+
+  /** Near-dup pairs → connected-component dedup clusters (min-id
+    * canonical keeper). The chain corpus makes transitivity load-bearing;
+    * the oracle recomputes the closure with a recursive CTE. */
+  def d2DedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(
+      Dedup.ngramJaccard(docsWithNearDupChains(s, dir),
+        col("doc_id"), col("text")),
+      col("a_id"), col("b_id"))
+
+  /** Deterministic per-source sampling for training-mix re-weighting:
+    * md5-threshold keep decision, reproducible by the oracle bit-exact. */
+  def d7StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(docs(s, dir), col("doc_id"), col("source"),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125),
+        defaultRate = 0.0625)
+      .select("doc_id", "source")
 
   def d2CosineNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupBucketed(embsWithNearDups(s, dir),
@@ -160,7 +193,9 @@ object LlmQueries {
     "d1_dedup_exact" -> d1DedupExact,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d2_ngram_jaccard" -> d2NgramJaccard,
+    "d2_dedup_clusters" -> d2DedupClusters,
     "d2_simhash" -> d2Simhash,
+    "d7_stratified_sample" -> d7StratifiedSample,
     "d2_cosine_neardup" -> d2CosineNearDup,
     "d3_cosine_topk" -> d3CosineTopK,
     "d3_ann_lsh" -> d3AnnLsh,
@@ -234,6 +269,40 @@ object LlmQueries {
         |FROM corpus GROUP BY text""".stripMargin,
     "d2_minhash_lsh" -> exactJaccardSql,
     "d2_ngram_jaccard" -> exactJaccardSql,
+    "d2_dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' qqzz'
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text || ' qqzz wwoo eeyy'
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |$shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id
+         |  JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, min(dst) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin,
+    "d7_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
+        |              WHEN 'src2' THEN '2000' ELSE '1000' END""".stripMargin,
     "d2_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

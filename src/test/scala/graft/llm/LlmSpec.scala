@@ -162,4 +162,46 @@ class LlmSpec extends SparkSpec {
           math.abs(found(k) - j) < 1e-9 && math.abs(exact(k) - j) < 1e-9 }
     }, minTests = 5)
   }
+
+  test("dedupClusters: chain, triangle, and pair all collapse to min id") {
+    import spark.implicits._
+    // chain 1-2-3 (1 and 3 NOT directly paired), triangle 10-11-12,
+    // isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+                    (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val got = Dedup.dedupClusters(pairs, col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L),
+                      (10L, 10L), (11L, 10L), (12L, 10L),
+                      (20L, 20L), (21L, 20L)))
+  }
+
+  test("dedupClusters converges past maxIter-bounded long chains") {
+    import spark.implicits._
+    // a 12-node path: diameter 11, still within the default round cap
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.dedupClusters(pairs, col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L to 11L).map(i => (i, 0L)).toSet)
+  }
+
+  test("stratified sampling is deterministic, disjoint, and rate-accurate") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i => (i, s"src${i % 4}"))
+    val df = rows.toDF("doc_id", "source")
+    val rates = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0)
+    def run() = Sampling.stratified(df, col("doc_id"), col("source"),
+        rates, defaultRate = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val s1 = run()
+    assert(s1 == run(), "must be a pure function of the row")
+    val bySrc = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    // 1000 candidates per stratum; binomial 4-sigma tolerance
+    assert(math.abs(bySrc.getOrElse("src0", 0) - 500) < 64)
+    assert(math.abs(bySrc.getOrElse("src1", 0) - 250) < 55)
+    assert(bySrc.getOrElse("src2", 0) == 0, "rate 0 keeps nothing")
+    assert(bySrc.getOrElse("src3", 0) == 1000, "default rate 1 keeps all")
+    // sampling never invents rows and respects the stratum partition
+    assert(s1.forall { case (id, src) => src == s"src${id % 4}" })
+  }
 }
