@@ -1,0 +1,41 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data assembly: lay documents end-to-end
+  * in a deterministic stream and chunk the stream into fixed-size context
+  * windows (GPT-style concat-and-chunk). Each document is tagged with the
+  * window (`pack_id`) its first token lands in and its token offset
+  * (`pos`) inside that window — everything a loader needs to materialize
+  * packed sequences without re-scanning the corpus.
+  *
+  * Scale posture: one window per stratum (shuffle keyed on the stratum),
+  * running-sum only — no global order. A stratum is a source/shard key,
+  * so parallelism is the stratum count; for a skewed giant source, pack
+  * per (source, shard) with shard-local window ids — the plan shape is
+  * unchanged. Deterministic by construction (stream order is the id
+  * sort), so re-runs and retries produce identical packs.
+  */
+object Packing {
+
+  /** Assign each document its context-window id and in-window offset.
+    * Token count is the whitespace tokenizer used across the D4/D6
+    * operators. Documents may straddle a boundary (standard
+    * concat-and-chunk semantics): `pos + n_tokens > ctx` means the tail
+    * spills into `pack_id + 1`. */
+  def sequencePack(docs: DataFrame, id: Column, text: Column,
+                   stratum: Column, ctx: Int): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(stratum.as("source"), id.as("doc_id"),
+              size(split(text, " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(ctx.toDouble))
+          .cast("int").as("pack_id"),
+        ((col("cum") - col("n_tokens")) % ctx).cast("int").as("pos"))
+  }
+}

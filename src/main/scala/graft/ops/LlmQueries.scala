@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft._
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -89,6 +89,12 @@ object LlmQueries {
       Dedup.ngramJaccard(docsWithNearDupChains(s, dir),
         col("doc_id"), col("text")),
       col("a_id"), col("b_id"))
+
+  /** Concat-and-chunk sequence packing into 2048-token context windows,
+    * one deterministic stream per source. */
+  def d8SequencePack(s: SparkSession, dir: String): DataFrame =
+    Packing.sequencePack(docs(s, dir), col("doc_id"), col("text"),
+      col("source"), ctx = 2048)
 
   /** Deterministic per-source sampling for training-mix re-weighting:
     * md5-threshold keep decision, reproducible by the oracle bit-exact. */
@@ -196,6 +202,7 @@ object LlmQueries {
     "d2_dedup_clusters" -> d2DedupClusters,
     "d2_simhash" -> d2Simhash,
     "d7_stratified_sample" -> d7StratifiedSample,
+    "d8_sequence_pack" -> d8SequencePack,
     "d2_cosine_neardup" -> d2CosineNearDup,
     "d3_cosine_topk" -> d3CosineTopK,
     "d3_ann_lsh" -> d3AnnLsh,
@@ -298,6 +305,19 @@ object LlmQueries {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, min(dst) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+    "d8_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2048.0) AS INT) AS pack_id,
+        |  CAST((cum - n_tokens) % 2048 AS INT) AS pos
+        |FROM c""".stripMargin,
     "d7_stratified_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE md5(CAST(doc_id AS VARCHAR)) <

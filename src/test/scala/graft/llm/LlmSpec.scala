@@ -185,6 +185,24 @@ class LlmSpec extends SparkSpec {
     assert(got == (0L to 11L).map(i => (i, 0L)).toSet)
   }
 
+  test("sequencePack: windows fill in id order, straddlers spill forward") {
+    import spark.implicits._
+    // source a: 6+3+4 tokens into ctx=8 -> doc2 starts at pos 6 and
+    // straddles into pack 1; doc3 starts at pos 1 of pack 1
+    val d = Seq((1L, "t t t t t t", "a"), (2L, "t t t", "a"),
+                (3L, "t t t t", "a"), (9L, "t t", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Packing.sequencePack(d, col("doc_id"), col("text"),
+        col("source"), ctx = 8)
+      .collect()
+      .map(r => (r.getLong(1), (r.getString(0), r.getInt(2), r.getInt(3),
+                                r.getInt(4)))).toMap
+    assert(got(1L) == (("a", 6, 0, 0)))
+    assert(got(2L) == (("a", 3, 0, 6)))
+    assert(got(3L) == (("a", 4, 1, 1)))
+    assert(got(9L) == (("b", 2, 0, 0)), "strata pack independently")
+  }
+
   test("stratified sampling is deterministic, disjoint, and rate-accurate") {
     import spark.implicits._
     val rows = (0L until 4000L).map(i => (i, s"src${i % 4}"))
