@@ -214,8 +214,12 @@ object Dedup {
     * join+groupBy primitive per round. */
   def dedupClusters(pairs: DataFrame, aId: Column, bId: Column,
                     maxIter: Int = 25): DataFrame = {
+    // materialize the (small) pair set once: nodes/edges reference it
+    // from several union branches, and without the barrier each branch
+    // would re-run the full upstream pair-generation plan
     val und = pairs.select(aId.cast("long").as("src"),
                            bId.cast("long").as("dst"))
+      .localCheckpoint()
     val nodes = und.select(col("src").as("id"))
       .union(und.select(col("dst").as("id"))).distinct()
     // symmetric closure + self-loops, so one join+min covers "my label
@@ -229,15 +233,17 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      // the self-loop row carries the node's own (previous) label, so
+      // one groupBy yields both the new label and the convergence
+      // signal — no second join to diff against the prior round
       val next = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst").as("nid"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .withColumnRenamed("nid", "id")
+        .agg(min(col("cluster_id")).as("cluster_id"),
+             min(when(col("src") === col("dst"), col("cluster_id")))
+               .as("prev"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("cluster_id").as("prev")), "id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      labels = next.select(col("nid").as("id"), col("cluster_id"))
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("cluster_id"))
