@@ -203,6 +203,31 @@ class LlmSpec extends SparkSpec {
     assert(got(9L) == (("b", 2, 0, 0)), "strata pack independently")
   }
 
+  test("dedupClusters equals union-find on random graphs (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val genEdges = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    graft.PropCheck.checkProp(Prop.forAll(genEdges) { es =>
+      // reference: plain union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.dedupClusters(es.toDF("a_id", "b_id"),
+          col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      got == expected
+    }, minTests = 10)
+  }
+
   test("stratified sampling is deterministic, disjoint, and rate-accurate") {
     import spark.implicits._
     val rows = (0L until 4000L).map(i => (i, s"src${i % 4}"))
