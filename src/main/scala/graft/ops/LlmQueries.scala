@@ -193,6 +193,25 @@ object LlmQueries {
              .as("sum_bpe"))
   }
 
+  /** Capstone composite: the full pretraining-corpus assembly —
+    * inject dups → exact dedup → quality gate → deterministic stratified
+    * sampling (source re-weighting) → sequence packing into 2048-token
+    * context windows. D1+D6+D7+D8 composing end-to-end; the output is
+    * the pack manifest a training loader would consume. */
+  def pipePretrainCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+    val keep = Dedup.exact(corpus, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    val kept = corpus.join(keep, "doc_id").filter(col("n_chars") >= 100)
+    val sampled = Sampling.stratified(kept, col("doc_id"), col("source"),
+      Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25)
+    Packing.sequencePack(sampled, col("doc_id"), col("text"),
+      col("source"), ctx = 2048)
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,7 +233,8 @@ object LlmQueries {
     "d5_multimodal" -> d5Multimodal,
     "d5_frames" -> d5Frames,
     "d6_quality" -> d6Quality,
-    "pipe_training_mix" -> pipeTrainingMix
+    "pipe_training_mix" -> pipeTrainingMix,
+    "pipe_pretrain_corpus" -> pipePretrainCorpus
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -523,6 +543,32 @@ object LlmQueries {
         |JOIN pred USING (doc_id)
         |WHERE pred_lang = 'en' AND n_chars >= 100
         |GROUP BY source""".stripMargin,
+    "pipe_pretrain_corpus" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, source, n_chars
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+        |sampled AS (
+        |  SELECT c.source, c.doc_id, c.text
+        |  FROM corpus c JOIN keep USING (doc_id)
+        |  WHERE c.n_chars >= 100
+        |    AND md5(CAST(c.doc_id AS VARCHAR)) <
+        |      CASE c.source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+        |                    ELSE '4000' END),
+        |t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM sampled),
+        |c2 AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2048.0) AS INT) AS pack_id,
+        |  CAST((cum - n_tokens) % 2048 AS INT) AS pos
+        |FROM c2""".stripMargin,
     "d6_quality" ->
       """WITH per_doc AS (
         |  SELECT source, n_chars,
