@@ -20,10 +20,23 @@ object StreamQueries {
   def s3(s: SparkSession, dir: String): DataFrame =
     Streams.sessions(table(s, dir, "events"))
 
+  /** S7: the stream-stream interval join run in batch mode over the
+    * events fixture (clicks × purchases of the same user within 30
+    * minutes) — same transform code the streaming test drives with
+    * MemoryStream inputs, hash-checked here against a plain SQL
+    * interval join. */
+  def s7(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    Streams.clickPurchaseJoin(
+      ev.filter(org.apache.spark.sql.functions.col("event_type") === "click"),
+      ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_tumbling" -> s1,
     "s2_sliding" -> s2,
-    "s3_session" -> s3
+    "s3_session" -> s3,
+    "s7_stream_join" -> s7
   )
 
   val oracle: Map[String, String] = Map(
@@ -53,6 +66,14 @@ object StreamQueries {
         |      FROM m)
         |SELECT user_id, min(t) AS session_start_us, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
-        |FROM s GROUP BY user_id, sid""".stripMargin
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "s7_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.user_id, c.event_id AS click_id,
+        |  epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin
   )
 }
