@@ -228,6 +228,29 @@ object RelQueries {
         (abs(col("approx_nd") - col("exact_nd")) <=
           col("exact_nd") * 0.05).cast("int").as("within_5pct"))
 
+  /** A11 (ext): approx_percentile (t-digest-style quantile sketch). Like
+    * A4, the sketch differs across engines, so the oracle checks the
+    * CONTRACT: each approximate quantile must land within 1% of the
+    * corresponding exact quantile of l_quantity (integer-valued 1..50,
+    * so the exact quantiles are stable). Emits exact quantiles + a pass
+    * flag; the oracle recomputes the exact side and expects flag=1. */
+  def a11ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    table(s, dir, "lineitem")
+      .agg(percentile_approx(col("l_quantity"),
+             array(qs.map(lit): _*), lit(10000)).as("apx"),
+           expr(s"percentile(l_quantity, array(${qs.mkString(", ")}))")
+             .as("exact"))
+      .select(
+        (0 until qs.length).map(i =>
+          element_at(col("exact"), i + 1).as(s"p${(qs(i) * 100).toInt}")) :+
+        (0 until qs.length).map(i =>
+          abs(element_at(col("apx"), i + 1) -
+              element_at(col("exact"), i + 1)) <=
+            abs(element_at(col("exact"), i + 1)) * 0.01)
+          .reduce(_ && _).cast("int").as("within_1pct"): _*)
+  }
+
   /** A5: rollup with grouping_id (same bitmask convention as DuckDB's
     * GROUPING(a,b): leftmost key = most significant bit). */
   def a5Rollup(s: SparkSession, dir: String): DataFrame =
@@ -554,6 +577,7 @@ object RelQueries {
     "a2_groupby" -> a2GroupBy,
     "a3_distinct" -> a3Distinct,
     "a4_approx_distinct" -> a4ApproxDistinct,
+    "a11_approx_percentile" -> a11ApproxPercentile,
     "a5_rollup" -> a5Rollup,
     "a6_collect" -> a6Collect,
     "a8_argmax" -> a8ArgMax,
@@ -667,6 +691,13 @@ object RelQueries {
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "a4_approx_distinct" ->
       "SELECT count(DISTINCT l_partkey) AS exact_nd, 1 AS within_5pct FROM lineitem",
+    "a11_approx_percentile" ->
+      """SELECT quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.95) AS p95,
+        |  1 AS within_1pct
+        |FROM lineitem""".stripMargin,
     "a5_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
