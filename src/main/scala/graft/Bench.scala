@@ -34,12 +34,16 @@ object Bench {
       names.foreach { name =>
         try { SparkEntry.queries(name)(spark, warmDir).count() }
         catch { case _: Throwable => () }
+        finally { spark.catalog.clearCache() }
       }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
+      // drop the query's internal cache()s so later timings aren't
+      // distorted (eviction pressure) by earlier queries' dead blocks
+      spark.catalog.clearCache()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -26,6 +26,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries cache() their small reused subtrees (candidate pairs,
+      // per-cell aggregates); drop them once the output is written so a
+      // full all-queries session doesn't accumulate dead cached blocks
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -75,14 +75,22 @@ object Mosaic {
     val dispatched = filtered
       .join(stats, Seq("raster_file"), "left")
       // skips: vector sourcetypes (pyt:1247), unique colorizer without
-      // values (pyt:1242 worked=False → continue), classify colorizer
-      // without statistics (pyt:1254 worked=False → continue)
+      // values (pyt:1242 worked=False → continue; an EMPTY value list
+      // also fails — createInputRangesForRemap pops from an empty list,
+      // pyt:1128), classify colorizer without statistics or without
+      // breaks (pyt:1254 worked=False → continue; empty classBreaks
+      // leaves nothing after the pyt:985 trim → exception → skip)
       .filter(!coalesce(col("sourcetype").isin(skippedSourcetypes: _*),
                         lit(false)))
       // coalesce to false: a null colorizer_type makes the conjunction
       // NULL, and a bare !NULL filter would drop every stretch-path row
-      .filter(!coalesce(unique && col("uvals").isNull, lit(false)))
-      .filter(!coalesce(classify && col("mn").isNull, lit(false)))
+      .filter(!coalesce(
+        unique && (col("uvals").isNull || size(col("uvals")) === 0),
+        lit(false)))
+      .filter(!coalesce(
+        classify && (col("mn").isNull ||
+          col("breaks").isNull || size(col("breaks")) === 0),
+        lit(false)))
       .withColumn("ranges",
         when(unique, Classify.uniqueValues(col("uvals"), col("ulabels")))
           .when(classify, Classify.fromBreaks(col("mn"), col("breaks")))

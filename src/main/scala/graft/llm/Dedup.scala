@@ -24,7 +24,6 @@ object Dedup {
       .groupBy(xxhash64(content).as("h"), md5(content).as("fp"))
       .agg(min(id).as("keep_id"),
            count(lit(1)).as("n_copies"))
-      .drop("h")
       .select(col("fp"), col("keep_id"), col("n_copies"))
 
   /** Distinct word `n`-gram shingles of a text column, as one array per
@@ -205,13 +204,14 @@ object Dedup {
     * driver-side loop is the standard shape for iterative graph algs on
     * DataFrames (cf. GraphX Pregel): per-round work is distributed, the
     * driver only counts changed labels, and `localCheckpoint` truncates
-    * the growing lineage each round. Round count is bounded by component
-    * diameter — near-dup clusters are shallow (a chain of k suffix
-    * generations has diameter k), so this converges in a handful of
-    * rounds at any corpus size; the O(log n)-round alternative for
-    * adversarially long chains is the large-star/small-star algorithm
-    * (Kiveris et al., "Connected Components in MapReduce"), same
-    * join+groupBy primitive per round. */
+    * the growing lineage each round. Each round also pointer-jumps —
+    * follows the freshly-propagated label one more hop through the label
+    * table itself — so label distance doubles per round and convergence
+    * is O(log diameter), not O(diameter) (the shortcutting step of
+    * Kiveris et al., "Connected Components in MapReduce"): maxIter = 25
+    * covers components of diameter ~2^25. If a pathological input still
+    * fails to converge the call FAILS LOUDLY rather than returning
+    * silently-wrong intermediate labels. */
   def dedupClusters(pairs: DataFrame, aId: Column, bId: Column,
                     maxIter: Int = 25): DataFrame = {
     // materialize the (small) pair set once: nodes/edges reference it
@@ -236,16 +236,32 @@ object Dedup {
       // the self-loop row carries the node's own (previous) label, so
       // one groupBy yields both the new label and the convergence
       // signal — no second join to diff against the prior round
-      val next = edges.join(labels, col("src") === col("id"))
+      val prop = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst").as("nid"))
-        .agg(min(col("cluster_id")).as("cluster_id"),
+        .agg(min(col("cluster_id")).as("lbl"),
              min(when(col("src") === col("dst"), col("cluster_id")))
                .as("prev"))
+      // pointer-jumping: every label value is itself a node id, so follow
+      // it one more hop through the label table (label(label(x))) — this
+      // doubles the propagated distance each round, making round count
+      // O(log diameter) instead of O(diameter)
+      val next = prop
+        .join(labels.select(col("id").as("jid"),
+                            col("cluster_id").as("jlbl")),
+              col("lbl") === col("jid"), "left")
+        .select(col("nid"),
+                least(col("lbl"), coalesce(col("jlbl"), col("lbl")))
+                  .as("cluster_id"),
+                col("prev"))
         .localCheckpoint()
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
       labels = next.select(col("nid").as("id"), col("cluster_id"))
       iter += 1
     }
+    require(changed == 0,
+      s"dedupClusters did not converge in $maxIter rounds — component " +
+      "diameter exceeds 2^maxIter, which indicates a pathological (non-" +
+      "near-dup) edge set; raise maxIter or pre-partition the graph")
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 }

@@ -66,8 +66,20 @@ class MosaicSpec extends SparkSpec {
       // classify colorizer whose raster has no cells (no stats) -> skip
       metaRow(2, "b", "c:\\d\\b", "", "GENERIC",
         colorizer = "RasterClassifyColorizer",
-        breaks = Some(Seq(1.0, 2.0)))))
-    val cells = cellsDf(("u", 1.0))
+        breaks = Some(Seq(1.0, 2.0))),
+      // unique colorizer with an EMPTY value list -> pyt:1128 pops from
+      // an empty list -> worked=False -> skip (not an empty catalog row)
+      metaRow(3, "ue", "c:\\d\\ue", "", "THEMATIC",
+        colorizer = "RasterUniqueValueColorizer",
+        uvals = Some(Seq.empty), ulabels = Some(Seq.empty)),
+      // classify colorizer with stats but null/empty breaks -> nothing
+      // survives the pyt:985 trim -> exception -> skip
+      metaRow(4, "bn", "c:\\d\\bn", "", "GENERIC",
+        colorizer = "RasterClassifyColorizer"),
+      metaRow(5, "be", "c:\\d\\be", "", "GENERIC",
+        colorizer = "RasterClassifyColorizer",
+        breaks = Some(Seq.empty))))
+    val cells = cellsDf(("u", 1.0), ("ue", 1.0), ("bn", 1.0), ("be", 1.0))
     assert(Mosaic.createMosaic(meta, cells).count() == 0)
   }
 

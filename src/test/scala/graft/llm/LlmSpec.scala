@@ -178,11 +178,13 @@ class LlmSpec extends SparkSpec {
 
   test("dedupClusters converges past maxIter-bounded long chains") {
     import spark.implicits._
-    // a 12-node path: diameter 11, still within the default round cap
-    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // a 40-node path: diameter 39 EXCEEDS the default maxIter=25, so
+    // plain one-hop propagation would exit with silently-wrong labels on
+    // nodes 26..39 — pointer jumping must converge in ~log2(39) rounds
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val got = Dedup.dedupClusters(pairs, col("a_id"), col("b_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == (0L to 11L).map(i => (i, 0L)).toSet)
+    assert(got == (0L to 39L).map(i => (i, 0L)).toSet)
   }
 
   test("sequencePack: windows fill in id order, straddlers spill forward") {

@@ -49,11 +49,24 @@ for name in sorted(os.listdir(outdir)):
         fail += 1; continue
     if len(gs) != len(es):
         print(f"FAIL {name}: rows {len(gs)} vs {len(es)}"); fail += 1; continue
-    # canonical cell → string (None-safe), then sort rows lexically
+    # canonical cell → string. None (true NULL) → "" but NaN → "nan":
+    # conflating them would hide exactly the Spark-NaN-vs-oracle-NULL
+    # divergence this tool exists to catch. Caveat: in NUMERIC columns
+    # pandas itself maps NULL to NaN on BOTH read paths, so NULL-vs-NaN
+    # there is invisible to any pandas-based comparator (the driver's
+    # included) — hence the loud warning whenever NaN cells appear at
+    # all: a query that emits NaN/NULL doubles is hash-fragile and
+    # should render them to strings or sentinel values instead.
     def rows(df):
-        return sorted(tuple("" if v is None or v != v else str(v) for v in r)
+        return sorted(tuple("" if v is None else "nan" if v != v else str(v)
+                            for v in r)
                       for r in df.itertuples(index=False, name=None))
     gr, er = rows(gs), rows(es)
+    nan_cells = sum(c == "nan" for r in gr for c in r)
+    if nan_cells:
+        print(f"WARN {name}: {nan_cells} NaN cells in spark output — "
+              "NULL-vs-NaN is indistinguishable in numeric pandas columns; "
+              "emit strings/sentinels for hash stability")
     if gr == er:
         print(f"OK   {name}: {len(gr)} rows hash-stable")
     else:
