@@ -116,11 +116,18 @@ object Dedup {
       // run once per consumer.
       .cache()
 
-    // exact-Jaccard verification of candidates only. Shingle ONLY the
-    // candidate docs: a broadcast semi-join on the candidate-id list
-    // before the explode, so the verification joins shuffle candidate
-    // shingles, not the whole corpus's. (The identical candidate-id
-    // broadcast appears twice — ReuseExchange computes it once.)
+    verifyExactJaccard(cand, docs, id, text, n, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate-pair table
+    * (a_id, na, b_id, nb). Shingles ONLY the candidate docs: a broadcast
+    * semi-join on the candidate-id list before the explode, so the
+    * verification joins shuffle candidate shingles, not the whole
+    * corpus's. (The identical candidate-id broadcast appears twice —
+    * ReuseExchange computes it once.) */
+  private def verifyExactJaccard(cand: DataFrame, docs: DataFrame,
+                                 id: Column, text: Column, n: Int,
+                                 threshold: Double): DataFrame = {
     val candIds = cand
       .select(explode(array(col("a_id"), col("b_id"))).as("cid"))
       .distinct()
@@ -142,37 +149,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** D2d: EXACT n-gram Jaccard pairs via an inverted index — the
-    * posting-list formulation, not an all-pairs join: one shingle pass
-    * builds (shingle → sorted doc list) posting lists, in-list pair
-    * explosion yields co-occurrence counts, and |A∩B| falls out as the
-    * number of shared postings. Cost is Σ_shingle |postings|² — exact,
-    * and cheap while posting lists stay short. At 100 TB the standard
-    * refinement is prefix filtering (index only each doc's rarest
-    * shingles, bounded by the threshold) and a document-frequency cutoff
-    * for stop-shingles; the plan shape (groupBy shingle → groupBy pair)
-    * is unchanged. Complements [[minhashLsh]]: same answer on the same
-    * corpus, approximate-candidate vs exact-index trade. */
+  /** D2d: EXACT n-gram Jaccard pairs via a PREFIX-FILTERED inverted
+    * index (Bayardo et al. "Scaling Up All Pairs Similarity Search";
+    * Xiao et al. PPJoin) — the posting-list formulation, never an
+    * all-pairs join, and never full posting lists either:
+    *
+    * 1. order shingles globally by (document frequency asc, shingle) —
+    *    rarest first; any fixed total order preserves correctness, the
+    *    rare-first order minimizes posting-list mass;
+    * 2. index only each doc's PREFIX — its first
+    *    `|d| - ceil(t*|d|) + 1` shingles in that order. Pigeonhole: a
+    *    pair with J >= t shares >= t*|A| shingles, and a doc's
+    *    non-prefix suffix holds only `ceil(t*|A|) - 1 < t*|A|` of them,
+    *    so every qualifying pair collides on some prefix shingle —
+    *    candidate generation is EXACT-complete, not probabilistic;
+    * 3. in-posting pair explosion + the size filter (J >= t forces
+    *    min(|A|,|B|) >= t*max(|A|,|B|)) yields candidates;
+    * 4. exact-Jaccard verification of candidates only (shared with
+    *    [[minhashLsh]]).
+    *
+    * Candidate cost drops from Σ_shingle |postings|² over ALL shingles
+    * (quadratic in how many docs share a COMMON shingle — the
+    * stop-shingle trap) to Σ over rare prefix shingles only. At 100 TB
+    * the document-frequency table is the only extra global state, one
+    * groupBy. Complements [[minhashLsh]]: same answer on the same
+    * corpus, exact-complete candidates vs probabilistic banding. */
   def ngramJaccard(docs: DataFrame, id: Column, text: Column, n: Int = 3,
                    threshold: Double = 0.8): DataFrame = {
     val sh = shingles(docs, id, text, n)
-    val sized = sh.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"), collect_list(col("sh")).as("shs"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // per-doc shingle list sorted rare-first, cut to the prefix. The
+    // (df, sh) struct sorts lexicographically — exactly the global order.
+    val prefixLen = (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .cast("int")
+    val prefixes = sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+           sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
       .select(struct(col("doc_id"), col("n_sh")).as("d"),
-              explode(col("shs")).as("sh"))
-    val posting = sized.groupBy("sh")
+              explode(slice(col("ordered"), lit(1), prefixLen)).as("o"))
+      .select(col("d"), col("o.sh").as("sh"))
+    val posting = prefixes.groupBy("sh")
       .agg(sort_array(collect_set(col("d"))).as("ds"))
       .filter(size(col("ds")) > 1)
-    posting
+    val cand = posting
       .select(explode(flatten(transform(col("ds"), (a, i) =>
         transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
           struct(a.as("a"), b.as("b")))))).as("p"))
-      .groupBy(col("p.a.doc_id").as("a_id"), col("p.a.n_sh").as("na"),
-               col("p.b.doc_id").as("b_id"), col("p.b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("a_id"), col("b_id"),
-        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("p.a.doc_id").as("a_id"), col("p.a.n_sh").as("na"),
+              col("p.b.doc_id").as("b_id"), col("p.b.n_sh").as("nb"))
+      .distinct()
+      .filter(col("na") >= lit(threshold) * col("nb") &&
+              col("nb") >= lit(threshold) * col("na"))
+      .cache()
+    verifyExactJaccard(cand, docs, id, text, n, threshold)
   }
 
   /** D2b: 16-bit SimHash per document over the token multiset. Each md5
@@ -220,6 +250,18 @@ object Dedup {
     val und = pairs.select(aId.cast("long").as("src"),
                            bId.cast("long").as("dst"))
       .localCheckpoint()
+    // data-driven loop parallelism: the pair graph is orders of magnitude
+    // smaller than the corpus (pairs ARE the near-dups), so running the
+    // iteration at corpus parallelism pays ~full shuffle overhead per
+    // round for near-empty partitions. Size partitions from the measured
+    // edge count (~100k edges/partition), clamped to the session default —
+    // a thousand-edge graph iterates on 1 partition, a billion-edge graph
+    // still fans out. Pre-partitioning edges on the join key also lets
+    // every round reuse that layout (localCheckpoint preserves
+    // outputPartitioning): only the label side reshuffles per round.
+    val p = math.max(1L, math.min(
+      und.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      und.count() / 100000L + 1L)).toInt
     val nodes = und.select(col("src").as("id"))
       .union(und.select(col("dst").as("id"))).distinct()
     // symmetric closure + self-loops, so one join+min covers "my label
@@ -227,8 +269,10 @@ object Dedup {
     val edges = und
       .union(und.select(col("dst").as("src"), col("src").as("dst")))
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(p, col("src"))
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("cluster_id"))
+      .repartition(p, col("id"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
@@ -253,6 +297,9 @@ object Dedup {
                 least(col("lbl"), coalesce(col("jlbl"), col("lbl")))
                   .as("cluster_id"),
                 col("prev"))
+        // keep the label table partitioned on the node id at the loop's
+        // parallelism, so next round's edges-side join needs no exchange
+        .repartition(p, col("nid"))
         .localCheckpoint()
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
       labels = next.select(col("nid").as("id"), col("cluster_id"))
