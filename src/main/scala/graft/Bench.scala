@@ -41,10 +41,12 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // drop the query's internal cache()s so later timings aren't
-      // distorted (eviction pressure) by earlier queries' dead blocks
+      // distorted (eviction pressure) by earlier queries' dead blocks —
+      // AFTER reading the clock, so unpersist work isn't billed to the query
       spark.catalog.clearCache()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

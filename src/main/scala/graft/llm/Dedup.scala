@@ -102,22 +102,29 @@ object Dedup {
     val buckets = banded.groupBy(col("bs.band"), col("bs.bsig"))
       .agg(sort_array(collect_set(col("d"))).as("ds"))
       .filter(size(col("ds")) > 1)
-    val cand = buckets.select(
+    // cached: the pair list is consumed three times (output join + the
+    // two candidate-id semi-joins) and is small by construction — a
+    // bucket collision IS a near-dup signal, so |cand| << |corpus|.
+    // Without this the whole shingle->minhash->bucket pipeline would
+    // run once per consumer.
+    val cand = bucketPairs(buckets).cache()
+
+    verifyExactJaccard(cand, docs, id, text, n, threshold)
+  }
+
+  /** Distinct (a_id, na, b_id, nb) candidate pairs from a bucket table's
+    * sorted (doc_id, n_sh)-struct list column `ds`: in-bucket pair
+    * explosion — element i pairs with every LATER element (1-based slice
+    * from i+2), so each unordered pair appears once per bucket with
+    * a_id < b_id, and `distinct` collapses cross-bucket repeats. */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets.select(
         explode(flatten(transform(col("ds"), (a, i) =>
           transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
             struct(a.as("a"), b.as("b")))))).as("p"))
       .select(col("p.a.doc_id").as("a_id"), col("p.a.n_sh").as("na"),
               col("p.b.doc_id").as("b_id"), col("p.b.n_sh").as("nb"))
       .distinct()
-      // cached: the pair list is consumed three times (output join + the
-      // two candidate-id semi-joins) and is small by construction — a
-      // bucket collision IS a near-dup signal, so |cand| << |corpus|.
-      // Without this the whole shingle->minhash->bucket pipeline would
-      // run once per consumer.
-      .cache()
-
-    verifyExactJaccard(cand, docs, id, text, n, threshold)
-  }
 
   /** Exact-Jaccard verification of a candidate-pair table
     * (a_id, na, b_id, nb). Shingles ONLY the candidate docs: a broadcast
@@ -176,6 +183,10 @@ object Dedup {
     * corpus, exact-complete candidates vs probabilistic banding. */
   def ngramJaccard(docs: DataFrame, id: Column, text: Column, n: Int = 3,
                    threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold ($threshold) must be in (0, 1] — the prefix length " +
+      "|d| - ceil(t*|d|) + 1 goes negative past 1, and 0 would demand " +
+      "indexing every shingle (the all-postings explosion)")
     val sh = shingles(docs, id, text, n)
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // per-doc shingle list sorted rare-first, cut to the prefix. The
@@ -192,13 +203,7 @@ object Dedup {
     val posting = prefixes.groupBy("sh")
       .agg(sort_array(collect_set(col("d"))).as("ds"))
       .filter(size(col("ds")) > 1)
-    val cand = posting
-      .select(explode(flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
-          struct(a.as("a"), b.as("b")))))).as("p"))
-      .select(col("p.a.doc_id").as("a_id"), col("p.a.n_sh").as("na"),
-              col("p.b.doc_id").as("b_id"), col("p.b.n_sh").as("nb"))
-      .distinct()
+    val cand = bucketPairs(posting)
       .filter(col("na") >= lit(threshold) * col("nb") &&
               col("nb") >= lit(threshold) * col("na"))
       .cache()

@@ -187,6 +187,17 @@ class LlmSpec extends SparkSpec {
     assert(got == (0L to 39L).map(i => (i, 0L)).toSet)
   }
 
+  test("dedupClusters fails loudly when maxIter cannot reach convergence") {
+    import spark.implicits._
+    // maxIter=1 on a 12-node chain: one propagate+jump round cannot reach
+    // the fixpoint, and the exit must be an error, not wrong labels
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupClusters(pairs, col("a_id"), col("b_id"), maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("sequencePack: windows fill in id order, straddlers spill forward") {
     import spark.implicits._
     // source a: 6+3+4 tokens into ctx=8 -> doc2 starts at pos 6 and
