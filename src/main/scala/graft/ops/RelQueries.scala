@@ -228,12 +228,18 @@ object RelQueries {
         (abs(col("approx_nd") - col("exact_nd")) <=
           col("exact_nd") * 0.05).cast("int").as("within_5pct"))
 
-  /** A11 (ext): approx_percentile (t-digest-style quantile sketch). Like
-    * A4, the sketch differs across engines, so the oracle checks the
+  /** A11 (ext): approx_percentile (GK-style quantile sketch). Like A4,
+    * the sketch differs across engines, so the oracle checks the
     * CONTRACT: each approximate quantile must land within 1% of the
-    * corresponding exact quantile of l_quantity (integer-valued 1..50,
-    * so the exact quantiles are stable). Emits exact quantiles + a pass
-    * flag; the oracle recomputes the exact side and expects flag=1. */
+    * corresponding exact quantile of l_quantity — OR within one value
+    * step (1.0 for this integer column). The sketch's guarantee is
+    * bounded RANK error (n/accuracy), and when a target rank falls near
+    * a value-run boundary the returned element legitimately lands one
+    * integer over (observed: p50 → 26 vs exact 25 at sf0.1); crossing a
+    * WHOLE run would need rank error ≥ the run length, far beyond the
+    * bound, so ±1 step is the tight robust tolerance at any SF. Emits
+    * exact quantiles + a pass flag; the oracle recomputes the exact side
+    * and expects flag=1. */
   def a11ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
     val qs = Seq(0.25, 0.5, 0.75, 0.95)
     table(s, dir, "lineitem")
@@ -247,7 +253,7 @@ object RelQueries {
         (0 until qs.length).map(i =>
           abs(element_at(col("apx"), i + 1) -
               element_at(col("exact"), i + 1)) <=
-            abs(element_at(col("exact"), i + 1)) * 0.01)
+            greatest(abs(element_at(col("exact"), i + 1)) * 0.01, lit(1.0)))
           .reduce(_ && _).cast("int").as("within_1pct"): _*)
   }
 
