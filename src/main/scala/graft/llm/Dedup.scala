@@ -214,6 +214,26 @@ object Dedup {
     verifyExactJaccard(cand, docs, id, text, n, threshold)
   }
 
+  /** D9: test-set decontamination — remove every document that shares
+    * ANY word n-gram with a benchmark corpus (the n-gram-overlap rule
+    * used to scrub evaluation data out of pretraining sets; n is the
+    * 13-gram-style knob). The benchmark is benchmark-sized — KBs to MBs
+    * against a 100 TB corpus — so its distinct shingle set BROADCASTS:
+    * the corpus pays one shingle derivation and a broadcast semi-join to
+    * flag contaminated ids, then one anti-join on the id; corpus text
+    * never shuffles. The contaminated-id set is aggregate-sized, so AQE
+    * turns the anti-join's build side into a broadcast when small. */
+  def decontaminate(docs: DataFrame, id: Column, text: Column,
+                    benchmark: DataFrame, benchText: Column,
+                    n: Int = 3): DataFrame = {
+    val bsh = benchmark
+      .select(explode(shingleArray(benchText, n)).as("sh")).distinct()
+    val contaminated = shingles(docs, id, text, n)
+      .join(broadcast(bsh), "sh")
+      .select(col("doc_id").as("contaminated_id")).distinct()
+    docs.join(contaminated, id === col("contaminated_id"), "left_anti")
+  }
+
   /** D2b: 16-bit SimHash per document over the token multiset. Each md5
     * hex digit position contributes one vote bit (digit ≥ '8' = high bit
     * set); the signature bit is the sign of the summed votes. Engine-

@@ -81,6 +81,19 @@ object LlmQueries {
   def d2Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
 
+  /** Every 13th document stands in for a benchmark/eval set; any corpus
+    * doc sharing a word 5-gram with it is scrubbed. The benchmark docs
+    * are themselves in the corpus, so they are dropped by construction —
+    * the embedded-eval-text case the rule exists for. */
+  def d9Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.decontaminate(
+        d.select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 13 === 0), col("text"), n = 5)
+      .select("doc_id", "source")
+  }
+
   /** Near-dup pairs → connected-component dedup clusters (min-id
     * canonical keeper). The chain corpus makes transitivity load-bearing;
     * the oracle recomputes the closure with a recursive CTE. */
@@ -220,6 +233,7 @@ object LlmQueries {
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d2_dedup_clusters" -> d2DedupClusters,
     "d2_simhash" -> d2Simhash,
+    "d9_decontaminate" -> d9Decontaminate,
     "d7_stratified_sample" -> d7StratifiedSample,
     "d8_sequence_pack" -> d8SequencePack,
     "d2_cosine_neardup" -> d2CosineNearDup,
@@ -296,6 +310,25 @@ object LlmQueries {
         |FROM corpus GROUP BY text""".stripMargin,
     "d2_minhash_lsh" -> exactJaccardSql,
     "d2_ngram_jaccard" -> exactJaccardSql,
+    "d9_decontaminate" ->
+      """WITH bwords AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT w[i.x] || ' ' || w[i.x+1] || ' ' || w[i.x+2]
+        |    || ' ' || w[i.x+3] || ' ' || w[i.x+4] AS s
+        |  FROM bwords, LATERAL (SELECT unnest(range(1, len(w)-3)) AS x) i
+        |  WHERE len(w) >= 5),
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, w[i.x] || ' ' || w[i.x+1] || ' ' || w[i.x+2]
+        |    || ' ' || w[i.x+3] || ' ' || w[i.x+4] AS s
+        |  FROM words, LATERAL (SELECT unnest(range(1, len(w)-3)) AS x) i
+        |  WHERE len(w) >= 5),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM csh JOIN bsh ON csh.s = bsh.s)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
     "d2_dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS (
          |  SELECT doc_id, text FROM documents

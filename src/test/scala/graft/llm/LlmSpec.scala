@@ -187,6 +187,22 @@ class LlmSpec extends SparkSpec {
     assert(got == (0L to 39L).map(i => (i, 0L)).toSet)
   }
 
+  test("decontaminate drops docs sharing any benchmark n-gram, keeps rest") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox appears"),        // shares "quick brown fox"
+      (3L, "entirely unrelated words here"),
+      (4L, "short doc")                          // < n words: never flagged
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("benchmark text quick brown fox etc"))
+      .toDF("text")
+    val kept = Dedup.decontaminate(corpus, col("doc_id"), col("text"),
+        bench, col("text"), n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+  }
+
   test("dedupClusters fails loudly when maxIter cannot reach convergence") {
     import spark.implicits._
     // maxIter=1 on a 12-node chain: one propagate+jump round cannot reach
