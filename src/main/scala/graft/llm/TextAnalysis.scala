@@ -82,6 +82,33 @@ object TextAnalysis {
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"), lit(0)))
 
+  /** D6b: per-document repetition signals — the standard quality filters
+    * for boilerplate/machine-generated text (the Gopher-rule family):
+    * the fraction of the doc taken by its single most frequent word, and
+    * the fraction of duplicate word bigrams. Top-word fraction is a keyed
+    * aggregation ((doc, token) then doc — hash-partitionable); the
+    * bigram fraction is a pure per-row expression over the shingle
+    * array — codegen'd, no shuffle. Ratios round to 6dp (ratios of small
+    * integers cannot land on a decimal rounding tie in binary floating
+    * point, so the round is engine-portable). */
+  def repetition(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val topWord = tokens(docs, id, text)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
+      .select(col("doc_id"),
+        round(col("top_c").cast("double") / col("n_tok"), 6)
+          .as("top_word_frac"))
+    val nW = size(split(text, " "))
+    val distinctBigrams = size(Dedup.shingleArray(text, 2))
+    val perRow = docs.select(id.as("doc_id"),
+      when(nW >= 2,
+        round(lit(1.0) - distinctBigrams.cast("double") / (nW - 1), 6))
+        .otherwise(lit(0.0)).as("dup_bigram_frac"))
+    perRow.join(topWord, "doc_id")
+      .select("doc_id", "top_word_frac", "dup_bigram_frac")
+  }
+
   /** D6: per-source quality statistics. Counts/sums are exact; the one
     * order-dependent float (mean of per-doc stopword ratios) is rounded. */
   def qualityBySource(docs: DataFrame, stopwords: Seq[String]): DataFrame = {

@@ -81,6 +81,18 @@ object LlmQueries {
   def d2Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
 
+  /** Gopher-style repetition signals per document, over a corpus where
+    * every 11th doc has its own first three words appended — planted
+    * duplicate bigrams the filter must score above the originals. */
+  def d6Repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"), lit(" "),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("text")))
+    TextAnalysis.repetition(corpus, col("doc_id"), col("text"))
+  }
+
   /** Every 13th document stands in for a benchmark/eval set; any corpus
     * doc sharing a word 5-gram with it is scrubbed. The benchmark docs
     * are themselves in the corpus, so they are dropped by construction —
@@ -247,6 +259,7 @@ object LlmQueries {
     "d5_multimodal" -> d5Multimodal,
     "d5_frames" -> d5Frames,
     "d6_quality" -> d6Quality,
+    "d6_repetition" -> d6Repetition,
     "pipe_training_mix" -> pipeTrainingMix,
     "pipe_pretrain_corpus" -> pipePretrainCorpus
   )
@@ -310,6 +323,28 @@ object LlmQueries {
         |FROM corpus GROUP BY text""".stripMargin,
     "d2_minhash_lsh" -> exactJaccardSql,
     "d2_ngram_jaccard" -> exactJaccardSql,
+    "d6_repetition" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |    text || ' ' || array_to_string((string_split(text, ' '))[1:3], ' ')
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |toks AS (SELECT doc_id, unnest(w) AS tok FROM words),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tw AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+        |         AS top_word_frac FROM tc GROUP BY 1),
+        |b2 AS (SELECT doc_id, w[i.x] || ' ' || w[i.x+1] AS s, len(w) AS nw
+        |       FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS x) i
+        |       WHERE len(w) >= 2),
+        |bi AS (SELECT doc_id,
+        |         round(1.0 - CAST(count(DISTINCT s) AS DOUBLE)
+        |               / (any_value(nw) - 1), 6) AS dup_bigram_frac
+        |       FROM b2 GROUP BY doc_id)
+        |SELECT tw.doc_id, tw.top_word_frac,
+        |  coalesce(bi.dup_bigram_frac, 0.0) AS dup_bigram_frac
+        |FROM tw LEFT JOIN bi ON tw.doc_id = bi.doc_id""".stripMargin,
     "d9_decontaminate" ->
       """WITH bwords AS (
         |  SELECT string_split(text, ' ') AS w FROM documents

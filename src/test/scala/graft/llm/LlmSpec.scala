@@ -187,6 +187,20 @@ class LlmSpec extends SparkSpec {
     assert(got == (0L to 39L).map(i => (i, 0L)).toSet)
   }
 
+  test("repetition: top-word and duplicate-bigram fractions per doc") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e"),        // all distinct: top 1/5, dup bigrams 0
+      (2L, "x x x x"),          // one word: top 1.0; bigrams all "x x" -> 1 - 1/3
+      (3L, "w")                 // single token: dup 0, top 1.0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((0.2, 0.0)))
+    assert(got(2L) == ((1.0, math.rint((1.0 - 1.0 / 3) * 1e6) / 1e6)))
+    assert(got(3L) == ((1.0, 0.0)))
+  }
+
   test("decontaminate drops docs sharing any benchmark n-gram, keeps rest") {
     import spark.implicits._
     val corpus = Seq(
