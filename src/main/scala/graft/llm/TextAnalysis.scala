@@ -109,6 +109,31 @@ object TextAnalysis {
       .select("doc_id", "top_word_frac", "dup_bigram_frac")
   }
 
+  /** PII patterns → sentinels, applied in order (email first, so an
+    * address's dotted domain is consumed before the IPv4 pattern runs).
+    * Deliberately restricted to the RE2-compatible regex subset (no
+    * lookarounds/backrefs) so Java-regex Spark and RE2-based engines —
+    * including the DuckDB oracle — produce byte-identical redactions. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** D10: PII redaction — replace emails, phone-shaped numbers, and IPv4
+    * addresses with typed sentinels; emit the redacted text plus the
+    * redaction count (counted per pattern on the ORIGINAL text). Pure
+    * per-row regexp expressions: codegen'd, one scan, no shuffle — the
+    * 100 TB cost is the regex engine, not the plan. */
+  def redactPii(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val redacted = piiPatterns.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    val nRed = piiPatterns.map { case (p, _) => regexp_count(text, lit(p)) }
+      .reduce(_ + _)
+    docs.select(id.as("doc_id"), redacted.as("text"),
+      nRed.cast("long").as("n_redactions"))
+  }
+
   /** D6: per-source quality statistics. Counts/sums are exact; the one
     * order-dependent float (mean of per-doc stopword ratios) is rounded. */
   def qualityBySource(docs: DataFrame, stopwords: Seq[String]): DataFrame = {

@@ -81,6 +81,17 @@ object LlmQueries {
   def d2Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
 
+  /** PII redaction over a corpus where every 17th doc carries a planted
+    * email + phone + IPv4; the rest must pass through byte-identical. */
+  def d10RedactPii(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 17 === 0,
+        concat(col("text"),
+          lit(" contact bob@example.org or 555-123-4567 from 10.0.0.1")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.redactPii(corpus, col("doc_id"), col("text"))
+  }
+
   /** Gopher-style repetition signals per document, over a corpus where
     * every 11th doc has its own first three words appended — planted
     * duplicate bigrams the filter must score above the originals. */
@@ -260,6 +271,7 @@ object LlmQueries {
     "d5_frames" -> d5Frames,
     "d6_quality" -> d6Quality,
     "d6_repetition" -> d6Repetition,
+    "d10_redact_pii" -> d10RedactPii,
     "pipe_training_mix" -> pipeTrainingMix,
     "pipe_pretrain_corpus" -> pipePretrainCorpus
   )
@@ -323,6 +335,25 @@ object LlmQueries {
         |FROM corpus GROUP BY text""".stripMargin,
     "d2_minhash_lsh" -> exactJaccardSql,
     "d2_ngram_jaccard" -> exactJaccardSql,
+    "d10_redact_pii" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN text || ' contact bob@example.org or 555-123-4567 from 10.0.0.1'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text,
+        |  CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+        |    + len(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+        |    AS n_redactions
+        |FROM corpus""".stripMargin,
     "d6_repetition" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

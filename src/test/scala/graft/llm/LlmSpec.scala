@@ -187,6 +187,22 @@ class LlmSpec extends SparkSpec {
     assert(got == (0L to 39L).map(i => (i, 0L)).toSet)
   }
 
+  test("redactPii replaces email/phone/IP with sentinels and counts them") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a.b+c@x-y.org now"),
+      (2L, "call 555-123-4567 or 555.987.6543"),
+      (3L, "host 192.168.0.1 up"),
+      (4L, "clean text, no pii 12345")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("mail <EMAIL> now", 1L)))
+    assert(got(2L) == (("call <PHONE> or <PHONE>", 2L)))
+    assert(got(3L) == (("host <IP> up", 1L)))
+    assert(got(4L) == (("clean text, no pii 12345", 0L)))
+  }
+
   test("repetition: top-word and duplicate-bigram fractions per doc") {
     import spark.implicits._
     val d = Seq(
