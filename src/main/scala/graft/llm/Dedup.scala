@@ -188,16 +188,19 @@ object Dedup {
       "|d| - ceil(t*|d|) + 1 goes negative past 1, and 0 would demand " +
       "indexing every shingle (the all-postings explosion)")
     val sh = shingles(docs, id, text, n)
-    // document frequency via count-over-window on the shingle partition:
-    // ONE shuffle of the shingle set yields every row annotated with its
-    // df — a groupBy + join back would shuffle the set twice
-    val withDf = sh.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+    // document frequency via groupBy + join back, NOT a count-over-window
+    // on the shingle partition: the window form buffers every row of a
+    // hot shingle in one task (ExternalAppendOnlyUnsafeRowArray, spilling
+    // past 4096 rows) — exactly the stop-shingle skew this operator
+    // exists to sidestep. The groupBy gets map-side partial aggregation
+    // (its shuffle carries ~distinct shingles, not all rows) and the join
+    // streams hot keys without group buffering.
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // per-doc shingle list sorted rare-first, cut to the prefix. The
     // (df, sh) struct sorts lexicographically — exactly the global order.
     val prefixLen = (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .cast("int")
-    val prefixes = withDf
+    val prefixes = sh.join(df, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
            sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))

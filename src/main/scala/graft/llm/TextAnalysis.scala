@@ -105,8 +105,12 @@ object TextAnalysis {
       when(nW >= 2,
         round(lit(1.0) - distinctBigrams.cast("double") / (nW - 1), 6))
         .otherwise(lit(0.0)).as("dup_bigram_frac"))
-    perRow.join(topWord, "doc_id")
-      .select("doc_id", "top_word_frac", "dup_bigram_frac")
+    // left join + coalesce: a NULL-text doc yields no token rows and so
+    // no topWord entry, but the contract is one output row per input doc
+    perRow.join(topWord, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_word_frac"), lit(0.0)).as("top_word_frac"),
+        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"))
   }
 
   /** PII patterns → sentinels, applied in order (email first, so an
@@ -121,15 +125,17 @@ object TextAnalysis {
 
   /** D10: PII redaction — replace emails, phone-shaped numbers, and IPv4
     * addresses with typed sentinels; emit the redacted text plus the
-    * redaction count (counted per pattern on the ORIGINAL text). Pure
-    * per-row regexp expressions: codegen'd, one scan, no shuffle — the
-    * 100 TB cost is the regex engine, not the plan. */
+    * redaction count. Each pattern is counted on the text AFTER the
+    * previous patterns' replacements — the same text it is applied to —
+    * so overlapping PII (an email whose local part is phone- or
+    * IP-shaped) counts once, matching the replacements actually made.
+    * Pure per-row regexp expressions: codegen'd, one scan, no shuffle —
+    * the 100 TB cost is the regex engine, not the plan. */
   def redactPii(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val redacted = piiPatterns.foldLeft(text) { case (c, (p, r)) =>
-      regexp_replace(c, p, r)
-    }
-    val nRed = piiPatterns.map { case (p, _) => regexp_count(text, lit(p)) }
-      .reduce(_ + _)
+    val (redacted, nRed) = piiPatterns
+      .foldLeft((text, lit(0L))) { case ((c, cnt), (p, r)) =>
+        (regexp_replace(c, p, r), cnt + regexp_count(c, lit(p)))
+      }
     docs.select(id.as("doc_id"), redacted.as("text"),
       nRed.cast("long").as("n_redactions"))
   }

@@ -341,19 +341,25 @@ object LlmQueries {
         |    CASE WHEN doc_id % 17 = 0
         |      THEN text || ' contact bob@example.org or 555-123-4567 from 10.0.0.1'
         |      ELSE text END AS text
-        |  FROM documents)
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c
+        |  FROM corpus),
+        |r2 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t,
+        |    c + len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS c
+        |  FROM r1)
         |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |  regexp_replace(t,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text,
-        |  CAST(len(regexp_extract_all(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |    + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
-        |    + len(regexp_extract_all(text,
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
-        |    AS n_redactions
-        |FROM corpus""".stripMargin,
+        |  CAST(c + len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_redactions
+        |FROM r2""".stripMargin,
     "d6_repetition" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -237,9 +237,11 @@ object RelQueries {
     * a value-run boundary the returned element legitimately lands one
     * integer over (observed: p50 → 26 vs exact 25 at sf0.1); crossing a
     * WHOLE run would need rank error ≥ the run length, far beyond the
-    * bound, so ±1 step is the tight robust tolerance at any SF. Emits
-    * exact quantiles + a pass flag; the oracle recomputes the exact side
-    * and expects flag=1. */
+    * bound, so ±1 step is the tight robust tolerance at any SF. The flag
+    * column is named for the tolerance actually enforced (within_tol =
+    * max(1%, one value step)), not a bare percentage. Emits exact
+    * quantiles + the pass flag; the oracle recomputes the exact side and
+    * expects flag=1. */
   def a11ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
     val qs = Seq(0.25, 0.5, 0.75, 0.95)
     table(s, dir, "lineitem")
@@ -254,7 +256,7 @@ object RelQueries {
           abs(element_at(col("apx"), i + 1) -
               element_at(col("exact"), i + 1)) <=
             greatest(abs(element_at(col("exact"), i + 1)) * 0.01, lit(1.0)))
-          .reduce(_ && _).cast("int").as("within_1pct"): _*)
+          .reduce(_ && _).cast("int").as("within_tol"): _*)
   }
 
   /** A5: rollup with grouping_id (same bitmask convention as DuckDB's
@@ -702,7 +704,7 @@ object RelQueries {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  quantile_cont(l_quantity, 0.95) AS p95,
-        |  1 AS within_1pct
+        |  1 AS within_tol
         |FROM lineitem""".stripMargin,
     "a5_rollup" ->
       """SELECT l_returnflag, l_linestatus,

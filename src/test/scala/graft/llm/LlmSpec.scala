@@ -203,6 +203,27 @@ class LlmSpec extends SparkSpec {
     assert(got(4L) == (("clean text, no pii 12345", 0L)))
   }
 
+  test("redactPii counts overlapping PII once, matching replacements made") {
+    import spark.implicits._
+    // the email consumes the IP-shaped local part: ONE replacement
+    val d = Seq((1L, "reach me at 1.2.3.4@corp.com")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d, col("doc_id"), col("text"))
+      .collect().head
+    assert(r.getString(1) == "reach me at <EMAIL>")
+    assert(r.getLong(2) == 1L)
+  }
+
+  test("repetition emits a row for NULL-text docs instead of dropping it") {
+    import spark.implicits._
+    val d = Seq((1L, Some("a b a b")), (2L, None))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(2L) == ((0.0, 0.0)))
+  }
+
   test("repetition: top-word and duplicate-bigram fractions per doc") {
     import spark.implicits._
     val d = Seq(
