@@ -1,0 +1,64 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+/** Plan-level evidence for the SCALE.md claims of the newest LLM
+  * operators: what the shuffles CARRY matters more than how many there
+  * are — a corpus-text shuffle is the 100 TB killer, id/token shuffles
+  * are fine. */
+class LlmPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeLike] =
+    collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }
+
+  private def corpus = {
+    import spark.implicits._
+    (0L until 200L)
+      .map(i => (i, s"w$i common tokens here plus unique w${i * 7} tail"))
+      .toDF("doc_id", "text")
+  }
+
+  test("redactPii plans map-only: zero shuffle exchanges") {
+    val df = TextAnalysis.redactPii(corpus, col("doc_id"), col("text"))
+    df.count()
+    assert(shuffles(df).isEmpty,
+      s"redaction must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("decontaminate never shuffles corpus text or shingles") {
+    import spark.implicits._
+    val bench = Seq(Tuple1("common tokens here")).toDF("text")
+    val df = Dedup.decontaminate(corpus, col("doc_id"), col("text"),
+      bench, col("text"), n = 3)
+    df.count()
+    // the benchmark's own shingle distinct shuffles [sh] — benchmark-
+    // sized, fine. The claims under test: corpus TEXT never shuffles,
+    // and corpus SHINGLE rows (doc_id + sh) never shuffle.
+    val wide = shuffles(df).filter { s =>
+      val names = s.output.map(_.name.toLowerCase)
+      names.contains("text") ||
+        (names.contains("sh") && names.contains("doc_id"))
+    }
+    assert(wide.isEmpty,
+      s"a shuffle carries corpus text/shingles:\n${wide.mkString("\n")}")
+    // the benchmark shingle set must reach the flag join as a broadcast
+    assert(df.queryExecution.executedPlan.toString
+             .contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("repetition never shuffles corpus text") {
+    val df = TextAnalysis.repetition(corpus, col("doc_id"), col("text"))
+    df.count()
+    val wide = shuffles(df).filter(
+      _.output.map(_.name.toLowerCase).contains("text"))
+    assert(wide.isEmpty,
+      s"a shuffle carries corpus text:\n${wide.mkString("\n")}")
+  }
+}
