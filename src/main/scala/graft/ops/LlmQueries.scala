@@ -230,9 +230,12 @@ object LlmQueries {
   }
 
   /** Capstone composite: the full pretraining-corpus assembly —
-    * inject dups → exact dedup → quality gate → deterministic stratified
+    * inject dups → exact dedup → length gate → repetition gate
+    * (duplicate-bigram fraction ≤ 0.1, per-row expression) → test-set
+    * decontamination (every 13th doc stands in for the benchmark; the
+    * embedded copies scrub themselves out) → deterministic stratified
     * sampling (source re-weighting) → sequence packing into 2048-token
-    * context windows. D1+D6+D7+D8 composing end-to-end; the output is
+    * context windows. D1+D6+D9+D7+D8 composing end-to-end; the output is
     * the pack manifest a training loader would consume. */
   def pipePretrainCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -242,7 +245,17 @@ object LlmQueries {
     val keep = Dedup.exact(corpus, col("doc_id"), col("text"))
       .select(col("keep_id").as("doc_id"))
     val kept = corpus.join(keep, "doc_id").filter(col("n_chars") >= 100)
-    val sampled = Sampling.stratified(kept, col("doc_id"), col("source"),
+    // per-row repetition gate: raw (unrounded) duplicate-bigram fraction,
+    // an integer-derived IEEE double — bit-identical in any engine
+    val nW = size(split(col("text"), " "))
+    val dupFrac = when(nW >= 2,
+      lit(1.0) - size(Dedup.shingleArray(col("text"), 2)).cast("double")
+        / (nW - 1))
+      .otherwise(lit(0.0))
+    val lowRep = kept.filter(dupFrac <= 0.1)
+    val clean = Dedup.decontaminate(lowRep, col("doc_id"), col("text"),
+      d.filter(col("doc_id") % 13 === 0), col("text"), n = 5)
+    val sampled = Sampling.stratified(clean, col("doc_id"), col("source"),
       Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25)
     Packing.sequencePack(sampled, col("doc_id"), col("text"),
       col("source"), ctx = 2048)
@@ -655,10 +668,39 @@ object LlmQueries {
         |  SELECT doc_id + 2000000, text, source, n_chars
         |  FROM documents WHERE doc_id % 7 = 0),
         |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+        |kept AS (
+        |  SELECT c.* FROM corpus c JOIN keep USING (doc_id)
+        |  WHERE c.n_chars >= 100),
+        |kwords AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+        |b2 AS (SELECT doc_id, w[i.x] || ' ' || w[i.x+1] AS s, len(w) AS nw
+        |       FROM kwords, LATERAL (SELECT unnest(range(1, len(w))) AS x) i
+        |       WHERE len(w) >= 2),
+        |repfrac AS (SELECT doc_id,
+        |              1.0 - CAST(count(DISTINCT s) AS DOUBLE)
+        |                / (any_value(nw) - 1) AS f
+        |            FROM b2 GROUP BY doc_id),
+        |lowrep AS (
+        |  SELECT k.* FROM kept k LEFT JOIN repfrac r USING (doc_id)
+        |  WHERE coalesce(r.f, 0.0) <= 0.1),
+        |bwords AS (SELECT string_split(text, ' ') AS w FROM documents
+        |           WHERE doc_id % 13 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT w[i.x] || ' ' || w[i.x+1] || ' ' || w[i.x+2]
+        |    || ' ' || w[i.x+3] || ' ' || w[i.x+4] AS s
+        |  FROM bwords, LATERAL (SELECT unnest(range(1, len(w)-3)) AS x) i
+        |  WHERE len(w) >= 5),
+        |cwords AS (SELECT doc_id, string_split(text, ' ') AS w FROM lowrep),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, w[i.x] || ' ' || w[i.x+1] || ' ' || w[i.x+2]
+        |    || ' ' || w[i.x+3] || ' ' || w[i.x+4] AS s
+        |  FROM cwords, LATERAL (SELECT unnest(range(1, len(w)-3)) AS x) i
+        |  WHERE len(w) >= 5),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM csh JOIN bsh ON csh.s = bsh.s),
         |sampled AS (
         |  SELECT c.source, c.doc_id, c.text
-        |  FROM corpus c JOIN keep USING (doc_id)
-        |  WHERE c.n_chars >= 100
+        |  FROM lowrep c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
         |    AND md5(CAST(c.doc_id AS VARCHAR)) <
         |      CASE c.source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
         |                    ELSE '4000' END),
