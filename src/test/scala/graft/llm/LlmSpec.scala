@@ -203,6 +203,36 @@ class LlmSpec extends SparkSpec {
     assert(got(4L) == (("clean text, no pii 12345", 0L)))
   }
 
+  test("redactPii property: k planted PII items -> k redactions, none left") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    // words are pure lowercase alpha, so no accidental pattern hits: the
+    // expected redaction count is exactly the number of planted items
+    val word = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val email = for { a <- word; b <- word } yield s"$a@$b.com"
+    val d3 = Gen.listOfN(3, Gen.numChar).map(_.mkString)
+    val phone = for { a <- d3; b <- d3; c <- Gen.listOfN(4, Gen.numChar) }
+      yield s"$a-$b-${c.mkString}"
+    val ip = Gen.listOfN(4, Gen.choose(1, 255)).map(_.mkString("."))
+    val gen = for {
+      ws <- Gen.nonEmptyListOf(word)
+      ps <- Gen.listOf(Gen.oneOf(email, phone, ip))
+    } yield (ws, ps)
+    graft.PropCheck.checkProp(Prop.forAll(gen) { case (ws, ps) =>
+      // interleave deterministically: word, pii, word, pii, ...
+      val txt = ws.zipAll(ps.map(Option(_)), "pad", None)
+        .flatMap { case (w, p) => w +: p.toSeq }.mkString(" ")
+      val r = TextAnalysis.redactPii(
+          Seq((1L, txt)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+        .collect().head
+      r.getLong(2) == ps.length &&
+        r.getString(1).count(_ == '<') == ps.length &&
+        !r.getString(1).contains("@")
+    }, minTests = 10)
+  }
+
   test("redactPii counts overlapping PII once, matching replacements made") {
     import spark.implicits._
     // the email consumes the IP-shaped local part: ONE replacement
