@@ -127,30 +127,34 @@ object Dedup {
       .distinct()
 
   /** Exact-Jaccard verification of a candidate-pair table
-    * (a_id, na, b_id, nb). Shingles ONLY the candidate docs: a broadcast
-    * semi-join on the candidate-id list before the explode, so the
-    * verification joins shuffle candidate shingles, not the whole
-    * corpus's. (The identical candidate-id broadcast appears twice —
-    * ReuseExchange computes it once.) */
+    * (a_id, na, b_id, nb). Shingles ONLY the candidate docs — a
+    * broadcast semi-join on the candidate-id list — and keeps each doc's
+    * shingles as ONE array row: the pair's intersection is a per-row
+    * `array_intersect` (hash-set semantics, distinct by construction)
+    * after two narrow id joins, instead of exploding candidate shingles
+    * into ~|shingles| rows and paying a two-key join plus a groupBy.
+    * One row per candidate doc joins twice; no re-aggregation. */
   private def verifyExactJaccard(cand: DataFrame, docs: DataFrame,
                                  id: Column, text: Column, n: Int,
                                  threshold: Double): DataFrame = {
     val candIds = cand
       .select(explode(array(col("a_id"), col("b_id"))).as("cid"))
       .distinct()
-    // cached: the candidate shingle set feeds BOTH sides of the
-    // intersection join below (different join keys -> different
-    // exchanges, so ReuseExchange cannot dedupe the subtree). Candidates
-    // are few by construction, so materializing their shingles is tiny —
-    // unlike the full corpus's shingles, which stay recompute-only.
-    val candSh = shingles(
-      docs.join(broadcast(candIds), id === col("cid"), "left_semi"),
-      id, text, n).cache()
-    val inter = cand
-      .join(candSh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
-      .join(candSh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
-      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
-    inter
+    // cached: the candidate shingle-array table feeds BOTH sides of the
+    // pair join below (different join keys -> different exchanges, so
+    // ReuseExchange cannot dedupe the subtree). Candidates are few by
+    // construction, so materializing their arrays is tiny — unlike the
+    // full corpus's shingles, which stay recompute-only.
+    val candArr = docs
+      .join(broadcast(candIds), id === col("cid"), "left_semi")
+      .select(id.as("did"), shingleArray(text, n).as("shs"))
+      .cache()
+    cand
+      .join(candArr.select(col("did").as("a_id"), col("shs").as("sa")), "a_id")
+      .join(candArr.select(col("did").as("b_id"), col("shs").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        col("na"), col("nb"))
       .select(col("a_id"), col("b_id"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
