@@ -36,6 +36,22 @@ object Bench {
         catch { case _: Throwable => () }
         finally { spark.catalog.clearCache() }
       }
+    // Warm the OS page cache at the BENCH SF (untimed): without this the
+    // alphabetically-first queries pay the first-touch disk reads of the
+    // sfDir tables (r3: a2_groupby 3.26s cold vs the same agg 0.60s warm
+    // inside j2) and per-query numbers stop being a regression signal.
+    // Read the raw bytes rather than count() — a parquet count may skip
+    // data pages, and the point is to fault every page in.
+    val blackhole = new Array[Byte](1 << 20)
+    java.nio.file.Files.list(Paths.get(sfDir)).forEach { p =>
+      def touch(f: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.isRegularFile(f)) {
+          val in = java.nio.file.Files.newInputStream(f)
+          try { while (in.read(blackhole) >= 0) () } finally { in.close() }
+        } else if (java.nio.file.Files.isDirectory(f))
+          java.nio.file.Files.list(f).forEach(touch(_))
+      touch(p)
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

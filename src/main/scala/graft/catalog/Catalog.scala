@@ -101,9 +101,13 @@ object Catalog {
   /** UpdateWroClassification (pyt:222-330): apply an edited
     * classification to one catalog row, with the reference's validations:
     *  - V3 snap (pyt:309-311): the first range's lo is snapped to the
-    *    raster minimum (auto-fix, the reference warns);
+    *    raster minimum (auto-fix; the reference warns — surfaced here as
+    *    data, the `snapped` 0/1 output column, R30);
     *  - V3 error (pyt:312-314): the last range's hi must exceed the
-    *    raster maximum — half-open ranges must cover the true max;
+    *    raster maximum — half-open ranges must cover the true max.
+    *    Faithful quirk: the reference's snap/error is an if/ELIF, so the
+    *    coverage error is only raised when NO snap happened (a snapped
+    *    edit with short coverage warns and writes anyway);
     *  - V2 (pyt:199-218): edited ranges must be contiguous.
     * `newRanges` is the edited array<struct<label,lo,hi,out>> (typically
     * literal-built from user input); `stats` is a one-row DataFrame with
@@ -121,6 +125,10 @@ object Catalog {
       when(i === 0, mn).otherwise(r("lo")).as("lo"),
       r("hi").as("hi"), r("out").as("out")))
     val lastHi = element_at(snapped, size(snapped))("hi")
+    // R30: did the snap fire? The reference's test is str(lo) != str(min)
+    // (pyt:309) — a value comparison here; <=> so a null given lo counts
+    // as differing rather than poisoning the flag
+    val wasSnapped = !(element_at(newRanges, 1)("lo") <=> mn)
     // NULL-hostile validations: a NULL condition (empty layer -> null
     // mn/mx, null bounds) must ERROR like the reference, not silently
     // skip the raise_error branch and emit a half-updated row
@@ -129,13 +137,18 @@ object Catalog {
         raise_error(lit("raster statistics unavailable for update")))
       .when(coalesce(!RangeCodec.isContiguous(snapped), lit(true)),
         raise_error(lit("edited ranges are not contiguous")))
-      .when(coalesce(lastHi <= mx, lit(true)),
+      // if/ELIF (pyt:309-314): coverage is only checked when the snap
+      // did NOT fire; && short-circuits the null-hostile coalesce so a
+      // snapped edit with a null/short last hi still writes (warn path)
+      .when(coalesce(!wasSnapped && (lastHi <= mx), lit(true)),
         raise_error(concat(lit("classification must cover the raster "),
           lit("maximum: last hi "), lastHi.cast(StringType),
           lit(" <= max "), mx.cast(StringType))))
       .otherwise(snapped)
     val enc = encode(
-      stats.select(lit(name).as("layer"), validated.as("ranges")))
+      stats.select(lit(name).as("layer"), validated.as("ranges"),
+        wasSnapped.cast(IntegerType).as("snapped")),
+      keep = Seq("snapped"))
     // broadcast the 1-row edited encoding; rewrite is a projection.
     // (Catalyst constant-folds the e_name key to a literal, so this plans
     // as a BroadcastNestedLoopJoin — of a ONE-row build side, i.e. a
@@ -147,6 +160,7 @@ object Catalog {
       .select(col("c.name").as("name"),
         coalesce(col("e.input_ranges"), col("c.input_ranges")).as("input_ranges"),
         coalesce(col("e.range_labels"), col("c.range_labels")).as("range_labels"),
-        coalesce(col("e.output_values"), col("c.output_values")).as("output_values"))
+        coalesce(col("e.output_values"), col("c.output_values")).as("output_values"),
+        coalesce(col("e.snapped"), lit(0)).as("snapped"))
   }
 }

@@ -105,8 +105,14 @@ object Classify {
     array(entries: _*)
   }
 
-  /** Locale-aware numeric extraction (pyt:1086-1089): keep digits and the
-    * decimal point, cast to double. Engine fixes locale to en_US. */
+  /** Locale digit-strip (pyt:1086-1089): keep digits and the decimal
+    * point — the reference strips everything else (grouping separators,
+    * units, words) from colorizer values AND labels. Engine fixes locale
+    * to en_US ('.' decimal point). */
+  def digitsOnly(c: Column): Column = regexp_replace(c, "[^0-9.]", "")
+
+  /** Locale-aware numeric extraction: digit-strip, then cast to double
+    * (pyt:1093 `float(v1)`). */
   def numericFromLabel(c: Column): Column =
-    regexp_replace(c, "[^0-9.]", "").cast(DoubleType)
+    digitsOnly(c).cast(DoubleType)
 }

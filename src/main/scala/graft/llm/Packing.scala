@@ -24,18 +24,22 @@ object Packing {
     * Token count is the whitespace tokenizer used across the D4/D6
     * operators. Documents may straddle a boundary (standard
     * concat-and-chunk semantics): `pos + n_tokens > ctx` means the tail
-    * spills into `pack_id + 1`. */
+    * spills into `pack_id + 1`. `carry` names extra columns of `docs` to
+    * pass through unchanged (manifest metadata — fingerprints, redaction
+    * counts), riding the same single window pass. */
   def sequencePack(docs: DataFrame, id: Column, text: Column,
-                   stratum: Column, ctx: Int): DataFrame = {
+                   stratum: Column, ctx: Int,
+                   carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select(stratum.as("source"), id.as("doc_id"),
-              size(split(text, " ")).as("n_tokens"))
+      .select(stratum.as("source") +: id.as("doc_id") +:
+              size(split(text, " ")).as("n_tokens") +: carry.map(col): _*)
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("source"), col("doc_id"), col("n_tokens"),
+      .select(col("source") +: col("doc_id") +: col("n_tokens") +:
         floor((col("cum") - col("n_tokens")) / lit(ctx.toDouble))
-          .cast("int").as("pack_id"),
-        ((col("cum") - col("n_tokens")) % ctx).cast("int").as("pos"))
+          .cast("int").as("pack_id") +:
+        ((col("cum") - col("n_tokens")) % ctx).cast("int").as("pos") +:
+        carry.map(col): _*)
   }
 }

@@ -22,7 +22,14 @@ object Sampling {
     *
     * Rates are quantized to 1/65536 ≈ 0.0015%; strata absent from the
     * map fall back to `defaultRate`. Plan shape: a single codegen'd
-    * filter over the scan — no shuffle, no state, trivially parallel. */
+    * filter over the scan — no shuffle, no state, trivially parallel.
+    *
+    * The per-stratum conditions are mutually exclusive by construction
+    * (string equality against the Map's distinct keys), so the chain
+    * order cannot change which rows survive; entries are still folded in
+    * sorted-key order so the PLAN is byte-identical across runs and JVMs
+    * (Map iteration order is unspecified), keeping plan caching and
+    * canonicalization stable. */
   def stratified(df: DataFrame, id: Column, stratum: Column,
                  rates: Map[String, Double],
                  defaultRate: Double = 0.0): DataFrame = {
@@ -30,9 +37,10 @@ object Sampling {
       val k = math.round(rate * 65536.0).toInt.max(0).min(65536)
       if (k == 65536) "g" else f"$k%04x" // 'g' > any hex char: keep all
     }
-    val threshold = rates.foldLeft(lit(hex4(defaultRate))) {
-      case (acc, (s, r)) => when(stratum === s, lit(hex4(r))).otherwise(acc)
-    }
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(hex4(defaultRate))) {
+        case (acc, (s, r)) => when(stratum === s, lit(hex4(r))).otherwise(acc)
+      }
     df.filter(md5(id.cast("string")) < threshold)
   }
 }

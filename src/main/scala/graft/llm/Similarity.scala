@@ -91,16 +91,39 @@ object Similarity {
     * centroids and scans ONLY those inverted lists. At 100 TB the
     * centroid id is the vector store's partition column and assignment
     * happens at ingest — a query touches nprobe partitions instead of
-    * the corpus. */
+    * the corpus.
+    *
+    * Assignment is itself prefiltered (two-level / coarse-quantizer IVF):
+    * centroids are sign-bucketed on `coarseBits` leading coordinates and
+    * a vector scores only the centroids sharing its bucket — per-vector
+    * FLOPs are codebook/2^bits instead of the whole codebook, so the
+    * declared plan survives a 2^16-entry codebook. A vector whose bucket
+    * holds no centroid falls back to the full codebook (correct, rare —
+    * probability (1-2^-bits)^|codebook|). */
   def ivfTopK(corpus: DataFrame, id: Column, emb: Column,
               query: DataFrame, queryEmb: Column, k: Int,
-              stride: Long = 31, nprobe: Int = 2): DataFrame = {
+              stride: Long = 31, nprobe: Int = 2,
+              coarseBits: Int = 4): DataFrame = {
     val c = corpus.select(id.as("vec_id"), asDouble(emb).as("v"))
     val cents = c.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // argmax over centroids: ties broken to the LOWEST centroid id via
-    // the (score, -cid) struct — the oracle's ORDER BY cs DESC, cid ASC
-    val assigned = c.crossJoin(broadcast(cents))
+    val centB = cents.withColumn("cbucket", signBucket(col("cv"), coarseBits))
+    val corpB = c.withColumn("bucket", signBucket(col("v"), coarseBits))
+    // coarse pre-filter: candidates = same-bucket centroids, plus the
+    // full codebook for the (rare) vectors whose bucket is empty — both
+    // sides of the union are broadcast joins against the tiny codebook
+    val inBucket = corpB
+      .join(broadcast(centB), col("bucket") === col("cbucket"))
+      .select(col("vec_id"), col("v"), col("cid"), col("cv"))
+    val missed = corpB
+      .join(broadcast(centB.select(col("cbucket")).distinct()),
+        col("bucket") === col("cbucket"), "left_anti")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), col("cv"))
+    // argmax over candidate centroids: ties broken to the LOWEST centroid
+    // id via the (score, -cid) struct — the oracle's ORDER BY cs DESC,
+    // cid ASC
+    val assigned = inBucket.unionByName(missed)
       .select(col("vec_id"), col("v"), col("cid"),
               round(cosine(col("v"), col("cv")), 6).as("cs"))
       .groupBy("vec_id")

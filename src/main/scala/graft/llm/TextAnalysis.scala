@@ -132,12 +132,20 @@ object TextAnalysis {
     * Pure per-row regexp expressions: codegen'd, one scan, no shuffle —
     * the 100 TB cost is the regex engine, not the plan. */
   def redactPii(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val (redacted, nRed) = redactionOf(text)
+    docs.select(id.as("doc_id"), redacted.as("text"),
+      nRed.as("n_redactions"))
+  }
+
+  /** The (redacted text, redaction count) expression pair behind
+    * [[redactPii]] — for composing redaction into a wider pipeline
+    * without giving up the frame's other columns. */
+  def redactionOf(text: Column): (Column, Column) = {
     val (redacted, nRed) = piiPatterns
       .foldLeft((text, lit(0L))) { case ((c, cnt), (p, r)) =>
         (regexp_replace(c, p, r), cnt + regexp_count(c, lit(p)))
       }
-    docs.select(id.as("doc_id"), redacted.as("text"),
-      nRed.cast("long").as("n_redactions"))
+    (redacted, nRed.cast("long"))
   }
 
   /** D6: per-source quality statistics. Counts/sums are exact; the one

@@ -94,6 +94,32 @@ object CatalogQueries {
           col("path"), col("is_web"), col("ext")).as("name"))
   }
 
+  /** R19 (pyt:283-304): ExportMosaicDatasetPaths → lookup Path by
+    * SourceOID → raster min/max of the resolved dataset — the stats step
+    * that feeds the V3 snap/coverage validation. The exported paths table
+    * and the catalog's id column are golden literals (the reference's
+    * in_memory table, one orphan row the lookup must not match); the
+    * min/max come from the layer's cells, computed in-plan (pyt:303-304's
+    * GetRasterProperties without the driver round-trip). Plan shape: two
+    * broadcast dimension joins over a single keyed aggregate of the fact
+    * table — the id lookup never touches fact rows. */
+  def pathLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mosaic = Seq(("quantity", 101L), ("extendedprice", 102L),
+      ("discount", 103L)).toDF("name", "source_oid")
+    val paths = Seq(
+      (101L, "c:\\data\\quantity.tif"),
+      (102L, "c:\\data\\extendedprice.tif"),
+      (103L, "c:\\data\\discount.tif"),
+      (104L, "c:\\data\\orphan.tif")).toDF("p_oid", "path")
+    val stats = WroQueries.cells(s, dir).groupBy("layer")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+    mosaic.join(broadcast(paths), col("source_oid") === col("p_oid"))
+      .join(stats, col("name") === col("layer"))
+      .select(col("name"), col("source_oid"), col("path"),
+              col("mn"), col("mx"))
+  }
+
   /** V2/V4/V5 as a golden validation table over literal inputs. */
   def validations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -169,6 +195,7 @@ object CatalogQueries {
     "wro_update_layerinfo" -> updateLayerInfo,
     "wro_catalog_diff" -> catalogDiff,
     "wro_name_normalize" -> nameNormalize,
+    "wro_path_lookup" -> pathLookup,
     "wro_validations" -> validations
   )
 
@@ -201,7 +228,9 @@ object CatalogQueries {
        |      ELSE e.range_labels END AS range_labels,
        |    CASE WHEN e.name = 'quantity'
        |      THEN '2,5,8'
-       |      ELSE e.output_values END AS output_values
+       |      ELSE e.output_values END AS output_values,
+       |    CASE WHEN e.name = 'quantity'
+       |      THEN CAST(2.0 <> s.mn AS INT) ELSE 0 END AS snapped
        |  FROM encoded e, qstats s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -254,7 +283,8 @@ object CatalogQueries {
          |FROM ranges""".stripMargin,
     "wro_update_classification" ->
       s"""$updatedSql
-         |SELECT name, input_ranges, range_labels, output_values FROM updated""".stripMargin,
+         |SELECT name, input_ranges, range_labels, output_values, snapped
+         |FROM updated""".stripMargin,
     "wro_update_layerinfo" ->
       """WITH names AS (
         |  SELECT unnest(['quantity', 'extendedprice', 'discount']) AS name)
@@ -284,6 +314,20 @@ object CatalogQueries {
         |  ('a', 'dem'), ('b', 'elev'), ('c', 'b'), ('d', 'relative'),
         |  ('e', 'noext'), ('f', 'https://a/ImageServer/x'), ('g', 'keep.tif'))
         |  AS t(id, name)""".stripMargin,
+    "wro_path_lookup" ->
+      s"""WITH cells AS (${WroQueries.cellsSql}),
+         |stats AS (SELECT layer, min(value) AS mn, max(value) AS mx
+         |          FROM cells GROUP BY layer),
+         |mosaic(name, source_oid) AS (VALUES
+         |  ('quantity', 101), ('extendedprice', 102), ('discount', 103)),
+         |paths(p_oid, path) AS (VALUES
+         |  (101, 'c:\\data\\quantity.tif'), (102, 'c:\\data\\extendedprice.tif'),
+         |  (103, 'c:\\data\\discount.tif'), (104, 'c:\\data\\orphan.tif'))
+         |SELECT m.name, CAST(m.source_oid AS BIGINT) AS source_oid, p.path,
+         |       s.mn, s.mx
+         |FROM mosaic m
+         |JOIN paths p ON m.source_oid = p.p_oid
+         |JOIN stats s ON m.name = s.layer""".stripMargin,
     "wro_validations" ->
       """SELECT * FROM (VALUES
         |  ('contig', 'a', 1), ('contig', 'b', 0),

@@ -230,17 +230,31 @@ object LlmQueries {
   }
 
   /** Capstone composite: the full pretraining-corpus assembly —
-    * inject dups → exact dedup → length gate → repetition gate
-    * (duplicate-bigram fraction ≤ 0.1, per-row expression) → test-set
-    * decontamination (every 13th doc stands in for the benchmark; the
-    * embedded copies scrub themselves out) → deterministic stratified
-    * sampling (source re-weighting) → sequence packing into 2048-token
-    * context windows. D1+D6+D9+D7+D8 composing end-to-end; the output is
-    * the pack manifest a training loader would consume. */
+    * plant PII → inject dups → exact dedup → length gate → repetition
+    * gate (duplicate-bigram fraction ≤ 0.1, per-row expression) →
+    * test-set decontamination (every 13th doc stands in for the
+    * benchmark; the embedded copies scrub themselves out) → PII
+    * redaction (emails/phones/IPv4s → typed sentinels; observable in the
+    * manifest through the per-doc text fingerprint and redaction count)
+    * → deterministic stratified sampling (source re-weighting) →
+    * sequence packing into 2048-token context windows.
+    * D1+D6+D9+D10+D7+D8 composing end-to-end; the output is the pack
+    * manifest a training loader would consume.
+    *
+    * PII is planted on every 17th doc EXCEPT benchmark (%13) docs — a
+    * planted benchmark doc would share the planted suffix's 5-grams with
+    * every other planted doc and decontamination would scrub them all,
+    * leaving the redaction stage nothing to do. */
   def pipePretrainCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val corpus = d.unionByName(
-      d.filter(col("doc_id") % 7 === 0)
+    val planted = d.select(col("doc_id"),
+      when(col("doc_id") % 17 === 0 && col("doc_id") % 13 =!= 0,
+        concat(col("text"),
+          lit(" contact bob@example.org or 555-123-4567 from 10.0.0.1")))
+        .otherwise(col("text")).as("text"),
+      col("source"), col("n_chars"))
+    val corpus = planted.unionByName(
+      planted.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 2000000L))
     val keep = Dedup.exact(corpus, col("doc_id"), col("text"))
       .select(col("keep_id").as("doc_id"))
@@ -255,10 +269,18 @@ object LlmQueries {
     val lowRep = kept.filter(dupFrac <= 0.1)
     val clean = Dedup.decontaminate(lowRep, col("doc_id"), col("text"),
       d.filter(col("doc_id") % 13 === 0), col("text"), n = 5)
-    val sampled = Sampling.stratified(clean, col("doc_id"), col("source"),
+    // D10: redact AFTER decontamination (the scrub must see the corpus
+    // text as-ingested), BEFORE sampling/packing (nothing downstream may
+    // observe raw PII); count on pre-redaction text, fingerprint on post
+    val (redTxt, redCnt) = TextAnalysis.redactionOf(col("text"))
+    val redacted = clean
+      .select(col("doc_id"), redTxt.as("text"), col("source"),
+              redCnt.as("n_redactions"))
+      .withColumn("fp", md5(col("text")))
+    val sampled = Sampling.stratified(redacted, col("doc_id"), col("source"),
       Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25)
     Packing.sequencePack(sampled, col("doc_id"), col("text"),
-      col("source"), ctx = 2048)
+      col("source"), ctx = 2048, carry = Seq("fp", "n_redactions"))
   }
 
   // ---------- registry ----------
@@ -531,13 +553,34 @@ object LlmQueries {
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings WHERE vec_id != 0),
         |cents AS (SELECT vec_id AS cid, v AS cv FROM corp WHERE vec_id % 31 = 0),
+        |centb AS (
+        |  SELECT cid, cv,
+        |    (CASE WHEN cv[1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN cv[2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN cv[3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN cv[4] > 0 THEN 8 ELSE 0 END) AS cbucket
+        |  FROM cents),
+        |corpb AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN v[3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM corp),
+        |cand AS (
+        |  SELECT c.vec_id, c.v, t.cid, t.cv
+        |  FROM corpb c JOIN centb t ON c.bucket = t.cbucket
+        |  UNION ALL
+        |  SELECT c.vec_id, c.v, t.cid, t.cv
+        |  FROM corpb c, centb t
+        |  WHERE c.bucket NOT IN (SELECT cbucket FROM centb)),
         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
         |      FROM embeddings WHERE vec_id = 0),
         |ac AS (
-        |  SELECT c.vec_id, t.cid,
-        |    round(sum(c.v[i.x] * t.cv[i.x]) /
-        |      (sqrt(sum(c.v[i.x] * c.v[i.x])) * sqrt(sum(t.cv[i.x] * t.cv[i.x]))), 6) AS cs
-        |  FROM corp c, cents t, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  SELECT c.vec_id, c.cid,
+        |    round(sum(c.v[i.x] * c.cv[i.x]) /
+        |      (sqrt(sum(c.v[i.x] * c.v[i.x])) * sqrt(sum(c.cv[i.x] * c.cv[i.x]))), 6) AS cs
+        |  FROM cand c, LATERAL (SELECT unnest(range(1, 65)) AS x) i
         |  GROUP BY 1, 2),
         |assigned AS (
         |  SELECT vec_id, cid FROM (
@@ -663,9 +706,17 @@ object LlmQueries {
         |GROUP BY source""".stripMargin,
     "pipe_pretrain_corpus" ->
       """WITH corpus AS (
-        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 AND doc_id % 13 <> 0
+        |      THEN text || ' contact bob@example.org or 555-123-4567 from 10.0.0.1'
+        |      ELSE text END AS text,
+        |    source, n_chars FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 2000000, text, source, n_chars
+        |  SELECT doc_id + 2000000,
+        |    CASE WHEN doc_id % 17 = 0 AND doc_id % 13 <> 0
+        |      THEN text || ' contact bob@example.org or 555-123-4567 from 10.0.0.1'
+        |      ELSE text END,
+        |    source, n_chars
         |  FROM documents WHERE doc_id % 7 = 0),
         |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
         |kept AS (
@@ -697,24 +748,48 @@ object LlmQueries {
         |  WHERE len(w) >= 5),
         |contaminated AS (
         |  SELECT DISTINCT doc_id FROM csh JOIN bsh ON csh.s = bsh.s),
-        |sampled AS (
+        |clean AS (
         |  SELECT c.source, c.doc_id, c.text
         |  FROM lowrep c
-        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
-        |    AND md5(CAST(c.doc_id AS VARCHAR)) <
-        |      CASE c.source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
-        |                    ELSE '4000' END),
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |r1 AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c
+        |  FROM clean),
+        |r2 AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t,
+        |    c + len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS c
+        |  FROM r1),
+        |red AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(t,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text,
+        |    c + len(regexp_extract_all(t,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_redactions
+        |  FROM r2),
+        |sampled AS (
+        |  SELECT source, doc_id, text, n_redactions
+        |  FROM red
+        |  WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |      CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+        |                  ELSE '4000' END),
         |t AS (
-        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         md5(text) AS fp, n_redactions
         |  FROM sampled),
         |c2 AS (
-        |  SELECT source, doc_id, n_tokens,
+        |  SELECT source, doc_id, n_tokens, fp, n_redactions,
         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |                        ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t)
         |SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
         |  CAST(floor((cum - n_tokens) / 2048.0) AS INT) AS pack_id,
-        |  CAST((cum - n_tokens) % 2048 AS INT) AS pos
+        |  CAST((cum - n_tokens) % 2048 AS INT) AS pos,
+        |  fp, CAST(n_redactions AS BIGINT) AS n_redactions
         |FROM c2""".stripMargin,
     "d6_quality" ->
       """WITH per_doc AS (

@@ -141,6 +141,35 @@ object RelQueries {
       .agg(count(lit(1)).as("n_items"),
            sum("l_quantity").cast("long").as("sum_qty"))
 
+  /** J11 (beyond §2.B): the bucketed-layout join through the gate — both
+    * sides written bucketBy(8, custkey)+sortBy and read back through the
+    * session catalog, then joined AND aggregated on the bucket key. The
+    * bucket layout co-locates every stage, so the whole query plans with
+    * ZERO shuffle exchanges (plan-asserted in BucketedJoinSpec over this
+    * very query): at 100 TB the shuffle is paid once at layout time, not
+    * per query. The oracle is the plain join over the raw parquet — the
+    * gate proves the layout is result-invariant. */
+  def j11BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val sf = dir.replaceAll("[^0-9]", "")
+    val (tOrders, tCust) = (s"graft_bkt_orders_$sf", s"graft_bkt_customer_$sf")
+    // external tables (explicit path): a fresh session's in-memory catalog
+    // has no entry for a leftover managed-table directory, so a managed
+    // CREATE would die on LOCATION_ALREADY_EXISTS; an external overwrite
+    // is idempotent across sessions
+    table(s, dir, "orders").select("o_custkey", "o_orderkey")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"/tmp/graft_io/$tOrders").saveAsTable(tOrders)
+    table(s, dir, "customer").select("c_custkey", "c_name")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"/tmp/graft_io/$tCust").saveAsTable(tCust)
+    s.table(tOrders)
+      .join(s.table(tCust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
   /** J8: cross join (small dimension × small dimension). */
   def j8Cross(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "nation").select(col("n_name"))
@@ -579,6 +608,7 @@ object RelQueries {
     "j7_asof" -> j7AsOf,
     "j8_cross" -> j8Cross,
     "j10_salted_join" -> j10SaltedJoin,
+    "j11_bucketed_join" -> j11BucketedJoin,
     "j9_interval_overlap" -> j9IntervalOverlap,
     "j6_range_autorewrite" -> j6RangeAutoRewrite,
     "a1_stats" -> a1Stats,
@@ -663,6 +693,12 @@ object RelQueries {
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "j11_bucketed_join" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, c_custkey ASC
+        |LIMIT 10""".stripMargin,
     "j9_interval_overlap" ->
       """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
         |FROM events a JOIN events b

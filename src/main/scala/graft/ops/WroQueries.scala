@@ -236,6 +236,28 @@ object WroQueries {
     explodeClasses(pairs, Classify.uniqueValues(col("vs"), col("ls")))
   }
 
+  /** R29 (pyt:1083-1105, the value-field colorizer branch) as a declared
+    * query: colorizer items whose values AND labels are locale-formatted
+    * numeric strings ("1,234.5 m") — both digit-stripped (keep digits and
+    * the decimal point), the value parsed to double, the label kept as
+    * the stripped STRING (the reference appends `lbl`, not the original,
+    * pyt:1089-1090), then unique-value classification over the parsed
+    * values. The locale strings are built from lineitem's distinct
+    * l_linenumber by concatenation so the oracle constructs byte-identical
+    * inputs. */
+  def classifyLocale(spark: SparkSession, dir: String): DataFrame = {
+    val items = table(spark, dir, "lineitem")
+      .select(col("l_linenumber").cast("string").as("ln")).distinct()
+      .select(concat(lit("1,00"), col("ln"), lit(".5")).as("value_str"),
+              concat(lit("elev 1,00"), col("ln"), lit(".5 m")).as("label_str"))
+    val pairs = items.agg(collect_list(struct(
+        Classify.numericFromLabel(col("value_str")).as("v"),
+        Classify.digitsOnly(col("label_str")).as("l"))).as("ps"))
+      .select(transform(col("ps"), p => p("v")).as("vs"),
+              transform(col("ps"), p => p("l")).as("ls"))
+    explodeClasses(pairs, Classify.uniqueValues(col("vs"), col("ls")))
+  }
+
   // ---- shared oracle-SQL fragments (DuckDB dialect) ----
 
   private[ops] val cellsSql: String = layers.map { case (name, src, _) =>
@@ -264,7 +286,8 @@ object WroQueries {
     "wro_classify_equal_interval" -> classifyEqualInterval,
     "wro_classify_unique" -> classifyUnique,
     "wro_classify_breaks" -> classifyBreaks,
-    "wro_classify_labeljoin" -> classifyLabelJoin
+    "wro_classify_labeljoin" -> classifyLabelJoin,
+    "wro_classify_locale" -> classifyLocale
   )
 
   val oracle: Map[String, String] = Map(
@@ -359,6 +382,23 @@ object WroQueries {
         |  CAST(lo AS VARCHAR) || ' to ' || CAST(hi AS VARCHAR) AS label,
         |  lo, hi, 5 AS out
         |FROM ranges""".stripMargin,
+    "wro_classify_locale" ->
+      """WITH items AS (
+        |  SELECT DISTINCT
+        |    '1,00' || CAST(l_linenumber AS VARCHAR) || '.5' AS value_str,
+        |    'elev 1,00' || CAST(l_linenumber AS VARCHAR) || '.5 m' AS label_str
+        |  FROM lineitem),
+        |parsed AS (
+        |  SELECT CAST(regexp_replace(value_str, '[^0-9.]', '', 'g') AS DOUBLE) AS v,
+        |         regexp_replace(label_str, '[^0-9.]', '', 'g') AS l
+        |  FROM items),
+        |ordered AS (
+        |  SELECT v, l, row_number() OVER (ORDER BY v) - 1 AS idx,
+        |         lead(v) OVER (ORDER BY v) AS nxt
+        |  FROM parsed)
+        |SELECT CAST(idx AS INT) AS class_idx, l AS label, v AS lo,
+        |       coalesce(nxt, v + 1) AS hi, 5 AS out
+        |FROM ordered""".stripMargin,
     "wro_classify_labeljoin" ->
       """WITH rat AS (
         |  SELECT DISTINCT CAST(l_linenumber AS DOUBLE) AS v,

@@ -39,7 +39,15 @@ object RangeJoinToRemap extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projList,
         Join(left, lr: LocalRelation, Inner, Some(cond), _)) =>
-      rewrite(projList, left, lr, cond).getOrElse(p)
+      rewrite(projList, None, left, lr, cond).getOrElse(p)
+    // same shape with a user Filter between the Project and the Join
+    // (e.g. a post-join predicate on the remap output or a fact column):
+    // the filter is preserved above the remap, which is legal because the
+    // rewrite keeps the output attribute ids and only drops the two bound
+    // columns — provided the filter doesn't reference them
+    case p @ Project(projList, Filter(fcond,
+        Join(left, lr: LocalRelation, Inner, Some(cond), _))) =>
+      rewrite(projList, Some(fcond), left, lr, cond).getOrElse(p)
   }
 
   /** Match `v >= lo` in either written orientation; returns (v, lo). */
@@ -64,7 +72,8 @@ object RangeJoinToRemap extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  private def rewrite(projList: Seq[NamedExpression], left: LogicalPlan,
+  private def rewrite(projList: Seq[NamedExpression],
+                      extraFilter: Option[Expression], left: LogicalPlan,
                       lr: LocalRelation,
                       cond: Expression): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
@@ -85,8 +94,9 @@ object RangeJoinToRemap extends Rule[LogicalPlan] with PredicateHelper {
       a.exprId == loAttr.exprId || a.exprId == hiAttr.exprId)
     if (others.length != 1 || others.head.dataType != IntegerType) return None
     val outAttr = others.head
-    // downstream must not reference the bound columns themselves
-    if (projList.exists(_.references.exists(r =>
+    // downstream (projection AND any interposed filter) must not
+    // reference the bound columns themselves
+    if ((projList ++ extraFilter).exists(_.references.exists(r =>
           r.exprId == loAttr.exprId || r.exprId == hiAttr.exprId)))
       return None
 
@@ -116,8 +126,8 @@ object RangeJoinToRemap extends Rule[LogicalPlan] with PredicateHelper {
       Literal.create(outs, ArrayType(IntegerType)))
     // keep the original output attribute id so downstream references hold
     val aliased = Alias(remap, outAttr.name)(exprId = outAttr.exprId)
-    Some(Project(projList,
-      Filter(IsNotNull(aliased.toAttribute),
-        Project(left.output :+ aliased, left))))
+    val base: LogicalPlan = Filter(IsNotNull(aliased.toAttribute),
+      Project(left.output :+ aliased, left))
+    Some(Project(projList, extraFilter.map(Filter(_, base)).getOrElse(base)))
   }
 }

@@ -39,6 +39,27 @@ class CatalogSpec extends SparkSpec {
     assert(out.getString(3) == "3,7")
   }
 
+  test("update surfaces the snap as data: snapped=1 only when lo moved (R30)") {
+    val moved = Catalog.updateClassification(baseCat, "L",
+      ranges(("x", 2.0, 6.0, 3), ("y", 6.0, 11.0, 7)), stats(0.0, 10.0))
+      .head()
+    assert(moved.getInt(4) == 1)
+    val asGiven = Catalog.updateClassification(baseCat, "L",
+      ranges(("x", 0.0, 6.0, 3), ("y", 6.0, 11.0, 7)), stats(0.0, 10.0))
+      .head()
+    assert(asGiven.getInt(4) == 0)
+  }
+
+  test("snap suppresses the coverage error (pyt:309-314 if/elif quirk)") {
+    // first lo 2.0 != mn 0.0 -> snap fires; last hi 9.0 <= mx 10.0 would
+    // error on the as-given path, but the reference's elif skips it
+    val out = Catalog.updateClassification(baseCat, "L",
+      ranges(("x", 2.0, 6.0, 3), ("y", 6.0, 9.0, 7)), stats(0.0, 10.0))
+      .head()
+    assert(out.getString(1) == "0.0,6.0,6.0,9.0")
+    assert(out.getInt(4) == 1)
+  }
+
   test("update errors when last hi <= raster max (V3 hard error)") {
     val ex = intercept[Exception] {
       Catalog.updateClassification(baseCat, "L",

@@ -58,4 +58,21 @@ class BucketedJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       spark.sql("DROP TABLE IF EXISTS bkt_items")
     }
   }
+
+  test("j11_bucketed_join (the declared query) plans with zero shuffles") {
+    val broadcastOff =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // join on the bucket key AND the groupBy on the same key both ride
+      // the bucket layout; the final top-10 is a TakeOrdered (no exchange)
+      val df = RelQueries.j11BucketedJoin(spark, "/root/testdata/sf0.001")
+      assert(df.count() == 10)
+      assert(shufflesOf(df).isEmpty,
+        s"expected the declared bucketed query to plan shuffle-free, got:\n" +
+          df.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastOff)
+    }
+  }
 }

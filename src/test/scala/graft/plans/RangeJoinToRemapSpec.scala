@@ -70,6 +70,39 @@ class RangeJoinToRemapSpec extends SparkSpec {
       Set((1L, 1), (2L, 1)))
   }
 
+  test("fires through a non-pushable filter between project and join") {
+    // non-local fact side so the rewritten result can't fold away before
+    // the plan is observable
+    val f = spark.range(0, 6).select(col("id"),
+      (col("id") * lit(6.0)).as("v")) // 0,6,12,18,24,30
+    val r = ranges
+    // a non-deterministic predicate is the filter shape that actually
+    // survives above the join (deterministic single-side predicates are
+    // pushed below it by PushDownPredicates before this rule runs)
+    val q = f.join(r, f("v") >= r("lo") && f("v") < r("hi"))
+      .filter(rand(42) >= -1.0)
+      .select(col("id"), col("out"))
+    val joins = q.queryExecution.optimizedPlan.collect {
+      case j: logical.Join => j }
+    assert(joins.isEmpty, "expected the rewrite to fire through the filter")
+    assert(q.queryExecution.optimizedPlan.toString.contains("range_remap"))
+    val got = q.collect().map(x => (x.getLong(0), x.getInt(1))).toSet
+    // 0 below the first bound; 6→1, 12→5, 18→5, 24→9, 30→9
+    assert(got == Set((1L, 1), (2L, 5), (3L, 5), (4L, 9), (5L, 9)))
+  }
+
+  test("declines when the interposed filter references a bound column") {
+    val f = facts
+    val r = ranges
+    val q = f.join(r, f("v") >= r("lo") && f("v") < r("hi"))
+      .filter(col("lo") + rand(1) >= 0.0) // non-pushable AND reads `lo`
+      .select(col("id"), col("out"))
+    val joins = q.queryExecution.optimizedPlan.collect {
+      case j: logical.Join => j }
+    assert(joins.nonEmpty, "a filter on a bound column must block the rewrite")
+    assert(q.count() == 4)
+  }
+
   test("declines when the bound columns themselves are selected") {
     val f = facts
     val r = ranges
