@@ -148,6 +148,29 @@ object TextAnalysis {
     (redacted, nRed.cast("long"))
   }
 
+  /** D11: vocabulary coverage — build a top-`vocabSize` token vocabulary
+    * by corpus frequency (count desc, token asc — deterministic cut) and
+    * score each document's out-of-vocabulary token fraction, the standard
+    * tokenizer-coverage gate before committing a corpus to a fixed vocab.
+    * Plan: one keyed token count, a TakeOrdered top-V cut (never a global
+    * sort), the vocabulary broadcast back against the token stream, and a
+    * per-doc keyed aggregate — the corpus text shuffles only as (doc_id,
+    * token) pairs, at 100 TB the vocab side is KBs. */
+  def vocabOov(docs: DataFrame, id: Column, text: Column,
+               vocabSize: Int): DataFrame = {
+    val toks = tokens(docs, id, text)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+              round(col("n_oov").cast("double") / col("n_tok"), 6)
+                .as("oov_rate"))
+  }
+
   /** D6: per-source quality statistics. Counts/sums are exact; the one
     * order-dependent float (mean of per-doc stopword ratios) is rounded. */
   def qualityBySource(docs: DataFrame, stopwords: Seq[String]): DataFrame = {

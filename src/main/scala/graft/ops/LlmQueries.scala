@@ -202,6 +202,13 @@ object LlmQueries {
   def d6Quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityBySource(docs(s, dir), Seq("the", "data", "value"))
 
+  /** D11: OOV rate against a 16-token vocabulary — the fixture lexicon
+    * has 31 distinct tokens, so roughly half of each doc's tokens are
+    * out-of-vocabulary and the rate genuinely varies per doc. */
+  def d11VocabOov(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabOov(docs(s, dir), col("doc_id"), col("text"),
+      vocabSize = 16)
+
   /** Composite training-data pipeline — D1+D4+D6 composing end to end,
     * the mix-building query a 100 TB corpus run actually looks like:
     * inject dups → exact dedup (keep the min-id copy) → lexicon langid
@@ -306,6 +313,7 @@ object LlmQueries {
     "d5_frames" -> d5Frames,
     "d6_quality" -> d6Quality,
     "d6_repetition" -> d6Repetition,
+    "d11_vocab_oov" -> d11VocabOov,
     "d10_redact_pii" -> d10RedactPii,
     "pipe_training_mix" -> pipeTrainingMix,
     "pipe_pretrain_corpus" -> pipePretrainCorpus
@@ -610,6 +618,18 @@ object LlmQueries {
         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "d11_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+        |vocab AS (SELECT tok FROM freq ORDER BY n DESC, tok ASC LIMIT 16),
+        |j AS (
+        |  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM j GROUP BY 1""".stripMargin,
     "d4_top_tokens" ->
       """SELECT tok, n FROM (
         |  SELECT tok, count(*) AS n FROM (

@@ -62,6 +62,38 @@ class LlmSpec extends SparkSpec {
     assert(top == Seq(1L, 2L))
   }
 
+  test("ivfTopK assigns EVERY vector exactly once, bucket hit or miss") {
+    import spark.implicits._
+    // stride=2 -> centroids are the even ids. Centroid vectors all start
+    // positive (bucket 1); corpus ids 5 and 7 start negative (bucket 0,
+    // which holds NO centroid) -> they must take the full-codebook
+    // fallback rather than silently dropping out of the index.
+    val corpus = Seq(
+      (2L, Seq(1.0f, 0.5f)), (4L, Seq(0.8f, 0.6f)), (6L, Seq(0.9f, -0.1f)),
+      (3L, Seq(0.7f, 0.7f)), (5L, Seq(-0.9f, 0.2f)), (7L, Seq(-0.8f, -0.4f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // k = corpus size and nprobe = codebook size: every vector that made
+    // it into SOME inverted list must appear in the result
+    val got = Similarity.ivfTopK(corpus, col("vec_id"), col("embedding"),
+        q, col("embedding"), k = 6, stride = 2, nprobe = 3, coarseBits = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L, 4L, 5L, 6L, 7L),
+      s"fallback-assigned vectors must stay searchable, got $got")
+  }
+
+  test("vocabOov: tokens outside the top-V vocabulary count as OOV") {
+    import spark.implicits._
+    // corpus frequencies: a=4, b=3, c=2, z=1 -> vocab(2) = {a, b}
+    val d = docsDf(
+      (1L, "a a b c"), (2L, "a b b z"), (3L, "a c"))
+    val got = TextAnalysis.vocabOov(d, col("doc_id"), col("text"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getDouble(3))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, 1L, 0.25), (2L, 4L, 1L, 0.25),
+                      (3L, 2L, 1L, 0.5)))
+  }
+
   test("TextAnalysis.langId recovers the dominant-vocabulary language") {
     import spark.implicits._
     val d = Seq(
