@@ -80,6 +80,36 @@ object Streams {
               unix_micros(col("purchase_ts")).as("purchase_ts_us"))
   }
 
+  /** S9 (beyond §2.B): streaming training-data ingest — the LLM-pipeline
+    * gates composed on a document STREAM, the shape a continuous-crawl
+    * ingest actually runs: stateful exact dedup on the content hash
+    * within the watermark horizon (a re-crawl of the same text inside the
+    * horizon is dropped, and state stays bounded — at 100 TB/day the
+    * dedup state holds one 8-byte hash per unique doc per horizon, keyed
+    * and partitioned by the hash), then the stateless per-row gates
+    * (minimum length, duplicate-bigram repetition, PII redaction) — all
+    * reusing the batch operators' expressions, so the streaming path
+    * cannot drift from the oracle-verified batch semantics. Append-mode
+    * safe: nothing downstream of the dedup holds state. */
+  def docIngestGate(docs: DataFrame, minWords: Int = 5,
+                    maxDupBigramFrac: Double = 0.5): DataFrame = {
+    val deduped = docs
+      .withColumn("fp", xxhash64(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+    val nW = size(split(col("text"), " "))
+    val dupFrac = when(nW >= 2,
+      lit(1.0) -
+        size(graft.llm.Dedup.shingleArray(col("text"), 2)).cast("double") /
+          (nW - 1))
+      .otherwise(lit(0.0))
+    val (redTxt, redCnt) = graft.llm.TextAnalysis.redactionOf(col("text"))
+    deduped
+      .filter(nW >= minWords && dupFrac <= maxDupBigramFrac)
+      .select(col("doc_id"), col("ts"), redTxt.as("text"),
+              redCnt.as("n_redactions"))
+  }
+
   /** S6 state: running per-user aggregate carried across micro-batches. */
   case class UserEvent(user_id: Long, ts_us: Long, value: Double)
   case class UserState(n: Long, total: Double)

@@ -122,6 +122,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S9 streaming ingest gate: dedup + length/repetition gates + PII " +
+       "redaction on a document stream") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val streamed = Streams.docIngestGate(
+      input.toDF().toDF("doc_id", "mins", "text")
+        .select(col("doc_id"), timestamp_millis(col("mins") * 60000).as("ts"),
+                col("text")))
+    val q = streamed.writeStream.format("memory").queryName("s9gate")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, 100L, "alpha beta gamma delta epsilon"),   // clean -> kept
+        (2L, 101L, "alpha beta gamma delta epsilon"),   // exact dup -> drop
+        (3L, 102L, "too short"),                        // length gate
+        (4L, 103L, "spam spam spam spam spam spam"),    // repetition gate
+        (5L, 104L, "mail bob@example.org now please friend"))) // redacted
+      q.processAllAvailable()
+      input.addData(Seq(
+        (6L, 105L, "alpha beta gamma delta epsilon"),   // replay in horizon
+        (7L, 106L, "one two three four five six")))     // kept
+      q.processAllAvailable()
+      val rows = spark.table("s9gate")
+        .select("doc_id", "text", "n_redactions")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(1L, 5L, 7L))
+      val redacted = rows.find(_._1 == 5L).get
+      assert(redacted._2 == "mail <EMAIL> now please friend")
+      assert(redacted._3 == 1L)
+      assert(rows.filter(_._1 != 5L).forall(_._3 == 0L))
+    } finally q.stop()
+  }
+
   test("S6 mapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     val input = MemoryStream[Streams.UserEvent](spark)
