@@ -11,13 +11,22 @@ import org.apache.spark.sql.functions._
   * predicates as a golden table. */
 object CatalogQueries {
 
+  /** Cached per-cell aggregate (bounded ≤10k rows — the flagship's
+    * pattern): the catalog queries below derive the encoded catalog up to
+    * three times in one plan (old side, updated side, stats), and Spark's
+    * cache manager matches by canonicalized plan, so one cache() here
+    * collapses all of them onto a single fact-table scan. */
+  private def perCellCached(s: SparkSession, dir: String): DataFrame =
+    WroQueries.perCell(s, dir).cache()
+
   /** The derived catalog with comma-bearing labels ("<label>, b<idx>") so
     * the RFC-4180 encoder's quote-wrapping is actually exercised. */
   def catalogDecorated(s: SparkSession, dir: String): DataFrame =
-    WroQueries.catalog(s, dir).select(col("layer"),
-      transform(col("ranges"), (r, i) => struct(
-        concat(r("label"), lit(", b"), i.cast("string")).as("label"),
-        r("lo").as("lo"), r("hi").as("hi"), r("out").as("out"))).as("ranges"))
+    WroQueries.catalogFrom(WroQueries.cellsFrom(perCellCached(s, dir)))
+      .select(col("layer"),
+        transform(col("ranges"), (r, i) => struct(
+          concat(r("label"), lit(", b"), i.cast("string")).as("label"),
+          r("lo").as("lo"), r("hi").as("hi"), r("out").as("out"))).as("ranges"))
 
   /** R13/R14/R16: the encoded catalog table (stored string form). */
   def catalogEncoded(s: SparkSession, dir: String): DataFrame =
@@ -46,7 +55,7 @@ object CatalogQueries {
            lit(51.0).as("hi"), lit(8).as("out")))
 
   private def quantityStats(s: SparkSession, dir: String): DataFrame =
-    WroQueries.perCell(s, dir)
+    perCellCached(s, dir)
       .agg(min("quantity").as("mn"), max("quantity").as("mx"))
 
   /** R18 + V2/V3 (pyt:222-330): apply the edit to one catalog row. */
