@@ -345,6 +345,40 @@ class LlmSpec extends SparkSpec {
     assert(got(9L) == (("b", 2, 0, 0)), "strata pack independently")
   }
 
+  test("sequencePack chain invariant on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    // per source, walking docs in id order: the first doc starts at
+    // (pack 0, pos 0) and each next doc starts exactly where the
+    // previous one ended (pos_next == (pos + n) % ctx, pack advances by
+    // the tokens consumed) — catches window mis-partitioning/mis-ordering
+    val genDocs = Gen.nonEmptyListOf(for {
+      src <- Gen.oneOf("a", "b", "c")
+      n <- Gen.choose(1, 12)
+    } yield (src, n))
+    graft.PropCheck.checkProp(Prop.forAll(genDocs) { ds =>
+      val ctx = 8
+      val rows = ds.zipWithIndex.map { case ((src, n), i) =>
+        (i.toLong, Seq.fill(n)("t").mkString(" "), src) }
+      val got = Packing.sequencePack(rows.toDF("doc_id", "text", "source"),
+          col("doc_id"), col("text"), col("source"), ctx)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
+                   r.getInt(4)))
+        .groupBy(_._1).values.forall { perSrc =>
+          val docs = perSrc.sortBy(_._2)
+          docs.head._4 == 0 && docs.head._5 == 0 &&
+          docs.sliding(2).forall {
+            case Array((_, _, n, pk, pos), (_, _, _, pk2, pos2)) =>
+              val cum = pk.toLong * ctx + pos + n
+              pk2 == cum / ctx && pos2 == cum % ctx
+            case _ => true
+          }
+        }
+      got
+    }, minTests = 30)
+  }
+
   test("dedupClusters equals union-find on random graphs (property)") {
     import org.scalacheck.{Gen, Prop}
     import spark.implicits._
