@@ -61,4 +61,35 @@ class LlmPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(wide.isEmpty,
       s"a shuffle carries corpus text:\n${wide.mkString("\n")}")
   }
+
+  test("vocabOov: vocab rides a broadcast, corpus text never shuffles") {
+    val df = TextAnalysis.vocabOov(corpus, col("doc_id"), col("text"), 8)
+    df.count()
+    val wide = shuffles(df).filter(
+      _.output.map(_.name.toLowerCase).contains("text"))
+    assert(wide.isEmpty,
+      s"a shuffle carries corpus text:\n${wide.mkString("\n")}")
+    assert(df.queryExecution.executedPlan.toString
+             .contains("BroadcastHashJoin"),
+      s"vocab side not broadcast:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("ivfTopK assignment prefilter joins on the coarse bucket, " +
+       "broadcast-built") {
+    import spark.implicits._
+    val vecs = (1L until 120L)
+      .map(i => (i, Seq.tabulate(8)(d => (((i * 31 + d * 17) % 13) - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 1)
+    val df = Similarity.ivfTopK(vecs.filter(col("vec_id") =!= 1),
+      col("vec_id"), col("embedding"), q, col("embedding"),
+      k = 5, stride = 7, nprobe = 2, coarseBits = 3)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the in-bucket candidate join is an equi-join on (bucket = cbucket)
+    // with the centroid side broadcast — NOT a corpus×codebook cross join
+    assert(plan.contains("BroadcastHashJoin") &&
+           plan.toLowerCase.contains("cbucket"),
+      s"expected broadcast bucket equi-join in:\n$plan")
+  }
 }
