@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Shuffle-budget regression guard: each pinned query must plan with AT
+  * MOST the shuffle-exchange count it was tuned to (sf0.001, AQE on,
+  * pinned Spark version). A failure here means an edit silently added an
+  * exchange to a plan that SCALE.md documents as already minimal —
+  * tighten the code, not the budget. Budgets are exact current counts,
+  * not aspirations; `<=` keeps the guard stable if AQE ever removes one. */
+class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def shuffleCount(name: String): Int = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.count() // materialize so AQE finalizes the executed plan
+    val n = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }.size
+    spark.catalog.clearCache()
+    n
+  }
+
+  private val budgets: Seq[(String, Int)] = Seq(
+    // range+weight joins broadcast; the one exchange is the score agg
+    // (the cached per-cell aggregate hides its own build behind the
+    // InMemoryTableScan boundary — budget counts the visible plan)
+    "wro_overlay_flagship" -> 1,
+    // plain keyed agg: partial + final around one exchange
+    "a2_groupby" -> 1,
+    // AQE broadcasts the dim side at gate SF; one exchange for the agg
+    "j2_shuffle_join" -> 1,
+    // one window partition exchange
+    "w1_rank" -> 1,
+    // TakeOrderedAndProject: no exchange at all
+    "o2_topk" -> 0,
+    // hash groupBy on (xxhash64, md5) — one exchange
+    "d1_dedup_exact" -> 1,
+    // candidate generation materializes behind a cached subtree; the
+    // visible verification path is broadcast joins only
+    "d2_minhash_lsh" -> 0,
+    // benchmark shingles broadcast; the two exchanges carry only doc ids
+    "d9_decontaminate" -> 2,
+    // pure map-side filter
+    "d7_stratified_sample" -> 0,
+    // broadcast dim + codegen'd remap; one exchange under the dim's
+    // stats aggregate
+    "f9_remap_expr" -> 1)
+
+  budgets.foreach { case (name, budget) =>
+    test(s"$name plans with <= $budget shuffle exchange(s)") {
+      val got = shuffleCount(name)
+      assert(got <= budget,
+        s"$name now plans $got shuffles (budget $budget) — an exchange " +
+          "crept into a plan SCALE.md documents as minimal")
+    }
+  }
+}
