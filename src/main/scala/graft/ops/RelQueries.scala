@@ -170,6 +170,27 @@ object RelQueries {
       .limit(10)
   }
 
+  /** SQL-text entry point: a TPC-H Q6-shaped revenue scan run as SQL
+    * TEXT over the registered views (`graft.Tables.register`) instead of
+    * the DataFrame API — the declared proof that the inherited Spark SQL
+    * parser surface works end to end. The predicate set (date window +
+    * discount band + quantity cap) reaches the parquet scan as
+    * PushedFilters exactly like a DataFrame twin would; revenue stays on
+    * exact decimals, scaled to BIGINT 1e-4 units for the hash gate. */
+  def q6SqlText(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql("""
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+               AS revenue_e4,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""")
+  }
+
   /** J8: cross join (small dimension × small dimension). */
   def j8Cross(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "nation").select(col("n_name"))
@@ -636,7 +657,8 @@ object RelQueries {
     "src3_json_source" -> src3Json,
     "snk2_partitioned" -> snk2Partitioned,
     "q3_shipping_priority" -> q3Shipping,
-    "q5_local_supplier" -> q5LocalSupplier
+    "q5_local_supplier" -> q5LocalSupplier,
+    "q6_sql_text" -> q6SqlText
   )
 
   val oracle: Map[String, String] = Map(
@@ -699,6 +721,16 @@ object RelQueries {
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, c_custkey ASC
         |LIMIT 10""".stripMargin,
+    "q6_sql_text" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+        |         AS revenue_e4,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "j9_interval_overlap" ->
       """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
         |FROM events a JOIN events b
