@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Rfc4180Decode].getName, "rfc4180_decode"),
       (children: Seq[Expression]) =>
         Rfc4180Decode(arity("rfc4180_decode", 1)(children).head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        val Seq(a, b) = arity("cosine_sim", 2)(children)
+        CosineSim(a, b)
+      }))
     // literal range join -> codegen'd binary-search remap (plan rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinToRemap)
   }

@@ -18,10 +18,20 @@ object Similarity {
   /** Element-wise float→double view of an embedding column. */
   def asDouble(emb: Column): Column = transform(emb, _.cast("double"))
 
-  /** Codegen-friendly cosine between two double-array columns:
-    * zip_with for products, aggregate (sequential fold — deterministic
-    * order) for sums. No UDF. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine between two double-array columns: the fused native
+    * [[graft.functions.CosineSim]] kernel — one codegen'd pass
+    * accumulating dot/|a|²/|b|², no intermediate arrays. Bit-exact with
+    * the declarative `aggregate(zip_with(...))` composition (same
+    * index-order IEEE addition sequence — property-tested in LlmSpec),
+    * which remains available as [[cosineDeclarative]] for reference. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
+
+  /** The declarative formulation of [[cosine]]: zip_with for products,
+    * aggregate (sequential fold — deterministic order) for sums. No UDF,
+    * but it materializes a product array and walks each input three
+    * times per row — the fused expression is the hot-path form. */
+  def cosineDeclarative(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

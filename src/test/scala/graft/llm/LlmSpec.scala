@@ -51,6 +51,33 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("CosineSim is bit-exact with the declarative zip_with formulation " +
+       "(property), and null on length mismatch / null element") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val genVecs = for {
+      n <- Gen.choose(1, 64)
+      a <- Gen.listOfN(n, Gen.choose(-10.0, 10.0))
+      b <- Gen.listOfN(n, Gen.choose(-10.0, 10.0))
+    } yield (a, b)
+    graft.PropCheck.checkProp(Prop.forAll(genVecs) { case (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(Similarity.cosine(col("a"), col("b")).as("fused"),
+                Similarity.cosineDeclarative(col("a"), col("b")).as("decl"))
+        .head()
+      java.lang.Double.doubleToRawLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(row.getDouble(1))
+    }, minTests = 50)
+    val edge = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).head()
+    assert(edge.isNullAt(0), "length mismatch must be NULL")
+    val withNull = Seq(1).toDF("one")
+      .select(Similarity.cosine(
+        array(lit(1.0), lit(null).cast("double")),
+        array(lit(1.0), lit(2.0)))).head()
+    assert(withNull.isNullAt(0), "null element must be NULL")
+  }
+
   test("Similarity.topK ranks by cosine desc with id tie-break") {
     import spark.implicits._
     val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
