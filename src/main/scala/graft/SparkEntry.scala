@@ -14,14 +14,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.WroQueries.queries ++ ops.RelQueries.queries ++
       ops.LlmQueries.queries ++ ops.CatalogQueries.queries ++
-      ops.StreamQueries.queries
+      ops.StreamQueries.queries ++ ops.TsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.WroQueries.oracle ++ ops.RelQueries.oracle ++
       ops.LlmQueries.oracle ++ ops.CatalogQueries.oracle ++
-      ops.StreamQueries.oracle
+      ops.StreamQueries.oracle ++ ops.TsQueries.oracle
 
   /** Headline subset timed by Bench (one per operator family — timing
     * every declared query would measure count, not the engine). */

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd (k-means) iteration — the codebook trainer behind
+  * the IVF index ([[Similarity.ivfTopK]]): real IVF deployments train
+  * their coarse quantizer with exactly this loop over a corpus sample.
+  *
+  * Everything is fixed-point: embeddings quantize to integer grid units
+  * (`round(x · 2²⁰)` — the float-scaled-by-power-of-two product is exact
+  * in double, and both engines round ties away from zero), so distances
+  * and centroid sums are EXACT integer arithmetic — order-independent
+  * under Spark's unordered partial aggregation and bit-identical to any
+  * other engine. No floating-point summation anywhere in the plan.
+  *
+  * Scale posture: seeds are a K-row DataFrame broadcast against the
+  * corpus (never collected to the driver); assignment is a map-side
+  * argmin (window over the K candidate rows per vector — K is a
+  * constant, so the per-vector state is bounded); the centroid update is
+  * one hash aggregation on (cid, pos) — |corpus|·dim rows shuffle-
+  * compressed by map-side partial sums to K·dim output rows. Iterating
+  * calls [[lloydOnce]] in a driver loop over DataFrames (lineage-
+  * truncated like Dedup.dedupClusters); one iteration is declared at the
+  * gate because the iterate is the same plan repeated.
+  */
+object KMeans {
+
+  /** 2²⁰ — fixed-point grid. Embedding components are O(1), so quantized
+    * values are ~2²⁰ and a 64-dim squared distance is ≤ ~2⁵² — exact in
+    * Long with headroom. */
+  val Scale = 1048576L
+
+  /** Integer-grid view of an embedding column. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * Scale).cast("long"))
+
+  /** Exact squared-L2 between two quantized (long-array) columns. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** One Lloyd iteration: assign every corpus vector to its nearest of
+    * the K seed centroids (ties to the lowest cid), then emit the new
+    * centroid accumulators per (cid, dimension): member count `n` and
+    * exact component sum `sum_q` (the new centroid is sum_q/n/Scale —
+    * left unreduced so the result stays integer-exact at the gate).
+    *
+    * `corpus` must carry (vec_id: long, qv: array<long>); `seeds`
+    * (cid: long, cv: array<long>). */
+  def lloydOnce(corpus: DataFrame, seeds: DataFrame): DataFrame = {
+    val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    val assigned = corpus
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("qv"), col("cid"),
+              sqDist(col("qv"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+    assigned
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos0", "q")))
+      .groupBy(col("cid"), (col("pos0") + 1).cast("int").as("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+  }
+
+  /** The declared one-iteration query over the embeddings fixture:
+    * seeds = the K lowest vec_ids (deterministic, SQL-expressible). */
+  def lloydQuery(embeddings: DataFrame, k: Int): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      quantize(col("embedding")).as("qv"))
+    val seeds = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    lloydOnce(q, seeds)
+  }
+}

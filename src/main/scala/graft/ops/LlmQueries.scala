@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft._
-import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, KMeans, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -209,6 +209,12 @@ object LlmQueries {
     TextAnalysis.vocabOov(docs(s, dir), col("doc_id"), col("text"),
       vocabSize = 16)
 
+  /** D12: one distributed Lloyd iteration over the embeddings fixture —
+    * K=8 seeds, fixed-point-exact assignment + centroid accumulators
+    * (see [[graft.llm.KMeans]]). */
+  def d12Kmeans(s: SparkSession, dir: String): DataFrame =
+    KMeans.lloydQuery(table(s, dir, "embeddings"), k = 8)
+
   /** Composite training-data pipeline — D1+D4+D6 composing end to end,
     * the mix-building query a 100 TB corpus run actually looks like:
     * inject dups → exact dedup (keep the min-id copy) → lexicon langid
@@ -314,6 +320,7 @@ object LlmQueries {
     "d6_quality" -> d6Quality,
     "d6_repetition" -> d6Repetition,
     "d11_vocab_oov" -> d11VocabOov,
+    "d12_kmeans" -> d12Kmeans,
     "d10_redact_pii" -> d10RedactPii,
     "pipe_training_mix" -> pipeTrainingMix,
     "pipe_pretrain_corpus" -> pipePretrainCorpus
@@ -830,6 +837,31 @@ object LlmQueries {
         |  round(avg(stop_ratio), 6) AS avg_stop_ratio,
         |  round(avg(punct_ratio), 6) AS avg_punct_ratio,
         |  CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
-        |FROM per_doc GROUP BY 1""".stripMargin
+        |FROM per_doc GROUP BY 1""".stripMargin,
+    // fixed-point k-means: quantize to a 2^20 integer grid (exact in
+    // double; both engines round ties away from zero), so distances and
+    // centroid sums are exact integer arithmetic in both engines.
+    "d12_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+        |d AS (
+        |  SELECT q.vec_id, s.cid,
+        |         sum((q.qv[i.x] - s.cv[i.x]) * (q.qv[i.x] - s.cv[i.x])) AS dist
+        |  FROM q, seeds s, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d) WHERE rn = 1)
+        |SELECT a.cid, CAST(i.x AS INT) AS pos, count(*) AS n,
+        |       CAST(sum(q.qv[i.x]) AS BIGINT) AS sum_q
+        |FROM assign a JOIN q USING (vec_id),
+        |     LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |GROUP BY 1, 2""".stripMargin
   )
 }

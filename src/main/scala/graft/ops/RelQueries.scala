@@ -615,6 +615,89 @@ object RelQueries {
       .groupBy("n_name")
       .agg(revenueCents)
 
+  /** O5: pivot (wide crosstab) with an EXPLICIT value list — Spark's
+    * pivot without values runs an extra distinct-collect job to discover
+    * them; declaring the five priorities keeps this a single group-by
+    * plan (one shuffle on o_orderstatus). Missing combos coalesce to 0
+    * so the shape is total at every SF. */
+  def o5Pivot(s: SparkSession, dir: String): DataFrame = {
+    val vals = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+    val piv = table(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", vals)
+      .agg(count(lit(1)))
+    piv.select(col("o_orderstatus") +:
+      vals.zip(names).map { case (v, n) =>
+        coalesce(col(s"`$v`"), lit(0L)).as(n) }: _*)
+  }
+
+  /** A12: full cube + grouping_id — all four grouping sets of
+    * (returnflag, linestatus) in ONE pass (Spark expands the cube in the
+    * aggregate, not by re-scanning per set). grouping_id bit order
+    * (first listed column = MSB) matches DuckDB's GROUPING(). */
+  def a12Cube(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("int").as("gid"),
+           count(lit(1)).as("n"),
+           sum("l_quantity").cast("long").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+              coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+              col("gid"), col("n"), col("sum_qty"))
+
+  /** F10: higher-order array functions (filter/transform/aggregate) over
+    * the embedding column — per-row lambda folds, fully codegen'd, no
+    * explode/re-aggregate round trip (the anti-pattern this query
+    * exists to rule out: posexplode + groupBy shuffles |corpus|×dim
+    * rows for what is a narrow per-row computation). */
+  def f10HigherOrder(s: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    table(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(filter(e, x => x > 0f)).as("n_pos"),
+      round(aggregate(transform(e, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x), 4).as("sumsq"),
+      round(array_max(transform(e, x => abs(x.cast("double")))), 4)
+        .as("max_abs"))
+  }
+
+  /** TPC-H Q1 shape: the pricing-summary scan-heavy aggregate — one full
+    * lineitem pass, map-side partial agg, 4-group output. Money snapped
+    * to cents per-row before summing (exact, order-independent); the
+    * charge term rounds the product once (not per factor). */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100).cast("long")).as("sum_disc_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 100).cast("long")).as("sum_charge_cents"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q10 shape: returned-item revenue per customer — 3 fact-side
+    * joins + broadcast nation dim, group on the customer grain,
+    * deterministic top-20 (revenue desc, custkey asc). */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-10-01") &&
+              col("o_orderdate") < lit("1997-01-01"))
+      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(revenueCents)
+      .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+              col("revenue_cents"))
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -658,7 +741,12 @@ object RelQueries {
     "snk2_partitioned" -> snk2Partitioned,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
-    "q6_sql_text" -> q6SqlText
+    "q6_sql_text" -> q6SqlText,
+    "o5_pivot" -> o5Pivot,
+    "a12_cube" -> a12Cube,
+    "f10_higher_order" -> f10HigherOrder,
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q10_returned_items" -> q10ReturnedItems
   )
 
   val oracle: Map[String, String] = Map(
@@ -928,6 +1016,61 @@ object RelQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "o5_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p_urgent,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p_high,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p_medium,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS p_low
+        |FROM orders GROUP BY 1""".stripMargin,
+    "a12_cube" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS rf,
+        |       coalesce(l_linestatus, '<all>') AS ls,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |       count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    // sumsq folds the squares left-to-right in BOTH engines (Spark
+    // `aggregate`, DuckDB position-sum over an ordered group) — rounded
+    // to 4dp to absorb sub-ulp accumulation drift.
+    "f10_higher_order" ->
+      """SELECT a_id AS vec_id, n_pos,
+        |       round(sumsq, 4) AS sumsq, round(max_abs, 4) AS max_abs
+        |FROM (
+        |  SELECT e.vec_id AS a_id,
+        |    CAST(len(list_filter(e.embedding, x -> x > 0)) AS INT) AS n_pos,
+        |    sum(CAST(e.embedding[i.x] AS DOUBLE) * CAST(e.embedding[i.x] AS DOUBLE)) AS sumsq,
+        |    max(abs(CAST(e.embedding[i.x] AS DOUBLE))) AS max_abs
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  GROUP BY 1, 2)""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_disc_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_charge_cents,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name, revenue_cents FROM (
+        |  SELECT c_custkey, c_name, n_name,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY 1, 2, 3
+        |  ORDER BY revenue_cents DESC, c_custkey ASC
+        |  LIMIT 20)""".stripMargin
   )
 }

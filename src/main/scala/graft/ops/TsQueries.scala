@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch time-series operators over the `events` fixture: gap-based
+  * sessionization (the batch analogue of the streaming session window,
+  * SURVEY §2.B S3) and fixed-grid resampling with forward fill — the two
+  * shapes every telemetry/training-log pipeline needs and the reference's
+  * event handling implies (mosaic time dimension, pyt:1263-1269 stats
+  * over time-partitioned rasters).
+  *
+  * Scale posture: both queries window PARTITION BY user_id — never a
+  * global window — so the state per task is one user's series. The
+  * gap-fill grid is generated per-user with `sequence()` (a narrow
+  * projection, no shuffle beyond the bucket aggregation), and the
+  * forward fill is `last(ignoreNulls)` over the per-user hourly series:
+  * at 100 TB the series would be range-partitioned by (user, month) and
+  * each partition carries one preceding bucket of carry-in state.
+  *
+  * Oracle-exactness: timestamps leave the engine as epoch-microsecond
+  * longs; money as BIGINT cents snapped before aggregation (the
+  * RelQueries policy); session ordering carries a full deterministic
+  * tie-break (ts, event_id).
+  */
+object TsQueries {
+
+  private val GapUs   = 1800000000L   // 30 min session gap
+  private val HourUs  = 3600000000L   // resample grid step
+
+  /** Gap-based sessionization core over (user_id, event_id, t:us):
+    * a new session starts when a user's inter-event gap exceeds
+    * `gapUs`. lag + running sum of break flags + group-by, the textbook
+    * single-shuffle plan (one Exchange on user_id; both windows and the
+    * final aggregation reuse that partitioning). */
+  def sessionize(events: DataFrame, gapUs: Long = GapUs): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    events
+      .withColumn("brk",
+        when(lag(col("t"), 1).over(w).isNull ||
+             col("t") - lag(col("t"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_n", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_n")
+      .agg(min(col("t")).as("start_us"), max(col("t")).as("end_us"),
+           count(lit(1)).as("n_events"))
+  }
+
+  /** W6: sessionization of the events fixture. */
+  def w6Sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionize(table(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t")))
+
+  /** W7: resample to an hourly grid + forward fill. Buckets each user's
+    * events to the hour (value summed as exact BIGINT cents), generates
+    * the dense per-user hour grid from that user's own [min, max] span
+    * (`sequence` + explode — no cross join against a global calendar),
+    * left-joins the observed buckets, and forward-fills with
+    * last(ignoreNulls) over the per-user series. `is_gap` marks filled
+    * rows. Restricted to user_id < 20 so the declared result is
+    * fixture-sized at every SF; the plan is the unrestricted one. */
+  def w7Gapfill(s: SparkSession, dir: String): DataFrame =
+    gapfill(table(s, dir, "events").filter(col("user_id") < 20), HourUs)
+
+  /** Resample-and-forward-fill core: bucket (user_id, ts, value) rows to
+    * a `stepUs` grid, densify each user's own [min, max] span, and carry
+    * the last observed bucket value forward. */
+  def gapfill(events: DataFrame, stepUs: Long): DataFrame = {
+    val b = events
+      .groupBy(col("user_id"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(stepUs)))
+          .as("bus"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("cents"))
+    val grid = b.groupBy("user_id")
+      .agg(min(col("bus")).as("mn"), max(col("bus")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), lit(stepUs))).as("bus"))
+    val w = Window.partitionBy("user_id").orderBy("bus")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq("user_id", "bus"), "left")
+      .select(col("user_id"), col("bus"),
+        last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"),
+        when(col("cents").isNull, 1).otherwise(0).as("is_gap"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w6_sessionize" -> w6Sessionize,
+    "w7_gapfill" -> w7Gapfill
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w6_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+         |g AS (SELECT user_id, event_id, t,
+         |        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > $GapUs
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         |s AS (SELECT user_id, t,
+         |        sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+         |          ROWS UNBOUNDED PRECEDING) AS sess_n FROM g)
+         |SELECT user_id, CAST(sess_n AS BIGINT) AS sess_n,
+         |       min(t) AS start_us, max(t) AS end_us, count(*) AS n_events
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    // ASOF LEFT JOIN is DuckDB's native forward-fill: latest observed
+    // bucket at-or-before each grid hour — exactly last(ignoreNulls).
+    "w7_gapfill" ->
+      s"""WITH b AS (
+         |  SELECT user_id, epoch_us(ts) - epoch_us(ts) % $HourUs AS bus,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(bus) AS mn, max(bus) AS mx FROM b GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(range(mn, mx + 1, $HourUs)) AS bus FROM span)
+         |SELECT g.user_id, g.bus, b.cents AS filled_cents,
+         |       CASE WHEN b.bus = g.bus THEN 0 ELSE 1 END AS is_gap
+         |FROM grid g ASOF LEFT JOIN b ON g.user_id = b.user_id AND g.bus >= b.bus""".stripMargin
+  )
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.llm.KMeans
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the round-4 extension operators: batch
+  * sessionization, gap-fill resampling, pivot, cube, higher-order array
+  * functions, fixed-point k-means. The oracle gate proves fixture
+  * equality; these prove the SEMANTICS on inputs crafted so each edge
+  * (gap boundary, missing bucket, empty pivot cell, grouping-id bits,
+  * argmin tie) is load-bearing. */
+class ExtQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sessionize splits strictly-greater-than-gap boundaries only") {
+    import spark.implicits._
+    // user 1: gaps of 500 (kept: == gap is NOT a break), 1100, 3400
+    val ev = Seq((1L, 1L, 0L), (1L, 2L, 500L), (1L, 3L, 1600L),
+                 (1L, 4L, 5000L), (2L, 5L, 7L))
+      .toDF("user_id", "event_id", "t")
+    val got = TsQueries.sessionize(ev, gapUs = 1100L)
+      .orderBy("user_id", "sess_n")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 1600L, 3L),    // 1100 gap == gap → same session
+      (1L, 5000L, 5000L, 1L), // 3400 > gap → new session
+      (2L, 7L, 7L, 1L)))
+  }
+
+  test("sessionize orders ties by event_id") {
+    import spark.implicits._
+    // two events at the SAME t: no break between them regardless of
+    // which lag order is chosen — but the running sum must be stable
+    val ev = Seq((1L, 2L, 100L), (1L, 1L, 100L), (1L, 3L, 100000L))
+      .toDF("user_id", "event_id", "t")
+    val got = TsQueries.sessionize(ev, gapUs = 10L).orderBy("sess_n").collect()
+    assert(got.length == 2 && got(0).getLong(4) == 2L)
+  }
+
+  test("gapfill densifies the span and carries the last bucket forward") {
+    import spark.implicits._
+    val h = 3600000000L
+    val ev = Seq(
+      (0L, 0L, 1.0),          // bucket 0  → 100 cents
+      (0L, 3 * h + 5L, 2.5))  // bucket 3h → 250 cents
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val got = TsQueries.gapfill(ev, h).orderBy("bus")
+      .collect().map(r => (r.getLong(1) / h, r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((0L, 100L, 0), (1L, 100L, 1),
+                            (2L, 100L, 1), (3L, 250L, 0)))
+  }
+
+  test("lloyd iteration assigns to the nearest seed, ties to lowest cid") {
+    import spark.implicits._
+    // seeds are vec_id 0,1. vec 2 sits on seed 0; vec 3 near seed 1;
+    // vec 4 EXACTLY between them → tie → cid 0.
+    val emb = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(4f, 0f)),
+      (2L, Array(0f, 0f)), (3L, Array(4f, 1f)), (4L, Array(2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = KMeans.lloydQuery(emb, k = 2)
+    // 2 cids × 2 dims = 4 accumulator rows
+    assert(out.count() == 4)
+    val n = out.groupBy("cid").agg(max("n").as("n")).orderBy("cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(n.toSeq == Seq((0L, 3L), (1L, 2L)))   // {0,2,4} vs {1,3}
+    // centroid 1, dim 1: mean of 4f,4f on the 2^20 grid
+    val c1 = out.filter(col("cid") === 1 && col("pos") === 1)
+      .select((col("sum_q") / col("n")).cast("long")).head().getLong(0)
+    assert(c1 == 4L * KMeans.Scale)
+  }
+
+  test("quantized sqDist is exact integer L2") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f), Array(1f, 0f))).toDF("a", "b")
+      .select(KMeans.sqDist(KMeans.quantize(col("a")),
+                            KMeans.quantize(col("b"))).as("d"))
+    assert(df.head().getLong(0) == 4L * KMeans.Scale * KMeans.Scale)
+  }
+
+  test("pivot cells sum back to the orders rowcount, empty cells are 0") {
+    val piv = RelQueries.o5Pivot(spark, dir)
+    val cells = piv.select(
+      (col("p_urgent") + col("p_high") + col("p_medium") +
+       col("p_notspec") + col("p_low")).as("s"))
+      .agg(sum("s")).head().getLong(0)
+    assert(cells == graft.table(spark, dir, "orders").count())
+    assert(!piv.columns.contains("1-URGENT")) // renamed to stable names
+  }
+
+  test("cube emits all four grouping sets with postgres-style gid bits") {
+    val c = RelQueries.a12Cube(spark, dir).cache()
+    try {
+      val gids = c.select("gid").distinct().collect().map(_.getInt(0)).sorted
+      assert(gids.toSeq == Seq(0, 1, 2, 3))
+      // gid 3 = both dims rolled up = the grand total, exactly once
+      val tot = c.filter(col("gid") === 3).collect()
+      assert(tot.length == 1 &&
+        tot(0).getLong(3) == graft.table(spark, dir, "lineitem").count())
+      // gid bit order: MSB = first cube column (returnflag)
+      assert(c.filter(col("gid") === 2).select("rf").distinct()
+        .head().getString(0) == "<all>")
+    } finally c.unpersist()
+  }
+
+  test("higher-order fold equals the explode/re-aggregate formulation") {
+    val hof = RelQueries.f10HigherOrder(spark, dir)
+    val brute = graft.table(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy("vec_id")
+      .agg(sum(when(col("x") > 0f, 1).otherwise(0)).cast("int").as("n_pos"),
+           round(sum(col("x").cast("double") * col("x").cast("double")), 4)
+             .as("sumsq"),
+           round(max(abs(col("x").cast("double"))), 4).as("max_abs"))
+    // sumsq: unordered shuffle sum vs ordered fold can differ sub-ulp;
+    // the 4dp round absorbs it, so exact frame equality is expected
+    assert(hof.exceptAll(brute).isEmpty && brute.exceptAll(hof).isEmpty)
+  }
+
+  test("q1/q10 composites: shapes and deterministic ordering") {
+    val q1 = RelQueries.q1PricingSummary(spark, dir).collect()
+    assert(q1.length <= 6 && q1.nonEmpty)
+    val q10 = RelQueries.q10ReturnedItems(spark, dir).collect()
+    assert(q10.length <= 20)
+    val revs = q10.map(_.getLong(3))
+    assert(revs.sameElements(revs.sortBy(-_: Long)))
+  }
+}
