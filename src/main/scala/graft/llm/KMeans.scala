@@ -71,4 +71,44 @@ object KMeans {
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
     lloydOnce(q, seeds)
   }
+
+  /** Full codebook training: iterate [[lloydOnce]] to a fixed point (or
+    * `maxIter`), reducing each round's accumulators back to a quantized
+    * centroid table. The driver loop only carries the K×dim centroid
+    * DataFrame between rounds (lineage-truncated with localCheckpoint,
+    * the [[Dedup.dedupClusters]] shape); all per-vector work stays
+    * distributed. Returns (cid, cv) — feed straight into
+    * [[Similarity.ivfTopK]] as its codebook.
+    *
+    * Convergence check is EXACT (integer centroid equality via an anti-
+    * join on the exploded table), so the loop cannot oscillate below a
+    * float epsilon: mean-of-integers re-quantized to the grid is
+    * deterministic, and an unchanged codebook reproduces itself. */
+  def train(corpus: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {
+    val q = corpus.localCheckpoint()
+    var seeds = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      .localCheckpoint()
+    var iter = 0
+    var moved = 1L
+    while (moved > 0 && iter < maxIter) {
+      // accumulators → new centroid components on the same 2^20 grid
+      // (integer mean, ties truncate toward zero in both engines' `div`)
+      val next = lloydOnce(q, seeds)
+        .select(col("cid"), col("pos"),
+          expr("sum_q div n").as("c"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cid"), transform(col("pc"), _.getField("c")).as("cv"))
+        .localCheckpoint()
+      moved = next
+        .select(col("cid"), posexplode(col("cv")).as(Seq("p", "c")))
+        .join(seeds.select(col("cid"),
+                posexplode(col("cv")).as(Seq("p", "c0"))), Seq("cid", "p"))
+        .filter(col("c") =!= col("c0")).count()
+      seeds = next
+      iter += 1
+    }
+    seeds
+  }
 }

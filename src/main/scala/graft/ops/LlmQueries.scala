@@ -44,7 +44,7 @@ object LlmQueries {
     * (base~A and A~B pass t=0.8, base~B does not) and longer docs a
     * triangle. The chain is the case where pairwise dedup over-deletes
     * and only the transitive closure clusters correctly. */
-  private def docsWithNearDupChains(s: SparkSession, dir: String): DataFrame = {
+  def docsWithNearDupChains(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     val tenth = d.filter(col("doc_id") % 10 === 0)
     d.unionByName(tenth.select((col("doc_id") + 1000000L).as("doc_id"),

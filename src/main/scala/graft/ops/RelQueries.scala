@@ -530,6 +530,27 @@ object RelQueries {
       .csv(out)
   }
 
+  /** SRC4: ORC sink + source round-trip — the columnar alternative to
+    * parquet (built into spark-sql; same pushdown/pruning machinery).
+    * Writes a lineitem projection as zlib ORC, reads it back, and
+    * aggregates; the oracle computes the same aggregate from the parquet
+    * original, so the gate proves write+read value fidelity, type
+    * mapping (timestamp included), and that predicates still prune. */
+  def src4Orc(s: SparkSession, dir: String): DataFrame = {
+    val out = ioDir(dir, "src4orc")
+    table(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+              "l_shipdate")
+      .write.mode("overwrite").option("compression", "zlib").orc(out)
+    s.read.orc(out)
+      .filter(col("l_shipdate") >= lit("1997-01-01"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sum("l_quantity").cast("long").as("sum_qty"),
+           sum(round(col("l_extendedprice") * 100).cast("long"))
+             .as("sum_base_cents"))
+  }
+
   /** SRC3: JSON-lines source — parse the props column as a JSON dataset
     * (schema inference + read), then aggregate. */
   def src3Json(s: SparkSession, dir: String): DataFrame = {
@@ -738,6 +759,7 @@ object RelQueries {
     "f6_json" -> f6Json,
     "src2_csv_roundtrip" -> src2Csv,
     "src3_json_source" -> src3Json,
+    "src4_orc_roundtrip" -> src4Orc,
     "snk2_partitioned" -> snk2Partitioned,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -1016,6 +1038,14 @@ object RelQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "src4_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_base_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
     "o5_pivot" ->
       """SELECT o_orderstatus,

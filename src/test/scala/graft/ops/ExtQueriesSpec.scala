@@ -120,6 +120,40 @@ class ExtQueriesSpec extends SparkSpec {
     assert(hof.exceptAll(brute).isEmpty && brute.exceptAll(hof).isEmpty)
   }
 
+  test("lloyd training converges to a fixed point on separable clusters") {
+    import spark.implicits._
+    // two blobs; seeds 0,1 both start inside blob A, so convergence
+    // requires centroid 1 to MIGRATE to blob B across rounds (round 1
+    // pulls it to the midpoint, round 2 hands blob A entirely to
+    // centroid 0) — a fixture a single Lloyd step cannot satisfy.
+    val emb = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0.1f, 0f)), (3L, Array(0.9f, 0f)),
+      (4L, Array(10f, 0f)), (5L, Array(10.2f, 0f)), (6L, Array(9.8f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+    val codebook = KMeans.train(emb, k = 2, maxIter = 10)
+      .orderBy("cid").collect()
+    assert(codebook.length == 2)
+    val c0 = codebook(0).getSeq[Long](1).head.toDouble / KMeans.Scale
+    val c1 = codebook(1).getSeq[Long](1).head.toDouble / KMeans.Scale
+    // fixed point: centroid 0 owns the low blob, centroid 1 the high one
+    assert(math.abs(c0 - 0.5) < 0.3, s"c0=$c0")
+    assert(math.abs(c1 - 10.0) < 0.3, s"c1=$c1")
+  }
+
+  test("orc roundtrip preserves values and types") {
+    val orc = RelQueries.src4Orc(spark, dir)
+    val direct = graft.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sum("l_quantity").cast("long").as("sum_qty"),
+           sum(round(col("l_extendedprice") * 100).cast("long"))
+             .as("sum_base_cents"))
+    assert(orc.exceptAll(direct).isEmpty && direct.exceptAll(orc).isEmpty)
+  }
+
   test("q1/q10 composites: shapes and deterministic ordering") {
     val q1 = RelQueries.q1PricingSummary(spark, dir).collect()
     assert(q1.length <= 6 && q1.nonEmpty)

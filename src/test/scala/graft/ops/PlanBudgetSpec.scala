@@ -48,7 +48,27 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d7_stratified_sample" -> 0,
     // broadcast dim + codegen'd remap; one exchange under the dim's
     // stats aggregate
-    "f9_remap_expr" -> 1)
+    "f9_remap_expr" -> 1,
+    // one exchange on user_id; both windows and the session agg reuse it
+    "w6_sessionize" -> 1,
+    // bucket agg + grid/span derivation; forward-fill window reuses the
+    // user_id layout
+    "w7_gapfill" -> 2,
+    // Spark's two-phase pivot: (status, prio) partial agg, then the
+    // status-grain pivot agg — the second exchange carries only
+    // group-cardinality rows
+    "o5_pivot" -> 2,
+    // cube expands all four grouping sets inside ONE aggregate
+    "a12_cube" -> 1,
+    // per-row lambda folds — pure map-side, zero exchanges
+    "f10_higher_order" -> 0,
+    // scan-heavy aggregate: partial + final around one exchange
+    "q1_pricing_summary" -> 1,
+    // broadcast seeds + windowed argmin (vec_id exchange) + accumulator
+    // agg (cid,pos exchange)
+    "d12_kmeans" -> 2,
+    // ORC read-back aggregation — one exchange
+    "src4_orc_roundtrip" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
