@@ -719,6 +719,21 @@ object RelQueries {
       .select(col("c_custkey"), col("c_name"), col("n_name"),
               col("revenue_cents"))
 
+  /** F11: Z-order (Morton) clustering key — the 2D-pruning write layout
+    * ([[Layout.zorder16]]). The query emits the interleaved key plus a
+    * per-Z-range aggregate proving the curve's locality (each 65536-wide
+    * Z bucket covers at most a 256x256 (partkey, suppkey) rectangle —
+    * exactly the min/max stats a file written in Z order would carry). */
+  def f11Zorder(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .select(Layout.zorder16(col("l_partkey"), col("l_suppkey")).as("z"),
+              col("l_partkey").bitwiseAND(lit(0xFFFFL)).as("x"),
+              col("l_suppkey").bitwiseAND(lit(0xFFFFL)).as("y"))
+      .groupBy((col("z") - pmod(col("z"), lit(65536L))).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+           min("x").as("min_x"), max("x").as("max_x"),
+           min("y").as("min_y"), max("y").as("max_y"))
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -767,6 +782,7 @@ object RelQueries {
     "o5_pivot" -> o5Pivot,
     "a12_cube" -> a12Cube,
     "f10_higher_order" -> f10HigherOrder,
+    "f11_zorder" -> f11Zorder,
     "q1_pricing_summary" -> q1PricingSummary,
     "q10_returned_items" -> q10ReturnedItems
   )
@@ -1074,6 +1090,22 @@ object RelQueries {
         |    max(abs(CAST(e.embedding[i.x] AS DOUBLE))) AS max_abs
         |  FROM embeddings e, LATERAL (SELECT unnest(range(1, 65)) AS x) i
         |  GROUP BY 1, 2)""".stripMargin,
+    "f11_zorder" ->
+      """WITH k AS (
+        |  SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y,
+        |         count(*) AS m
+        |  FROM lineitem GROUP BY 1, 2),
+        |z AS (
+        |  SELECT x, y, any_value(m) AS m,
+        |    sum(((x // (1 << i.b)) % 2) * (1 << (2 * i.b)) +
+        |        ((y // (1 << i.b)) % 2) * (1 << (2 * i.b + 1))) AS z
+        |  FROM k, LATERAL (SELECT unnest(range(0, 16)) AS b) i
+        |  GROUP BY x, y)
+        |SELECT CAST(z - z % 65536 AS BIGINT) AS z_bucket,
+        |  CAST(sum(m) AS BIGINT) AS n,
+        |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+        |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+        |FROM z GROUP BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

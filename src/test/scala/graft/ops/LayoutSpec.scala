@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: bit-exactness (round-trip bijection), curve locality
+  * (aligned tiles are contiguous Z ranges), and the property the layout
+  * exists for — files written in Z order carry small min/max rectangles
+  * in BOTH dimensions, so either-key predicates prune. */
+class LayoutSpec extends SparkSpec {
+
+  test("zorder16/dezorder16 round-trip is the identity on the 16-bit grid") {
+    // 20k deterministic, well-spread (x, y) pairs — includes 0 and 65535
+    val pairs = spark.range(20000).select(
+      (col("id") * 2654435761L % 65536).as("x"),
+      (col("id") * 40503L % 65536).as("y"))
+      .union(spark.range(1).select(lit(0L).as("x"), lit(65535L).as("y")))
+      .union(spark.range(1).select(lit(65535L).as("x"), lit(0L).as("y")))
+    val (bx, by) = Layout.dezorder16(Layout.zorder16(col("x"), col("y")))
+    val bad = pairs.select(col("x"), col("y"), bx.as("rx"), by.as("ry"))
+      .filter(col("x") =!= col("rx") || col("y") =!= col("ry"))
+    assert(bad.isEmpty)
+  }
+
+  test("an aligned 256x256 tile is one contiguous Z range") {
+    // tile at (x0, y0) aligned to 256: z values must cover exactly
+    // [z(x0,y0), z(x0,y0) + 65535] with no point outside
+    val x0 = 512L
+    val y0 = 1280L
+    val tile = spark.range(256).select(col("id").as("dx"))
+      .crossJoin(spark.range(256).select(col("id").as("dy")))
+      .select(Layout.zorder16(col("dx") + x0, col("dy") + y0).as("z"))
+    val r = tile.agg(min("z"), max("z"), count(lit(1))).head()
+    assert(r.getLong(1) - r.getLong(0) == 65535L)
+    assert(r.getLong(2) == 65536L)
+  }
+
+  test("z-ordered partitions carry tight rectangles in both dimensions") {
+    // uniform 1024x1024 grid of points, clustered into 16 range
+    // partitions by Z — every partition's (x, y) bounding box must be a
+    // small fraction of the full grid (for a perfect Z curve on 16
+    // aligned partitions it is exactly 1/16; allow 2x slack for range
+    // partitioner boundary estimation)
+    val pts = spark.range(1024L * 1024L).select(
+      (col("id") % 1024).as("x"), expr("id div 1024").as("y"))
+    val boxes = Layout.zorderBy(pts, col("x"), col("y"), 16)
+      .select(col("x"), col("y"), spark_partition_id().as("p"))
+      .groupBy("p")
+      .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1))
+        .as("area"))
+    val worst = boxes.agg(max("area")).head().getLong(0)
+    assert(worst <= 2L * 1024L * 1024L * 1024L / 16L,
+      s"worst partition bounding box area $worst — Z clustering lost")
+  }
+}

@@ -68,7 +68,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // agg (cid,pos exchange)
     "d12_kmeans" -> 2,
     // ORC read-back aggregation — one exchange
-    "src4_orc_roundtrip" -> 1)
+    "src4_orc_roundtrip" -> 1,
+    // interleave is pure bit arithmetic at the scan; one bucket-agg
+    // exchange
+    "f11_zorder" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
