@@ -113,6 +113,41 @@ object TextAnalysis {
         coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** D13: character-bigram language-model "surprise" score — the
+    * KenLM-family quality signal: a doc whose character statistics
+    * diverge from the corpus (machine junk, wrong language, binary
+    * spill) accumulates high per-bigram surprise. The model is trained
+    * IN the same plan (bigram counts over the corpus); per-bigram
+    * surprise is the integer order of magnitude floor(log2(N/c)) —
+    * `length(bin(N div c)) - 1`, exact integer arithmetic end to end, so
+    * the score is order-independent and engine-portable (no floating
+    * logs: the policy every oracle-gated money/score column follows).
+    *
+    * Plan shape: the bigram fan-out is a narrow explode (rows of one doc
+    * stay in its partition, so the per-doc aggregation's map-side
+    * partials collapse |text| rows to 1 before the shuffle); the model
+    * (≤ charset² rows) and the 1-row total both ride broadcasts —
+    * corpus text itself is never shuffled. */
+  def bigramSurprise(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val bigrams = when(length(text) >= 2,
+        transform(sequence(lit(1), length(text) - 1),
+          i => text.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val bg = docs.select(id.as("doc_id"), explode(bigrams).as("b"))
+    val model = bg.groupBy("b").agg(count(lit(1)).as("c"))
+    val total = model.agg(sum("c").as("n"))
+    val scored = bg
+      .join(broadcast(model), "b")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"),
+           sum(length(bin(expr("n div c"))) - 1).as("surprise"))
+    docs.select(id.as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bg"), lit(0L)).as("n_bg"),
+        coalesce(col("surprise"), lit(0L)).cast("long").as("surprise"))
+  }
+
   /** PII patterns → sentinels, applied in order (email first, so an
     * address's dotted domain is consumed before the IPv4 pattern runs).
     * Deliberately restricted to the RE2-compatible regex subset (no

@@ -209,6 +209,11 @@ object LlmQueries {
     TextAnalysis.vocabOov(docs(s, dir), col("doc_id"), col("text"),
       vocabSize = 16)
 
+  /** D13: corpus-self-trained char-bigram LM surprise (integer
+    * floor-log2 — see [[TextAnalysis.bigramSurprise]]). */
+  def d13LmSurprise(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramSurprise(docs(s, dir), col("doc_id"), col("text"))
+
   /** D12: one distributed Lloyd iteration over the embeddings fixture —
     * K=8 seeds, fixed-point-exact assignment + centroid accumulators
     * (see [[graft.llm.KMeans]]). */
@@ -321,6 +326,7 @@ object LlmQueries {
     "d6_repetition" -> d6Repetition,
     "d11_vocab_oov" -> d11VocabOov,
     "d12_kmeans" -> d12Kmeans,
+    "d13_lm_surprise" -> d13LmSurprise,
     "d10_redact_pii" -> d10RedactPii,
     "pipe_training_mix" -> pipeTrainingMix,
     "pipe_pretrain_corpus" -> pipePretrainCorpus
@@ -838,6 +844,23 @@ object LlmQueries {
         |  round(avg(punct_ratio), 6) AS avg_punct_ratio,
         |  CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
         |FROM per_doc GROUP BY 1""".stripMargin,
+    // integer LM surprise: floor(log2(N/c)) per bigram via binary-string
+    // length — exact integers end to end, no floating logs to drift.
+    "d13_lm_surprise" ->
+      """WITH bg AS (
+        |  SELECT doc_id, substr(text, i.x, 2) AS b
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(1, length(text))) AS x) i),
+        |model AS (SELECT b, count(*) AS c FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM bg)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_bg, 0) AS BIGINT) AS n_bg,
+        |  CAST(coalesce(s.surprise, 0) AS BIGINT) AS surprise
+        |FROM documents d LEFT JOIN (
+        |  SELECT bg.doc_id, count(*) AS n_bg,
+        |    sum(length(printf('%b', tot.n // model.c)) - 1) AS surprise
+        |  FROM bg JOIN model USING (b), tot
+        |  GROUP BY 1) s USING (doc_id)""".stripMargin,
     // fixed-point k-means: quantize to a 2^20 integer grid (exact in
     // double; both engines round ties away from zero), so distances and
     // centroid sums are exact integer arithmetic in both engines.

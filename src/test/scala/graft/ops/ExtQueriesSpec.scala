@@ -154,6 +154,33 @@ class ExtQueriesSpec extends SparkSpec {
     assert(orc.exceptAll(direct).isEmpty && direct.exceptAll(orc).isEmpty)
   }
 
+  test("bigram surprise ranks out-of-distribution text above corpus text") {
+    import spark.implicits._
+    val normal = (1L to 30L).map(i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog again"))
+    val junk = Seq((99L, "zq xv qj vk wz qq kx jv zx qk wv xj"))
+    val docs = (normal ++ junk).toDF("doc_id", "text")
+    val scored = graft.llm.TextAnalysis
+      .bigramSurprise(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        (col("surprise").cast("double") / col("n_bg")).as("rate"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val junkRate = scored(99L)
+    assert((scored - 99L).values.forall(_ < junkRate),
+      s"junk rate $junkRate not above corpus rates")
+  }
+
+  test("bigram surprise keeps sub-2-char docs with zero score") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, ""), (3L, "abcd")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis
+      .bigramSurprise(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(got.length == 3)
+    assert(got(0).getLong(1) == 0L && got(1).getLong(1) == 0L)
+    assert(got(2).getLong(1) == 3L)
+  }
+
   test("q1/q10 composites: shapes and deterministic ordering") {
     val q1 = RelQueries.q1PricingSummary(spark, dir).collect()
     assert(q1.length <= 6 && q1.nonEmpty)
