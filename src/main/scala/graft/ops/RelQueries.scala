@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -719,6 +719,49 @@ object RelQueries {
       .select(col("c_custkey"), col("c_name"), col("n_name"),
               col("revenue_cents"))
 
+  /** Deletion neighborhood of a string: the string plus every
+    * single-character deletion — the FastSS candidate key for edit
+    * distance ≤ 1 (two strings within ED 1 ALWAYS share a variant, so an
+    * equi-join on variants is a complete candidate generator). */
+  private def deletionVariants(c: Column): Column =
+    array_union(array(c),
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+
+  /** J12: fuzzy (edit-distance ≤ 1) join WITHOUT an all-pairs cross
+    * join: both sides explode to their deletion neighborhoods, candidates
+    * come from a plain equi-join on the variant (shuffle-partitionable,
+    * bucket-bounded — the FastSS scheme), and only candidates pay the
+    * exact `levenshtein` verification. The probe side is the nation
+    * table with one character deleted (a planted typo corpus). At 100 TB
+    * the variant column is just another join key: salting/AQE apply, and
+    * neighborhood size is |s|+1 — linear fan-out, never quadratic. */
+  /** The ED≤1 join core: explode both sides to deletion neighborhoods,
+    * equi-join on the variant, dedup candidates, verify exactly. Output
+    * columns: (l_id, l_s, r_id, r_s). */
+  def ed1Join(l: DataFrame, lId: Column, lStr: Column,
+              r: DataFrame, rId: Column, rStr: Column): DataFrame = {
+    val lv = l.select(lId.as("l_id"), lStr.as("l_s"),
+      explode(deletionVariants(lStr)).as("v"))
+    val rv = r.select(rId.as("r_id"), rStr.as("r_s"),
+      explode(deletionVariants(rStr)).as("v"))
+    lv.join(rv, "v")
+      .select("l_id", "l_s", "r_id", "r_s").distinct()
+      .filter(levenshtein(col("l_s"), col("r_s")) <= 1)
+  }
+
+  def j12FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val nation = table(s, dir, "nation").select("n_nationkey", "n_name")
+    val typos = nation.filter(length(col("n_name")) >= 4)
+      .select((col("n_nationkey") + 100).as("t_id"),
+        concat(substring(col("n_name"), 1, 2), expr("substring(n_name, 4)"))
+          .as("t_name"))
+    ed1Join(typos, col("t_id"), col("t_name"),
+            nation, col("n_nationkey"), col("n_name"))
+      .select(col("l_id").as("t_id"), col("l_s").as("t_name"),
+              col("r_id").as("n_nationkey"), col("r_s").as("n_name"))
+  }
+
   /** F11: Z-order (Morton) clustering key — the 2D-pruning write layout
     * ([[Layout.zorder16]]). The query emits the interleaved key plus a
     * per-Z-range aggregate proving the curve's locality (each 65536-wide
@@ -783,6 +826,7 @@ object RelQueries {
     "a12_cube" -> a12Cube,
     "f10_higher_order" -> f10HigherOrder,
     "f11_zorder" -> f11Zorder,
+    "j12_fuzzy_join" -> j12FuzzyJoin,
     "q1_pricing_summary" -> q1PricingSummary,
     "q10_returned_items" -> q10ReturnedItems
   )
@@ -1090,6 +1134,17 @@ object RelQueries {
         |    max(abs(CAST(e.embedding[i.x] AS DOUBLE))) AS max_abs
         |  FROM embeddings e, LATERAL (SELECT unnest(range(1, 65)) AS x) i
         |  GROUP BY 1, 2)""".stripMargin,
+    // oracle verifies with the EXACT predicate over the (tiny) dims —
+    // the Spark plan must produce the same pair set from its
+    // deletion-neighborhood candidates
+    "j12_fuzzy_join" ->
+      """WITH typos AS (
+        |  SELECT n_nationkey + 100 AS t_id,
+        |         substr(n_name, 1, 2) || substr(n_name, 4) AS t_name
+        |  FROM nation WHERE length(n_name) >= 4)
+        |SELECT t.t_id, t.t_name, n.n_nationkey, n.n_name
+        |FROM typos t JOIN nation n
+        |  ON levenshtein(t.t_name, n.n_name) <= 1""".stripMargin,
     "f11_zorder" ->
       """WITH k AS (
         |  SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y,

@@ -86,9 +86,56 @@ object TsQueries {
         when(col("cents").isNull, 1).otherwise(0).as("is_gap"))
   }
 
+  /** Ordered-funnel core over (user_id, event_type, t:us): the first
+    * `stages.head` event opens the funnel, each later stage is the first
+    * matching event STRICTLY after the previous stage's time. One
+    * user_id exchange: events collect per user (bounded per-user event
+    * counts — document/enforce upstream at scale) and a single
+    * higher-order `aggregate` fold walks the time-sorted array once —
+    * no per-stage self-join cascade (the 3-join formulation shuffles
+    * the events table once per stage). Ties at the same timestamp are
+    * broken by (t, event_type) sort order, but stage conditions are
+    * strict (>) so equal-time events can never fill two stages. */
+  def funnelTimes(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.length == 3, "funnelTimes is specified for 3 stages")
+    val Seq(s1, s2, s3) = stages
+    val nul = lit(null).cast("long")
+    val zero = struct(nul.as("t1"), nul.as("t2"), nul.as("t3"))
+    val arr = array_sort(collect_list(struct(col("t"), col("event_type"))))
+    val fold = aggregate(arr, zero, (acc, ev) => {
+      val (t1, t2, t3) =
+        (acc.getField("t1"), acc.getField("t2"), acc.getField("t3"))
+      val (et, ty) = (ev.getField("t"), ev.getField("event_type"))
+      struct(
+        when(t1.isNull && ty === s1, et).otherwise(t1).as("t1"),
+        when(t2.isNull && t1.isNotNull && ty === s2 && et > t1, et)
+          .otherwise(t2).as("t2"),
+        when(t3.isNull && t2.isNotNull && ty === s3 && et > t2, et)
+          .otherwise(t3).as("t3"))
+    })
+    events.groupBy("user_id").agg(fold.as("f"))
+      .select(col("user_id"), col("f.t1").as("t1"), col("f.t2").as("t2"),
+              col("f.t3").as("t3"))
+  }
+
+  /** W8: click → view → purchase funnel over the events fixture —
+    * per-stage user counts and total open-to-conversion latency. */
+  def w8Funnel(s: SparkSession, dir: String): DataFrame =
+    funnelTimes(
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("t")),
+      Seq("click", "view", "purchase"))
+      .agg(count(col("t1")).as("n_stage1"),
+           count(col("t2")).as("n_stage2"),
+           count(col("t3")).as("n_stage3"),
+           coalesce(sum(col("t3") - col("t1")), lit(0L)).cast("long")
+             .as("sum_conv_us"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w6_sessionize" -> w6Sessionize,
-    "w7_gapfill" -> w7Gapfill
+    "w7_gapfill" -> w7Gapfill,
+    "w8_funnel" -> w8Funnel
   )
 
   val oracle: Map[String, String] = Map(
@@ -106,6 +153,21 @@ object TsQueries {
          |FROM s GROUP BY 1, 2""".stripMargin,
     // ASOF LEFT JOIN is DuckDB's native forward-fill: latest observed
     // bucket at-or-before each grid hour — exactly last(ignoreNulls).
+    // per-stage mins recomputed as the correlated-min cascade; the fold
+    // and the cascade agree because stage conditions are strict
+    "w8_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+        |       WHERE event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND t > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS n_stage1,
+        |       (SELECT count(*) FROM s2) AS n_stage2,
+        |       (SELECT count(*) FROM s3) AS n_stage3,
+        |       (SELECT CAST(coalesce(sum(t3 - t1), 0) AS BIGINT)
+        |        FROM s3 JOIN s1 USING (user_id)) AS sum_conv_us""".stripMargin,
     "w7_gapfill" ->
       s"""WITH b AS (
          |  SELECT user_id, epoch_us(ts) - epoch_us(ts) % $HourUs AS bus,

@@ -181,6 +181,68 @@ class ExtQueriesSpec extends SparkSpec {
     assert(got(2).getLong(1) == 3L)
   }
 
+  test("funnel fold: ordered stages, strict times, partial funnels") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "click", 10L), (1L, "view", 20L), (1L, "purchase", 30L),
+      // user 2: purchase BEFORE the view stage opened — stops at stage 2
+      (2L, "click", 10L), (2L, "purchase", 15L), (2L, "view", 20L),
+      // user 3: view before any click — funnel never opens past stage 1
+      (3L, "view", 5L), (3L, "click", 10L),
+      // user 4: view at EXACTLY the click time — strict > excludes it
+      (4L, "click", 10L), (4L, "view", 10L), (4L, "view", 11L))
+      .toDF("user_id", "event_type", "t")
+    val got = TsQueries.funnelTimes(ev, Seq("click", "view", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+                 Option(r.get(3))))
+    assert(got.toSeq == Seq(
+      (1L, Some(10L), Some(20L), Some(30L)),
+      (2L, Some(10L), Some(20L), None),
+      (3L, Some(10L), None, None),
+      (4L, Some(10L), Some(11L), None)))
+  }
+
+  test("ed1 join finds every edit class and kills the ED-2 false candidate") {
+    import spark.implicits._
+    val left = Seq((1L, "cat"), (2L, "ab")).toDF("id", "s")
+    val right = Seq(
+      (10L, "cat"),   // equal
+      (11L, "car"),   // substitution
+      (12L, "cart"),  // insertion
+      (13L, "at"),    // deletion
+      (14L, "ba"),    // shares deletion variants with "ab" but ED=2
+      (15L, "dog"))   // no relation
+      .toDF("id", "s")
+    val got = RelQueries.ed1Join(left, col("id"), col("s"),
+                                 right, col("id"), col("s"))
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (2,13): "ab"~"at" is a substitution — also ED 1
+    assert(got == Set((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (2L, 13L)))
+  }
+
+  test("ed1 candidates are complete for every random single edit") {
+    import spark.implicits._
+    // derive right side from left by one random-but-deterministic edit
+    val base = (0 until 200).map { i =>
+      val s = f"w${i}%03drd" + ("abcde".charAt(i % 5))
+      val edited = (i % 3) match {
+        case 0 => s.updated(i % s.length, 'z')          // substitute
+        case 1 => s.patch(i % s.length, "", 1)          // delete
+        case 2 => s.patch(i % s.length, "z", 0)         // insert
+      }
+      (i.toLong, s, edited)
+    }
+    val l = base.map(t => (t._1, t._2)).toDF("id", "s")
+    val r = base.map(t => (t._1, t._3)).toDF("id", "s")
+    val matched = RelQueries.ed1Join(l, col("id"), col("s"),
+                                     r, col("id"), col("s"))
+      .filter(col("l_id") === col("r_id")).count()
+    assert(matched == 200L, s"only $matched/200 single-edit pairs found")
+  }
+
   test("q1/q10 composites: shapes and deterministic ordering") {
     val q1 = RelQueries.q1PricingSummary(spark, dir).collect()
     assert(q1.length <= 6 && q1.nonEmpty)

@@ -71,7 +71,16 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "src4_orc_roundtrip" -> 1,
     // interleave is pure bit arithmetic at the scan; one bucket-agg
     // exchange
-    "f11_zorder" -> 1)
+    "f11_zorder" -> 1,
+    // model agg + 1-row total + per-doc agg + the doc-restore join;
+    // corpus TEXT never crosses any of them (ids and partial sums only)
+    "d13_lm_surprise" -> 4,
+    // one user_id exchange for the fold; the final 4-counter agg is the
+    // 1-row merge every global aggregate has
+    "w8_funnel" -> 2,
+    // variant equi-join (AQE broadcasts the typo side at gate SF) +
+    // candidate distinct — never an all-pairs cross join
+    "j12_fuzzy_join" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
