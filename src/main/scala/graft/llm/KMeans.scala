@@ -72,6 +72,32 @@ object KMeans {
     lloydOnce(q, seeds)
   }
 
+  /** Reduce [[lloydOnce]] accumulators to the next codebook (cid, cv):
+    * centroid component = FLOOR(sum_q / n). Floor, not truncate-toward-
+    * zero: `sum_q div n` truncates and disagrees with floor on negative
+    * sums, while `(sum_q - pmod(sum_q, n)) div n` is exact floor in pure
+    * integer arithmetic — the convention any SQL engine's `//` (and the
+    * oracle) reproduces. */
+  def reduceToCodebook(acc: DataFrame): DataFrame =
+    acc
+      .select(col("cid"), col("pos"),
+        expr("(sum_q - pmod(sum_q, n)) div n").as("c"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cid"), transform(col("pc"), _.getField("c")).as("cv"))
+
+  /** Two chained Lloyd iterations as ONE declarative plan — the declared
+    * query form proving the ITERATION (assign → reduce → reassign) at
+    * the gate, not just a single step: at the fixture's K the second
+    * assignment genuinely moves members. */
+  def lloydTwice(embeddings: DataFrame, k: Int): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      quantize(col("embedding")).as("qv"))
+    val seeds0 = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    lloydOnce(q, reduceToCodebook(lloydOnce(q, seeds0)))
+  }
+
   /** Full codebook training: iterate [[lloydOnce]] to a fixed point (or
     * `maxIter`), reducing each round's accumulators back to a quantized
     * centroid table. The driver loop only carries the K×dim centroid
@@ -93,14 +119,8 @@ object KMeans {
     var moved = 1L
     while (moved > 0 && iter < maxIter) {
       // accumulators → new centroid components on the same 2^20 grid
-      // (integer mean, ties truncate toward zero in both engines' `div`)
-      val next = lloydOnce(q, seeds)
-        .select(col("cid"), col("pos"),
-          expr("sum_q div n").as("c"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("cid"), transform(col("pc"), _.getField("c")).as("cv"))
-        .localCheckpoint()
+      // (exact integer floor-mean — see reduceToCodebook)
+      val next = reduceToCodebook(lloydOnce(q, seeds)).localCheckpoint()
       moved = next
         .select(col("cid"), posexplode(col("cv")).as(Seq("p", "c")))
         .join(seeds.select(col("cid"),

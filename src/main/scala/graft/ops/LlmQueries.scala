@@ -220,6 +220,11 @@ object LlmQueries {
   def d12Kmeans(s: SparkSession, dir: String): DataFrame =
     KMeans.lloydQuery(table(s, dir, "embeddings"), k = 8)
 
+  /** D12b: TWO chained Lloyd iterations in one plan — membership moves
+    * between the assignments, so this gates the iterate, not one step. */
+  def d12Kmeans2(s: SparkSession, dir: String): DataFrame =
+    KMeans.lloydTwice(table(s, dir, "embeddings"), k = 8)
+
   /** Composite training-data pipeline — D1+D4+D6 composing end to end,
     * the mix-building query a 100 TB corpus run actually looks like:
     * inject dups → exact dedup (keep the min-id copy) → lexicon langid
@@ -326,6 +331,7 @@ object LlmQueries {
     "d6_repetition" -> d6Repetition,
     "d11_vocab_oov" -> d11VocabOov,
     "d12_kmeans" -> d12Kmeans,
+    "d12_kmeans2" -> d12Kmeans2,
     "d13_lm_surprise" -> d13LmSurprise,
     "d10_redact_pii" -> d10RedactPii,
     "pipe_training_mix" -> pipeTrainingMix,
@@ -861,6 +867,47 @@ object LlmQueries {
         |    sum(length(printf('%b', tot.n // model.c)) - 1) AS surprise
         |  FROM bg JOIN model USING (b), tot
         |  GROUP BY 1) s USING (doc_id)""".stripMargin,
+    // two chained Lloyd iterations; intermediate centroid = exact integer
+    // FLOOR mean (DuckDB // and Spark's pmod-adjusted div agree on
+    // negatives, unlike bare truncating div)
+    "d12_kmeans2" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |seeds0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT q.vec_id, s.cid,
+        |         sum((q.qv[i.x] - s.cv[i.x]) * (q.qv[i.x] - s.cv[i.x])) AS dist
+        |  FROM q, seeds0 s, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT a1.cid, i.x AS pos, sum(q.qv[i.x]) // count(*) AS c
+        |  FROM a1 JOIN q USING (vec_id),
+        |       LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  GROUP BY 1, 2),
+        |seeds1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c1 GROUP BY 1),
+        |d2 AS (
+        |  SELECT q.vec_id, s.cid,
+        |         sum((q.qv[i.x] - s.cv[i.x]) * (q.qv[i.x] - s.cv[i.x])) AS dist
+        |  FROM q, seeds1 s, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT a2.cid, CAST(i.x AS INT) AS pos, count(*) AS n,
+        |       CAST(sum(q.qv[i.x]) AS BIGINT) AS sum_q
+        |FROM a2 JOIN q USING (vec_id),
+        |     LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |GROUP BY 1, 2""".stripMargin,
     // fixed-point k-means: quantize to a 2^20 integer grid (exact in
     // double; both engines round ties away from zero), so distances and
     // centroid sums are exact integer arithmetic in both engines.
