@@ -725,8 +725,12 @@ object RelQueries {
     * equi-join on variants is a complete candidate generator). */
   private def deletionVariants(c: Column): Column =
     array_union(array(c),
-      transform(sequence(lit(1), length(c)),
-        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+      // the length guard matters: Spark's sequence(1, 0) is DESCENDING
+      // [1, 0], so an empty string would fabricate bogus variants
+      when(length(c) >= 1,
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+        .otherwise(array().cast("array<string>")))
 
   /** J12: fuzzy (edit-distance ≤ 1) join WITHOUT an all-pairs cross
     * join: both sides explode to their deletion neighborhoods, candidates

@@ -223,6 +223,19 @@ class ExtQueriesSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (2L, 13L)))
   }
 
+  test("ed1 join: empty and 1-char strings don't fabricate variants") {
+    import spark.implicits._
+    val l = Seq((1L, ""), (2L, "a")).toDF("id", "s")
+    val r = Seq((10L, ""), (11L, "b"), (12L, "xy")).toDF("id", "s")
+    val got = RelQueries.ed1Join(l, col("id"), col("s"),
+                                 r, col("id"), col("s"))
+      .select("l_id", "r_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // ""~"" (equal), ""~"b" (insert), "a"~"" (delete), "a"~"b" (subst);
+    // "xy" is ED 2 from both
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)))
+  }
+
   test("ed1 candidates are complete for every random single edit") {
     import spark.implicits._
     // derive right side from left by one random-but-deterministic edit
