@@ -43,15 +43,16 @@ object Bench {
     // Read the raw bytes rather than count() — a parquet count may skip
     // data pages, and the point is to fault every page in.
     val blackhole = new Array[Byte](1 << 20)
-    java.nio.file.Files.list(Paths.get(sfDir)).forEach { p =>
-      def touch(f: java.nio.file.Path): Unit =
-        if (java.nio.file.Files.isRegularFile(f)) {
-          val in = java.nio.file.Files.newInputStream(f)
-          try { while (in.read(blackhole) >= 0) () } finally { in.close() }
-        } else if (java.nio.file.Files.isDirectory(f))
-          java.nio.file.Files.list(f).forEach(touch(_))
-      touch(p)
-    }
+    // Files.walk rather than recursive Files.list: one stream to close
+    // (try-with-resources per its contract) instead of an unclosed
+    // DirectoryStream FD per directory visited
+    val walk = java.nio.file.Files.walk(Paths.get(sfDir))
+    try {
+      walk.filter(java.nio.file.Files.isRegularFile(_)).forEach { f =>
+        val in = java.nio.file.Files.newInputStream(f)
+        try { while (in.read(blackhole) >= 0) () } finally { in.close() }
+      }
+    } finally walk.close()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

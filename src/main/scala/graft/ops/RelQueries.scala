@@ -150,7 +150,10 @@ object RelQueries {
     * per query. The oracle is the plain join over the raw parquet — the
     * gate proves the layout is result-invariant. */
   def j11BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val sf = dir.replaceAll("[^0-9]", "")
+    // ioDir's SF token keeps the dot (distinct SFs must not collide —
+    // [^0-9] would map sf0.1 and sf01 to the same table/path); dots are
+    // not legal in a table identifier, so map them to underscores
+    val sf = dir.replaceAll("[^0-9.]", "").replace('.', '_')
     val (tOrders, tCust) = (s"graft_bkt_orders_$sf", s"graft_bkt_customer_$sf")
     // external tables (explicit path): a fresh session's in-memory catalog
     // has no entry for a leftover managed-table directory, so a managed

