@@ -91,8 +91,11 @@ object KMeans {
     * the gate, not just a single step: at the fixture's K the second
     * assignment genuinely moves members. */
   def lloydTwice(embeddings: DataFrame, k: Int): DataFrame = {
+    // both iterations scan the quantized corpus — cache it rather than
+    // re-deriving from parquet per reference (the train() loop gets the
+    // same effect from its localCheckpoint)
     val q = embeddings.select(col("vec_id"),
-      quantize(col("embedding")).as("qv"))
+      quantize(col("embedding")).as("qv")).cache()
     val seeds0 = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
     lloydOnce(q, reduceToCodebook(lloydOnce(q, seeds0)))

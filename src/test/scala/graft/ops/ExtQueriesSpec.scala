@@ -53,6 +53,16 @@ class ExtQueriesSpec extends SparkSpec {
                             (2L, 100L, 1), (3L, 250L, 0)))
   }
 
+  test("gapfill: a single-bucket user yields exactly one ungapped row") {
+    import spark.implicits._
+    val ev = Seq((5L, 42L, 3.25)).toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+              col("value"))
+    val got = TsQueries.gapfill(ev, 3600000000L).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 325L &&
+           got(0).getInt(3) == 0)
+  }
+
   test("lloyd iteration assigns to the nearest seed, ties to lowest cid") {
     import spark.implicits._
     // seeds are vec_id 0,1. vec 2 sits on seed 0; vec 3 near seed 1;
