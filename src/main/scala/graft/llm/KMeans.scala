@@ -73,15 +73,15 @@ object KMeans {
   }
 
   /** Reduce [[lloydOnce]] accumulators to the next codebook (cid, cv):
-    * centroid component = FLOOR(sum_q / n). Floor, not truncate-toward-
-    * zero: `sum_q div n` truncates and disagrees with floor on negative
-    * sums, while `(sum_q - pmod(sum_q, n)) div n` is exact floor in pure
-    * integer arithmetic — the convention any SQL engine's `//` (and the
-    * oracle) reproduces. */
+    * centroid component = sum_q div n, TRUNCATING toward zero on
+    * negative sums — the convention Spark's `div` and DuckDB's `//`
+    * share (verified: both give -7/2 = -3), so the oracle reproduces the
+    * intermediate centroid bit-exactly. (Python's floor `//` differs;
+    * don't port this constant-fold there without adjusting.) */
   def reduceToCodebook(acc: DataFrame): DataFrame =
     acc
       .select(col("cid"), col("pos"),
-        expr("(sum_q - pmod(sum_q, n)) div n").as("c"))
+        expr("sum_q div n").as("c"))
       .groupBy("cid")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("cid"), transform(col("pc"), _.getField("c")).as("cv"))

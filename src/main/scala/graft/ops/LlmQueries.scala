@@ -868,8 +868,8 @@ object LlmQueries {
         |  FROM bg JOIN model USING (b), tot
         |  GROUP BY 1) s USING (doc_id)""".stripMargin,
     // two chained Lloyd iterations; intermediate centroid = exact integer
-    // FLOOR mean (DuckDB // and Spark's pmod-adjusted div agree on
-    // negatives, unlike bare truncating div)
+    // mean truncated toward zero (DuckDB // and Spark div share that
+    // convention on negatives — NOT python-style floor)
     "d12_kmeans2" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -64,25 +64,58 @@ object TsQueries {
   def w7Gapfill(s: SparkSession, dir: String): DataFrame =
     gapfill(table(s, dir, "events").filter(col("user_id") < 20), HourUs)
 
-  /** Resample-and-forward-fill core: bucket (user_id, ts, value) rows to
-    * a `stepUs` grid, densify each user's own [min, max] span, and carry
-    * the last observed bucket value forward. */
-  def gapfill(events: DataFrame, stepUs: Long): DataFrame = {
+  /** Shared resample scaffold: exact-cents buckets on the `stepUs` grid,
+    * densified over each user's own [min, max] span, observed buckets
+    * left-joined back in. */
+  private def bucketGrid(events: DataFrame, stepUs: Long): DataFrame = {
     val b = events
       .groupBy(col("user_id"),
         (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(stepUs)))
           .as("bus"))
       .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
         .as("cents"))
-    val grid = b.groupBy("user_id")
+    b.groupBy("user_id")
       .agg(min(col("bus")).as("mn"), max(col("bus")).as("mx"))
       .select(col("user_id"),
         explode(sequence(col("mn"), col("mx"), lit(stepUs))).as("bus"))
+      .join(b, Seq("user_id", "bus"), "left")
+  }
+
+  /** Resample-and-forward-fill core: bucket (user_id, ts, value) rows to
+    * a `stepUs` grid, densify each user's own [min, max] span, and carry
+    * the last observed bucket value forward. */
+  def gapfill(events: DataFrame, stepUs: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("bus")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(b, Seq("user_id", "bus"), "left")
+    bucketGrid(events, stepUs)
       .select(col("user_id"), col("bus"),
         last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"),
+        when(col("cents").isNull, 1).otherwise(0).as("is_gap"))
+  }
+
+  /** Resample-and-LINEAR-INTERPOLATE core: gap buckets take the exact
+    * integer lerp between the surrounding observed buckets
+    * (`prev + (next-prev)·(t-tp) div (tn-tp)` — both Spark's `div` and
+    * DuckDB's `//` truncate toward zero, verified on negative slopes);
+    * trailing gaps (no next observation) fall back to forward fill.
+    * Same single user_id layout as gapfill: the backward and forward
+    * scans are two window passes over one exchange. */
+  def interpolate(events: DataFrame, stepUs: Long): DataFrame = {
+    val base = Window.partitionBy("user_id").orderBy("bus")
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBus = when(col("cents").isNotNull, col("bus"))
+    bucketGrid(events, stepUs)
+      .withColumn("pbus", last(obsBus, ignoreNulls = true).over(wPrev))
+      .withColumn("pc", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("nbus", first(obsBus, ignoreNulls = true).over(wNext))
+      .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("bus"),
+        when(col("pbus") === col("bus"), col("pc"))
+          .when(col("nbus").isNull, col("pc"))
+          .otherwise(col("pc") +
+            expr("((nc - pc) * (bus - pbus)) div (nbus - pbus)"))
+          .as("lerp_cents"),
         when(col("cents").isNull, 1).otherwise(0).as("is_gap"))
   }
 
@@ -132,9 +165,14 @@ object TsQueries {
            coalesce(sum(col("t3") - col("t1")), lit(0L)).cast("long")
              .as("sum_conv_us"))
 
+  /** W7b: the interpolation variant of w7 over the same fixture cut. */
+  def w7Interpolate(s: SparkSession, dir: String): DataFrame =
+    interpolate(table(s, dir, "events").filter(col("user_id") < 20), HourUs)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w6_sessionize" -> w6Sessionize,
     "w7_gapfill" -> w7Gapfill,
+    "w7_interpolate" -> w7Interpolate,
     "w8_funnel" -> w8Funnel
   )
 
@@ -153,6 +191,30 @@ object TsQueries {
          |FROM s GROUP BY 1, 2""".stripMargin,
     // ASOF LEFT JOIN is DuckDB's native forward-fill: latest observed
     // bucket at-or-before each grid hour — exactly last(ignoreNulls).
+    // two ASOF joins (backward >= for prev, forward <= for next) + the
+    // same integer lerp (DuckDB // truncates toward zero, like Spark div)
+    "w7_interpolate" ->
+      s"""WITH b AS (
+         |  SELECT user_id, epoch_us(ts) - epoch_us(ts) % $HourUs AS bus,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(bus) AS mn, max(bus) AS mx FROM b GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(range(mn, mx + 1, $HourUs)) AS bus FROM span),
+         |fb AS (
+         |  SELECT g.user_id, g.bus, pb.bus AS pbus, pb.cents AS pc
+         |  FROM grid g ASOF LEFT JOIN b pb
+         |    ON g.user_id = pb.user_id AND g.bus >= pb.bus),
+         |ff AS (
+         |  SELECT fb.*, nb.bus AS nbus, nb.cents AS nc
+         |  FROM fb ASOF LEFT JOIN b nb
+         |    ON fb.user_id = nb.user_id AND fb.bus <= nb.bus)
+         |SELECT user_id, bus,
+         |  CASE WHEN pbus = bus THEN pc
+         |       WHEN nbus IS NULL THEN pc
+         |       ELSE pc + ((nc - pc) * (bus - pbus)) // (nbus - pbus)
+         |  END AS lerp_cents,
+         |  CASE WHEN pbus = bus THEN 0 ELSE 1 END AS is_gap
+         |FROM ff""".stripMargin,
     // per-stage mins recomputed as the correlated-min cascade; the fold
     // and the cascade agree because stage conditions are strict
     "w8_funnel" ->

@@ -63,6 +63,21 @@ class ExtQueriesSpec extends SparkSpec {
            got(0).getInt(3) == 0)
   }
 
+  test("interpolate: lerp across the gap, forward-fill after last obs") {
+    import spark.implicits._
+    val h = 3600000000L
+    // observed buckets 0 (100c) and 3h (400c); the gap hours lerp to
+    // 100 + 300*1/3 = 200 and 100 + 300*2/3 = 300
+    val ev = Seq((0L, 0L, 1.0), (0L, 3 * h + 5L, 4.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+              col("value"))
+    val got = TsQueries.interpolate(ev, h).orderBy("bus")
+      .collect().map(r => (r.getLong(1) / h, r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((0L, 100L, 0), (1L, 200L, 1),
+                            (2L, 300L, 1), (3L, 400L, 0)))
+  }
+
   test("lloyd iteration assigns to the nearest seed, ties to lowest cid") {
     import spark.implicits._
     // seeds are vec_id 0,1. vec 2 sits on seed 0; vec 3 near seed 1;
