@@ -130,25 +130,28 @@ object TsQueries {
     * broken by (t, event_type) sort order, but stage conditions are
     * strict (>) so equal-time events can never fill two stages. */
   def funnelTimes(events: DataFrame, stages: Seq[String]): DataFrame = {
-    require(stages.length == 3, "funnelTimes is specified for 3 stages")
-    val Seq(s1, s2, s3) = stages
-    val nul = lit(null).cast("long")
-    val zero = struct(nul.as("t1"), nul.as("t2"), nul.as("t3"))
+    require(stages.nonEmpty, "funnelTimes needs at least one stage")
+    val n = stages.length
+    // accumulator = one nullable slot per stage; the fold rebuilds the
+    // struct per event with each slot's open/match/strictly-after rule
+    val zero = struct(stages.indices.map(i =>
+      lit(null).cast("long").as(s"t${i + 1}")): _*)
     val arr = array_sort(collect_list(struct(col("t"), col("event_type"))))
     val fold = aggregate(arr, zero, (acc, ev) => {
-      val (t1, t2, t3) =
-        (acc.getField("t1"), acc.getField("t2"), acc.getField("t3"))
       val (et, ty) = (ev.getField("t"), ev.getField("event_type"))
-      struct(
-        when(t1.isNull && ty === s1, et).otherwise(t1).as("t1"),
-        when(t2.isNull && t1.isNotNull && ty === s2 && et > t1, et)
-          .otherwise(t2).as("t2"),
-        when(t3.isNull && t2.isNotNull && ty === s3 && et > t2, et)
-          .otherwise(t3).as("t3"))
+      struct(stages.indices.map { i =>
+        val slot = acc.getField(s"t${i + 1}")
+        val opened =
+          if (i == 0) lit(true) else acc.getField(s"t$i").isNotNull
+        val after =
+          if (i == 0) lit(true) else et > acc.getField(s"t$i")
+        when(slot.isNull && opened && ty === stages(i) && after, et)
+          .otherwise(slot).as(s"t${i + 1}")
+      }: _*)
     })
     events.groupBy("user_id").agg(fold.as("f"))
-      .select(col("user_id"), col("f.t1").as("t1"), col("f.t2").as("t2"),
-              col("f.t3").as("t3"))
+      .select(col("user_id") +:
+        stages.indices.map(i => col(s"f.t${i + 1}").as(s"t${i + 1}")): _*)
   }
 
   /** W8: click → view → purchase funnel over the events fixture —

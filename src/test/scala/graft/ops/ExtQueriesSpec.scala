@@ -229,6 +229,21 @@ class ExtQueriesSpec extends SparkSpec {
       (4L, Some(10L), Some(11L), None)))
   }
 
+  test("funnel generalizes to four stages") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "signup", 1L), (1L, "click", 2L), (1L, "view", 3L),
+      (1L, "purchase", 4L),
+      // user 2 skips click: later stages can never open
+      (2L, "signup", 1L), (2L, "view", 3L), (2L, "purchase", 4L))
+      .toDF("user_id", "event_type", "t")
+    val got = TsQueries.funnelTimes(ev,
+      Seq("signup", "click", "view", "purchase")).orderBy("user_id")
+      .collect().map(r => (1 to 4).map(i => Option(r.get(i))))
+    assert(got(0) == Seq(Some(1L), Some(2L), Some(3L), Some(4L)))
+    assert(got(1) == Seq(Some(1L), None, None, None))
+  }
+
   test("ed1 join finds every edit class and kills the ED-2 false candidate") {
     import spark.implicits._
     val left = Seq((1L, "cat"), (2L, "ab")).toDF("id", "s")

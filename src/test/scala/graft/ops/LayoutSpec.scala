@@ -22,6 +22,24 @@ class LayoutSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("zorder16 matches a reference bit-interleave on random pairs") {
+    // driver-side reference implementation, checked against the Spark
+    // expression through one DataFrame pass over ScalaCheck-style cases
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val rnd = new scala.util.Random(0xD00DL)
+    import spark.implicits._
+    val cases = Seq.fill(500)((rnd.nextLong().abs % 65536,
+                               rnd.nextLong().abs % 65536))
+    val bad = cases.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorder16(col("x"), col("y")).as("z"))
+      .collect()
+      .filter(r => r.getLong(2) != ref(r.getLong(0), r.getLong(1)))
+    assert(bad.isEmpty, s"${bad.length} mismatches, e.g. ${bad.headOption}")
+  }
+
   test("an aligned 256x256 tile is one contiguous Z range") {
     // tile at (x0, y0) aligned to 256: z values must cover exactly
     // [z(x0,y0), z(x0,y0) + 65535] with no point outside
