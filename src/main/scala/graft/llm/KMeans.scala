@@ -93,7 +93,10 @@ object KMeans {
   def lloydTwice(embeddings: DataFrame, k: Int): DataFrame = {
     // both iterations scan the quantized corpus — cache it rather than
     // re-deriving from parquet per reference (the train() loop gets the
-    // same effect from its localCheckpoint)
+    // same effect from its localCheckpoint). The cached blocks live
+    // until the caller's clearCache()/session end — the Verify/Bench
+    // harnesses clear after every query; a long-lived session embedding
+    // this plan should unpersist once the result is consumed
     val q = embeddings.select(col("vec_id"),
       quantize(col("embedding")).as("qv")).cache()
     val seeds0 = q.filter(col("vec_id") < k)
@@ -122,7 +125,7 @@ object KMeans {
     var moved = 1L
     while (moved > 0 && iter < maxIter) {
       // accumulators → new centroid components on the same 2^20 grid
-      // (exact integer floor-mean — see reduceToCodebook)
+      // (exact integer mean, truncated toward zero — see reduceToCodebook)
       val next = reduceToCodebook(lloydOnce(q, seeds)).localCheckpoint()
       moved = next
         .select(col("cid"), posexplode(col("cv")).as(Seq("p", "c")))

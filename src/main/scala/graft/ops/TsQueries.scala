@@ -68,12 +68,18 @@ object TsQueries {
     * densified over each user's own [min, max] span, observed buckets
     * left-joined back in. */
   private def bucketGrid(events: DataFrame, stepUs: Long): DataFrame = {
+    // `%`, not pmod: DuckDB's % truncates (sign of dividend), and the
+    // oracle buckets with `epoch_us(ts) - epoch_us(ts) % step` — pmod
+    // would shift pre-1970 timestamps into a different bucket than the
+    // oracle's. coalesce: a bucket whose every event value is NULL
+    // contributes zero rather than a NULL cents cell, keeping the
+    // "observed bucket" and "non-null cents" notions identical (both
+    // engines apply the same rule, so is_gap flags can't diverge).
+    val t = unix_micros(col("ts"))
     val b = events
-      .groupBy(col("user_id"),
-        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(stepUs)))
-          .as("bus"))
-      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
-        .as("cents"))
+      .groupBy(col("user_id"), (t - t % lit(stepUs)).as("bus"))
+      .agg(coalesce((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long"), lit(0L)).as("cents"))
     b.groupBy("user_id")
       .agg(min(col("bus")).as("mn"), max(col("bus")).as("mx"))
       .select(col("user_id"),
@@ -113,8 +119,14 @@ object TsQueries {
       .select(col("user_id"), col("bus"),
         when(col("pbus") === col("bus"), col("pc"))
           .when(col("nbus").isNull, col("pc"))
-          .otherwise(col("pc") +
-            expr("((nc - pc) * (bus - pbus)) div (nbus - pbus)"))
+          // divide the bus deltas down to STEP counts before the
+          // multiply: they are exact multiples of stepUs, the ratio is
+          // unchanged, and the numerator shrinks by ~stepUs — without
+          // this, cents × microsecond-delta can overflow Long (Spark
+          // wraps silently with ANSI off; the oracle would error)
+          .otherwise(col("pc") + expr(
+            s"((nc - pc) * ((bus - pbus) div $stepUs))" +
+              s" div ((nbus - pbus) div $stepUs)"))
           .as("lerp_cents"),
         when(col("cents").isNull, 1).otherwise(0).as("is_gap"))
   }
@@ -131,7 +143,6 @@ object TsQueries {
     * strict (>) so equal-time events can never fill two stages. */
   def funnelTimes(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnelTimes needs at least one stage")
-    val n = stages.length
     // accumulator = one nullable slot per stage; the fold rebuilds the
     // struct per event with each slot's open/match/strictly-after rule
     val zero = struct(stages.indices.map(i =>
@@ -199,7 +210,7 @@ object TsQueries {
     "w7_interpolate" ->
       s"""WITH b AS (
          |  SELECT user_id, epoch_us(ts) - epoch_us(ts) % $HourUs AS bus,
-         |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         |         CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) * 100, 0) AS BIGINT) AS cents
          |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
          |span AS (SELECT user_id, min(bus) AS mn, max(bus) AS mx FROM b GROUP BY 1),
          |grid AS (SELECT user_id, unnest(range(mn, mx + 1, $HourUs)) AS bus FROM span),
@@ -214,7 +225,8 @@ object TsQueries {
          |SELECT user_id, bus,
          |  CASE WHEN pbus = bus THEN pc
          |       WHEN nbus IS NULL THEN pc
-         |       ELSE pc + ((nc - pc) * (bus - pbus)) // (nbus - pbus)
+         |       ELSE pc + ((nc - pc) * ((bus - pbus) // $HourUs))
+         |                 // ((nbus - pbus) // $HourUs)
          |  END AS lerp_cents,
          |  CASE WHEN pbus = bus THEN 0 ELSE 1 END AS is_gap
          |FROM ff""".stripMargin,
@@ -236,7 +248,7 @@ object TsQueries {
     "w7_gapfill" ->
       s"""WITH b AS (
          |  SELECT user_id, epoch_us(ts) - epoch_us(ts) % $HourUs AS bus,
-         |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         |         CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) * 100, 0) AS BIGINT) AS cents
          |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
          |span AS (SELECT user_id, min(bus) AS mn, max(bus) AS mx FROM b GROUP BY 1),
          |grid AS (SELECT user_id, unnest(range(mn, mx + 1, $HourUs)) AS bus FROM span)

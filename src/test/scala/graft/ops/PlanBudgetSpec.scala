@@ -54,6 +54,9 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // bucket agg + grid/span derivation; forward-fill window reuses the
     // user_id layout
     "w7_gapfill" -> 2,
+    // same scaffold as gapfill: the backward AND forward window passes
+    // share one user_id exchange
+    "w7_interpolate" -> 2,
     // Spark's two-phase pivot: (status, prio) partial agg, then the
     // status-grain pivot agg — the second exchange carries only
     // group-cardinality rows
