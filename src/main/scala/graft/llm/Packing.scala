@@ -42,4 +42,39 @@ object Packing {
         ((col("cum") - col("n_tokens")) % ctx).cast("int").as("pos") +:
         carry.map(col): _*)
   }
+
+  /** Per-document sliding-window chunking (the RAG/embedding-indexing
+    * shape, complementing [[sequencePack]]'s cross-document concat):
+    * window of `window` tokens advancing by `stride`, final partial
+    * window kept. Pure per-row fan-out — `sequence` + explode over the
+    * row's own chunk count, NO shuffle (each chunk row carries its
+    * doc_id, 1-based start token, length, and the md5 of the re-joined
+    * chunk text — the id an embedding/dedup stage keys on).
+    *
+    * Chunk count is exact integer ceil (`1 + (n - w + s - 1) div s`),
+    * so the fan-out is engine-reproducible; docs with zero tokens
+    * produce no chunks. */
+  def chunkOverlap(docs: DataFrame, id: Column, text: Column,
+                   window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(id.as("doc_id"), split(text, " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("nc", when(col("n") <= window, lit(1L))
+        .otherwise(lit(1L) +
+          expr(s"(n - $window + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("toks"), col("n"),
+              explode(sequence(lit(0L), col("nc") - 1)).as("c"))
+      .select(col("doc_id"),
+        col("c").cast("int").as("chunk_id"),
+        (col("c") * stride + 1).cast("int").as("start_tok"),
+        least(lit(window), col("n") - col("c") * stride).cast("int")
+          .as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("c") * stride + 1).cast("int"),
+            least(lit(window), col("n") - col("c") * stride).cast("int"))))
+          .as("chunk_md5"))
+  }
 }

@@ -209,6 +209,11 @@ object LlmQueries {
     TextAnalysis.vocabOov(docs(s, dir), col("doc_id"), col("text"),
       vocabSize = 16)
 
+  /** D14: sliding-window chunking for embedding/RAG indexing — window 64
+    * tokens, stride 48, md5 chunk ids ([[Packing.chunkOverlap]]). */
+  def d14ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkOverlap(docs(s, dir), col("doc_id"), col("text"))
+
   /** D13: corpus-self-trained char-bigram LM surprise (integer
     * floor-log2 — see [[TextAnalysis.bigramSurprise]]). */
   def d13LmSurprise(s: SparkSession, dir: String): DataFrame =
@@ -333,6 +338,7 @@ object LlmQueries {
     "d12_kmeans" -> d12Kmeans,
     "d12_kmeans2" -> d12Kmeans2,
     "d13_lm_surprise" -> d13LmSurprise,
+    "d14_chunk_overlap" -> d14ChunkOverlap,
     "d10_redact_pii" -> d10RedactPii,
     "pipe_training_mix" -> pipeTrainingMix,
     "pipe_pretrain_corpus" -> pipePretrainCorpus
@@ -850,6 +856,24 @@ object LlmQueries {
         |  round(avg(punct_ratio), 6) AS avg_punct_ratio,
         |  CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
         |FROM per_doc GROUP BY 1""".stripMargin,
+    // sliding 64-token windows, stride 48, exact integer chunk count;
+    // chunk identity = md5 of the space-rejoined token slice
+    "d14_chunk_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |meta AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= 1),
+        |counted AS (
+        |  SELECT doc_id, toks, n,
+        |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS nc
+        |  FROM meta)
+        |SELECT doc_id, CAST(i.c AS INT) AS chunk_id,
+        |  CAST(i.c * 48 + 1 AS INT) AS start_tok,
+        |  CAST(least(64, n - i.c * 48) AS INT) AS n_tok,
+        |  md5(array_to_string(
+        |    list_slice(toks, i.c * 48 + 1, i.c * 48 + least(64, n - i.c * 48)),
+        |    ' ')) AS chunk_md5
+        |FROM counted, LATERAL (SELECT unnest(range(0, nc)) AS c) i""".stripMargin,
     // integer LM surprise: floor(log2(N/c)) per bigram via binary-string
     // length — exact integers end to end, no floating logs to drift.
     "d13_lm_surprise" ->

@@ -179,6 +179,34 @@ class ExtQueriesSpec extends SparkSpec {
     assert(orc.exceptAll(direct).isEmpty && direct.exceptAll(orc).isEmpty)
   }
 
+  test("chunk overlap: window/stride arithmetic and partial tails") {
+    import spark.implicits._
+    def words(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10)),   // <= window: one chunk of 10
+      (2L, words(64)),   // == window: one chunk of 64
+      (3L, words(65)),   // one over: chunks of 64 and 17 (start 49)
+      (4L, words(160)))  // 1 + ceil(96/48) = 3 full-ish chunks
+      .toDF("doc_id", "text")
+    val got = graft.llm.Packing
+      .chunkOverlap(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 1, 10), (2L, 0, 1, 64),
+      (3L, 0, 1, 64), (3L, 1, 49, 17),
+      (4L, 0, 1, 64), (4L, 1, 49, 64), (4L, 2, 97, 64)))
+    // consecutive chunks overlap by window - stride tokens
+    val c3 = graft.llm.Packing
+      .chunkOverlap(docs.filter(col("doc_id") === 4), col("doc_id"),
+        col("text"), window = 64, stride = 48)
+      .select("start_tok", "n_tok").orderBy("start_tok").collect()
+    assert(c3.sliding(2).forall { w =>
+      w.length < 2 ||
+        w(0).getInt(0) + 64 - w(1).getInt(0) == 16  // 64 - 48
+    })
+  }
+
   test("bigram surprise ranks out-of-distribution text above corpus text") {
     import spark.implicits._
     val normal = (1L to 30L).map(i =>

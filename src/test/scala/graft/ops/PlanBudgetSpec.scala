@@ -83,7 +83,9 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "w8_funnel" -> 2,
     // variant equi-join (AQE broadcasts the typo side at gate SF) +
     // candidate distinct — never an all-pairs cross join
-    "j12_fuzzy_join" -> 1)
+    "j12_fuzzy_join" -> 1,
+    // pure per-row fan-out: tokens → chunk windows, zero exchanges
+    "d14_chunk_overlap" -> 0)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
