@@ -52,16 +52,19 @@ object Packing {
     * chunk text — the id an embedding/dedup stage keys on).
     *
     * Chunk count is exact integer ceil (`1 + (n - w + s - 1) div s`),
-    * so the fan-out is engine-reproducible; docs with zero tokens
-    * produce no chunks. */
+    * so the fan-out is engine-reproducible. Empty-text docs produce no
+    * chunks — guarded on text length, because the whitespace tokenizer
+    * never yields zero tokens (`split("", " ")` is `[""]`, which would
+    * otherwise fabricate an identical md5('')-keyed junk chunk per
+    * empty doc). */
   def chunkOverlap(docs: DataFrame, id: Column, text: Column,
                    window: Int = 64, stride: Int = 48): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     docs
+      .filter(length(text) >= 1)
       .select(id.as("doc_id"), split(text, " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-      .filter(col("n") >= 1)
       .withColumn("nc", when(col("n") <= window, lit(1L))
         .otherwise(lit(1L) +
           expr(s"(n - $window + ${stride - 1}) div $stride")))

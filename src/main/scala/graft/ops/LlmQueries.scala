@@ -860,9 +860,10 @@ object LlmQueries {
     // chunk identity = md5 of the space-rejoined token slice
     "d14_chunk_overlap" ->
       """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE length(text) >= 1),
         |meta AS (
-        |  SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= 1),
+        |  SELECT doc_id, toks, len(toks) AS n FROM tk),
         |counted AS (
         |  SELECT doc_id, toks, n,
         |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS nc

@@ -71,15 +71,19 @@ object TsQueries {
     // `%`, not pmod: DuckDB's % truncates (sign of dividend), and the
     // oracle buckets with `epoch_us(ts) - epoch_us(ts) % step` — pmod
     // would shift pre-1970 timestamps into a different bucket than the
-    // oracle's. coalesce: a bucket whose every event value is NULL
-    // contributes zero rather than a NULL cents cell, keeping the
-    // "observed bucket" and "non-null cents" notions identical (both
-    // engines apply the same rule, so is_gap flags can't diverge).
+    // oracle's. (Truncating bucketing end-labels pre-epoch buckets; the
+    // event domain here is nonnegative epochs, where % and floor agree.)
+    // NULL-valued events are MISSING data, not zero cents — drop them
+    // before bucketing, so a bucket of only-NULL values doesn't exist
+    // (it stays a gap) rather than anchoring fills at a fabricated 0;
+    // this also keeps "observed bucket" == "non-null cents" exactly, so
+    // the engines' is_gap flags cannot diverge.
     val t = unix_micros(col("ts"))
     val b = events
+      .filter(col("value").isNotNull)
       .groupBy(col("user_id"), (t - t % lit(stepUs)).as("bus"))
-      .agg(coalesce((sum(col("value").cast("decimal(18,2)")) * 100)
-        .cast("long"), lit(0L)).as("cents"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("cents"))
     b.groupBy("user_id")
       .agg(min(col("bus")).as("mn"), max(col("bus")).as("mx"))
       .select(col("user_id"),
@@ -102,10 +106,12 @@ object TsQueries {
   /** Resample-and-LINEAR-INTERPOLATE core: gap buckets take the exact
     * integer lerp between the surrounding observed buckets
     * (`prev + (next-prev)·(t-tp) div (tn-tp)` — both Spark's `div` and
-    * DuckDB's `//` truncate toward zero, verified on negative slopes);
-    * trailing gaps (no next observation) fall back to forward fill.
-    * Same single user_id layout as gapfill: the backward and forward
-    * scans are two window passes over one exchange. */
+    * DuckDB's `//` truncate toward zero, verified on negative slopes).
+    * Every gap is interior by construction: the grid spans [first, last]
+    * OBSERVED bucket, so both neighbors always exist (the no-next branch
+    * below is defensive only). Same single user_id layout as gapfill:
+    * the backward and forward scans are two window passes over one
+    * exchange. */
   def interpolate(events: DataFrame, stepUs: Long): DataFrame = {
     val base = Window.partitionBy("user_id").orderBy("bus")
     val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -118,6 +124,9 @@ object TsQueries {
       .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wNext))
       .select(col("user_id"), col("bus"),
         when(col("pbus") === col("bus"), col("pc"))
+          // defensive: unreachable while the grid ends at the last
+          // observation (see scaladoc); kept so a widened grid degrades
+          // to forward fill instead of NULL
           .when(col("nbus").isNull, col("pc"))
           // divide the bus deltas down to STEP counts before the
           // multiply: they are exact multiples of stepUs, the ratio is
@@ -210,8 +219,8 @@ object TsQueries {
     "w7_interpolate" ->
       s"""WITH b AS (
          |  SELECT user_id, epoch_us(ts) - epoch_us(ts) % $HourUs AS bus,
-         |         CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) * 100, 0) AS BIGINT) AS cents
-         |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+         |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE user_id < 20 AND value IS NOT NULL GROUP BY 1, 2),
          |span AS (SELECT user_id, min(bus) AS mn, max(bus) AS mx FROM b GROUP BY 1),
          |grid AS (SELECT user_id, unnest(range(mn, mx + 1, $HourUs)) AS bus FROM span),
          |fb AS (
@@ -248,8 +257,8 @@ object TsQueries {
     "w7_gapfill" ->
       s"""WITH b AS (
          |  SELECT user_id, epoch_us(ts) - epoch_us(ts) % $HourUs AS bus,
-         |         CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) * 100, 0) AS BIGINT) AS cents
-         |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+         |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE user_id < 20 AND value IS NOT NULL GROUP BY 1, 2),
          |span AS (SELECT user_id, min(bus) AS mn, max(bus) AS mx FROM b GROUP BY 1),
          |grid AS (SELECT user_id, unnest(range(mn, mx + 1, $HourUs)) AS bus FROM span)
          |SELECT g.user_id, g.bus, b.cents AS filled_cents,

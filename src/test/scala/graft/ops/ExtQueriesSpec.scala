@@ -78,6 +78,21 @@ class ExtQueriesSpec extends SparkSpec {
                             (2L, 300L, 1), (3L, 400L, 0)))
   }
 
+  test("interpolate truncates negative slopes toward zero like the oracle") {
+    import spark.implicits._
+    val h = 3600000000L
+    // 1000c down to 0c over 3 steps: deltas -1000/3 are inexact, so
+    // trunc-vs-floor actually differ (667/334 vs 666/333) — this pins
+    // the truncating convention both engines share
+    val ev = Seq((0L, 0L, 10.0), (0L, 3 * h + 5L, 0.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+              col("value"))
+    val got = TsQueries.interpolate(ev, h).orderBy("bus")
+      .collect().map(r => r.getLong(2))
+    assert(got.toSeq == Seq(1000L, 667L, 334L, 0L))
+  }
+
   test("lloyd iteration assigns to the nearest seed, ties to lowest cid") {
     import spark.implicits._
     // seeds are vec_id 0,1. vec 2 sits on seed 0; vec 3 near seed 1;
