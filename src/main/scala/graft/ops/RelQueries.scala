@@ -581,6 +581,36 @@ object RelQueries {
            (sum("v") * 100).cast("long").as("sum_value_cents"))
   }
 
+  /** W9: the remaining rank-family functions in one declared query —
+    * dense_rank, cume_dist, nth_value over a full frame. One user-keyed
+    * window partition, full (price desc, key) tie-break. */
+  def w9RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    table(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("drank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+  }
+
+  /** A13: bivariate statistical aggregates (corr / covar_samp /
+    * regr_slope) — single-pass partial-aggregable moments, rounded per
+    * the a1 stddev policy (inherently-float results round; double
+    * accumulation-order drift is far below the rounded digit). */
+  def a13Corr(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+             .as("corr_qp"),
+           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+             .as("covar_qp"),
+           round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+             .as("slope"))
+
   // ---------- composite analytical queries ----------
 
   /** Per-row discounted revenue as integer CENTS, snapped BEFORE the sum
@@ -831,6 +861,8 @@ object RelQueries {
     "q6_sql_text" -> q6SqlText,
     "o5_pivot" -> o5Pivot,
     "a12_cube" -> a12Cube,
+    "w9_rank_family" -> w9RankFamily,
+    "a13_corr" -> a13Corr,
     "f10_higher_order" -> f10HigherOrder,
     "f11_zorder" -> f11Zorder,
     "j12_fuzzy_join" -> j12FuzzyJoin,
@@ -1114,6 +1146,23 @@ object RelQueries {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+    "w9_rank_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(dense_rank() OVER w AS INT) AS drank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(nth_value(o_orderkey, 2) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS BIGINT) AS second_key
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "a13_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "o5_pivot" ->
       """SELECT o_orderstatus,
         |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p_urgent,
