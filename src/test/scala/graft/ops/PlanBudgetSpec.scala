@@ -85,7 +85,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // candidate distinct — never an all-pairs cross join
     "j12_fuzzy_join" -> 1,
     // pure per-row fan-out: tokens → chunk windows, zero exchanges
-    "d14_chunk_overlap" -> 0)
+    "d14_chunk_overlap" -> 0,
+    // one custkey window partition serves all three rank functions
+    "w9_rank_family" -> 1,
+    // bivariate moments: partial + final around one exchange
+    "a13_corr" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
