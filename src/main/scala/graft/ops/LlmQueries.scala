@@ -214,6 +214,31 @@ object LlmQueries {
   def d14ChunkOverlap(s: SparkSession, dir: String): DataFrame =
     Packing.chunkOverlap(docs(s, dir), col("doc_id"), col("text"))
 
+  /** Capstone 3: RAG indexing pipeline — chunk every doc into overlapping
+    * windows (D14), dedup at CHUNK granularity on the md5 identity (the
+    * step that keeps an embedding index from paying for repeated
+    * boilerplate), keep the min-(doc,chunk) copy, and report per doc how
+    * many of its chunks survive as keepers. The corpus carries injected
+    * full-document copies, so every copied doc's chunks lose to the
+    * original's — n_kept is 0 for the copies, n_chunks for originals. */
+  def pipeRagIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+    val chunks = Packing.chunkOverlap(corpus, col("doc_id"), col("text"))
+    val keepers = chunks
+      .groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.chunk_id").as("chunk_id"))
+    chunks.select("doc_id", "chunk_id")
+      .join(keepers.withColumn("kept", lit(1)),
+            Seq("doc_id", "chunk_id"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(coalesce(col("kept"), lit(0))).cast("long").as("n_kept"))
+  }
+
   /** D13: corpus-self-trained char-bigram LM surprise (integer
     * floor-log2 — see [[TextAnalysis.bigramSurprise]]). */
   def d13LmSurprise(s: SparkSession, dir: String): DataFrame =
@@ -341,6 +366,7 @@ object LlmQueries {
     "d14_chunk_overlap" -> d14ChunkOverlap,
     "d10_redact_pii" -> d10RedactPii,
     "pipe_training_mix" -> pipeTrainingMix,
+    "pipe_rag_index" -> pipeRagIndex,
     "pipe_pretrain_corpus" -> pipePretrainCorpus
   )
 
@@ -856,6 +882,35 @@ object LlmQueries {
         |  round(avg(punct_ratio), 6) AS avg_punct_ratio,
         |  CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
         |FROM per_doc GROUP BY 1""".stripMargin,
+    // chunk-level dedup: keeper = min (doc_id, chunk_id), encoded as
+    // doc_id*4096 + chunk_id (chunk counts are far below 4096, so the
+    // composite orders identically to the struct min)
+    "pipe_rag_index" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0 AND length(text) >= 1),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |meta AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+        |counted AS (
+        |  SELECT doc_id, toks, n,
+        |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS nc
+        |  FROM meta),
+        |chunks AS (
+        |  SELECT doc_id, i.c AS chunk_id,
+        |    md5(array_to_string(
+        |      list_slice(toks, i.c * 48 + 1, i.c * 48 + least(64, n - i.c * 48)),
+        |      ' ')) AS chunk_md5
+        |  FROM counted, LATERAL (SELECT unnest(range(0, nc)) AS c) i),
+        |keep AS (
+        |  SELECT chunk_md5, min(doc_id * 4096 + chunk_id) AS kk
+        |  FROM chunks GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN doc_id * 4096 + chunk_id = kk THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept
+        |FROM chunks JOIN keep USING (chunk_md5)
+        |GROUP BY 1""".stripMargin,
     // sliding 64-token windows, stride 48, exact integer chunk count;
     // chunk identity = md5 of the space-rejoined token slice
     "d14_chunk_overlap" ->
