@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training, Spark-shaped. The insight that makes BPE
+  * tractable at 100 TB: merges are a function of the WORD HISTOGRAM, not
+  * the corpus — so the corpus is reduced once (tokens → (word, count),
+  * one shuffle whose output is vocabulary-sized) and every training
+  * round operates on that small table. Corpus text is touched exactly
+  * once, regardless of merge count.
+  *
+  * The merge loop itself never collects: the winning pair each round is
+  * a 1-row DataFrame broadcast into the next round's merge expression
+  * (the [[KMeans.train]] / [[Dedup.dedupClusters]] driver-loop shape),
+  * and the greedy left-to-right pair substitution is a per-row
+  * higher-order `aggregate` fold over the word's symbol array.
+  */
+object Bpe {
+
+  /** Corpus → (word, count) histogram; words shorter than 2 chars carry
+    * no pairs and are dropped. */
+  def wordHistogram(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(split(text, " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+
+  /** Histogram with each word exploded to its symbol array (initially
+    * characters). */
+  def symbolized(hist: DataFrame): DataFrame =
+    hist.select(split(col("tok"), "").as("syms"), col("c"))
+
+  /** Adjacent-symbol-pair weights over a symbolized histogram — the
+    * statistic one BPE merge step maximizes. */
+  def pairWeights(symbolized: DataFrame): DataFrame =
+    symbolized
+      .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("a"),
+                    element_at(col("syms"), i + 1).as("b")))).as("p"),
+        col("c"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("c")).as("weight"))
+
+  /** Greedy left-to-right merge of adjacent pair (a, b) in a symbol
+    * array: the standard BPE substitution, as a fold with one pending
+    * symbol of state ("aaa" under (a,a) merges the FIRST two). */
+  def mergePair(syms: Column, a: Column, b: Column): Column = {
+    val strArr = array().cast("array<string>")
+    val zero = struct(strArr.as("out"), lit(null).cast("string").as("pend"))
+    val folded = aggregate(syms, zero,
+      (acc, s) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pend")
+        when(pend.isNull, struct(out.as("out"), s.as("pend")))
+          .when(pend === a && s === b,
+            struct(concat(out, array(concat(a, b))).as("out"),
+                   lit(null).cast("string").as("pend")))
+          .otherwise(struct(concat(out, array(pend)).as("out"), s.as("pend")))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"),
+                          array(acc.getField("pend")))))
+    folded
+  }
+
+  /** Train `nMerges` BPE merges over a symbolized histogram. Each round:
+    * pair weights → deterministic argmax (weight desc, pair asc) kept as
+    * a 1-row DataFrame → broadcast into the substitution fold. Returns
+    * the merge table (rank, a, b, weight) — the artifact a tokenizer
+    * loads. Rounds are driver-loop iterations over vocabulary-sized
+    * DataFrames (localCheckpoint-truncated); the corpus is NOT re-read. */
+  def train(hist: DataFrame, nMerges: Int): DataFrame = {
+    var syms = symbolized(hist).localCheckpoint()
+    var merges: DataFrame = null
+    for (rank <- 1 to nMerges) {
+      val win = pairWeights(syms)
+        .orderBy(col("weight").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .withColumn("rank", lit(rank))
+        .localCheckpoint()
+      merges = if (merges == null) win else merges.unionByName(win)
+      syms = syms.crossJoin(broadcast(win.select(
+          col("a").as("_ma"), col("b").as("_mb"))))
+        .select(mergePair(col("syms"), col("_ma"), col("_mb")).as("syms"),
+                col("c"))
+        .localCheckpoint()
+    }
+    merges.select(col("rank"), col("a"), col("b"), col("weight"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft._
-import graft.llm.{Dedup, KMeans, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, KMeans, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -239,6 +239,15 @@ object LlmQueries {
            sum(coalesce(col("kept"), lit(0))).cast("long").as("n_kept"))
   }
 
+  /** D15: the BPE tokenizer-training statistic — top adjacent symbol
+    * pairs over the word histogram ([[Bpe.pairWeights]]; the full merge
+    * loop is [[Bpe.train]], exercised in the spec). */
+  def d15BpePairs(s: SparkSession, dir: String): DataFrame =
+    Bpe.pairWeights(Bpe.symbolized(
+        Bpe.wordHistogram(docs(s, dir), col("text"))))
+      .orderBy(col("weight").desc, col("a").asc, col("b").asc)
+      .limit(10)
+
   /** D13: corpus-self-trained char-bigram LM surprise (integer
     * floor-log2 — see [[TextAnalysis.bigramSurprise]]). */
   def d13LmSurprise(s: SparkSession, dir: String): DataFrame =
@@ -364,6 +373,7 @@ object LlmQueries {
     "d12_kmeans2" -> d12Kmeans2,
     "d13_lm_surprise" -> d13LmSurprise,
     "d14_chunk_overlap" -> d14ChunkOverlap,
+    "d15_bpe_pairs" -> d15BpePairs,
     "d10_redact_pii" -> d10RedactPii,
     "pipe_training_mix" -> pipeTrainingMix,
     "pipe_rag_index" -> pipeRagIndex,
@@ -930,6 +940,20 @@ object LlmQueries {
         |    list_slice(toks, i.c * 48 + 1, i.c * 48 + least(64, n - i.c * 48)),
         |    ' ')) AS chunk_md5
         |FROM counted, LATERAL (SELECT unnest(range(0, nc)) AS c) i""".stripMargin,
+    // BPE merge statistic over the word histogram (corpus reduced once)
+    "d15_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |hist AS (
+        |  SELECT tok, count(*) AS c FROM toks WHERE length(tok) >= 2
+        |  GROUP BY 1),
+        |pairs AS (
+        |  SELECT substr(tok, i.x, 1) AS a, substr(tok, i.x + 1, 1) AS b, c
+        |  FROM hist, LATERAL (SELECT unnest(range(1, length(tok))) AS x) i)
+        |SELECT a, b, CAST(sum(c) AS BIGINT) AS weight
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY weight DESC, a ASC, b ASC
+        |LIMIT 10""".stripMargin,
     // integer LM surprise: floor(log2(N/c)) per bigram via binary-string
     // length — exact integers end to end, no floating logs to drift.
     "d13_lm_surprise" ->

@@ -222,6 +222,29 @@ class ExtQueriesSpec extends SparkSpec {
     })
   }
 
+  test("bpe training: greedy merges compound across rounds") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    // classic BPE fixture: "lo" dominates, then "low" builds ON the
+    // first merge's output symbol — proving rounds compound rather than
+    // recount raw characters
+    val docs = Seq((1L, ("low " * 6 + "lower " * 3 + "lowest " * 2).trim))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordHistogram(docs, col("text")), nMerges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges(0) == ((1, "l", "o", 11L)))   // lo in all 11 words
+    assert(merges(1) == ((2, "lo", "w", 11L)))  // built on merged "lo"
+  }
+
+  test("bpe pair merge is greedy left-to-right on overlaps") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    val df = Seq(Array("a", "a", "a")).toDF("syms")
+      .select(Bpe.mergePair(col("syms"), lit("a"), lit("a")).as("m"))
+    assert(df.head().getSeq[String](0) == Seq("aa", "a"))
+  }
+
   test("bigram surprise ranks out-of-distribution text above corpus text") {
     import spark.implicits._
     val normal = (1L to 30L).map(i =>
