@@ -31,9 +31,14 @@ object Bpe {
     hist.select(split(col("tok"), "").as("syms"), col("c"))
 
   /** Adjacent-symbol-pair weights over a symbolized histogram — the
-    * statistic one BPE merge step maximizes. */
+    * statistic one BPE merge step maximizes. Fully-merged words (a single
+    * symbol) carry no pairs and MUST be filtered before the explode:
+    * `sequence(1, size-1)` DESCENDS to [1, 0] when size = 1 (the same
+    * Spark pitfall guarded in RelQueries.deletionVariants) and
+    * `element_at(syms, 0)` throws unconditionally. */
   def pairWeights(symbolized: DataFrame): DataFrame =
     symbolized
+      .filter(size(col("syms")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
         i => struct(element_at(col("syms"), i).as("a"),
                     element_at(col("syms"), i + 1).as("b")))).as("p"),
@@ -70,20 +75,33 @@ object Bpe {
     * loads. Rounds are driver-loop iterations over vocabulary-sized
     * DataFrames (localCheckpoint-truncated); the corpus is NOT re-read. */
   def train(hist: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     var syms = symbolized(hist).localCheckpoint()
     var merges: DataFrame = null
-    for (rank <- 1 to nMerges) {
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
       val win = pairWeights(syms)
         .orderBy(col("weight").desc, col("a").asc, col("b").asc)
         .limit(1)
         .withColumn("rank", lit(rank))
         .localCheckpoint()
-      merges = if (merges == null) win else merges.unionByName(win)
-      syms = syms.crossJoin(broadcast(win.select(
-          col("a").as("_ma"), col("b").as("_mb"))))
-        .select(mergePair(col("syms"), col("_ma"), col("_mb")).as("syms"),
-                col("c"))
-        .localCheckpoint()
+      // Pairs can run dry before nMerges (every word fully merged): a
+      // 0-row winner cross-joined into syms would silently annihilate the
+      // histogram, so stop instead. The 0-row win still seeds `merges`
+      // with the right schema when the corpus had no pairs at all.
+      if (win.isEmpty) {
+        if (merges == null) merges = win
+        exhausted = true
+      } else {
+        merges = if (merges == null) win else merges.unionByName(win)
+        syms = syms.crossJoin(broadcast(win.select(
+            col("a").as("_ma"), col("b").as("_mb"))))
+          .select(mergePair(col("syms"), col("_ma"), col("_mb")).as("syms"),
+                  col("c"))
+          .localCheckpoint()
+        rank += 1
+      }
     }
     merges.select(col("rank"), col("a"), col("b"), col("weight"))
   }

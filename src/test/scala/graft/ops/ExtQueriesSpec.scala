@@ -237,6 +237,26 @@ class ExtQueriesSpec extends SparkSpec {
     assert(merges(1) == ((2, "lo", "w", 11L)))  // built on merged "lo"
   }
 
+  test("bpe training survives fully-merged words and pair exhaustion") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    // After rank 2 the word "low" is the single symbol ["low"]: rank-3
+    // pairWeights must not explode it (sequence(1, 0) descends and
+    // element_at(syms, 0) throws). Asking for more merges than exist
+    // must stop at exhaustion, not annihilate syms with a 0-row winner.
+    val docs = Seq((1L, ("low " * 6 + "lower " * 3 + "lowest " * 2).trim))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordHistogram(docs, col("text")), nMerges = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.length == 6)  // vocabulary runs dry after 6 merges
+    assert(merges(2) == ((3, "low", "e", 5L)))  // the round that crashed
+    assert(merges(5) == ((6, "lowes", "t", 2L)))
+    intercept[IllegalArgumentException] {
+      Bpe.train(Bpe.wordHistogram(docs, col("text")), nMerges = 0)
+    }
+  }
+
   test("bpe pair merge is greedy left-to-right on overlaps") {
     import spark.implicits._
     import graft.llm.Bpe
