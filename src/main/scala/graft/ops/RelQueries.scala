@@ -752,6 +752,85 @@ object RelQueries {
       .select(col("c_custkey"), col("c_name"), col("n_name"),
               col("revenue_cents"))
 
+  // ---------- subquery shapes (Catalyst decorrelation gates) ----------
+  // Each text is dialect-neutral and used VERBATIM on both sides of the
+  // gate: Spark parses/optimizes it via spark.sql, DuckDB replays the
+  // identical statement as the oracle — so the row proves the two
+  // engines agree on the same SQL, not on two hand-matched dialects.
+
+  /** TPC-H Q17 shape: correlated SCALAR subquery — the per-part average
+    * quantity referenced from the outer predicate. Catalyst decorrelates
+    * it into a per-part aggregate joined back on the correlation key
+    * (one declarative plan — NOT a per-outer-row re-execution), which
+    * [[SubquerySpec]] asserts against the plan and cross-checks against
+    * the hand-decorrelated DataFrame form. Exactness: l_quantity is an
+    * integer-valued double, so the per-part sum is exact and
+    * avg = exact-sum / count is the same single IEEE division in both
+    * engines; money snaps to cents per-row before the sum (house rule). */
+  private[ops] val q17Sql: String =
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      |  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q17Sql)
+  }
+
+  /** TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the same
+    * fact table (the fixture carries no receipt/commit dates, so "late"
+    * is re-expressed over l_returnflag: suppliers whose item on a
+    * multi-supplier order was the ONLY return on that order). Catalyst
+    * plans both as existence/anti joins on l_orderkey — never a per-row
+    * probe. Deterministic top-10 via the (numwait desc, s_name) key. */
+  private[ops] val q21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1
+      |WHERE s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC
+      |LIMIT 10""".stripMargin
+
+  def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q21Sql)
+  }
+
+  /** TPC-H Q22-ish shape: IN (SELECT …) → left semi join, NOT IN
+    * (SELECT …) → Spark's null-aware anti join (its own codepath — the
+    * subquery column is non-null here so both engines agree on the
+    * three-valued-logic edge), and an UNCORRELATED scalar subquery that
+    * stays a one-row subquery stage feeding a literal. max() not avg()
+    * for the scalar: max is order-independent over doubles, a float
+    * avg's sum is not. */
+  private[ops] val q22Sql: String =
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     WHERE l_quantity >= 45)
+      |  AND o_custkey NOT IN (SELECT c_custkey FROM customer
+      |                        WHERE c_acctbal < 0)
+      |  AND o_totalprice < (SELECT 0.5 * max(o2.o_totalprice)
+      |                      FROM orders o2)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  def q22InSubquery(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q22Sql)
+  }
+
   /** Deletion neighborhood of a string: the string plus every
     * single-character deletion — the FastSS candidate key for edit
     * distance ≤ 1 (two strings within ED 1 ALWAYS share a variant, so an
@@ -867,7 +946,10 @@ object RelQueries {
     "f11_zorder" -> f11Zorder,
     "j12_fuzzy_join" -> j12FuzzyJoin,
     "q1_pricing_summary" -> q1PricingSummary,
-    "q10_returned_items" -> q10ReturnedItems
+    "q10_returned_items" -> q10ReturnedItems,
+    "q17_small_qty" -> q17SmallQty,
+    "q21_waiting" -> q21Waiting,
+    "q22_in_subquery" -> q22InSubquery
   )
 
   val oracle: Map[String, String] = Map(
@@ -1244,6 +1326,11 @@ object RelQueries {
         |    AND l_returnflag = 'R'
         |  GROUP BY 1, 2, 3
         |  ORDER BY revenue_cents DESC, c_custkey ASC
-        |  LIMIT 20)""".stripMargin
+        |  LIMIT 20)""".stripMargin,
+    // the subquery gates replay the IDENTICAL statement Spark ran —
+    // one text, two engines (see the q17Sql/q21Sql/q22Sql scaladoc)
+    "q17_small_qty" -> q17Sql,
+    "q21_waiting" -> q21Sql,
+    "q22_in_subquery" -> q22Sql
   )
 }

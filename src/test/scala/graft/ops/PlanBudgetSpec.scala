@@ -89,7 +89,16 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // one custkey window partition serves all three rank functions
     "w9_rank_family" -> 1,
     // bivariate moments: partial + final around one exchange
-    "a13_corr" -> 1)
+    "a13_corr" -> 1,
+    // decorrelated scalar: per-part avg agg exchange + the final
+    // 1-row aggregate; the join back to lineitem broadcasts at gate SF
+    "q17_small_qty" -> 2,
+    // the existence/anti joins broadcast at gate SF; one s_name agg
+    // exchange (at 100 TB AQE shuffles the joins on l_orderkey instead)
+    "q21_waiting" -> 1,
+    // semi-join shuffle + the priority agg + the scalar's 1-row agg;
+    // the null-aware anti join broadcasts its (tiny) non-null build side
+    "q22_in_subquery" -> 3)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {

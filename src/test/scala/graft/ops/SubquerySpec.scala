@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The subquery gates (q17/q21/q22) prove fixture equality against
+  * DuckDB on the identical SQL text; this spec proves the PLANS are the
+  * decorrelated ones — Catalyst rewrote every correlated subquery into a
+  * join (no per-outer-row re-execution survives to the optimized plan) —
+  * and cross-checks each SQL form against its hand-decorrelated
+  * DataFrame form, so the two API surfaces stay interchangeable. */
+class SubquerySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("q17: correlated scalar subquery decorrelates to an aggregate join") {
+    val df = RelQueries.q17SmallQty(spark, dir)
+    val plan = optimized(df)
+    // the correlated scalar turned into a per-part aggregate joined back
+    assert(!plan.contains("scalar-subquery"),
+      s"correlated scalar subquery survived optimization:\n$plan")
+    assert(plan.contains("Join"), s"no join in decorrelated plan:\n$plan")
+  }
+
+  test("q17: SQL form matches the hand-decorrelated DataFrame form") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(avg("l_quantity").as("avg_qty"))
+    val manual = li
+      .join(part.filter(col("p_brand") === "Brand#23"),
+            col("p_partkey") === col("l_partkey"))
+      .join(perPart, col("ap_partkey") === col("p_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("l_extendedprice") * 100).cast("long"))
+             .as("sum_cents"))
+    assert(sortedRows(RelQueries.q17SmallQty(spark, dir)) ==
+           sortedRows(manual))
+  }
+
+  test("q21: EXISTS / NOT EXISTS plan as existence joins, not subqueries") {
+    val df = RelQueries.q21Waiting(spark, dir)
+    val plan = optimized(df)
+    assert(!plan.contains("exists-subquery") && !plan.contains("Exists("),
+      s"EXISTS survived as a subquery expression:\n$plan")
+    // one semi/existence join for EXISTS, one anti join for NOT EXISTS
+    assert(plan.contains("LeftAnti"), s"no anti join in plan:\n$plan")
+    assert(plan.contains("LeftSemi") || plan.contains("ExistenceJoin"),
+      s"no semi/existence join in plan:\n$plan")
+  }
+
+  test("q21: SQL form matches the hand-decorrelated DataFrame form") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    def other(a: String) = li.select(col("l_orderkey").as(s"${a}_ok"),
+      col("l_suppkey").as(s"${a}_sk"), col("l_returnflag").as(s"${a}_rf"))
+    val manual = l1
+      .join(other("l2"), col("l2_ok") === col("l_orderkey") &&
+        col("l2_sk") =!= col("l_suppkey"), "left_semi")
+      .join(other("l3"), col("l3_ok") === col("l_orderkey") &&
+        col("l3_sk") =!= col("l_suppkey") && col("l3_rf") === "R",
+        "left_anti")
+      .join(sup, col("s_suppkey") === col("l_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(10)
+    assert(sortedRows(RelQueries.q21Waiting(spark, dir)) ==
+           sortedRows(manual))
+  }
+
+  test("q22: IN → semi join, NOT IN → null-aware anti join") {
+    val df = RelQueries.q22InSubquery(spark, dir)
+    val plan = optimized(df)
+    assert(!plan.contains("in-subquery") && !plan.contains("list-subquery"),
+      s"IN subquery survived optimization:\n$plan")
+    assert(plan.contains("LeftSemi"), s"no semi join for IN:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join for NOT IN:\n$plan")
+    // the UNCORRELATED scalar stays a one-row subquery stage — that IS
+    // the right plan (computed once, fed in as a literal)
+    assert(plan.contains("scalar-subquery"),
+      s"uncorrelated scalar should remain a subquery stage:\n$plan")
+  }
+
+  test("q22: SQL form matches the hand-decorrelated DataFrame form") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    // the uncorrelated scalar, as a broadcast one-row cross join (the
+    // DataFrame spelling of "compute once, feed as a literal")
+    val cap = orders.agg((lit(0.5) * max("o_totalprice")).as("cap"))
+    val manual = orders
+      .join(li.filter(col("l_quantity") >= 45).select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(cust.filter(col("c_acctbal") < 0).select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+      .crossJoin(broadcast(cap))
+      .filter(col("o_totalprice") < col("cap"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(sortedRows(RelQueries.q22InSubquery(spark, dir)) ==
+           sortedRows(manual))
+  }
+}
