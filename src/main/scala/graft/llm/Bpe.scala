@@ -105,4 +105,34 @@ object Bpe {
     }
     merges.select(col("rank"), col("a"), col("b"), col("weight"))
   }
+
+  /** Encode documents with a trained merge table — the per-document half
+    * of the tokenizer loop a pipeline actually runs at scale. The merge
+    * table is aggregated to ONE rank-ordered array row and broadcast
+    * into a cross join (never collected); each document then pays a
+    * per-row fold: the outer `aggregate` walks the merges in rank order,
+    * the inner [[mergePair]] fold applies one merge — expression depth
+    * is CONSTANT in the merge count (the merge list is data, not plan).
+    * Output per doc: word count, symbol count before any merge, and
+    * token count after all merges. Documents with no words (all-space
+    * text) are dropped on both sides of the gate. */
+  def encode(docs: DataFrame, docId: Column, text: Column,
+             merges: DataFrame): DataFrame = {
+    val mlist = merges.agg(
+      array_sort(collect_list(struct(col("rank"), col("a"), col("b"))))
+        .as("ms"))
+    docs.select(docId.as("doc_id"),
+        filter(split(text, " "), w => length(w) >= 1).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .crossJoin(broadcast(mlist))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_sym0"),
+        aggregate(transform(col("ws"), w =>
+            size(aggregate(col("ms"), split(w, ""),
+              (syms, m) => mergePair(syms, m.getField("a"),
+                                     m.getField("b")))).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_tok"))
+  }
 }

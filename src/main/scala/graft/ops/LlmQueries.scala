@@ -248,6 +248,20 @@ object LlmQueries {
       .orderBy(col("weight").desc, col("a").asc, col("b").asc)
       .limit(10)
 
+  /** D15b: the tokenizer loop CLOSED — train nMerges BPE merges on the
+    * corpus ([[Bpe.train]]), then ENCODE every document with them
+    * ([[Bpe.encode]]): the trained merge table feeds straight into the
+    * per-document substitution fold, and the query reports per-doc token
+    * counts before/after — the compression the tokenizer actually buys. */
+  private val bpeEncodeMerges = 6
+
+  def d15BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+    val merges = Bpe.train(
+      Bpe.wordHistogram(corpus, col("text")), bpeEncodeMerges)
+    Bpe.encode(corpus, col("doc_id"), col("text"), merges)
+  }
+
   /** D13: corpus-self-trained char-bigram LM surprise (integer
     * floor-log2 — see [[TextAnalysis.bigramSurprise]]). */
   def d13LmSurprise(s: SparkSession, dir: String): DataFrame =
@@ -374,6 +388,7 @@ object LlmQueries {
     "d13_lm_surprise" -> d13LmSurprise,
     "d14_chunk_overlap" -> d14ChunkOverlap,
     "d15_bpe_pairs" -> d15BpePairs,
+    "d15_bpe_encode" -> d15BpeEncode,
     "d10_redact_pii" -> d10RedactPii,
     "pipe_training_mix" -> pipeTrainingMix,
     "pipe_rag_index" -> pipeRagIndex,
@@ -381,6 +396,60 @@ object LlmQueries {
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
+
+  /** DuckDB replay of [[Bpe.train]] + [[Bpe.encode]] at `k` merges,
+    * built round by round as plain (non-recursive) CTEs — one
+    * (pairs, winner, substitute) block per merge rank, mechanically
+    * generated. Symbol arrays replay as chr(1)-delimited strings (each
+    * symbol wrapped \x01sym\x01, so adjacent symbols meet as \x01\x01):
+    * DuckDB's left-to-right non-overlapping replace() of
+    * \x01a\x01\x01b\x01 with \x01ab\x01 IS the greedy BPE pair
+    * substitution, symbol-boundary-safe by construction (fixture text
+    * never contains \x01), and because the whole match is consumed the
+    * scan resumes AFTER the merged token — the same one-pending-symbol
+    * semantics as [[Bpe.mergePair]]'s fold ("aaaa" -> "aa","aa"). */
+  private def bpeEncodeOracle(k: Int): String = {
+    val d = "chr(1)"           // symbol delimiter
+    val d2 = s"$d||$d"         // inter-symbol boundary
+    val toSyms =               // word -> \x01c\x01\x01c\x01... char string
+      s"regexp_replace(tok, '(.)', $d||'\\1'||$d, 'g')"
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (
+         |  SELECT z[1] AS a, z[2] AS b, CAST(sum(c) AS BIGINT) AS weight
+         |  FROM (SELECT c, unnest(list_zip(l, l[2:])) AS z FROM (
+         |          SELECT c, string_split(trim(str, $d), $d2) AS l
+         |          FROM s${r - 1}))
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         |win$r AS (SELECT a AS a$r, b AS b$r FROM p$r
+         |          ORDER BY weight DESC, a ASC, b ASC LIMIT 1),
+         |s$r AS (
+         |  SELECT c, replace(str, $d||a$r||$d2||b$r||$d,
+         |                    $d||a$r||b$r||$d) AS str
+         |  FROM s${r - 1}, win$r)""".stripMargin
+    }
+    val encChain = (1 to k).foldLeft(toSyms) { (acc, r) =>
+      s"replace($acc, $d||a$r||$d2||b$r||$d, $d||a$r||b$r||$d)"
+    }
+    s"""WITH w0 AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE length(tok) >= 2 GROUP BY tok),
+       |s0 AS (SELECT c, $toSyms AS str FROM w0),
+       |${rounds.mkString(",\n")},
+       |dw AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)
+       |  WHERE length(tok) >= 1),
+       |es AS (
+       |  SELECT doc_id, tok, $encChain AS str
+       |  FROM dw, ${(1 to k).map("win" + _).mkString(", ")})
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(length(tok)) AS BIGINT) AS n_sym0,
+       |  CAST(sum(len(string_split(trim(str, $d), $d2))) AS BIGINT)
+       |    AS n_tok
+       |FROM es GROUP BY doc_id""".stripMargin
+  }
 
   /** Shared CTE: word-3-gram distinct shingles of a `corpus(doc_id, text)`. */
   private val shingleCtes =
@@ -954,6 +1023,7 @@ object LlmQueries {
         |FROM pairs GROUP BY 1, 2
         |ORDER BY weight DESC, a ASC, b ASC
         |LIMIT 10""".stripMargin,
+    "d15_bpe_encode" -> bpeEncodeOracle(bpeEncodeMerges),
     // integer LM surprise: floor(log2(N/c)) per bigram via binary-string
     // length — exact integers end to end, no floating logs to drift.
     "d13_lm_surprise" ->

@@ -257,6 +257,27 @@ class ExtQueriesSpec extends SparkSpec {
     }
   }
 
+  test("bpe encode compresses repetitive text more than junk") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    // doc 1 is one word repeated — its pairs dominate training and every
+    // merge lands in it; doc 2 is distinct junk bigrams that win nothing
+    val docsDf = Seq(
+      (1L, "banana banana banana banana banana"),
+      (2L, "qw er ty ui op as")).toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordHistogram(docsDf, col("text")), 4)
+    val enc = Bpe.encode(docsDf, col("doc_id"), col("text"), merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (w1, s1, t1) = enc(0)
+    val (w2, s2, t2) = enc(1)
+    assert(w1 == 5L && s1 == 30L && w2 == 6L && s2 == 12L)
+    assert(t1 < s1, "repetitive doc must compress")
+    // per-symbol compression must be strictly better on the repetitive doc
+    assert(t1.toDouble / s1 < t2.toDouble / s2,
+      s"banana $t1/$s1 not tighter than junk $t2/$s2")
+  }
+
   test("bpe pair merge is greedy left-to-right on overlaps") {
     import spark.implicits._
     import graft.llm.Bpe
