@@ -62,14 +62,19 @@ object KMeans {
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
   }
 
-  /** The declared one-iteration query over the embeddings fixture:
-    * seeds = the K lowest vec_ids (deterministic, SQL-expressible). */
+  /** Deterministic, SQL-expressible seeding: the K LOWEST vec_ids — an
+    * orderBy/limit, not `vec_id < k`, so sparse or non-zero-based id
+    * spaces still yield exactly K centroids (on dense 0-based ids the
+    * two are identical, which keeps the d12 oracles unchanged). */
+  def seedLowestK(q: DataFrame, k: Int): DataFrame =
+    q.orderBy(col("vec_id").asc).limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+
+  /** The declared one-iteration query over the embeddings fixture. */
   def lloydQuery(embeddings: DataFrame, k: Int): DataFrame = {
     val q = embeddings.select(col("vec_id"),
       quantize(col("embedding")).as("qv"))
-    val seeds = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    lloydOnce(q, seeds)
+    lloydOnce(q, seedLowestK(q, k))
   }
 
   /** Reduce [[lloydOnce]] accumulators to the next codebook (cid, cv):
@@ -99,10 +104,16 @@ object KMeans {
     // this plan should unpersist once the result is consumed
     val q = embeddings.select(col("vec_id"),
       quantize(col("embedding")).as("qv")).cache()
-    val seeds0 = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    lloydOnce(q, reduceToCodebook(lloydOnce(q, seeds0)))
+    lloydOnce(q, reduceToCodebook(lloydOnce(q, seedLowestK(q, k))))
   }
+
+  /** Codebook after exactly two Lloyd iterations, on the integer grid —
+    * `reduceToCodebook ∘ lloydTwice`. Two rounds move real membership at
+    * the fixture's K, and the result drops straight into
+    * [[Similarity.ivfTopKWith]] as a TRAINED coarse quantizer (divide by
+    * [[Scale]] for the double view — exact, power-of-two divisor). */
+  def codebook2(embeddings: DataFrame, k: Int): DataFrame =
+    reduceToCodebook(lloydTwice(embeddings, k))
 
   /** Full codebook training: iterate [[lloydOnce]] to a fixed point (or
     * `maxIter`), reducing each round's accumulators back to a quantized
@@ -118,9 +129,7 @@ object KMeans {
     * deterministic, and an unchanged codebook reproduces itself. */
   def train(corpus: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {
     val q = corpus.localCheckpoint()
-    var seeds = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      .localCheckpoint()
+    var seeds = seedLowestK(q, k).localCheckpoint()
     var iter = 0
     var moved = 1L
     while (moved > 0 && iter < maxIter) {

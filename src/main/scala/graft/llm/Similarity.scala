@@ -117,6 +117,22 @@ object Similarity {
     val c = corpus.select(id.as("vec_id"), asDouble(emb).as("v"))
     val cents = c.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+    ivfTopKWith(corpus, id, emb, cents, query, queryEmb, k, nprobe,
+      coarseBits)
+  }
+
+  /** [[ivfTopK]] with an EXTERNAL codebook `(cid: long, cv:
+    * array<double>)` — the form a production index uses: the coarse
+    * quantizer is trained offline ([[KMeans.codebook2]] / full
+    * [[KMeans.train]]) and fed in; the probe plan (broadcast codebook,
+    * coarse prefilter, map-side argmax, nprobe inverted lists) is
+    * identical to the stride-sample variant. */
+  def ivfTopKWith(corpus: DataFrame, id: Column, emb: Column,
+                  codebook: DataFrame,
+                  query: DataFrame, queryEmb: Column, k: Int,
+                  nprobe: Int = 2, coarseBits: Int = 4): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), asDouble(emb).as("v"))
+    val cents = codebook.select(col("cid"), col("cv"))
     val centB = cents.withColumn("cbucket", signBucket(col("cv"), coarseBits))
     val corpB = c.withColumn("bucket", signBucket(col("v"), coarseBits))
     // coarse pre-filter: candidates = same-bucket centroids, plus the

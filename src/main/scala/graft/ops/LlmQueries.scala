@@ -164,6 +164,23 @@ object LlmQueries {
       k = 5, stride = 31, nprobe = 2)
   }
 
+  /** D3d: the IVF loop CLOSED — the coarse quantizer is TRAINED
+    * ([[KMeans.codebook2]]: two Lloyd iterations on the 2^20 integer
+    * grid, seeded from the k lowest vec_ids) instead of stride-sampled,
+    * then fed into the same broadcast-codebook + coarse-prefilter probe
+    * plan ([[Similarity.ivfTopKWith]]). Training runs over the corpus
+    * (the query vector is excluded — an index never trains on probes). */
+  def d3IvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val codebook = KMeans.codebook2(corpus, k = 8)
+      .select(col("cid"),
+        transform(col("cv"), c => c.cast("double") / KMeans.Scale).as("cv"))
+    Similarity.ivfTopKWith(corpus, col("vec_id"), col("embedding"),
+      codebook, e.filter(col("vec_id") === 0), col("embedding"),
+      k = 5, nprobe = 2)
+  }
+
   def d4TopTokens(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTokens(docs(s, dir), col("doc_id"), col("text"), 20)
 
@@ -374,6 +391,7 @@ object LlmQueries {
     "d3_cosine_topk" -> d3CosineTopK,
     "d3_ann_lsh" -> d3AnnLsh,
     "d3_ivf_topk" -> d3IvfTopK,
+    "d3_ivf_trained" -> d3IvfTrained,
     "d4_top_tokens" -> d4TopTokens,
     "d4_tfidf" -> d4TfIdf,
     "d4_langid" -> d4LangId,
@@ -742,6 +760,113 @@ object LlmQueries {
         |  JOIN assigned a ON a.vec_id = c.vec_id
         |  JOIN probes p ON a.cid = p.cid, q,
         |  LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  GROUP BY 1)
+        |SELECT vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT vec_id, cos_sim,
+        |    row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    // the trained-IVF replay: two Lloyd iterations (the d12_kmeans2
+    // CTEs, over the corpus with the query vector held out, seeds = the
+    // 8 lowest vec_ids) reduced to an integer-grid codebook, divided by
+    // 2^20 (exact) into the SAME probe pipeline as d3_ivf_topk. Written
+    // dim-agnostically: every position range derives from len(arr).
+    "d3_ivf_trained" ->
+      """WITH corp AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id != 0),
+        |seeds0 AS (
+        |  SELECT vec_id AS cid, qv AS cv FROM corp ORDER BY vec_id LIMIT 8),
+        |d1 AS (
+        |  SELECT t.vec_id, s.cid,
+        |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
+        |  FROM corp t, seeds0 s,
+        |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT a1.cid, i.x AS pos, sum(t.qv[i.x]) // count(*) AS cc
+        |  FROM a1 JOIN corp t USING (vec_id),
+        |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |seeds1 AS (SELECT cid, list(cc ORDER BY pos) AS cv FROM c1 GROUP BY 1),
+        |d2 AS (
+        |  SELECT t.vec_id, s.cid,
+        |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
+        |  FROM corp t, seeds1 s,
+        |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT a2.cid, i.x AS pos, sum(t.qv[i.x]) // count(*) AS cc
+        |  FROM a2 JOIN corp t USING (vec_id),
+        |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT cid, list_transform(list(cc ORDER BY pos),
+        |                             c -> CAST(c AS DOUBLE) / 1048576.0) AS cv
+        |  FROM c2 GROUP BY cid),
+        |centb AS (
+        |  SELECT cid, cv,
+        |    (CASE WHEN cv[1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN cv[2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN cv[3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN cv[4] > 0 THEN 8 ELSE 0 END) AS cbucket
+        |  FROM cents),
+        |corpb AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN v[3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM corp),
+        |cand AS (
+        |  SELECT c.vec_id, c.v, t.cid, t.cv
+        |  FROM corpb c JOIN centb t ON c.bucket = t.cbucket
+        |  UNION ALL
+        |  SELECT c.vec_id, c.v, t.cid, t.cv
+        |  FROM corpb c, centb t
+        |  WHERE c.bucket NOT IN (SELECT cbucket FROM centb)),
+        |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |      FROM embeddings WHERE vec_id = 0),
+        |ac AS (
+        |  SELECT c.vec_id, c.cid,
+        |    round(sum(c.v[i.x] * c.cv[i.x]) /
+        |      (sqrt(sum(c.v[i.x] * c.v[i.x])) * sqrt(sum(c.cv[i.x] * c.cv[i.x]))), 6) AS cs
+        |  FROM cand c, LATERAL (SELECT unnest(range(1, len(c.v) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+        |    FROM ac)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT cid FROM (
+        |    SELECT t.cid,
+        |      round(sum(t.cv[i.x] * q.qv[i.x]) /
+        |        (sqrt(sum(t.cv[i.x] * t.cv[i.x])) * sqrt(sum(q.qv[i.x] * q.qv[i.x]))), 6) AS cs
+        |    FROM cents t, q, LATERAL (SELECT unnest(range(1, len(t.cv) + 1)) AS x) i
+        |    GROUP BY 1)
+        |  ORDER BY cs DESC, cid ASC LIMIT 2),
+        |scored AS (
+        |  SELECT c.vec_id,
+        |    round(sum(c.v[i.x] * q.qv[i.x]) /
+        |      (sqrt(sum(c.v[i.x] * c.v[i.x])) * sqrt(sum(q.qv[i.x] * q.qv[i.x]))), 6) AS cos_sim
+        |  FROM corp c
+        |  JOIN assigned a ON a.vec_id = c.vec_id
+        |  JOIN probes p ON a.cid = p.cid, q,
+        |  LATERAL (SELECT unnest(range(1, len(c.v) + 1)) AS x) i
         |  GROUP BY 1)
         |SELECT vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
         |  SELECT vec_id, cos_sim,
