@@ -611,6 +611,55 @@ object RelQueries {
            round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
              .as("slope"))
 
+  /** A14: EXACT per-group percentiles (percentile_disc semantics),
+    * cross-validating the A11 sketch the way d2_ngram_jaccard
+    * cross-validates the LSH. The formulation is the one that survives
+    * 100 TB: a keyed SORT (cume_dist window on the group key), then
+    * percentile_disc(p) = min value with cume_dist >= p — the group-by
+    * reuses the window's exchange, so the whole query is ONE shuffle and
+    * never collects a per-group value buffer the way Spark's exact
+    * `percentile` ObjectHashAggregate does. l_quantity is discrete, so
+    * the picked values are actual data points — no interpolation float. */
+  def a14ExactPercentile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.95 -> "p95")
+    table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("l_returnflag")
+      .agg(min(when(col("cd") >= qs.head._1, col("l_quantity")))
+             .as(qs.head._2),
+           qs.tail.map { case (p, nm) =>
+             min(when(col("cd") >= p, col("l_quantity"))).as(nm) } ++
+           Seq(count(lit(1)).as("n"),
+               percentile_approx(col("l_quantity"),
+                 array(qs.map(q => lit(q._1)): _*), lit(10000)).as("apx"))
+           : _*)
+      .select(col("l_returnflag") +: qs.map(q => col(q._2)) :+
+        col("n") :+
+        qs.zipWithIndex.map { case ((_, nm), i) =>
+          abs(element_at(col("apx"), i + 1) - col(nm)) <=
+            greatest(abs(col(nm)) * 0.01, lit(1.0)) }
+          .reduce(_ && _).cast("int").as("within_tol"): _*)
+  }
+
+  /** O1: global multi-key sort of the FACT table with a full tie-break
+    * (the (orderkey, linenumber) PK closes the order) — the named form
+    * of the capability that previously rode a 15-row catalog sort. The
+    * point is the PLAN: Spark samples the key distribution and range-
+    * partitions, so every partition sorts its slice in parallel and
+    * partitions concatenate in order — never a single-partition sort
+    * (asserted in PlanBudgetSpec). Timestamps leave as epoch-us longs
+    * per the exactness policy. */
+  def o1Sort(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      // l_shipdate is TIMESTAMP_NTZ; the cast is identity wall-clock
+      // under the session's pinned UTC, matching DuckDB's epoch_us
+      .select(unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+              col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("ship_us").asc, col("l_orderkey").asc,
+               col("l_linenumber").asc)
+
   // ---------- composite analytical queries ----------
 
   /** Per-row discounted revenue as integer CENTS, snapped BEFORE the sum
@@ -915,6 +964,7 @@ object RelQueries {
     "a3_distinct" -> a3Distinct,
     "a4_approx_distinct" -> a4ApproxDistinct,
     "a11_approx_percentile" -> a11ApproxPercentile,
+    "a14_exact_percentile" -> a14ExactPercentile,
     "a5_rollup" -> a5Rollup,
     "a6_collect" -> a6Collect,
     "a8_argmax" -> a8ArgMax,
@@ -925,6 +975,7 @@ object RelQueries {
     "w4_moving" -> w4Moving,
     "w5_ntile" -> w5Ntile,
     "w5_quantile_buckets" -> w5QuantileBuckets,
+    "o1_sort" -> o1Sort,
     "o2_topk" -> o2TopK,
     "o3_union" -> o3Union,
     "o4_setops" -> o4SetOps,
@@ -1065,6 +1116,20 @@ object RelQueries {
         |  quantile_cont(l_quantity, 0.95) AS p95,
         |  1 AS within_tol
         |FROM lineitem""".stripMargin,
+    "o1_sort" ->
+      """SELECT epoch_us(l_shipdate) AS ship_us, l_orderkey, l_linenumber,
+        |       l_quantity
+        |FROM lineitem ORDER BY 1, 2, 3""".stripMargin,
+    // quantile_disc == min value with cume_dist >= p (verified: both
+    // pick the ceil(p*n)-th order statistic); within_tol asserts the
+    // A11 sketch agrees with the exact values to 1% on the Spark side
+    "a14_exact_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS p25,
+        |  quantile_disc(l_quantity, 0.5) AS p50,
+        |  quantile_disc(l_quantity, 0.95) AS p95,
+        |  count(*) AS n, 1 AS within_tol
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "a5_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

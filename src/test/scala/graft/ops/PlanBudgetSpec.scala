@@ -98,7 +98,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q21_waiting" -> 1,
     // semi-join shuffle + the priority agg + the scalar's 1-row agg;
     // the null-aware anti join broadcasts its (tiny) non-null build side
-    "q22_in_subquery" -> 3)
+    "q22_in_subquery" -> 3,
+    // the one exchange IS the range partitioning (asserted below)
+    "o1_sort" -> 1,
+    // cume_dist window exchange on l_returnflag; the group-by reuses it
+    "a14_exact_percentile" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
@@ -107,5 +111,20 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"$name now plans $got shuffles (budget $budget) — an exchange " +
           "crept into a plan SCALE.md documents as minimal")
     }
+  }
+
+  test("o1_sort range-partitions: parallel global sort, not one reducer") {
+    val df = graft.SparkEntry.queries("o1_sort")(spark, dir)
+    df.count()
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s.outputPartitioning
+    }
+    assert(exchanges.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+          .RangePartitioning]),
+      s"global sort lost its range exchange:\n${df.queryExecution}")
+    assert(exchanges.forall(_.numPartitions > 1),
+      "global sort collapsed to a single partition — the plan that " +
+        "dies at 100 TB")
   }
 }
