@@ -98,6 +98,34 @@ object Catalog {
       }
   }
 
+  /** Delta-style multi-row MERGE — R18 generalized from the one-row
+    * literal edit to the shape pyt:879-885's per-layer write-back loop
+    * implies at scale: `updates` carries the encoded catalog schema
+    * keyed on `name`; matched rows REWRITE their encoded fields,
+    * unmatched update rows INSERT, untouched catalog rows KEEP (each
+    * tagged in the `action` column). Expressed as a broadcast left join
+    * (rewrite) unioned with a broadcast anti join (insert) rather than
+    * one full-outer join: Spark cannot broadcast a full outer, so that
+    * spelling would sort-merge-shuffle the catalog — this one keeps
+    * every join build side dimension-sized and broadcast. */
+  def mergeCatalog(encodedCat: DataFrame, updates: DataFrame): DataFrame = {
+    val fields = Seq("input_ranges", "range_labels", "output_values")
+    val u = updates.select(col("name").as("u_name") +:
+      fields.map(f => col(f).as(s"u_$f")): _*)
+    val rewritten = encodedCat
+      .join(broadcast(u), col("name") === col("u_name"), "left")
+      .select(col("name") +:
+        fields.map(f => coalesce(col(s"u_$f"), col(f)).as(f)) :+
+        when(col("u_name").isNotNull, lit("update")).otherwise(lit("keep"))
+          .as("action"): _*)
+    val inserts = updates
+      .join(broadcast(encodedCat.select(col("name").as("c_name"))),
+        col("name") === col("c_name"), "left_anti")
+      .select(col("name") +: fields.map(col) :+
+        lit("insert").as("action"): _*)
+    rewritten.unionByName(inserts)
+  }
+
   /** UpdateWroClassification (pyt:222-330): apply an edited
     * classification to one catalog row, with the reference's validations:
     *  - V3 snap (pyt:309-311): the first range's lo is snapped to the

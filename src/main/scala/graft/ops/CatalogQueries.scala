@@ -63,6 +63,34 @@ object CatalogQueries {
     Catalog.updateClassification(catalogEncoded(s, dir), "quantity",
       editedRanges, quantityStats(s, dir))
 
+  /** The multi-row MERGE updates: a reclassification for the existing
+    * `quantity` layer plus a brand-new `density` layer — built in the
+    * DECODED form and pushed through the encoder, so the merge exercises
+    * the same storage codec as the catalog it lands in (comma-bearing
+    * labels keep RFC-4180 quoting load-bearing). */
+  private def mergeUpdates(s: SparkSession): DataFrame = {
+    def ranges(rs: Seq[(String, Double, Double, Int)]) =
+      array(rs.map { case (l, lo, hi, out) =>
+        struct(lit(l).as("label"), lit(lo).as("lo"),
+               lit(hi).as("hi"), lit(out).as("out")) }: _*)
+    val upd = s.range(1).select(explode(array(
+        struct(lit("quantity").as("layer"),
+          ranges(Seq(("q1, a", 1.0, 25.0, 3), ("q2, b", 25.0, 51.0, 7)))
+            .as("ranges")),
+        struct(lit("density").as("layer"),
+          ranges(Seq(("d1, a", 0.0, 5.0, 1), ("d2, b", 5.0, 9.0, 9)))
+            .as("ranges")))).as("r"))
+      .select(col("r.layer").as("layer"), col("r.ranges").as("ranges"))
+    Catalog.encode(upd)
+  }
+
+  /** R18 at scale (pyt:879-885): multi-row MERGE of an updates frame
+    * into the encoded catalog — matched rewrite, unmatched insert,
+    * untouched keep — with a broadcast-updates plan on both union
+    * branches ([[Catalog.mergeCatalog]]). */
+  def mergeCatalog(s: SparkSession, dir: String): DataFrame =
+    Catalog.mergeCatalog(catalogEncoded(s, dir), mergeUpdates(s))
+
   /** The encoded catalog decorated with layer-info fields (deterministic
     * from the name, so the oracle can rebuild them). */
   private def catalogWithInfo(s: SparkSession, dir: String): DataFrame =
@@ -201,6 +229,7 @@ object CatalogQueries {
     "wro_catalog_encoded" -> catalogEncoded,
     "wro_catalog_roundtrip" -> catalogRoundtrip,
     "wro_update_classification" -> updateClassification,
+    "wro_merge_catalog" -> mergeCatalog,
     "wro_update_layerinfo" -> updateLayerInfo,
     "wro_catalog_diff" -> catalogDiff,
     "wro_name_normalize" -> nameNormalize,
@@ -294,6 +323,19 @@ object CatalogQueries {
       s"""$updatedSql
          |SELECT name, input_ranges, range_labels, output_values, snapped
          |FROM updated""".stripMargin,
+    "wro_merge_catalog" ->
+      s"""$encodedSql,
+         |upd(name, input_ranges, range_labels, output_values) AS (VALUES
+         |  ('quantity', '1.0,25.0,25.0,51.0', '"q1, a","q2, b"', '3,7'),
+         |  ('density', '0.0,5.0,5.0,9.0', '"d1, a","d2, b"', '1,9'))
+         |SELECT coalesce(u.name, e.name) AS name,
+         |  coalesce(u.input_ranges, e.input_ranges) AS input_ranges,
+         |  coalesce(u.range_labels, e.range_labels) AS range_labels,
+         |  coalesce(u.output_values, e.output_values) AS output_values,
+         |  CASE WHEN u.name IS NOT NULL AND e.name IS NOT NULL THEN 'update'
+         |       WHEN u.name IS NOT NULL THEN 'insert'
+         |       ELSE 'keep' END AS action
+         |FROM encoded e FULL OUTER JOIN upd u ON e.name = u.name""".stripMargin,
     "wro_update_layerinfo" ->
       """WITH names AS (
         |  SELECT unnest(['quantity', 'extendedprice', 'discount']) AS name)

@@ -31,6 +31,32 @@ class CatalogSpec extends SparkSpec {
     assert(r.getString(3) == "1,9")
   }
 
+  test("mergeCatalog: matched rewrite, unmatched insert, untouched keep") {
+    import spark.implicits._
+    def enc(rows: (String, Seq[(String, Double, Double, Int)])*) =
+      Catalog.encode(Seq(1).toDF("one").select(explode(array(rows.map {
+          case (nm, rs) => struct(lit(nm).as("layer"),
+            ranges(rs: _*).as("ranges")) }: _*)).as("r"))
+        .select(col("r.layer").as("layer"), col("r.ranges").as("ranges")))
+    val cat = enc(
+      "L" -> Seq(("a", 0.0, 5.0, 1), ("b", 5.0, 11.0, 9)),
+      "M" -> Seq(("m", 0.0, 9.0, 4)))
+    val upd = enc(
+      "L" -> Seq(("a2", 0.0, 11.0, 7)),
+      "N" -> Seq(("n", 1.0, 2.0, 3)))
+    val out = Catalog.mergeCatalog(cat, upd)
+    val got = out.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("L", "0.0,11.0", "update"),   // rewritten to the edited encoding
+      ("M", "0.0,9.0", "keep"),      // untouched catalog row survives
+      ("N", "1.0,2.0", "insert")))   // new layer lands
+    // the MERGE must stay broadcast-shaped: no shuffle on either branch
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(!planStr.contains("ShuffleExchange"),
+      s"merge plan picked up a shuffle:\n$planStr")
+  }
+
   test("update snaps first lo to the raster min (V3 warn/auto-fix)") {
     val out = Catalog.updateClassification(baseCat, "L",
       ranges(("x", 2.0, 6.0, 3), ("y", 6.0, 11.0, 7)), stats(0.0, 10.0))
