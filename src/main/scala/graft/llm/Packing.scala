@@ -56,7 +56,12 @@ object Packing {
     * chunks — guarded on text length, because the whitespace tokenizer
     * never yields zero tokens (`split("", " ")` is `[""]`, which would
     * otherwise fabricate an identical md5('')-keyed junk chunk per
-    * empty doc). */
+    * empty doc).
+    *
+    * Downstream note: the pipe_rag_index ORACLE encodes (doc_id,
+    * chunk_id) as doc_id·2^20 + chunk_id, so its replay is valid while
+    * chunk_id < 2^20 (~50M tokens per doc at the default window/stride);
+    * the Spark-side struct min carries no such bound. */
   def chunkOverlap(docs: DataFrame, id: Column, text: Column,
                    window: Int = 64, stride: Int = 48): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,

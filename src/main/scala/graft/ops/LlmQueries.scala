@@ -484,7 +484,7 @@ object LlmQueries {
        |    sum(va[i.x] * vb[i.x]) AS dot,
        |    sqrt(sum(va[i.x] * va[i.x])) AS na,
        |    sqrt(sum(vb[i.x] * vb[i.x])) AS nb
-       |  FROM pairs, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+       |  FROM pairs, LATERAL (SELECT unnest(range(1, len(va) + 1)) AS x) i
        |  GROUP BY 1, 2)""".stripMargin
 
   private val simhashVotes = (1 to 16)
@@ -736,7 +736,7 @@ object LlmQueries {
         |  SELECT c.vec_id, c.cid,
         |    round(sum(c.v[i.x] * c.cv[i.x]) /
         |      (sqrt(sum(c.v[i.x] * c.v[i.x])) * sqrt(sum(c.cv[i.x] * c.cv[i.x]))), 6) AS cs
-        |  FROM cand c, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  FROM cand c, LATERAL (SELECT unnest(range(1, len(c.v) + 1)) AS x) i
         |  GROUP BY 1, 2),
         |assigned AS (
         |  SELECT vec_id, cid FROM (
@@ -749,7 +749,7 @@ object LlmQueries {
         |    SELECT t.cid,
         |      round(sum(t.cv[i.x] * q.qv[i.x]) /
         |        (sqrt(sum(t.cv[i.x] * t.cv[i.x])) * sqrt(sum(q.qv[i.x] * q.qv[i.x]))), 6) AS cs
-        |    FROM cents t, q, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |    FROM cents t, q, LATERAL (SELECT unnest(range(1, len(t.cv) + 1)) AS x) i
         |    GROUP BY 1)
         |  ORDER BY cs DESC, cid ASC LIMIT 2),
         |scored AS (
@@ -759,7 +759,7 @@ object LlmQueries {
         |  FROM corp c
         |  JOIN assigned a ON a.vec_id = c.vec_id
         |  JOIN probes p ON a.cid = p.cid, q,
-        |  LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  LATERAL (SELECT unnest(range(1, len(c.v) + 1)) AS x) i
         |  GROUP BY 1)
         |SELECT vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
         |  SELECT vec_id, cos_sim,
@@ -1087,8 +1087,10 @@ object LlmQueries {
         |  CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
         |FROM per_doc GROUP BY 1""".stripMargin,
     // chunk-level dedup: keeper = min (doc_id, chunk_id), encoded as
-    // doc_id*4096 + chunk_id (chunk counts are far below 4096, so the
-    // composite orders identically to the struct min)
+    // doc_id*2^20 + chunk_id — valid while chunk_id < 2^20 (~50M tokens
+    // per doc at window 64 / stride 48; the Spark side's struct min has
+    // no bound, so a doc beyond that would diverge the gate — the bound
+    // is noted at Packing.chunkOverlap too)
     "pipe_rag_index" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE length(text) >= 1
@@ -1108,10 +1110,10 @@ object LlmQueries {
         |      ' ')) AS chunk_md5
         |  FROM counted, LATERAL (SELECT unnest(range(0, nc)) AS c) i),
         |keep AS (
-        |  SELECT chunk_md5, min(doc_id * 4096 + chunk_id) AS kk
+        |  SELECT chunk_md5, min(doc_id * 1048576 + chunk_id) AS kk
         |  FROM chunks GROUP BY 1)
         |SELECT doc_id, count(*) AS n_chunks,
-        |  CAST(sum(CASE WHEN doc_id * 4096 + chunk_id = kk THEN 1 ELSE 0 END)
+        |  CAST(sum(CASE WHEN doc_id * 1048576 + chunk_id = kk THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_kept
         |FROM chunks JOIN keep USING (chunk_md5)
         |GROUP BY 1""".stripMargin,
@@ -1179,7 +1181,7 @@ object LlmQueries {
         |d1 AS (
         |  SELECT q.vec_id, s.cid,
         |         sum((q.qv[i.x] - s.cv[i.x]) * (q.qv[i.x] - s.cv[i.x])) AS dist
-        |  FROM q, seeds0 s, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  FROM q, seeds0 s, LATERAL (SELECT unnest(range(1, len(q.qv) + 1)) AS x) i
         |  GROUP BY 1, 2),
         |a1 AS (
         |  SELECT vec_id, cid FROM (
@@ -1189,13 +1191,13 @@ object LlmQueries {
         |c1 AS (
         |  SELECT a1.cid, i.x AS pos, sum(q.qv[i.x]) // count(*) AS c
         |  FROM a1 JOIN q USING (vec_id),
-        |       LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |       LATERAL (SELECT unnest(range(1, len(q.qv) + 1)) AS x) i
         |  GROUP BY 1, 2),
         |seeds1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c1 GROUP BY 1),
         |d2 AS (
         |  SELECT q.vec_id, s.cid,
         |         sum((q.qv[i.x] - s.cv[i.x]) * (q.qv[i.x] - s.cv[i.x])) AS dist
-        |  FROM q, seeds1 s, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  FROM q, seeds1 s, LATERAL (SELECT unnest(range(1, len(q.qv) + 1)) AS x) i
         |  GROUP BY 1, 2),
         |a2 AS (
         |  SELECT vec_id, cid FROM (
@@ -1205,7 +1207,7 @@ object LlmQueries {
         |SELECT a2.cid, CAST(i.x AS INT) AS pos, count(*) AS n,
         |       CAST(sum(q.qv[i.x]) AS BIGINT) AS sum_q
         |FROM a2 JOIN q USING (vec_id),
-        |     LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |     LATERAL (SELECT unnest(range(1, len(q.qv) + 1)) AS x) i
         |GROUP BY 1, 2""".stripMargin,
     // fixed-point k-means: quantize to a 2^20 integer grid (exact in
     // double; both engines round ties away from zero), so distances and
@@ -1220,7 +1222,7 @@ object LlmQueries {
         |d AS (
         |  SELECT q.vec_id, s.cid,
         |         sum((q.qv[i.x] - s.cv[i.x]) * (q.qv[i.x] - s.cv[i.x])) AS dist
-        |  FROM q, seeds s, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  FROM q, seeds s, LATERAL (SELECT unnest(range(1, len(q.qv) + 1)) AS x) i
         |  GROUP BY 1, 2),
         |assign AS (
         |  SELECT vec_id, cid FROM (
@@ -1230,7 +1232,7 @@ object LlmQueries {
         |SELECT a.cid, CAST(i.x AS INT) AS pos, count(*) AS n,
         |       CAST(sum(q.qv[i.x]) AS BIGINT) AS sum_q
         |FROM assign a JOIN q USING (vec_id),
-        |     LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |     LATERAL (SELECT unnest(range(1, len(q.qv) + 1)) AS x) i
         |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1335,7 +1335,7 @@ object RelQueries {
         |    CAST(len(list_filter(e.embedding, x -> x > 0)) AS INT) AS n_pos,
         |    sum(CAST(e.embedding[i.x] AS DOUBLE) * CAST(e.embedding[i.x] AS DOUBLE)) AS sumsq,
         |    max(abs(CAST(e.embedding[i.x] AS DOUBLE))) AS max_abs
-        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, 65)) AS x) i
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS x) i
         |  GROUP BY 1, 2)""".stripMargin,
     // oracle verifies with the EXACT predicate over the (tiny) dims —
     // the Spark plan must produce the same pair set from its
