@@ -106,6 +106,73 @@ object Bpe {
     merges.select(col("rank"), col("a"), col("b"), col("weight"))
   }
 
+  /** [[train]] with BATCHED merge rounds: identical merge table, ~B
+    * merges per Spark round instead of one — the fix for naive BPE's
+    * O(merges) full aggregations (a realistic 32k-merge vocabulary is
+    * ~100k tiny scheduler-bound jobs under [[train]]).
+    *
+    * Each round collects the top-`topM` pair statistic (a BOUNDED
+    * driver-side table — same class as the iterative trainers'
+    * convergence counts; the corpus never moves) and greedily selects a
+    * prefix of candidates that provably reproduces the naive sequence.
+    * Candidate (a, b, w) joins the batch only if
+    *  - no other pair in the collected table touches {a, b, ab} in
+    *    either position (so no visible pair's count can change when this
+    *    merge applies, and later batch members can't interact with it), and
+    *  - w > 2·wmin, where wmin is the weight floor of the collected
+    *    table (every invisible pair is ≤ wmin; a merge can at most add
+    *    one invisible creator's count to one invisible existing pair, so
+    *    nothing below the floor can climb past w before this merge runs).
+    * The first rejected candidate ends the batch; an empty batch falls
+    * back to the collected argmax, which IS the naive round — so hard
+    * corpora (shared letters everywhere) degrade to one-merge rounds
+    * while disjoint-symbol regions batch wide. Selected merges apply as
+    * one nested [[mergePair]] fold in selection order (`maxBatch` bounds
+    * the expression depth), one localCheckpoint per ROUND. */
+  def trainBatched(hist: DataFrame, nMerges: Int, topM: Int = 256,
+                   maxBatch: Int = 64): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(topM >= 1 && maxBatch >= 1, "need topM >= 1 and maxBatch >= 1")
+    val spark = hist.sparkSession
+    var syms = symbolized(hist).localCheckpoint()
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (acc.length < nMerges && !exhausted) {
+      val top = pairWeights(syms)
+        .orderBy(col("weight").desc, col("a").asc, col("b").asc)
+        .limit(topM)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        // floor of the visible table: -inf when EVERY live pair is here
+        val wmin = if (top.length < topM) Long.MinValue else top.last._3
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stop = false
+        for (c @ (a, b, w) <- top if !stop) {
+          val room = sel.length < maxBatch && acc.length + sel.length < nMerges
+          val touch = Set(a, b, a + b)
+          val isolated = !top.exists { case p @ (pa, pb, _) =>
+            p != c && (touch(pa) || touch(pb)) }
+          val aboveFloor = wmin == Long.MinValue || w > 2 * wmin
+          if (room && isolated && aboveFloor) sel += c else stop = true
+        }
+        if (sel.isEmpty) sel += top.head // the naive round, verbatim
+        val merged = sel.foldLeft(col("syms")) { case (cur, (a, b, _)) =>
+          mergePair(cur, lit(a), lit(b)) }
+        syms = syms.select(merged.as("syms"), col("c")).localCheckpoint()
+        val base = acc.length
+        acc ++= sel.zipWithIndex.map { case ((a, b, w), i) =>
+          (base + i + 1, a, b, w) }
+      }
+    }
+    import spark.implicits._
+    if (acc.isEmpty)
+      spark.emptyDataset[(Int, String, String, Long)]
+        .toDF("rank", "a", "b", "weight")
+    else acc.toSeq.toDF("rank", "a", "b", "weight")
+  }
+
   /** Encode documents with a trained merge table — the per-document half
     * of the tokenizer loop a pipeline actually runs at scale. The merge
     * table is aggregated to ONE rank-ordered array row and broadcast

@@ -278,6 +278,69 @@ class ExtQueriesSpec extends SparkSpec {
       s"banana $t1/$s1 not tighter than junk $t2/$s2")
   }
 
+  private def jobsInGroup(tag: String)(f: => Unit): Int = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(tag, tag)
+    try f finally sc.clearJobGroup()
+    // the status store is fed by an async listener — poll until stable
+    var n = -1
+    var stable = 0
+    while (stable < 3) {
+      Thread.sleep(100)
+      val m = sc.statusTracker.getJobIdsForGroup(tag).length
+      if (m == n) stable += 1 else { n = m; stable = 0 }
+    }
+    n
+  }
+
+  test("batched bpe training: identical merge table on real corpora") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    // the low-fixture (compounding merges + exhaustion before nMerges)
+    val low = Seq((1L, ("low " * 6 + "lower " * 3 + "lowest " * 2).trim))
+      .toDF("doc_id", "text")
+    val lowHist = Bpe.wordHistogram(low, col("text"))
+    assert(table(Bpe.train(lowHist, 8)) == table(Bpe.trainBatched(lowHist, 8)))
+    // the documents fixture — shared letters everywhere, so batching
+    // must DEGRADE to naive rounds rather than diverge
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hist = Bpe.wordHistogram(docs, col("text"))
+    assert(table(Bpe.train(hist, 6)) == table(Bpe.trainBatched(hist, 6)))
+  }
+
+  test("batched bpe training: >=4x fewer jobs on batchable vocabulary") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    // 64 two-char words over disjoint alphabets (Latin Extended-A),
+    // strictly decreasing counts: every pair is isolated, so one round
+    // batches the whole vocabulary — the merge-heavy regime the naive
+    // loop pays ~4 scheduler jobs per merge for
+    val hist = (0 until 64).map { i =>
+      val c1 = (0x100 + 2 * i).toChar
+      val c2 = (0x100 + 2 * i + 1).toChar
+      (s"$c1$c2", 200L - i)
+    }.toDF("tok", "c")
+    var naive: Seq[(Int, String, String, Long)] = null
+    var batched: Seq[(Int, String, String, Long)] = null
+    val jn = jobsInGroup("bpe-naive") {
+      naive = Bpe.train(hist, 64).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    }
+    val jb = jobsInGroup("bpe-batched") {
+      batched = Bpe.trainBatched(hist, 64).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    }
+    assert(naive.sortBy(_._1) == batched.sortBy(_._1))
+    assert(naive.length == 64 && naive.head == ((1, "Ā", "ā", 200L)))
+    assert(jn >= 4 * jb, s"naive $jn jobs vs batched $jb — batching lost its edge")
+  }
+
   test("bpe pair merge is greedy left-to-right on overlaps") {
     import spark.implicits._
     import graft.llm.Bpe
