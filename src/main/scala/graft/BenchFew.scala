@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Median-of-N re-measure for individual declared queries — the tool for
+  * adjudicating whether a per-query bench number moved because the PLAN
+  * moved or because the run was noisy (single-shot timings at small SF
+  * carry multi-hundred-ms scheduler jitter).
+  *
+  * Usage: runMain graft.BenchFew <reps> <query> [query...]
+  * (SPARK_GRAFT_SF_DIR selects the SF dir, as in [[Bench]].)
+  * Prints per-query all reps + the median, one JSON line at the end.
+  */
+object BenchFew {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchFew <reps> <query> [query...]")
+    val reps = args.head.toInt
+    val names = args.tail.toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // same warm-up discipline as Bench: one untimed pass per query
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, sfDir).count()
+      spark.catalog.clearCache()
+    }
+    val out = names.map { n =>
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      val med = ts.sorted.apply(reps / 2)
+      f"""\"$n\":{\"median\":$med%.3f,\"reps\":[${ts.map(t => f"$t%.3f").mkString(",")}]}"""
+    }
+    spark.stop()
+    println(out.mkString("{", ",", "}"))
+  }
+}

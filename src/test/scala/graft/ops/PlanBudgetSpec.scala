@@ -101,6 +101,16 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q22_in_subquery" -> 3,
     // the one exchange IS the range partitioning (asserted below)
     "o1_sort" -> 1,
+    // catalog tools are fact-derived through perCellCached: the visible
+    // exchange(s) are the per-cell aggregate build (+ the stats agg for
+    // classification); the rewrite itself is broadcast projections.
+    // r4's 2.39 s layerinfo bench reading was noise — median-of-3 via
+    // BenchFew at sf0.1 is 0.56 s / 0.58 s for these two
+    "wro_update_layerinfo" -> 1,
+    "wro_update_classification" -> 2,
+    // MERGE = broadcast left join + broadcast anti join; the exchanges
+    // are the encoded catalog's derivation, not the merge
+    "wro_merge_catalog" -> 2,
     // cume_dist window exchange on l_returnflag; the group-by reuses it
     "a14_exact_percentile" -> 1)
 
