@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the MEMORY half of IVF-PQ, completing the
+  * ANN family (D3: brute / sign-LSH / IVF / trained-IVF): each vector is
+  * split into `m` subvectors and every subvector replaced by the id of
+  * its nearest subspace centroid, so a stored vector is m small codes
+  * (m bytes at 256 centroids) instead of 4·dim bytes — the compression
+  * that lets a 100 TB vector corpus sit in executor memory. Queries
+  * score by ADC (asymmetric distance computation): one per-subspace
+  * distance table from the query to the codebook, then a vector's
+  * approximate distance is m table lookups summed — no original vectors
+  * touched at probe time.
+  *
+  * Everything runs on [[KMeans.Scale]]'s 2^20 integer grid, so subspace
+  * distances, code assignment, and ADC sums are EXACT integers —
+  * order-independent and oracle-reproducible (the [[KMeans]] policy).
+  *
+  * Plan shape: the codebook is a stride sample (a trained
+  * [[KMeans.codebook2]] per subspace drops in the same way the IVF
+  * coarse quantizer does) and is BROADCAST everywhere it appears; code
+  * assignment is a map-side min_by reduced on (vec_id, subspace); the
+  * probe is a broadcast lookup-table join plus one keyed sum. Nothing
+  * shuffles vector payloads except the one assignment reduce.
+  */
+object Pq {
+
+  /** Explode a quantized vector into its `m` subvectors:
+    * (…, j, subv) for j in 0..m-1. `size(qv)` must divide by m. */
+  private def subspaces(df: DataFrame, qvCol: String, m: Int): DataFrame = {
+    val subdim = (size(col(qvCol)) / m).cast("int")
+    df.withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("subv", slice(col(qvCol), col("j") * subdim + 1, subdim))
+  }
+
+  /** PQ-encode the corpus against a stride-sampled codebook and return
+    * the approximate (ADC) top-k nearest to the single query vector:
+    * (vec_id, approx, rank) with `approx` the exact integer ADC score. */
+  def pqTopK(corpus: DataFrame, id: Column, emb: Column,
+             query: DataFrame, queryEmb: Column, k: Int,
+             m: Int = 8, stride: Long = 31): DataFrame = {
+    val q0 = corpus.select(id.as("vec_id"), KMeans.quantize(emb).as("qv"))
+    val corpSub = subspaces(q0, "qv", m).select("vec_id", "j", "subv")
+    val cents = subspaces(
+        q0.filter(col("vec_id") % stride === 0)
+          .select(col("vec_id").as("cid"), col("qv")), "qv", m)
+      .select(col("cid"), col("j"), col("subv").as("csub"))
+    // code assignment: nearest subspace centroid, ties to the lowest cid
+    // — map-side partial min_by, one (vec_id, j) reduce
+    val codes = corpSub.join(broadcast(cents), "j")
+      .select(col("vec_id"), col("j"), col("cid"),
+              KMeans.sqDist(col("subv"), col("csub")).as("d"))
+      .groupBy("vec_id", "j")
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("code"))
+    // ADC distance table: query subvector -> every subspace centroid
+    val qSub = subspaces(
+        query.select(KMeans.quantize(queryEmb).as("qv")).limit(1), "qv", m)
+      .select(col("j"), col("subv").as("qsub"))
+    val dt = cents.join(broadcast(qSub), "j")
+      .select(col("j"), col("cid"),
+              KMeans.sqDist(col("qsub"), col("csub")).as("dq"))
+    // probe: m lookups + one keyed sum per vector, then the top-k cut
+    codes.join(broadcast(dt),
+        codes("j") === dt("j") && codes("code") === dt("cid"))
+      .groupBy("vec_id")
+      .agg(sum(col("dq")).as("approx"))
+      .orderBy(col("approx").asc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("approx").asc, col("vec_id").asc)))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft._
-import graft.llm.{Bpe, Dedup, KMeans, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, KMeans, Multimodal, Packing, Pq, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -179,6 +179,16 @@ object LlmQueries {
     Similarity.ivfTopKWith(corpus, col("vec_id"), col("embedding"),
       codebook, e.filter(col("vec_id") === 0), col("embedding"),
       k = 5, nprobe = 2)
+  }
+
+  /** D16: product quantization + ADC probe ([[Pq.pqTopK]]) — the
+    * memory half of IVF-PQ: m codes per vector, query scored by m
+    * table lookups, integer-exact on the 2^20 grid. */
+  def d16PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    Pq.pqTopK(e.filter(col("vec_id") =!= 0), col("vec_id"),
+      col("embedding"), e.filter(col("vec_id") === 0), col("embedding"),
+      k = 5, m = 8, stride = 31)
   }
 
   def d4TopTokens(s: SparkSession, dir: String): DataFrame =
@@ -392,6 +402,7 @@ object LlmQueries {
     "d3_ann_lsh" -> d3AnnLsh,
     "d3_ivf_topk" -> d3IvfTopK,
     "d3_ivf_trained" -> d3IvfTrained,
+    "d16_pq_topk" -> d16PqTopK,
     "d4_top_tokens" -> d4TopTokens,
     "d4_tfidf" -> d4TfIdf,
     "d4_langid" -> d4LangId,
@@ -872,6 +883,52 @@ object LlmQueries {
         |  SELECT vec_id, cos_sim,
         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank
         |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    // PQ/ADC replay: 8 subspaces via list slices, stride-31 subspace
+    // codebook, per-(vector, subspace) argmin code, query distance
+    // table, approximate distance = sum of table lookups — all exact
+    // integers on the 2^20 grid, dim-agnostic (subdim = len // 8)
+    "d16_pq_topk" ->
+      """WITH corp AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |cs AS (
+        |  SELECT vec_id, j.j AS j,
+        |    qv[(j.j * (len(qv) // 8) + 1):((j.j + 1) * (len(qv) // 8))] AS subv
+        |  FROM corp, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+        |  WHERE vec_id != 0),
+        |cents AS (SELECT vec_id AS cid, j, subv FROM cs WHERE vec_id % 31 = 0),
+        |qs AS (
+        |  SELECT j.j AS j,
+        |    qv[(j.j * (len(qv) // 8) + 1):((j.j + 1) * (len(qv) // 8))] AS qsub
+        |  FROM corp, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+        |  WHERE vec_id = 0),
+        |cd AS (
+        |  SELECT c.vec_id, c.j, t.cid,
+        |    sum((c.subv[i.x] - t.subv[i.x]) * (c.subv[i.x] - t.subv[i.x])) AS d
+        |  FROM cs c JOIN cents t ON c.j = t.j,
+        |       LATERAL (SELECT unnest(range(1, len(c.subv) + 1)) AS x) i
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT vec_id, j, cid,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |dt AS (
+        |  SELECT t.j, t.cid,
+        |    sum((q.qsub[i.x] - t.subv[i.x]) * (q.qsub[i.x] - t.subv[i.x])) AS dq
+        |  FROM cents t JOIN qs q ON t.j = q.j,
+        |       LATERAL (SELECT unnest(range(1, len(t.subv) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT c.vec_id, CAST(sum(d.dq) AS BIGINT) AS approx
+        |  FROM codes c JOIN dt d ON c.j = d.j AND c.code = d.cid
+        |  GROUP BY 1)
+        |SELECT vec_id, approx, CAST(rank AS INT) AS rank FROM (
+        |  SELECT vec_id, approx,
+        |    row_number() OVER (ORDER BY approx ASC, vec_id ASC) AS rank
+        |  FROM sc)
         |WHERE rank <= 5""".stripMargin,
     "d11_vocab_oov" ->
       """WITH toks AS (

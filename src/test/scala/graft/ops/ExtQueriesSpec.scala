@@ -278,6 +278,31 @@ class ExtQueriesSpec extends SparkSpec {
       s"banana $t1/$s1 not tighter than junk $t2/$s2")
   }
 
+  test("pq/adc: codes pick nearest subspace centroid, ADC sums lookups") {
+    import spark.implicits._
+    // dim 4, m=2 (subdim 2), stride 3 -> centroids id3=[1,1,5,5],
+    // id6=[9,9,1,1]; query=[1,1,1,1]. Hand-computed ADC in 2^40 units:
+    //   id1=[1,1,1,1] -> codes (c3,c6), approx 0
+    //   id4=[2,2,2,2] -> same codes, approx 0 (quantizes to its own
+    //                    grid point but ADC only sees the CODES)
+    //   id3, id5      -> codes (c3,c3), approx 2*(5-1)^2 = 32
+    //   id6=[9,9,1,1] -> codes (c6,c6), approx 2*(9-1)^2 = 128
+    //   id2=[9,9,5,5] -> codes (c6,c3), approx 128 + 32 = 160
+    val emb = Seq(
+      0L -> Array(1f, 1f, 1f, 1f), 1L -> Array(1f, 1f, 1f, 1f),
+      2L -> Array(9f, 9f, 5f, 5f), 3L -> Array(1f, 1f, 5f, 5f),
+      4L -> Array(2f, 2f, 2f, 2f), 5L -> Array(1f, 1f, 9f, 9f),
+      6L -> Array(9f, 9f, 1f, 1f)).toDF("vec_id", "embedding")
+    val got = graft.llm.Pq.pqTopK(
+        emb.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") === 0), col("embedding"),
+        k = 6, m = 2, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1) >> 40, r.getInt(2)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 1), (4L, 0L, 2), (3L, 32L, 3), (5L, 32L, 4),
+      (6L, 128L, 5), (2L, 160L, 6)))
+  }
+
   private def jobsInGroup(tag: String)(f: => Unit): Int = {
     val sc = spark.sparkContext
     sc.setJobGroup(tag, tag)
