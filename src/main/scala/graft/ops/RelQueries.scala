@@ -880,6 +880,28 @@ object RelQueries {
     s.sql(q22Sql)
   }
 
+  /** TPC-H Q18 shape: IN over a GROUPED + HAVING subquery (the "large
+    * orders" filter) — the aggregate-subquery flavor SUB1–SUB3 don't
+    * cover: Catalyst plans the HAVING aggregate once and semi-joins it.
+    * Money exits as per-row-rounded cents; top-10 fully tie-broken. */
+  private[ops] val q18Sql: String =
+    """SELECT c_name, o_orderkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey
+      |                     HAVING sum(l_quantity) > 300)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, o_orderkey, o_totalprice
+      |ORDER BY total_cents DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q18Sql)
+  }
+
   /** Deletion neighborhood of a string: the string plus every
     * single-character deletion — the FastSS candidate key for edit
     * distance ≤ 1 (two strings within ED 1 ALWAYS share a variant, so an
@@ -1000,7 +1022,8 @@ object RelQueries {
     "q10_returned_items" -> q10ReturnedItems,
     "q17_small_qty" -> q17SmallQty,
     "q21_waiting" -> q21Waiting,
-    "q22_in_subquery" -> q22InSubquery
+    "q22_in_subquery" -> q22InSubquery,
+    "q18_large_orders" -> q18LargeOrders
   )
 
   val oracle: Map[String, String] = Map(
@@ -1396,6 +1419,7 @@ object RelQueries {
     // one text, two engines (see the q17Sql/q21Sql/q22Sql scaladoc)
     "q17_small_qty" -> q17Sql,
     "q21_waiting" -> q21Sql,
-    "q22_in_subquery" -> q22Sql
+    "q22_in_subquery" -> q22Sql,
+    "q18_large_orders" -> q18Sql
   )
 }

@@ -2,7 +2,7 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured-Streaming operators over the `events` shape (SURVEY §2.B
   * S1–S6). The transforms are written against a DataFrame so the SAME
@@ -109,6 +109,31 @@ object Streams {
       .select(col("doc_id"), col("ts"), redTxt.as("text"),
               redCnt.as("n_redactions"))
   }
+
+  /** S10: streaming UPSERT sink — micro-batches of catalog updates
+    * MERGE into a persistent catalog table via foreachBatch +
+    * [[graft.catalog.Catalog.mergeCatalog]], the standard Structured
+    * Streaming upsert idiom (foreachBatch is where streaming meets a
+    * batch MERGE; a Delta/Iceberg sink acquires the same plan with
+    * file-level pruning). The catalog is dimension-sized, so each batch
+    * localCheckpoints the merged result (materializing it BEFORE the
+    * overwrite truncates its own parquet source) and rewrites
+    * wholesale; the broadcast-shaped merge itself never shuffles.
+    * Exactly-once: the checkpoint makes batch replay idempotent —
+    * re-merging the same updates is a no-op rewrite. */
+  def catalogUpsert(updates: DataFrame, catalogPath: String,
+                    checkpoint: String): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cur = batch.sparkSession.read.parquet(catalogPath)
+          .select("name", "input_ranges", "range_labels", "output_values")
+        val merged = graft.catalog.Catalog.mergeCatalog(cur, batch)
+          .drop("action")
+          .localCheckpoint()
+        merged.write.mode("overwrite").parquet(catalogPath)
+      }
+      .start()
 
   /** S6 state: running per-user aggregate carried across micro-batches. */
   case class UserEvent(user_id: Long, ts_us: Long, value: Double)

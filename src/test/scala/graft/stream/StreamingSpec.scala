@@ -40,6 +40,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S10 foreachBatch upsert: micro-batches MERGE into the catalog") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s10").toString
+    val catPath = s"$dir/cat"
+    Seq(("L", "0.0,5.0", "a", "1"), ("M", "0.0,9.0", "m", "4"))
+      .toDF("name", "input_ranges", "range_labels", "output_values")
+      .write.parquet(catPath)
+    val input = MemoryStream[(String, String, String, String)](spark)
+    val updates = input.toDF()
+      .toDF("name", "input_ranges", "range_labels", "output_values")
+    val q = Streams.catalogUpsert(updates, catPath, s"$dir/ckpt")
+    try {
+      input.addData(("L", "0.0,11.0", "a2", "7")) // batch 1: rewrite L
+      q.processAllAvailable()
+      input.addData(("N", "1.0,2.0", "n", "3"))   // batch 2: insert N
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(catPath)
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("L", "0.0,11.0"),  // batch-1 rewrite survived batch 2
+      ("M", "0.0,9.0"),   // untouched row carried through both merges
+      ("N", "1.0,2.0")))  // batch-2 insert landed
+  }
+
   test("S7 stream-stream join: purchases match prior clicks in-window, " +
        "and equal the batch interval join") {
     import spark.implicits._
