@@ -126,6 +126,42 @@ object Catalog {
     rewritten.unionByName(inserts)
   }
 
+  /** SCD-2 history maintenance over the catalog — the versioned sibling
+    * of [[mergeCatalog]] (which overwrites; this one never loses a
+    * version, the audit shape a mosaic-catalog service actually wants
+    * for `pyt:245-273`'s change reports). `hist` carries the encoded
+    * fields plus (version, valid_from_us, valid_to_us, is_current);
+    * applying `updates` at `tsUs` CLOSES each matched current row
+    * (valid_to = ts, is_current = 0) and OPENS a successor at
+    * version+1 — a brand-new name opens at version 1. Both joins
+    * broadcast the dimension-sized updates/current sides; history rows
+    * already closed pass through untouched. */
+  def scd2Apply(hist: DataFrame, updates: DataFrame, tsUs: Long): DataFrame = {
+    val fields = Seq("input_ranges", "range_labels", "output_values")
+    val cur = hist.filter(col("is_current") === 1)
+    val curOut = cur
+      .join(broadcast(updates.select(col("name").as("u_name"))),
+        col("name") === col("u_name"), "left")
+      .select(Seq(col("name")) ++ fields.map(col) ++ Seq(
+        col("version"), col("valid_from_us"),
+        when(col("u_name").isNotNull, lit(tsUs))
+          .otherwise(col("valid_to_us")).as("valid_to_us"),
+        when(col("u_name").isNotNull, lit(0))
+          .otherwise(col("is_current")).as("is_current")): _*)
+    val opened = updates
+      .join(broadcast(cur.select(col("name").as("c_name"),
+          col("version").as("c_version"))),
+        col("name") === col("c_name"), "left")
+      .select(Seq(col("name")) ++ fields.map(col) ++ Seq(
+        (coalesce(col("c_version"), lit(0)) + 1).as("version"),
+        lit(tsUs).as("valid_from_us"),
+        lit(null).cast("long").as("valid_to_us"),
+        lit(1).as("is_current")): _*)
+    hist.filter(col("is_current") === 0)
+      .unionByName(curOut)
+      .unionByName(opened)
+  }
+
   /** UpdateWroClassification (pyt:222-330): apply an edited
     * classification to one catalog row, with the reference's validations:
     *  - V3 snap (pyt:309-311): the first range's lo is snapped to the

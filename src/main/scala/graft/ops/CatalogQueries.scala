@@ -91,6 +91,19 @@ object CatalogQueries {
   def mergeCatalog(s: SparkSession, dir: String): DataFrame =
     Catalog.mergeCatalog(catalogEncoded(s, dir), mergeUpdates(s))
 
+  /** R18++ : SCD-2 versioned history — the same updates as the MERGE,
+    * applied at t=2,000,000 us to a version-1 history seeded at
+    * t=1,000,000: quantity's v1 closes and v2 opens, density opens at
+    * v1, untouched layers stay current ([[Catalog.scd2Apply]]). */
+  def catalogScd2(s: SparkSession, dir: String): DataFrame = {
+    val hist = catalogEncoded(s, dir)
+      .withColumn("version", lit(1))
+      .withColumn("valid_from_us", lit(1000000L))
+      .withColumn("valid_to_us", lit(null).cast("long"))
+      .withColumn("is_current", lit(1))
+    Catalog.scd2Apply(hist, mergeUpdates(s), tsUs = 2000000L)
+  }
+
   /** The encoded catalog decorated with layer-info fields (deterministic
     * from the name, so the oracle can rebuild them). */
   private def catalogWithInfo(s: SparkSession, dir: String): DataFrame =
@@ -230,6 +243,7 @@ object CatalogQueries {
     "wro_catalog_roundtrip" -> catalogRoundtrip,
     "wro_update_classification" -> updateClassification,
     "wro_merge_catalog" -> mergeCatalog,
+    "wro_catalog_scd2" -> catalogScd2,
     "wro_update_layerinfo" -> updateLayerInfo,
     "wro_catalog_diff" -> catalogDiff,
     "wro_name_normalize" -> nameNormalize,
@@ -336,6 +350,31 @@ object CatalogQueries {
          |       WHEN u.name IS NOT NULL THEN 'insert'
          |       ELSE 'keep' END AS action
          |FROM encoded e FULL OUTER JOIN upd u ON e.name = u.name""".stripMargin,
+    "wro_catalog_scd2" ->
+      s"""$encodedSql,
+         |upd(name, input_ranges, range_labels, output_values) AS (VALUES
+         |  ('quantity', '1.0,25.0,25.0,51.0', '"q1, a","q2, b"', '3,7'),
+         |  ('density', '0.0,5.0,5.0,9.0', '"d1, a","d2, b"', '1,9')),
+         |hist AS (
+         |  SELECT name, input_ranges, range_labels, output_values,
+         |    1 AS version, CAST(1000000 AS BIGINT) AS valid_from_us,
+         |    CAST(NULL AS BIGINT) AS valid_to_us, 1 AS is_current
+         |  FROM encoded),
+         |curout AS (
+         |  SELECT h.name, h.input_ranges, h.range_labels, h.output_values,
+         |    h.version, h.valid_from_us,
+         |    CASE WHEN u.name IS NOT NULL THEN CAST(2000000 AS BIGINT)
+         |         ELSE h.valid_to_us END AS valid_to_us,
+         |    CASE WHEN u.name IS NOT NULL THEN 0
+         |         ELSE h.is_current END AS is_current
+         |  FROM hist h LEFT JOIN upd u ON h.name = u.name),
+         |opened AS (
+         |  SELECT u.name, u.input_ranges, u.range_labels, u.output_values,
+         |    CAST(coalesce(h.version, 0) + 1 AS INT) AS version,
+         |    CAST(2000000 AS BIGINT) AS valid_from_us,
+         |    CAST(NULL AS BIGINT) AS valid_to_us, 1 AS is_current
+         |  FROM upd u LEFT JOIN hist h ON u.name = h.name)
+         |SELECT * FROM curout UNION ALL SELECT * FROM opened""".stripMargin,
     "wro_update_layerinfo" ->
       """WITH names AS (
         |  SELECT unnest(['quantity', 'extendedprice', 'discount']) AS name)

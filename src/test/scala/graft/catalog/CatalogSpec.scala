@@ -57,6 +57,30 @@ class CatalogSpec extends SparkSpec {
       s"merge plan picked up a shuffle:\n$planStr")
   }
 
+  test("scd2Apply chains: each round closes the current version and " +
+       "opens the next") {
+    import spark.implicits._
+    def upd(ir: String) = Seq(("L", ir, "a", "1"))
+      .toDF("name", "input_ranges", "range_labels", "output_values")
+    val hist0 = Seq(
+      ("L", "0.0,5.0", "a", "1"), ("M", "0.0,9.0", "m", "4"))
+      .toDF("name", "input_ranges", "range_labels", "output_values")
+      .withColumn("version", lit(1))
+      .withColumn("valid_from_us", lit(1000L))
+      .withColumn("valid_to_us", lit(null).cast("long"))
+      .withColumn("is_current", lit(1))
+    val h2 = Catalog.scd2Apply(
+      Catalog.scd2Apply(hist0, upd("0.0,6.0"), 2000L), upd("0.0,7.0"), 3000L)
+    val l = h2.filter(col("name") === "L").orderBy("version").collect()
+      .map(r => (r.getInt(4), r.getString(1), r.get(6), r.getInt(7)))
+    assert(l.toSeq == Seq(
+      (1, "0.0,5.0", 2000L, 0),  // v1 closed by round 1
+      (2, "0.0,6.0", 3000L, 0),  // v2 closed by round 2
+      (3, "0.0,7.0", null, 1)))  // v3 open
+    val m = h2.filter(col("name") === "M").collect()
+    assert(m.length == 1 && m(0).getInt(4) == 1 && m(0).getInt(7) == 1)
+  }
+
   test("update snaps first lo to the raster min (V3 warn/auto-fix)") {
     val out = Catalog.updateClassification(baseCat, "L",
       ranges(("x", 2.0, 6.0, 3), ("y", 6.0, 11.0, 7)), stats(0.0, 10.0))
