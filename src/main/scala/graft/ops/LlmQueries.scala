@@ -191,6 +191,12 @@ object LlmQueries {
       k = 5, m = 8, stride = 31)
   }
 
+  /** A15: two-pass Misra-Gries heavy hitters (k=32 counters → exact
+    * recount of the ≤ 32 broadcast candidates → integer threshold
+    * cnt·33 > n). See [[graft.llm.HeavyHitters]]. */
+  def a15HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.llm.HeavyHitters.heavyHitters(docs(s, dir), col("text"), k = 32)
+
   def d4TopTokens(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTokens(docs(s, dir), col("doc_id"), col("text"), 20)
 
@@ -403,6 +409,7 @@ object LlmQueries {
     "d3_ivf_topk" -> d3IvfTopK,
     "d3_ivf_trained" -> d3IvfTrained,
     "d16_pq_topk" -> d16PqTopK,
+    "a15_heavy_hitters" -> a15HeavyHitters,
     "d4_top_tokens" -> d4TopTokens,
     "d4_tfidf" -> d4TfIdf,
     "d4_langid" -> d4LangId,
@@ -930,6 +937,17 @@ object LlmQueries {
         |    row_number() OVER (ORDER BY approx ASC, vec_id ASC) AS rank
         |  FROM sc)
         |WHERE rank <= 5""".stripMargin,
+    // heavy hitters: the two-pass output is exactly "tokens with count
+    // strictly above n/(k+1)" — the sketch only bounds WHICH candidates
+    // get recounted, so the oracle is the plain exact formulation
+    "a15_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT tok FROM toks WHERE length(tok) >= 1),
+        |tot AS (SELECT count(*) AS n FROM t)
+        |SELECT tok, count(*) AS cnt
+        |FROM t, tot GROUP BY tok, tot.n
+        |HAVING count(*) * 33 > tot.n""".stripMargin,
     "d11_vocab_oov" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -303,6 +303,29 @@ class ExtQueriesSpec extends SparkSpec {
       (6L, 128L, 5), (2L, 160L, 6)))
   }
 
+  test("misra-gries two-pass: exact heavy hitters under any partitioning") {
+    import spark.implicits._
+    // 200 distinct rare tokens vs k=8 counters — the sketch is heavily
+    // lossy — plus three true heavy hitters (n=440, threshold n/9≈48.9).
+    // The two-pass output must be exactly the true heavy hitters for
+    // every input order and partition count.
+    val words = (1 to 200).map(i => s"r$i") ++
+      Seq.fill(100)("hh1") ++ Seq.fill(80)("hh2") ++ Seq.fill(60)("hh3")
+    val expect = Map("hh1" -> 100L, "hh2" -> 80L, "hh3" -> 60L)
+    for {
+      order <- Seq(words, words.reverse,
+        words.sortBy(w => (w.hashCode * 2654435761L) & 0xffffffL))
+      parts <- Seq(1, 7)
+    } {
+      val docs = order.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+        .repartition(parts)
+      val got = graft.llm.HeavyHitters.heavyHitters(docs, col("text"), 8)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"order-dependence leaked (parts=$parts)")
+    }
+  }
+
   private def jobsInGroup(tag: String)(f: => Unit): Int = {
     val sc = spark.sparkContext
     sc.setJobGroup(tag, tag)
