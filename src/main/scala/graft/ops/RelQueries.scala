@@ -581,6 +581,23 @@ object RelQueries {
            (sum("v") * 100).cast("long").as("sum_value_cents"))
   }
 
+  /** F12: the try_* error-suppression family — malformed input yields
+    * NULL instead of a task-killing exception, the semantics a 100 TB
+    * ingest of dirty data actually needs (one bad row must not fail a
+    * 10-hour job). try_cast on non-numeric text, try_element_at past
+    * the array end, try_divide by zero; the oracle spells each as its
+    * standard-SQL NULL-guard equivalent (TRY_CAST / bounds CASE /
+    * zero-denominator CASE). */
+  def f12TryFamily(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+          .as("prio_num"),
+        expr("try_cast(o_orderstatus AS INT)").as("status_num"),
+        try_element_at(split(col("o_orderpriority"), "-"), lit(3))
+          .as("third_part"),
+        expr("try_divide(o_totalprice, o_custkey % 2)").as("odd_ratio"))
+
   /** W9: the remaining rank-family functions in one declared query —
     * dense_rank, cume_dist, nth_value over a full frame. One user-keyed
     * window partition, full (price desc, key) tie-break. */
@@ -1004,6 +1021,7 @@ object RelQueries {
     "f1_string" -> f1String,
     "f3_datetime" -> f3DateTime,
     "f6_json" -> f6Json,
+    "f12_try_family" -> f12TryFamily,
     "src2_csv_roundtrip" -> src2Csv,
     "src3_json_source" -> src3Json,
     "src4_orc_roundtrip" -> src4Orc,
@@ -1139,6 +1157,16 @@ object RelQueries {
         |  quantile_cont(l_quantity, 0.95) AS p95,
         |  1 AS within_tol
         |FROM lineitem""".stripMargin,
+    "f12_try_family" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+        |  TRY_CAST(o_orderstatus AS INT) AS status_num,
+        |  CASE WHEN len(string_split(o_orderpriority, '-')) >= 3
+        |       THEN string_split(o_orderpriority, '-')[3]
+        |       ELSE NULL END AS third_part,
+        |  CASE WHEN o_custkey % 2 = 0 THEN NULL
+        |       ELSE o_totalprice / (o_custkey % 2) END AS odd_ratio
+        |FROM orders""".stripMargin,
     "o1_sort" ->
       """SELECT epoch_us(l_shipdate) AS ship_us, l_orderkey, l_linenumber,
         |       l_quantity

@@ -123,6 +123,23 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("snk2_partitioned read-back prunes partitions at the scan") {
+    val df = graft.SparkEntry.queries("snk2_partitioned")(spark, dir)
+    df.count()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "the event_type predicate never reached the scan as a partition filter")
+    // events carry 4 types; the isin selects 2 — a scan that reads more
+    // directories than that is reading data the query excluded
+    scans.filter(_.partitionFilters.nonEmpty).foreach { f =>
+      assert(f.selectedPartitions.partitionCount == 2,
+        s"scan read ${f.selectedPartitions.partitionCount} partitions, " +
+          "expected 2")
+    }
+  }
+
   test("o1_sort range-partitions: parallel global sort, not one reducer") {
     val df = graft.SparkEntry.queries("o1_sort")(spark, dir)
     df.count()
