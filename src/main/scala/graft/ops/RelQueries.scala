@@ -581,6 +581,51 @@ object RelQueries {
            (sum("v") * 100).cast("long").as("sum_value_cents"))
   }
 
+  /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
+    * 2 of 10). Spark plans offset+limit into one
+    * CollectLimit/GlobalLimit over the partial orders, so page depth
+    * costs offset+limit rows, not a full sort materialization. Total
+    * order via the (totalprice desc, orderkey) key. */
+  def o6Pagination(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+      .offset(10)
+      .limit(10)
+
+  /** A16: conditional aggregation — count_if / filtered sums /
+    * bool_and / bool_or, the FILTER-clause family, one pass per group. */
+  def a16ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_quantity") >= 25).as("n_big"),
+        sum(when(col("l_discount") > 0.05,
+          round(col("l_extendedprice") * 100).cast("long"))
+          .otherwise(lit(0L))).as("disc_cents"),
+        bool_and(col("l_quantity") >= 1).as("all_positive"),
+        bool_or(col("l_quantity") >= 50).as("any_max"))
+
+  /** A17: explicit GROUPING SETS — the analyst surface beyond
+    * rollup/cube: an arbitrary set list ((rf, ls), (rf), ()) skipping
+    * the (ls)-only set, still ONE aggregate pass (Catalyst expands the
+    * sets inside the Aggregate, not by re-scanning per set). SQL-text
+    * form; dialect-neutral, replayed verbatim by the oracle. */
+  private[ops] val a17Sql: String =
+    """SELECT coalesce(l_returnflag, '<all>') AS rf,
+      |  coalesce(l_linestatus, '<all>') AS ls,
+      |  count(*) AS n,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), ())""".stripMargin
+
+  def a17GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(a17Sql)
+  }
+
   /** F12: the try_* error-suppression family — malformed input yields
     * NULL instead of a task-killing exception, the semantics a 100 TB
     * ingest of dirty data actually needs (one bad row must not fail a
@@ -1016,6 +1061,9 @@ object RelQueries {
     "w5_quantile_buckets" -> w5QuantileBuckets,
     "o1_sort" -> o1Sort,
     "o2_topk" -> o2TopK,
+    "o6_pagination" -> o6Pagination,
+    "a16_conditional_agg" -> a16ConditionalAgg,
+    "a17_grouping_sets" -> a17GroupingSets,
     "o3_union" -> o3Union,
     "o4_setops" -> o4SetOps,
     "f1_string" -> f1String,
@@ -1157,6 +1205,21 @@ object RelQueries {
         |  quantile_cont(l_quantity, 0.95) AS p95,
         |  1 AS within_tol
         |FROM lineitem""".stripMargin,
+    "o6_pagination" ->
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        |FROM orders
+        |ORDER BY total_cents DESC, o_orderkey ASC
+        |LIMIT 10 OFFSET 10""".stripMargin,
+    "a16_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_quantity >= 25) AS n_big,
+        |  CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    FILTER (l_discount > 0.05), 0) AS BIGINT) AS disc_cents,
+        |  bool_and(l_quantity >= 1) AS all_positive,
+        |  bool_or(l_quantity >= 50) AS any_max
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "a17_grouping_sets" -> a17Sql,
     "f12_try_family" ->
       """SELECT o_orderkey,
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
