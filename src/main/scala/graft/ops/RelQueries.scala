@@ -626,6 +626,32 @@ object RelQueries {
     s.sql(a17Sql)
   }
 
+  /** TPC-H Q19 shape: a join whose predicate is an OR of ANDs SPANNING
+    * both sides — the disjunctive-pushdown surface. Catalyst extracts
+    * the common p_partkey equi-condition for the join, keeps the
+    * disjunction as the join filter, and pushes each side's derivable
+    * disjunction approximation down to its scan (brand/size to part,
+    * quantity to lineitem) — the rewrite a naive engine misses, turning
+    * this into a cross-join filter. Dialect-neutral text, replayed
+    * verbatim. */
+  private[ops] val q19Sql: String =
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND (
+      |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |     AND l_quantity BETWEEN 1 AND 11)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |     AND l_quantity BETWEEN 10 AND 20)
+      |  OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+      |     AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q19Sql)
+  }
+
   /** F12: the try_* error-suppression family — malformed input yields
     * NULL instead of a task-killing exception, the semantics a 100 TB
     * ingest of dirty data actually needs (one bad row must not fail a
@@ -1089,7 +1115,8 @@ object RelQueries {
     "q17_small_qty" -> q17SmallQty,
     "q21_waiting" -> q21Waiting,
     "q22_in_subquery" -> q22InSubquery,
-    "q18_large_orders" -> q18LargeOrders
+    "q18_large_orders" -> q18LargeOrders,
+    "q19_disjunctive" -> q19Disjunctive
   )
 
   val oracle: Map[String, String] = Map(
@@ -1511,6 +1538,7 @@ object RelQueries {
     "q17_small_qty" -> q17Sql,
     "q21_waiting" -> q21Sql,
     "q22_in_subquery" -> q22Sql,
-    "q18_large_orders" -> q18Sql
+    "q18_large_orders" -> q18Sql,
+    "q19_disjunctive" -> q19Sql
   )
 }

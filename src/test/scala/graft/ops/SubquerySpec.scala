@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * join (no per-outer-row re-execution survives to the optimized plan) —
   * and cross-checks each SQL form against its hand-decorrelated
   * DataFrame form, so the two API surfaces stay interchangeable. */
-class SubquerySpec extends SparkSpec {
+class SubquerySpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -89,6 +90,22 @@ class SubquerySpec extends SparkSpec {
     // the right plan (computed once, fed in as a literal)
     assert(plan.contains("scalar-subquery"),
       s"uncorrelated scalar should remain a subquery stage:\n$plan")
+  }
+
+  test("q19: disjunction approximations push to BOTH scans") {
+    val df = RelQueries.q19Disjunctive(spark, dir)
+    df.count()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString.split('/').last
+          .stripSuffix(".parquet") -> f.dataFilters.mkString(";")
+    }.toMap
+    // each side's derivable disjunction must reach its own scan — the
+    // rewrite that keeps this from degenerating into join-then-filter
+    assert(scans.getOrElse("lineitem", "").contains("l_quantity"),
+      s"lineitem scan lost the quantity disjunction: $scans")
+    assert(scans.getOrElse("part", "").contains("p_brand"),
+      s"part scan lost the brand disjunction: $scans")
   }
 
   test("q22: SQL form matches the hand-decorrelated DataFrame form") {
