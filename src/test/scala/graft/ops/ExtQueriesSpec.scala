@@ -326,6 +326,35 @@ class ExtQueriesSpec extends SparkSpec {
     }
   }
 
+  test("misra-gries algebra: eps-guarantees survive random merge trees") {
+    import spark.implicits._ // Encoder[Map[String,Long]] for the ctor
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      k <- Gen.choose(2, 12)
+      n <- Gen.choose(0, 300)
+      toks <- Gen.listOfN(n, Gen.choose(0, 29).map(i => s"t$i"))
+      cuts <- Gen.listOfN(3, Gen.choose(0, n))
+    } yield (k, toks, cuts)
+    graft.PropCheck.checkProp(Prop.forAll(gen) { case (k, toks, cuts) =>
+      val m = new graft.llm.MisraGries(k)
+      // split the stream at random cut points, sketch each chunk, merge
+      val bounds = (0 +: cuts.sorted :+ toks.length).distinct.sorted
+      val chunks = bounds.zip(bounds.tail)
+        .map { case (a, b) => toks.slice(a, b) }
+      val merged = chunks.map(_.foldLeft(m.zero)(m.reduce)).reduce(m.merge)
+      val exact = toks.groupBy(identity).map { case (t, l) =>
+        t -> l.size.toLong }
+      val n1 = toks.length.toLong
+      val heavies = exact.collect { case (t, c) if c * (k + 1) > n1 => t }
+      heavies.forall(merged.contains) &&         // no heavy hitter lost
+      merged.size <= k &&                        // bounded state
+      merged.forall { case (t, c) =>             // eps undercount only
+        val e = exact.getOrElse(t, 0L)
+        c <= e && (e - c) * (k + 1) <= n1
+      }
+    })
+  }
+
   private def jobsInGroup(tag: String)(f: => Unit): Int = {
     val sc = spark.sparkContext
     sc.setJobGroup(tag, tag)
