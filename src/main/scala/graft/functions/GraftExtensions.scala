@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val Seq(a, b) = arity("cosine_sim", 2)(children)
         CosineSim(a, b)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_doc_tokens"),
+      new ExpressionInfo(classOf[BpeDocTokens].getName, "bpe_doc_tokens"),
+      (children: Seq[Expression]) => {
+        val Seq(t, a, b) = arity("bpe_doc_tokens", 3)(children)
+        BpeDocTokens(t, a, b)
+      }))
     // literal range join -> codegen'd binary-search remap (plan rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinToRemap)
   }

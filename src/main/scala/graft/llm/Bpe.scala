@@ -173,18 +173,46 @@ object Bpe {
     else acc.toSeq.toDF("rank", "a", "b", "weight")
   }
 
+  /** The rank-ordered merge table as ONE broadcast row of two parallel
+    * string arrays (a-side, b-side) — never collected to the driver. */
+  private def mergeArrays(merges: DataFrame): DataFrame =
+    merges.agg(
+        array_sort(collect_list(struct(col("rank"), col("a"), col("b"))))
+          .as("ms"))
+      .select(transform(col("ms"), _.getField("a")).as("ms_a"),
+              transform(col("ms"), _.getField("b")).as("ms_b"))
+
   /** Encode documents with a trained merge table — the per-document half
     * of the tokenizer loop a pipeline actually runs at scale. The merge
-    * table is aggregated to ONE rank-ordered array row and broadcast
-    * into a cross join (never collected); each document then pays a
-    * per-row fold: the outer `aggregate` walks the merges in rank order,
-    * the inner [[mergePair]] fold applies one merge — expression depth
-    * is CONSTANT in the merge count (the merge list is data, not plan).
-    * Output per doc: word count, symbol count before any merge, and
-    * token count after all merges. Documents with no words (all-space
-    * text) are dropped on both sides of the gate. */
+    * table is aggregated to one rank-ordered row and broadcast into a
+    * cross join (never collected); each document then pays ONE call of
+    * the fused native kernel [[graft.functions.BpeDocTokens]] — split,
+    * symbolize, every merge round, and the three counts in a single
+    * imperative pass inside whole-stage codegen. Output per doc: word
+    * count, symbol count before any merge, token count after all
+    * merges. Documents with no words (all-space text) are dropped on
+    * both sides of the gate. [[encodeDeclarative]] is the reference
+    * twin (equivalence property-tested, the [[Similarity.cosine]]
+    * pattern). */
   def encode(docs: DataFrame, docId: Column, text: Column,
-             merges: DataFrame): DataFrame = {
+             merges: DataFrame): DataFrame =
+    docs.select(docId.as("doc_id"), text.as("_text"))
+      .crossJoin(broadcast(mergeArrays(merges)))
+      .select(col("doc_id"),
+        graft.functions.BpeDocTokens(col("_text"), col("ms_a"), col("ms_b"))
+          .as("r"))
+      .filter(col("r.n_words") >= 1)
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+              col("r.n_sym0").as("n_sym0"), col("r.n_tok").as("n_tok"))
+
+  /** The declarative formulation of [[encode]]: the outer `aggregate`
+    * walks the merges in rank order, the inner [[mergePair]] fold
+    * applies one merge — expression depth CONSTANT in the merge count
+    * (the merge list is data, not plan). No custom expression, but the
+    * nested higher-order folds run interpreted per element — the fused
+    * kernel is the hot-path form. */
+  def encodeDeclarative(docs: DataFrame, docId: Column, text: Column,
+                        merges: DataFrame): DataFrame = {
     val mlist = merges.agg(
       array_sort(collect_list(struct(col("rank"), col("a"), col("b"))))
         .as("ms"))

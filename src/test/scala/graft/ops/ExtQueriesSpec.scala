@@ -418,6 +418,33 @@ class ExtQueriesSpec extends SparkSpec {
     assert(jn >= 4 * jb, s"naive $jn jobs vs batched $jb — batching lost its edge")
   }
 
+  test("bpe fused kernel matches the declarative twin on adversarial docs") {
+    import spark.implicits._
+    import graft.llm.Bpe
+    // repeated-merge chains, multi-spaces, single chars, empty text,
+    // plus 40 pseudo-random docs over a tiny alphabet (fixed LCG seed)
+    var seed = 42L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val alphabet = "aabbc "
+    val random = (1L to 40L).map { i =>
+      (100 + i, (1 to (5 + nextInt(40)))
+        .map(_ => alphabet(nextInt(alphabet.length))).mkString)
+    }
+    val docs = (Seq(
+      (1L, "aaa aaaa aaaaa"), (2L, "low lower  lowest"), (3L, "x"),
+      (4L, ""), (5L, "  ab ab ab  "), (6L, "ababab ba")) ++ random)
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordHistogram(docs, col("text")), 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Bpe.encode(docs, col("doc_id"), col("text"), merges)) ==
+           rows(Bpe.encodeDeclarative(docs, col("doc_id"), col("text"),
+             merges)))
+  }
+
   test("bpe pair merge is greedy left-to-right on overlaps") {
     import spark.implicits._
     import graft.llm.Bpe
