@@ -290,7 +290,9 @@ object LlmQueries {
 
   def d15BpeEncode(s: SparkSession, dir: String): DataFrame = {
     val corpus = docs(s, dir)
-    val merges = Bpe.train(
+    // trainBatched produces the IDENTICAL merge table (spec-proven) in
+    // fewer scheduler rounds; the oracle replays the naive loop
+    val merges = Bpe.trainBatched(
       Bpe.wordHistogram(corpus, col("text")), bpeEncodeMerges)
     Bpe.encode(corpus, col("doc_id"), col("text"), merges)
   }

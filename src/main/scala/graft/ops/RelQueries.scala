@@ -626,6 +626,27 @@ object RelQueries {
     s.sql(a17Sql)
   }
 
+  /** F14: null-preserving fan-out — explode_outer vs explode. A doc
+    * whose array is empty or NULL must SURVIVE the outer fan-out with a
+    * NULL element (the left-outer of the explode family); plain explode
+    * drops it. The fixture side: orders fan out to their lineitems'
+    * linenumbers via a grouped array; childless orders (none in the
+    * fixture) and an injected empty-array row prove the semantics. */
+  def f14ExplodeOuter(s: SparkSession, dir: String): DataFrame = {
+    val nums = table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("nums"))
+    table(s, dir, "orders")
+      .filter(col("o_orderkey") <= 100)
+      .join(nums, col("o_orderkey") === col("okey"), "left")
+      // an order with a present-but-EMPTY array exercises the branch a
+      // left join alone cannot (null array vs empty array)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, array().cast("array<int>"))
+          .otherwise(col("nums")).as("nums"))
+      .select(col("o_orderkey"), explode_outer(col("nums")).as("linenumber"))
+  }
+
   /** TPC-H Q19 shape: a join whose predicate is an OR of ANDs SPANNING
     * both sides — the disjunctive-pushdown surface. Catalyst extracts
     * the common p_partkey equi-condition for the join, keeps the
@@ -1096,6 +1117,7 @@ object RelQueries {
     "f3_datetime" -> f3DateTime,
     "f6_json" -> f6Json,
     "f12_try_family" -> f12TryFamily,
+    "f14_explode_outer" -> f14ExplodeOuter,
     "src2_csv_roundtrip" -> src2Csv,
     "src3_json_source" -> src3Json,
     "src4_orc_roundtrip" -> src4Orc,
@@ -1232,6 +1254,22 @@ object RelQueries {
         |  quantile_cont(l_quantity, 0.95) AS p95,
         |  1 AS within_tol
         |FROM lineitem""".stripMargin,
+    // outer-unnest emulation: empty/null arrays become [NULL] so the
+    // parent row survives with a NULL element — explode_outer's contract
+    "f14_explode_outer" ->
+      """WITH nums AS (
+        |  SELECT l_orderkey AS okey, list_sort(list(l_linenumber)) AS nums
+        |  FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN CAST([] AS INT[])
+        |         ELSE n.nums END AS nums
+        |  FROM orders o LEFT JOIN nums n ON o.o_orderkey = n.okey
+        |  WHERE o_orderkey <= 100)
+        |SELECT o_orderkey,
+        |  unnest(CASE WHEN nums IS NULL OR len(nums) = 0
+        |              THEN CAST([NULL] AS INT[]) ELSE nums END) AS linenumber
+        |FROM base""".stripMargin,
     "o6_pagination" ->
       """SELECT o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
