@@ -2,7 +2,7 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operators over the `events` shape (SURVEY §2.B
   * S1–S6). The transforms are written against a DataFrame so the SAME
@@ -160,4 +160,41 @@ object Streams {
   }
 
   val update: OutputMode = OutputMode.Update()
+
+  /** S11 output: per-user running count + max across micro-batches. */
+  case class UserMax(user_id: Long, n: Long, max_value: Double)
+
+  /** S11: `transformWithState` — Spark 4's arbitrary-state operator
+    * (the successor API to [[runningTotals]]'s mapGroupsWithState):
+    * typed named ValueState per key in the RocksDB-backed state store
+    * (the provider TWS requires — set
+    * spark.sql.streaming.stateStore.providerClass to
+    * RocksDBStateStoreProvider), explicit TTL surface, timer hooks.
+    * State is one (count, max) pair per user — O(distinct keys), same
+    * scale posture as S6. */
+  class RunningMaxProcessor
+      extends StatefulProcessor[Long, UserEvent, UserMax] {
+    @transient private var state: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        tv: TimerValues): Iterator[UserMax] = {
+      val prev =
+        if (state.exists()) state.get() else (0L, Double.NegativeInfinity)
+      val agg = rows.foldLeft(prev) { case ((n, m), e) =>
+        (n + 1, math.max(m, e.value)) }
+      state.update(agg)
+      Iterator.single(UserMax(key, agg._1, agg._2))
+    }
+  }
+
+  def runningMaxTws(spark: SparkSession, events: Dataset[UserEvent])
+      : Dataset[UserMax] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningMaxProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
 }

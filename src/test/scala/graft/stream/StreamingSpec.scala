@@ -65,6 +65,39 @@ class StreamingSpec extends SparkSpec {
       ("N", "1.0,2.0")))  // batch-2 insert landed
   }
 
+  test("S11 transformWithState carries typed ValueState across batches") {
+    import spark.implicits._
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.UserEvent](spark)
+      val q = Streams.runningMaxTws(spark, input.toDS())
+        .writeStream.format("memory").queryName("s11tws")
+        .outputMode("update").start()
+      try {
+        input.addData(Streams.UserEvent(1L, 1L, 3.0),
+          Streams.UserEvent(1L, 2L, 7.0), Streams.UserEvent(2L, 3L, 5.0))
+        q.processAllAvailable()
+        input.addData(Streams.UserEvent(1L, 4L, 4.0)) // below user 1's max
+        q.processAllAvailable()
+        val got = spark.table("s11tws")
+          .groupBy("user_id").agg(max("n").as("n"), max("max_value").as("mx"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(_._1)
+        // state carried: user 1 counted 3 events across 2 batches and
+        // kept the batch-1 max; user 2 untouched by batch 2
+        assert(got.toSeq == Seq((1L, 3L, 7.0), (2L, 1L, 5.0)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("S7 stream-stream join: purchases match prior clicks in-window, " +
        "and equal the batch interval join") {
     import spark.implicits._
