@@ -173,9 +173,15 @@ object LlmQueries {
   def d3IvfTrained(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "embeddings")
     val corpus = e.filter(col("vec_id") =!= 0)
+    // cache the trained codebook: the probe references it from four
+    // places (bucketed centroids, empty-bucket fallback, probes,
+    // assignment), and without the cache each reference repeats the
+    // whole two-iteration training lineage in the plan tree. At scale
+    // this materialization IS the "index build" step.
     val codebook = KMeans.codebook2(corpus, k = 8)
       .select(col("cid"),
         transform(col("cv"), c => c.cast("double") / KMeans.Scale).as("cv"))
+      .cache()
     Similarity.ivfTopKWith(corpus, col("vec_id"), col("embedding"),
       codebook, e.filter(col("vec_id") === 0), col("embedding"),
       k = 5, nprobe = 2)

@@ -112,7 +112,30 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // are the encoded catalog's derivation, not the merge
     "wro_merge_catalog" -> 2,
     // cume_dist window exchange on l_returnflag; the group-by reuses it
-    "a14_exact_percentile" -> 1)
+    "a14_exact_percentile" -> 1,
+    // same per-cell derivation as the merge; history union is free
+    "wro_catalog_scd2" -> 2,
+    // code-assignment (vec_id, j) reduce + ADC per-vector sum + top-k
+    "d16_pq_topk" -> 3,
+    // sketch 1-row agg + candidate recount + the total-count 1-row agg
+    "a15_heavy_hitters" -> 3,
+    "a16_conditional_agg" -> 1,
+    // all three grouping sets expand inside ONE aggregate
+    "a17_grouping_sets" -> 1,
+    // HAVING aggregate + the join-side aggs (semi side broadcasts)
+    "q18_large_orders" -> 3,
+    // disjunction stays a join filter; one exchange for the 1-row agg
+    "q19_disjunctive" -> 1,
+    // TakeOrdered handles offset+limit with no exchange at all
+    "o6_pagination" -> 0,
+    // one exchange: the per-order collect_list groupBy
+    "f14_explode_outer" -> 1,
+    // ONE visible exchange (the word histogram) — training rounds are
+    // checkpoint-truncated and the merge table broadcasts
+    "d15_bpe_encode" -> 1,
+    // train hides behind the codebook cache boundary; the probe is
+    // assignment reduce + probes cut + scored top-k + fallback anti
+    "d3_ivf_trained" -> 4)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
