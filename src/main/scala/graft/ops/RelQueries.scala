@@ -690,6 +690,32 @@ object RelQueries {
           .as("third_part"),
         expr("try_divide(o_totalprice, o_custkey % 2)").as("odd_ratio"))
 
+  /** SNK4: small-file compaction — the operational rewrite every 100 TB
+    * table eventually needs: a fragmented layout (64 shards here; the
+    * real-world version is thousands of streaming micro-batch files)
+    * rewritten to a target file count, content-identical. The declared
+    * query proves identity by aggregating the COMPACTED copy against
+    * the oracle's direct-source aggregate; the spec pins the file
+    * counts. At scale the repartition target comes from
+    * bytes/targetFileSize and the rewrite goes partition-by-partition —
+    * same plan, bounded working set. */
+  def snk4Compaction(s: SparkSession, dir: String): DataFrame = {
+    val frag = ioDir(dir, "snk4frag")
+    val compact = ioDir(dir, "snk4compact")
+    table(s, dir, "events")
+      .select("event_id", "user_id", "event_type")
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag)
+      .repartition(4)
+      .write.mode("overwrite").parquet(compact)
+    s.read.parquet(compact)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("event_id")).as("sum_id"),
+           sum(col("user_id")).as("sum_uid"))
+  }
+
   /** W9: the remaining rank-family functions in one declared query —
     * dense_rank, cume_dist, nth_value over a full frame. One user-keyed
     * window partition, full (price desc, key) tie-break. */
@@ -1122,6 +1148,7 @@ object RelQueries {
     "src3_json_source" -> src3Json,
     "src4_orc_roundtrip" -> src4Orc,
     "snk2_partitioned" -> snk2Partitioned,
+    "snk4_compaction" -> snk4Compaction,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
     "q6_sql_text" -> q6SqlText,
@@ -1436,6 +1463,13 @@ object RelQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
         |FROM events WHERE event_type IN ('purchase', 'error')
         |GROUP BY 1""".stripMargin,
+    // content identity through fragment -> compact: the aggregate over
+    // the compacted copy must equal the direct-source aggregate
+    "snk4_compaction" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY 1""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(odate, '%Y-%m-%d') AS odate, o_orderpriority,
         |  revenue_cents

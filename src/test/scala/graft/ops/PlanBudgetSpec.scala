@@ -163,6 +163,19 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("snk4_compaction actually compacts: 64 data files in, 4 out") {
+    graft.SparkEntry.queries("snk4_compaction")(spark, dir).count()
+    def dataFiles(name: String): Int = {
+      val sf = dir.replaceAll("[^0-9.]", "")
+      new java.io.File(s"/tmp/graft_io/$name-$sf").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    }
+    assert(dataFiles("snk4frag") == 64,
+      s"fragmented layout wrote ${dataFiles("snk4frag")} files")
+    assert(dataFiles("snk4compact") == 4,
+      s"compaction wrote ${dataFiles("snk4compact")} files, wanted 4")
+  }
+
   test("o1_sort range-partitions: parallel global sort, not one reducer") {
     val df = graft.SparkEntry.queries("o1_sort")(spark, dir)
     df.count()
