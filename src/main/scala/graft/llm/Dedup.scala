@@ -61,22 +61,27 @@ object Dedup {
     * NEVER an all-pairs join: candidates come from hash-bucket equality,
     * so cost scales with Σ_bucket |bucket|², which stays tiny because a
     * bucket collision IS a near-duplicate signal. */
-  def minhashLsh(docs: DataFrame, id: Column, text: Column, n: Int = 3,
-                 k: Int = 32, bands: Int = 16,
-                 threshold: Double = 0.8): DataFrame = {
+  /** The per-document LSH band-signature table — the PERSISTABLE index
+    * schema (doc_id, n_sh, band, bsig): one row per (doc, band). This
+    * is what an incremental pipeline stores; [[minhashLsh]] derives it
+    * in-plan and [[incrementalLsh]] probes a stored copy.
+    *
+    * One groupBy pass computes the shingle count AND all k minhashes.
+    * (A per-row array-reduction formulation is a trap here:
+    * CollapseProject inlines the shingle-array alias into every
+    * consuming expression, so the array gets recomputed k+1 times per
+    * row — the Aggregate is the reliable materialization barrier.) The
+    * k hash families come from two real hashes via h_i = h1 + i*h2
+    * (Kirsch-Mitzenmacher), so codegen subexpression elimination leaves
+    * 2 hashes + k fused mult-adds per shingle instead of k independent
+    * hashes. Mixing is XOR + bit-rotate (never add/multiply: ANSI mode
+    * makes long overflow an ERROR). */
+  def bandSignatures(docs: DataFrame, id: Column, text: Column, n: Int = 3,
+                     k: Int = 32, bands: Int = 16): DataFrame = {
     require(bands >= 1 && k % bands == 0,
       s"bands ($bands) must be >= 1 and divide k ($k) — r = k/bands rows " +
       "per band; r = 0 would put the whole corpus in one bucket (all-pairs)")
     val r = k / bands
-    // one groupBy pass computes the shingle count AND all k minhashes.
-    // (A per-row array-reduction formulation is a trap here: CollapseProject
-    // inlines the shingle-array alias into every consuming expression, so
-    // the array gets recomputed k+1 times per row — the Aggregate is the
-    // reliable materialization barrier.) The k hash families come from two
-    // real hashes via h_i = h1 + i*h2 (Kirsch-Mitzenmacher), so codegen
-    // subexpression elimination leaves 2 hashes + k fused mult-adds per
-    // shingle instead of k independent hashes. Mixing is XOR + bit-rotate
-    // (never add/multiply: ANSI mode makes long overflow an ERROR).
     val sh = shingles(docs, id, text, n)
     val h1 = xxhash64(col("sh"))
     val h2 = xxhash64(lit(7), col("sh"))
@@ -90,16 +95,25 @@ object Dedup {
         xxhash64(lit(b) +: (0 until r).map(j => col(s"mh${b * r + j}")): _*)
           .as("bsig"))
     }
+    sig.select(col("doc_id"), col("n_sh"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("n_sh"),
+              col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+  }
+
+  def minhashLsh(docs: DataFrame, id: Column, text: Column, n: Int = 3,
+                 k: Int = 32, bands: Int = 16,
+                 threshold: Double = 0.8): DataFrame = {
     // candidate generation is ONE shuffle: group by band signature and
     // emit in-bucket pairs (no self-join — a self-join would compute the
     // whole minhash subtree twice). n_sh rides along in the bucket so no
     // size join is needed later. Bucket pair-count is quadratic in bucket
     // size, which stays tiny when exact dedup (D1) runs first — identical
     // docs are the only mass-collision source.
-    val banded = sig.select(
+    val banded = bandSignatures(docs, id, text, n, k, bands).select(
       struct(col("doc_id"), col("n_sh")).as("d"),
-      explode(array(bandCols: _*)).as("bs"))
-    val buckets = banded.groupBy(col("bs.band"), col("bs.bsig"))
+      col("band"), col("bsig"))
+    val buckets = banded.groupBy(col("band"), col("bsig"))
       .agg(sort_array(collect_set(col("d"))).as("ds"))
       .filter(size(col("ds")) > 1)
     // cached: the pair list is consumed three times (output join + the
@@ -110,6 +124,33 @@ object Dedup {
     val cand = bucketPairs(buckets).cache()
 
     verifyExactJaccard(cand, docs, id, text, n, threshold)
+  }
+
+  /** D2f: INCREMENTAL near-dup detection — probe a NEW batch against a
+    * persisted band-signature index ([[bandSignatures]]' schema) without
+    * recomputing anything for the already-indexed corpus: only the
+    * batch pays shingling/minhash, candidates come from a plain
+    * equi-join on (band, bsig) — the stored index is just another
+    * keyed table, so at 100 TB this is the per-ingest cost of a
+    * continuously-maintained dedup index (batch-internal pairs are out
+    * of contract: the batch gets indexed right after, catching them on
+    * the next ingest). `allDocs` supplies text for the exact
+    * verification of candidates (old + new). */
+  def incrementalLsh(index: DataFrame, batch: DataFrame,
+                     id: Column, text: Column,
+                     allDocs: DataFrame, allId: Column, allText: Column,
+                     n: Int = 3, k: Int = 32, bands: Int = 16,
+                     threshold: Double = 0.8): DataFrame = {
+    val probe = bandSignatures(batch, id, text, n, k, bands)
+    val cand = index
+      .select(col("doc_id").as("a_id"), col("n_sh").as("na"),
+              col("band"), col("bsig"))
+      .join(probe.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
+              col("band"), col("bsig")), Seq("band", "bsig"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "na", "b_id", "nb").distinct()
+      .cache()
+    verifyExactJaccard(cand, allDocs, allId, allText, n, threshold)
   }
 
   /** Distinct (a_id, na, b_id, nb) candidate pairs from a bucket table's

@@ -144,6 +144,25 @@ object LlmQueries {
     Similarity.cosineNearDupBucketed(embsWithNearDups(s, dir),
       col("vec_id"), col("v"), 0.95, bits = 6)
 
+  /** D2f: the incremental-ingest form of near-dup detection — the base
+    * corpus's band signatures are built once and PERSISTED (parquet —
+    * the stored index is the point), then a new batch (the d2 fixture's
+    * one-word-appended copies) probes the stored table: only the batch
+    * pays shingling, and candidates are one (band, bsig) equi-join. */
+  def d2IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select("doc_id", "text")
+    val sf = dir.replaceAll("[^0-9.]", "")
+    val idxPath = s"/tmp/graft_io/lshidx-$sf"
+    Dedup.bandSignatures(base, col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(idxPath)
+    val batch = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" qqzz")).as("text"))
+    Dedup.incrementalLsh(s.read.parquet(idxPath), batch,
+      col("doc_id"), col("text"),
+      base.unionByName(batch), col("doc_id"), col("text"))
+  }
+
   def d3CosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "embeddings")
     Similarity.topK(e.filter(col("vec_id") =!= 0), col("vec_id"),
@@ -405,6 +424,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1DedupExact,
     "d2_minhash_lsh" -> d2MinhashLsh,
+    "d2_incremental_lsh" -> d2IncrementalLsh,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d2_dedup_clusters" -> d2DedupClusters,
     "d2_simhash" -> d2Simhash,
@@ -552,6 +572,11 @@ object LlmQueries {
         |FROM corpus GROUP BY text""".stripMargin,
     "d2_minhash_lsh" -> exactJaccardSql,
     "d2_ngram_jaccard" -> exactJaccardSql,
+    // the incremental probe reports only index-vs-batch pairs (old id
+    // < 1e6, batch id >= 1e6); batch-internal pairs are the NEXT
+    // ingest's job (see Dedup.incrementalLsh)
+    "d2_incremental_lsh" ->
+      (exactJaccardSql + "\n  AND a_id < 1000000 AND b_id >= 1000000"),
     "d10_redact_pii" ->
       """WITH corpus AS (
         |  SELECT doc_id,
