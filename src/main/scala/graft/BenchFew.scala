@@ -14,6 +14,7 @@ object BenchFew {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: BenchFew <reps> <query> [query...]")
     val reps = args.head.toInt
+    require(reps >= 1, s"reps must be >= 1, got $reps")
     val names = args.tail.toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,7 +39,9 @@ object BenchFew {
         spark.catalog.clearCache()
         t
       }
-      val med = ts.sorted.apply(reps / 2)
+      // lower-middle for even reps: the conservative pick for a noise
+      // adjudicator (upper-middle would report the max of 2 reps)
+      val med = ts.sorted.apply((reps - 1) / 2)
       f"""\"$n\":{\"median\":$med%.3f,\"reps\":[${ts.map(t => f"$t%.3f").mkString(",")}]}"""
     }
     spark.stop()

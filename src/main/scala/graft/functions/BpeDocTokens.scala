@@ -58,7 +58,12 @@ case class BpeDocTokens(text: Expression, as: Expression, bs: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, a, b) =>
-      s"${ev.value} = graft.functions.BpeDocTokens.compute($t, $a, $b);")
+      // compute() returns null on malformed merge arrays — the generated
+      // code must propagate that into isNull (nullSafeCodeGen only
+      // handles null INPUTS), or codegen'd callers dereference a null
+      // row that interpreted mode would have declared NULL
+      s"""${ev.value} = graft.functions.BpeDocTokens.compute($t, $a, $b);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,

@@ -148,14 +148,23 @@ object Bpe {
         // floor of the visible table: -inf when EVERY live pair is here
         val wmin = if (top.length < topM) Long.MinValue else top.last._3
         val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val selConcats = scala.collection.mutable.HashSet.empty[String]
         var stop = false
         for (c @ (a, b, w) <- top if !stop) {
           val room = sel.length < maxBatch && acc.length + sel.length < nMerges
           val touch = Set(a, b, a + b)
           val isolated = !top.exists { case p @ (pa, pb, _) =>
             p != c && (touch(pa) || touch(pb)) }
+          // two DIFFERENT selected pairs can produce the SAME new symbol
+          // ("a"+"bc" == "ab"+"c" == "abc"): each would feed invisible
+          // (x, abc) pairs up to wmin, so two creators could push one
+          // past the 2·wmin floor the proof relies on — one creator per
+          // new symbol, max
+          val freshConcat = !selConcats(a + b)
           val aboveFloor = wmin == Long.MinValue || w > 2 * wmin
-          if (room && isolated && aboveFloor) sel += c else stop = true
+          if (room && isolated && freshConcat && aboveFloor) {
+            sel += c; selConcats += a + b
+          } else stop = true
         }
         if (sel.isEmpty) sel += top.head // the naive round, verbatim
         val merged = sel.foldLeft(col("syms")) { case (cur, (a, b, _)) =>

@@ -48,24 +48,35 @@ class MisraGries(k: Int)(implicit mapEnc: Encoder[Map[String, Long]])
 
 object HeavyHitters {
 
+  /** Token counter riding the sketch pass — a second typed Aggregator
+    * in the SAME select, so the total n costs no extra corpus scan. */
+  private object CountAgg extends Aggregator[String, Long, Long] {
+    def zero: Long = 0L
+    def reduce(n: Long, t: String): Long = n + 1
+    def merge(a: Long, b: Long): Long = a + b
+    def finish(n: Long): Long = n
+    def bufferEncoder: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+  }
+
   /** Two-pass heavy hitters over a whitespace-tokenized text column:
-    * tokens with exact count strictly above n/(k+1). Pass 1 is the
-    * Misra-Gries sketch (map-side partial summaries merged into ≤ k
-    * candidates); pass 2 re-counts ONLY the broadcast candidates and
-    * applies the threshold as integer arithmetic (cnt·(k+1) > n). */
+    * tokens with exact count strictly above n/(k+1). Pass 1 is ONE
+    * corpus scan computing the Misra-Gries sketch AND the total count
+    * (two typed Aggregators in one aggregate); pass 2 re-counts ONLY
+    * the broadcast candidates (n rides the broadcast row) and applies
+    * the threshold as integer arithmetic (cnt·(k+1) > n). Exactly two
+    * corpus scans — the floor for exact-count heavy hitters. */
   def heavyHitters(docs: DataFrame, text: Column, k: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val toks = docs.select(explode(split(text, " ")).as("tok"))
       .filter(length(col("tok")) >= 1)
     val cand = toks.select(col("tok")).as[String]
-      .select(new MisraGries(k).toColumn)
-      .toDF("m")
-      .select(explode(map_keys(col("m"))).as("tok"))
-    val total = toks.agg(count(lit(1)).as("n"))
+      .select(new MisraGries(k).toColumn, CountAgg.toColumn)
+      .toDF("m", "n")
+      .select(explode(map_keys(col("m"))).as("tok"), col("n"))
     toks.join(broadcast(cand), "tok")
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .groupBy("tok", "n").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (k + 1) > col("n"))
       .select(col("tok"), col("cnt"))
   }

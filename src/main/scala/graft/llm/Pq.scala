@@ -28,9 +28,15 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Explode a quantized vector into its `m` subvectors:
-    * (…, j, subv) for j in 0..m-1. `size(qv)` must divide by m. */
+    * (…, j, subv) for j in 0..m-1. A dimension not divisible by m
+    * ERRORS in-plan (raise_error) — integer-dividing would silently
+    * drop the trailing dimensions from every code and distance. */
   private def subspaces(df: DataFrame, qvCol: String, m: Int): DataFrame = {
-    val subdim = (size(col(qvCol)) / m).cast("int")
+    val sz = size(col(qvCol))
+    val subdim = when(pmod(sz, lit(m)) === 0, (sz / m).cast("int"))
+      .otherwise(raise_error(concat(
+        lit(s"pq: embedding dim "), sz.cast("string"),
+        lit(s" not divisible by m=$m"))).cast("int"))
     df.withColumn("j", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("subv", slice(col(qvCol), col("j") * subdim + 1, subdim))
   }

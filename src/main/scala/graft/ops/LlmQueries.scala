@@ -471,7 +471,11 @@ object LlmQueries {
     * substitution, symbol-boundary-safe by construction (fixture text
     * never contains \x01), and because the whole match is consumed the
     * scan resumes AFTER the merged token — the same one-pending-symbol
-    * semantics as [[Bpe.mergePair]]'s fold ("aaaa" -> "aa","aa"). */
+    * semantics as [[Bpe.mergePair]]'s fold ("aaaa" -> "aa","aa").
+    * If pairs run dry before rank k, the round's winner falls back to
+    * the unmatchable sentinel pair (chr(2), chr(2)) — a no-op replace —
+    * instead of an EMPTY CTE whose cross join would annihilate every
+    * downstream round; mirrors [[Bpe.train]]'s exhaustion stop. */
   private def bpeEncodeOracle(k: Int): String = {
     val d = "chr(1)"           // symbol delimiter
     val d2 = s"$d||$d"         // inter-symbol boundary
@@ -484,8 +488,11 @@ object LlmQueries {
          |          SELECT c, string_split(trim(str, $d), $d2) AS l
          |          FROM s${r - 1}))
          |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
-         |win$r AS (SELECT a AS a$r, b AS b$r FROM p$r
-         |          ORDER BY weight DESC, a ASC, b ASC LIMIT 1),
+         |win$r AS (
+         |  (SELECT a AS a$r, b AS b$r FROM p$r
+         |   ORDER BY weight DESC, a ASC, b ASC LIMIT 1)
+         |  UNION ALL
+         |  SELECT chr(2), chr(2) WHERE NOT EXISTS (SELECT 1 FROM p$r)),
          |s$r AS (
          |  SELECT c, replace(str, $d||a$r||$d2||b$r||$d,
          |                    $d||a$r||b$r||$d) AS str

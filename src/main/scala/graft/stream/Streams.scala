@@ -126,9 +126,21 @@ object Streams {
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        // a micro-batch can legitimately carry SEVERAL updates for one
+        // name — unreduced, the merge's per-match join would fan out and
+        // PERSIST duplicate catalog rows. Reduce to one row per name
+        // first (deterministic max-struct pick; a source with a real
+        // ordering should carry a sequence column and max over it).
+        val perName = batch
+          .groupBy("name")
+          .agg(max(struct(col("input_ranges"), col("range_labels"),
+                          col("output_values"))).as("u"))
+          .select(col("name"), col("u.input_ranges"),
+                  col("u.range_labels"), col("u.output_values"))
         val cur = batch.sparkSession.read.parquet(catalogPath)
           .select("name", "input_ranges", "range_labels", "output_values")
-        val merged = graft.catalog.Catalog.mergeCatalog(cur, batch)
+        val merged = graft.catalog.Catalog.mergeCatalog(cur, perName)
           .drop("action")
           .localCheckpoint()
         merged.write.mode("overwrite").parquet(catalogPath)

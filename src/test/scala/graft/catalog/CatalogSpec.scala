@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Catalog update-tool semantics: V1 field presence, V3 snap/error
   * behavior (pyt:307-314), V2 contiguity rejection, R17 diff. */
-class CatalogSpec extends SparkSpec {
+class CatalogSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private def ranges(rs: (String, Double, Double, Int)*) = array(rs.map {
     case (l, lo, hi, out) => struct(lit(l).as("label"), lit(lo).as("lo"),
@@ -51,10 +52,15 @@ class CatalogSpec extends SparkSpec {
       ("L", "0.0,11.0", "update"),   // rewritten to the edited encoding
       ("M", "0.0,9.0", "keep"),      // untouched catalog row survives
       ("N", "1.0,2.0", "insert")))   // new layer lands
-    // the MERGE must stay broadcast-shaped: no shuffle on either branch
-    val planStr = out.queryExecution.executedPlan.toString
-    assert(!planStr.contains("ShuffleExchange"),
-      s"merge plan picked up a shuffle:\n$planStr")
+    // the MERGE must stay broadcast-shaped: no shuffle on either branch.
+    // Collect the exchange NODES — Spark prints ShuffleExchangeExec as
+    // plain "Exchange", so a string match can never fire
+    val shuffles = collectWithSubqueries(out.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+    assert(shuffles.isEmpty,
+      s"merge plan picked up ${shuffles.size} shuffle(s):\n" +
+        out.queryExecution.executedPlan)
   }
 
   test("scd2Apply chains: each round closes the current version and " +

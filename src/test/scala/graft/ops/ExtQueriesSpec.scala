@@ -341,7 +341,10 @@ class ExtQueriesSpec extends SparkSpec {
       val bounds = (0 +: cuts.sorted :+ toks.length).distinct.sorted
       val chunks = bounds.zip(bounds.tail)
         .map { case (a, b) => toks.slice(a, b) }
-      val merged = chunks.map(_.foldLeft(m.zero)(m.reduce)).reduce(m.merge)
+      // foldLeft from zero: an empty stream yields zero chunks, and an
+      // empty .reduce would throw rather than test the empty summary
+      val merged = chunks.map(_.foldLeft(m.zero)(m.reduce))
+        .foldLeft(m.zero)(m.merge)
       val exact = toks.groupBy(identity).map { case (t, l) =>
         t -> l.size.toLong }
       val n1 = toks.length.toLong

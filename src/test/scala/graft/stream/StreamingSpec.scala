@@ -52,7 +52,10 @@ class StreamingSpec extends SparkSpec {
       .toDF("name", "input_ranges", "range_labels", "output_values")
     val q = Streams.catalogUpsert(updates, catPath, s"$dir/ckpt")
     try {
-      input.addData(("L", "0.0,11.0", "a2", "7")) // batch 1: rewrite L
+      // batch 1 carries TWO updates for L — the upsert must reduce to
+      // one row per name (max-struct), never fan the merge join out
+      input.addData(("L", "0.0,10.0", "a1", "5"),
+                    ("L", "0.0,11.0", "a2", "7"))
       q.processAllAvailable()
       input.addData(("N", "1.0,2.0", "n", "3"))   // batch 2: insert N
       q.processAllAvailable()
@@ -60,7 +63,7 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(catPath)
       .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
     assert(got.toSeq == Seq(
-      ("L", "0.0,11.0"),  // batch-1 rewrite survived batch 2
+      ("L", "0.0,11.0"),  // ONE L row: the max-struct pick, no dup fanout
       ("M", "0.0,9.0"),   // untouched row carried through both merges
       ("N", "1.0,2.0")))  // batch-2 insert landed
   }
