@@ -303,6 +303,32 @@ class ExtQueriesSpec extends SparkSpec {
       (6L, 128L, 5), (2L, 160L, 6)))
   }
 
+  test("incremental lsh: batch probes the stored index, contract holds") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    def words(pre: String, k: Int) = (1 to k).map(i => s"$pre$i").mkString(" ")
+    val base = Seq(
+      (1L, words("a", 12)), (2L, words("b", 12)), (3L, words("c", 12)))
+      .toDF("doc_id", "text")
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    Dedup.bandSignatures(base, col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(idxPath)
+    // batch: a near-dup of doc 2 (one appended word, J = 10/11 ≥ 0.8),
+    // a novel doc, and an EXACT copy of the near-dup — the batch-internal
+    // pair must NOT be reported (next ingest's job, per the contract)
+    val batch = Seq(
+      (101L, words("b", 12) + " zz"), (102L, words("z", 12)),
+      (103L, words("b", 12) + " zz")).toDF("doc_id", "text")
+    val got = Dedup.incrementalLsh(
+        spark.read.parquet(idxPath), batch, col("doc_id"), col("text"),
+        base.unionByName(batch), col("doc_id"), col("text"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((2L, 101L), (2L, 103L)),
+      s"wrong pair set: ${got.toSeq}")
+  }
+
   test("misra-gries two-pass: exact heavy hitters under any partitioning") {
     import spark.implicits._
     // 200 distinct rare tokens vs k=8 counters — the sketch is heavily
