@@ -690,6 +690,34 @@ object RelQueries {
           .as("third_part"),
         expr("try_divide(o_totalprice, o_custkey % 2)").as("odd_ratio"))
 
+  /** A18: MERGEABLE distinct-count sketches — the pre-aggregation
+    * rollup pattern a 100 TB deployment lives on: per-group HLL
+    * sketches (Datasketches hll_sketch_agg) union into the global
+    * estimate WITHOUT re-touching rows (`hll_union_agg` over 5 sketch
+    * rows vs a second fact scan). Sketch bytes are engine-specific, so
+    * the gate follows the a4/a11 contract pattern: emit the EXACT
+    * distinct counts (oracle-matched) plus within_tol flags proving the
+    * per-group estimates AND the union-of-sketches estimate agree with
+    * exact to 2% — the union row is the mergeability proof. */
+  def a18SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val perGroup = table(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count_distinct(col("o_custkey")).as("n_exact"),
+           hll_sketch_agg(col("o_custkey")).as("sk"))
+    def tol(est: Column, exact: Column): Column =
+      (abs(est - exact) <= exact * 0.02 + lit(1.0)).cast("int")
+    val groups = perGroup.select(col("prio"), col("n_exact"),
+      tol(hll_sketch_estimate(col("sk")), col("n_exact")).as("within_tol"))
+    val globalExact = table(s, dir, "orders")
+      .agg(count_distinct(col("o_custkey")).as("g_exact"))
+    val unioned = perGroup
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .crossJoin(broadcast(globalExact))
+      .select(lit("<all>").as("prio"), col("g_exact").as("n_exact"),
+              tol(col("est"), col("g_exact")).as("within_tol"))
+    groups.unionByName(unioned)
+  }
+
   /** SNK4: small-file compaction — the operational rewrite every 100 TB
     * table eventually needs: a fragmented layout (64 shards here; the
     * real-world version is thousands of streaming micro-batch files)
@@ -1136,6 +1164,7 @@ object RelQueries {
     "o2_topk" -> o2TopK,
     "o6_pagination" -> o6Pagination,
     "a16_conditional_agg" -> a16ConditionalAgg,
+    "a18_sketch_rollup" -> a18SketchRollup,
     "a17_grouping_sets" -> a17GroupingSets,
     "o3_union" -> o3Union,
     "o4_setops" -> o4SetOps,
@@ -1312,6 +1341,14 @@ object RelQueries {
         |  bool_or(l_quantity >= 50) AS any_max
         |FROM lineitem GROUP BY 1""".stripMargin,
     "a17_grouping_sets" -> a17Sql,
+    // exact counts + contract flags; the sketch estimates live only in
+    // the within_tol checks (sketch bytes are engine-specific)
+    "a18_sketch_rollup" ->
+      """SELECT o_orderpriority AS prio,
+        |  count(DISTINCT o_custkey) AS n_exact, 1 AS within_tol
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT '<all>', count(DISTINCT o_custkey), 1 FROM orders""".stripMargin,
     "f12_try_family" ->
       """SELECT o_orderkey,
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
