@@ -144,6 +144,34 @@ object LlmQueries {
     Similarity.cosineNearDupBucketed(embsWithNearDups(s, dir),
       col("vec_id"), col("v"), 0.95, bits = 6)
 
+  /** D17: URL canonicalization + canonical-key dedup — the crawl-corpus
+    * hygiene step (the same page arrives as http/https, with tracking
+    * params, case-varied hosts, trailing slashes): canonical key =
+    * lowercase host + path with any trailing slash stripped, query and
+    * fragment dropped. URLs synthesize deterministically from the
+    * fixture (scheme/host-case/utm/trailing-slash variants decided by
+    * doc_id bits), so both engines rebuild the identical corpus; Spark
+    * canonicalizes with parse_url (codegen'd), the oracle with regexes. */
+  def d17UrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+      when(col("doc_id") % 3 === 0, lit("WWW.Example.ORG"))
+        .otherwise(lit("www.example.org")),
+      lit("/p/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+        .otherwise(lit("")))
+    val canon = concat(
+      lower(parse_url(url, lit("HOST"))),
+      regexp_replace(parse_url(url, lit("PATH")), "/$", ""))
+    docs(s, dir)
+      .select(col("doc_id"), canon.as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_variants"),
+           min(col("doc_id")).as("keep_id"))
+  }
+
   /** D2f: the incremental-ingest form of near-dup detection — the base
     * corpus's band signatures are built once and PERSISTED (parquet —
     * the stored index is the point), then a new batch (the d2 fixture's
@@ -425,6 +453,7 @@ object LlmQueries {
     "d1_dedup_exact" -> d1DedupExact,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d2_incremental_lsh" -> d2IncrementalLsh,
+    "d17_url_canon" -> d17UrlCanon,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d2_dedup_clusters" -> d2DedupClusters,
     "d2_simhash" -> d2Simhash,
@@ -584,6 +613,31 @@ object LlmQueries {
     // ingest's job (see Dedup.incrementalLsh)
     "d2_incremental_lsh" ->
       (exactJaccardSql + "\n  AND a_id < 1000000 AND b_id >= 1000000"),
+    // same deterministic URL synthesis; canonicalization via regex
+    // (host between :// and /, lowered; path up to ?/#, trailing slash
+    // stripped) — the Spark side uses parse_url for the same pieces
+    "d17_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.ORG'
+        |          ELSE 'www.example.org' END) ||
+        |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |          THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        |          ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) ||
+        |    regexp_replace(
+        |      regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1), '/$', '')
+        |    AS canon_url
+        |  FROM u)
+        |SELECT canon_url, count(*) AS n_variants,
+        |       min(doc_id) AS keep_id
+        |FROM c GROUP BY 1""".stripMargin,
     "d10_redact_pii" ->
       """WITH corpus AS (
         |  SELECT doc_id,
