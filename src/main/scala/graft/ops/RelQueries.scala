@@ -690,6 +690,27 @@ object RelQueries {
           .as("third_part"),
         expr("try_divide(o_totalprice, o_custkey % 2)").as("odd_ratio"))
 
+  /** F16: map higher-order functions — map_from_entries /
+    * transform_values / map_filter, then exploded back to rows so the
+    * oracle can verify the map path against its FLAT relational
+    * equivalent (the map machinery must compute exactly what the plain
+    * filter+project computes). The fixture repeats linenumbers within
+    * an order, so quantities pre-aggregate per (order, linenumber) —
+    * map_from_entries errors on duplicate keys. */
+  def f16MapOps(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 200)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(sum(col("l_quantity")).as("q"))
+      .groupBy("l_orderkey")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("l_linenumber"), col("q"))))).as("m"))
+      .select(col("l_orderkey"),
+        explode(map_filter(
+          transform_values(col("m"), (_, v) => v * 2),
+          (_, v) => v >= 50)))
+      .toDF("l_orderkey", "linenumber", "qty2")
+
   /** A18: MERGEABLE distinct-count sketches — the pre-aggregation
     * rollup pattern a 100 TB deployment lives on: per-group HLL
     * sketches (Datasketches hll_sketch_agg) union into the global
@@ -1173,6 +1194,7 @@ object RelQueries {
     "f6_json" -> f6Json,
     "f12_try_family" -> f12TryFamily,
     "f14_explode_outer" -> f14ExplodeOuter,
+    "f16_map_ops" -> f16MapOps,
     "src2_csv_roundtrip" -> src2Csv,
     "src3_json_source" -> src3Json,
     "src4_orc_roundtrip" -> src4Orc,
@@ -1310,6 +1332,13 @@ object RelQueries {
         |  quantile_cont(l_quantity, 0.95) AS p95,
         |  1 AS within_tol
         |FROM lineitem""".stripMargin,
+    // the map path must equal the flat relational computation
+    "f16_map_ops" ->
+      """SELECT l_orderkey, l_linenumber AS linenumber,
+        |       sum(l_quantity) * 2 AS qty2
+        |FROM lineitem WHERE l_orderkey <= 200
+        |GROUP BY 1, 2
+        |HAVING sum(l_quantity) * 2 >= 50""".stripMargin,
     // outer-unnest emulation: empty/null arrays become [NULL] so the
     // parent row survives with a NULL element — explode_outer's contract
     "f14_explode_outer" ->

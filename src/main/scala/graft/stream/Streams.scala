@@ -147,6 +147,15 @@ object Streams {
       }
       .start()
 
+  /** S12: stream-STATIC enrichment join — the stateless sibling of the
+    * S7 stream-stream join: each micro-batch joins against a static
+    * dimension (re-resolved per batch, so a refreshed dim table is
+    * picked up without restarting the query; broadcast at plan time,
+    * no streaming state at all). The canonical lookup-enrichment every
+    * event pipeline runs. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+
   /** S6 state: running per-user aggregate carried across micro-batches. */
   case class UserEvent(user_id: Long, ts_us: Long, value: Double)
   case class UserState(n: Long, total: Double)

@@ -101,6 +101,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S12 stream-static enrichment join equals the batch join") {
+    import spark.implicits._
+    val dim = Seq(("click", 1), ("purchase", 10), ("error", -1))
+      .toDF("event_type", "weight")
+    val rows = Seq((1L, "click"), (2L, "purchase"), (3L, "scroll"))
+    // the USING join puts event_type first — read columns by name
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("event_id"), Option(r.get(r.fieldIndex("weight"))))
+    val batch = Streams.enrichWithDim(
+        rows.toDF("event_id", "event_type"), dim)
+      .collect().map(shape).toSet
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.enrichWithDim(
+        input.toDF().toDF("event_id", "event_type"), dim)
+      .writeStream.format("memory").queryName("s12enrich")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("s12enrich").collect().map(shape).toSet
+      assert(got == batch)
+      // the unmatched type survives the left join with a null weight
+      assert(got.contains((3L, None)))
+    } finally q.stop()
+  }
+
   test("S7 stream-stream join: purchases match prior clicks in-window, " +
        "and equal the batch interval join") {
     import spark.implicits._
