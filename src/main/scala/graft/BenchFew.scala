@@ -42,7 +42,9 @@ object BenchFew {
       // lower-middle for even reps: the conservative pick for a noise
       // adjudicator (upper-middle would report the max of 2 reps)
       val med = ts.sorted.apply((reps - 1) / 2)
-      f"""\"$n\":{\"median\":$med%.3f,\"reps\":[${ts.map(t => f"$t%.3f").mkString(",")}]}"""
+      // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+      def f3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      s""""$n":{"median":${f3(med)},"reps":[${ts.map(f3).mkString(",")}]}"""
     }
     spark.stop()
     println(out.mkString("{", ",", "}"))

@@ -112,10 +112,15 @@ object Catalog {
     val fields = Seq("input_ranges", "range_labels", "output_values")
     val u = updates.select(col("name").as("u_name") +:
       fields.map(f => col(f).as(s"u_$f")): _*)
+    // field rewrite keys on the MATCH (u_name non-null), not on each
+    // field value — an update row carrying a legitimate NULL field
+    // writes NULL, the standard MERGE … UPDATE SET semantics (a
+    // coalesce here would silently keep the old value instead)
     val rewritten = encodedCat
       .join(broadcast(u), col("name") === col("u_name"), "left")
       .select(col("name") +:
-        fields.map(f => coalesce(col(s"u_$f"), col(f)).as(f)) :+
+        fields.map(f => when(col("u_name").isNotNull, col(s"u_$f"))
+          .otherwise(col(f)).as(f)) :+
         when(col("u_name").isNotNull, lit("update")).otherwise(lit("keep"))
           .as("action"): _*)
     val inserts = updates

@@ -47,11 +47,21 @@ object Pq {
   def pqTopK(corpus: DataFrame, id: Column, emb: Column,
              query: DataFrame, queryEmb: Column, k: Int,
              m: Int = 8, stride: Long = 31): DataFrame = {
+    // materialize the quantized corpus ONCE: q0 feeds the code
+    // assignment AND the sampled codebook (which itself appears twice —
+    // assignment and ADC table), so without truncation the parquet scan
+    // + quantize transform runs three times per probe
     val q0 = corpus.select(id.as("vec_id"), KMeans.quantize(emb).as("qv"))
+      .localCheckpoint()
+    val sampled = q0.filter(col("vec_id") % stride === 0)
+    // an id space with no multiple of `stride` would yield an empty
+    // codebook and a silent 0-row answer — fail loudly instead (the
+    // same contract as subspaces' non-divisible-dimension raise_error)
+    require(!sampled.isEmpty,
+      s"pq: stride=$stride selects no codebook vectors from the corpus")
     val corpSub = subspaces(q0, "qv", m).select("vec_id", "j", "subv")
     val cents = subspaces(
-        q0.filter(col("vec_id") % stride === 0)
-          .select(col("vec_id").as("cid"), col("qv")), "qv", m)
+        sampled.select(col("vec_id").as("cid"), col("qv")), "qv", m)
       .select(col("cid"), col("j"), col("subv").as("csub"))
     // code assignment: nearest subspace centroid, ties to the lowest cid
     // — map-side partial min_by, one (vec_id, j) reduce

@@ -179,8 +179,7 @@ object LlmQueries {
     * pays shingling, and candidates are one (band, bsig) equi-join. */
   def d2IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select("doc_id", "text")
-    val sf = dir.replaceAll("[^0-9.]", "")
-    val idxPath = s"/tmp/graft_io/lshidx-$sf"
+    val idxPath = ioDir(dir, "lshidx")
     Dedup.bandSignatures(base, col("doc_id"), col("text"))
       .write.mode("overwrite").parquet(idxPath)
     val batch = base.filter(col("doc_id") % 10 === 0)

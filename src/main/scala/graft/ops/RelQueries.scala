@@ -511,10 +511,8 @@ object RelQueries {
 
   // ---------- SRC/SNK: sources and sinks ----------
 
-  private def ioDir(dir: String, name: String): String = {
-    val sf = dir.replaceAll("[^0-9.]", "")
-    s"/tmp/graft_io/$name-$sf"
-  }
+  // ioDir lives in the ops package object — shared with LlmQueries'
+  // persisted-index paths so the convention cannot drift.
 
   /** SRC2: CSV round-trip with RFC-4180 quote handling — values carrying
     * commas and embedded quotes survive write+read (escape=quote, i.e.

@@ -116,16 +116,22 @@ object Streams {
     * Streaming upsert idiom (foreachBatch is where streaming meets a
     * batch MERGE; a Delta/Iceberg sink acquires the same plan with
     * file-level pruning). The catalog is dimension-sized, so each batch
-    * localCheckpoints the merged result (materializing it BEFORE the
-    * overwrite truncates its own parquet source) and rewrites
-    * wholesale; the broadcast-shaped merge itself never shuffles.
-    * Exactly-once: the checkpoint makes batch replay idempotent —
-    * re-merging the same updates is a no-op rewrite. */
+    * rewrites it wholesale; the broadcast-shaped merge itself never
+    * shuffles. Batch replay is idempotent (re-merging the same updates
+    * is a no-op rewrite), and the snapshot swap below keeps a last-good
+    * copy through a mid-write crash: the merged result is STAGED to a
+    * versioned sibling path (so the overwrite never truncates its own
+    * parquet source mid-read), then promoted by two directory renames.
+    * A crash between the renames leaves the previous snapshot intact at
+    * `<path>.old-<batch>` — recoverable by hand; true transactional
+    * exactly-once (atomic commit + automatic recovery) needs a table
+    * format like Delta/Iceberg, which this sink deliberately mirrors in
+    * plan shape. */
   def catalogUpsert(updates: DataFrame, catalogPath: String,
                     checkpoint: String): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
         // a micro-batch can legitimately carry SEVERAL updates for one
         // name — unreduced, the merge's per-match join would fan out and
@@ -142,8 +148,20 @@ object Streams {
           .select("name", "input_ranges", "range_labels", "output_values")
         val merged = graft.catalog.Catalog.mergeCatalog(cur, perName)
           .drop("action")
-          .localCheckpoint()
-        merged.write.mode("overwrite").parquet(catalogPath)
+        // stage → swap: write the new snapshot beside the live one, then
+        // promote it with directory renames so a crash at any point
+        // leaves either the old snapshot live or recoverable at .old-N
+        val staging = s"$catalogPath.staging-$batchId"
+        merged.write.mode("overwrite").parquet(staging)
+        val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(catalogPath).getFileSystem(hconf)
+        val live = new org.apache.hadoop.fs.Path(catalogPath)
+        val old = new org.apache.hadoop.fs.Path(s"$catalogPath.old-$batchId")
+        fs.delete(old, true)
+        if (fs.exists(live)) fs.rename(live, old)
+        fs.rename(new org.apache.hadoop.fs.Path(staging), live)
+        fs.delete(old, true)
+        ()
       }
       .start()
 
