@@ -49,13 +49,19 @@ object KMeans {
     * `corpus` must carry (vec_id: long, qv: array<long>); `seeds`
     * (cid: long, cv: array<long>). */
   def lloydOnce(corpus: DataFrame, seeds: DataFrame): DataFrame = {
-    val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    // argmin as a min_by AGGREGATE, not a window: partial aggregation
+    // combines map-side, so one row per vector shuffles instead of all
+    // K candidate rows sorting through a window exchange. Ties to the
+    // lowest cid via the (dist, cid) ordering struct — identical to the
+    // row_number formulation and to the oracle's ORDER BY dist, cid.
     val assigned = corpus
       .crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("qv"), col("cid"),
               sqDist(col("qv"), col("cv")).as("dist"))
-      .withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("qv")), struct(col("dist"), col("cid")))
+        .as("w"))
+      .select(col("w.cid").as("cid"), col("w.qv").as("qv"))
     assigned
       .select(col("cid"), posexplode(col("qv")).as(Seq("pos0", "q")))
       .groupBy(col("cid"), (col("pos0") + 1).cast("int").as("pos"))
@@ -114,6 +120,64 @@ object KMeans {
     * [[Scale]] for the double view — exact, power-of-two divisor). */
   def codebook2(embeddings: DataFrame, k: Int): DataFrame =
     reduceToCodebook(lloydTwice(embeddings, k))
+
+  /** [[codebook2]] over an ALREADY-QUANTIZED `(vec_id, qv)` corpus the
+    * CALLER has materialized (localCheckpoint/cache) — both iterations
+    * re-read it, so an unmaterialized lineage would repeat upstream
+    * work. Used when the quantized view already exists for other plan
+    * legs (e.g. [[Pq.ivfPqTopK]] shares it with code assignment). */
+  def codebook2Q(q: DataFrame, k: Int): DataFrame =
+    reduceToCodebook(
+      lloydOnce(q, reduceToCodebook(lloydOnce(q, seedLowestK(q, k)))))
+
+  // ---- grouped Lloyd: train MANY independent codebooks in ONE plan ----
+  // The product-quantization trainer: subspace j's codebook is an
+  // independent k-means problem, and m problems run as one distributed
+  // plan by carrying the group column through assignment and update —
+  // m-way parallel training with zero extra driver rounds, instead of m
+  // sequential loops. Input rows are (g, vec_id, qv); seeds (g, cid, cv).
+
+  /** One Lloyd iteration per group: [[lloydOnce]] with the crossJoin
+    * replaced by a broadcast equi-join on the group column (a vector
+    * only scores its own group's seeds) and every key extended by `g`. */
+  def lloydOnceBy(corpus: DataFrame, seeds: DataFrame, g: String): DataFrame = {
+    // same min_by-aggregate argmin as [[lloydOnce]] — see the note there
+    val assigned = corpus
+      .join(broadcast(seeds), Seq(g))
+      .select(col(g), col("vec_id"), col("qv"), col("cid"),
+              sqDist(col("qv"), col("cv")).as("dist"))
+      .groupBy(g, "vec_id")
+      .agg(min_by(struct(col("cid"), col("qv")), struct(col("dist"), col("cid")))
+        .as("w"))
+      .select(col(g), col("w.cid").as("cid"), col("w.qv").as("qv"))
+    assigned
+      .select(col(g), col("cid"), posexplode(col("qv")).as(Seq("pos0", "q")))
+      .groupBy(col(g), col("cid"), (col("pos0") + 1).cast("int").as("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+  }
+
+  /** Per-group [[reduceToCodebook]]: accumulators → (g, cid, cv). */
+  def reduceToCodebookBy(acc: DataFrame, g: String): DataFrame =
+    acc
+      .select(col(g), col("cid"), col("pos"), expr("sum_q div n").as("c"))
+      .groupBy(g, "cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col(g), col("cid"), transform(col("pc"), _.getField("c")).as("cv"))
+
+  /** Per-group [[seedLowestK]]: the K lowest vec_ids WITHIN each group
+    * (a window, not an orderBy/limit, so every group seeds itself). */
+  def seedLowestKBy(q: DataFrame, k: Int, g: String): DataFrame =
+    q.withColumn("rn",
+        row_number().over(Window.partitionBy(g).orderBy(col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col(g), col("vec_id").as("cid"), col("qv").as("cv"))
+
+  /** Per-group two-iteration codebook — [[codebook2Q]] for a grouped
+    * corpus the caller has materialized. Returns (g, cid, cv). */
+  def codebook2By(q: DataFrame, k: Int, g: String): DataFrame =
+    reduceToCodebookBy(
+      lloydOnceBy(q,
+        reduceToCodebookBy(lloydOnceBy(q, seedLowestKBy(q, k, g), g), g), g), g)
 
   /** Full codebook training: iterate [[lloydOnce]] to a fixed point (or
     * `maxIter`), reducing each round's accumulators back to a quantized

@@ -88,4 +88,77 @@ object Pq {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("approx").asc, col("vec_id").asc)))
   }
+
+  /** IVF-PQ — the production ANN index, composing the two halves this
+    * family built separately: a TRAINED coarse quantizer
+    * ([[KMeans.codebook2Q]], two Lloyd iterations) ROUTES every vector
+    * to an inverted list, and TRAINED per-subspace codebooks
+    * ([[KMeans.codebook2By]] — all m subspace k-means problems in ONE
+    * grouped-Lloyd plan, no per-subspace driver loop) COMPRESS it to m
+    * codes scored by ADC. A query probes its `nprobe` nearest coarse
+    * centroids and ADC-scores only those lists' codes.
+    *
+    * Everything — routing, training, codes, distance table — is exact
+    * integer L2 on the 2^20 grid, so the oracle replays bit-identically.
+    * Codes encode the RAW vector (FAISS's by_residual=false flavor):
+    * routing and compression stay independent, which is what lets the
+    * subspace training share one grouped plan.
+    *
+    * Plan shape at scale: both codebooks are tiny and BROADCAST; code
+    * assignment is one (vec_id, j) reduce; routing one (vec_id) reduce.
+    * At 100 TB the coarse cid is the vector store's partition column and
+    * codes are precomputed at ingest — a probe prunes to nprobe
+    * partitions and reads m-byte codes, never raw vectors. Nothing here
+    * is all-pairs and no corpus-sized side is ever collected. */
+  def ivfPqTopK(corpus: DataFrame, id: Column, emb: Column,
+                query: DataFrame, queryEmb: Column, k: Int,
+                kc: Int = 8, ksub: Int = 16, m: Int = 8,
+                nprobe: Int = 2): DataFrame = {
+    val q0 = corpus.select(id.as("vec_id"), KMeans.quantize(emb).as("qv"))
+      .localCheckpoint()
+    // coarse quantizer: trained on the full vectors, integer grid
+    val coarse = KMeans.codebook2Q(q0, kc).cache()
+    // route every vector to its nearest coarse centroid (ties lowest cid)
+    val routed = q0.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("cid"),
+              KMeans.sqDist(col("qv"), col("cv")).as("d"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("ccid"))
+    // subspace split, materialized once: it feeds seeding, two Lloyd
+    // iterations, and code assignment
+    val subs = subspaces(q0, "qv", m)
+      .select(col("vec_id"), col("j"), col("subv").as("qv"))
+      .localCheckpoint()
+    val sb = KMeans.codebook2By(subs, ksub, "j").cache()
+    // m codes per vector: nearest trained subspace centroid
+    val codes = subs.join(broadcast(sb), "j")
+      .select(col("vec_id"), col("j"), col("cid"),
+              KMeans.sqDist(col("qv"), col("cv")).as("d"))
+      .groupBy("vec_id", "j")
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("code"))
+    // query: probe list + per-subspace ADC distance table
+    val qq = query.select(KMeans.quantize(queryEmb).as("qv")).limit(1)
+    val probes = coarse.crossJoin(broadcast(qq))
+      .select(col("cid"), KMeans.sqDist(col("cv"), col("qv")).as("d"))
+      .orderBy(col("d").asc, col("cid").asc)
+      .limit(nprobe)
+    val qSub = subspaces(qq, "qv", m).select(col("j"), col("subv").as("qsub"))
+    val dt = sb.join(broadcast(qSub), "j")
+      .select(col("j"), col("cid"), KMeans.sqDist(col("qsub"), col("cv")).as("dq"))
+    // probe: keep only vectors routed to a probed list, then m table
+    // lookups + one keyed sum each — the ADC scan of nprobe lists
+    val inList = routed
+      .join(broadcast(probes.select(col("cid").as("ccid"))), "ccid")
+      .select("vec_id")
+    codes.join(inList, Seq("vec_id"), "left_semi")
+      .join(broadcast(dt),
+        codes("j") === dt("j") && codes("code") === dt("cid"))
+      .groupBy("vec_id")
+      .agg(sum(col("dq")).as("approx"))
+      .orderBy(col("approx").asc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("approx").asc, col("vec_id").asc)))
+  }
 }

@@ -243,6 +243,18 @@ object LlmQueries {
       k = 5, m = 8, stride = 31)
   }
 
+  /** D18: IVF-PQ — the production ANN composition ([[Pq.ivfPqTopK]]):
+    * trained coarse quantizer routes (two Lloyd iterations, the D3d
+    * loop), trained per-subspace codebooks compress (all 8 subspace
+    * k-means problems in one grouped-Lloyd plan), ADC scores only the
+    * probed lists. Query vector held out of all training, as in D3d. */
+  def d3IvfpqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    Pq.ivfPqTopK(e.filter(col("vec_id") =!= 0), col("vec_id"),
+      col("embedding"), e.filter(col("vec_id") === 0), col("embedding"),
+      k = 5, kc = 8, ksub = 16, m = 8, nprobe = 2)
+  }
+
   /** A15: two-pass Misra-Gries heavy hitters (k=32 counters → exact
     * recount of the ≤ 32 broadcast candidates → integer threshold
     * cnt·33 > n). See [[graft.llm.HeavyHitters]]. */
@@ -464,6 +476,7 @@ object LlmQueries {
     "d3_ann_lsh" -> d3AnnLsh,
     "d3_ivf_topk" -> d3IvfTopK,
     "d3_ivf_trained" -> d3IvfTrained,
+    "d3_ivfpq_topk" -> d3IvfpqTopK,
     "d16_pq_topk" -> d16PqTopK,
     "a15_heavy_hitters" -> a15HeavyHitters,
     "d4_top_tokens" -> d4TopTokens,
@@ -1024,6 +1037,155 @@ object LlmQueries {
         |sc AS (
         |  SELECT c.vec_id, CAST(sum(d.dq) AS BIGINT) AS approx
         |  FROM codes c JOIN dt d ON c.j = d.j AND c.code = d.cid
+        |  GROUP BY 1)
+        |SELECT vec_id, approx, CAST(rank AS INT) AS rank FROM (
+        |  SELECT vec_id, approx,
+        |    row_number() OVER (ORDER BY approx ASC, vec_id ASC) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5""".stripMargin,
+    // IVF-PQ replay: coarse two-Lloyd (d3_ivf_trained's CTEs, kept on
+    // the integer grid — routing is integer L2 here, not cosine), route
+    // = per-vector argmin over the trained coarse centroids, subspace
+    // two-Lloyd GROUPED by j (16 seeds per subspace via a window),
+    // codes = per-(vector, subspace) argmin, ADC table from the query's
+    // subvectors, approx = sum of lookups over vectors routed to the 2
+    // probed lists. Dim-agnostic: subdim = len // 8, positions from len.
+    "d3_ivfpq_topk" ->
+      """WITH corp AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id != 0),
+        |q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |seeds0 AS (
+        |  SELECT vec_id AS cid, qv AS cv FROM corp ORDER BY vec_id LIMIT 8),
+        |d1 AS (
+        |  SELECT t.vec_id, s.cid,
+        |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
+        |  FROM corp t, seeds0 s,
+        |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT a1.cid, i.x AS pos, sum(t.qv[i.x]) // count(*) AS cc
+        |  FROM a1 JOIN corp t USING (vec_id),
+        |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |seeds1 AS (SELECT cid, list(cc ORDER BY pos) AS cv FROM c1 GROUP BY 1),
+        |d2 AS (
+        |  SELECT t.vec_id, s.cid,
+        |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
+        |  FROM corp t, seeds1 s,
+        |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT a2.cid, i.x AS pos, sum(t.qv[i.x]) // count(*) AS cc
+        |  FROM a2 JOIN corp t USING (vec_id),
+        |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |coarse AS (SELECT cid, list(cc ORDER BY pos) AS cv FROM c2 GROUP BY 1),
+        |rd AS (
+        |  SELECT t.vec_id, s.cid,
+        |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
+        |  FROM corp t, coarse s,
+        |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |routed AS (
+        |  SELECT vec_id, cid AS ccid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM rd) WHERE rn = 1),
+        |probes AS (
+        |  SELECT cid FROM (
+        |    SELECT s.cid,
+        |      sum((q.qv[i.x] - s.cv[i.x]) * (q.qv[i.x] - s.cv[i.x])) AS dist
+        |    FROM coarse s, q,
+        |         LATERAL (SELECT unnest(range(1, len(s.cv) + 1)) AS x) i
+        |    GROUP BY 1)
+        |  ORDER BY dist, cid LIMIT 2),
+        |subs AS (
+        |  SELECT vec_id, j.j AS j,
+        |    qv[(j.j * (len(qv) // 8) + 1):((j.j + 1) * (len(qv) // 8))] AS sv
+        |  FROM corp, LATERAL (SELECT unnest(range(0, 8)) AS j) j),
+        |sseeds0 AS (
+        |  SELECT j, vec_id AS cid, sv AS cv FROM (
+        |    SELECT j, vec_id, sv,
+        |      row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+        |    FROM subs) WHERE rn <= 16),
+        |sd1 AS (
+        |  SELECT t.j, t.vec_id, s.cid,
+        |         sum((t.sv[i.x] - s.cv[i.x]) * (t.sv[i.x] - s.cv[i.x])) AS dist
+        |  FROM subs t JOIN sseeds0 s ON t.j = s.j,
+        |       LATERAL (SELECT unnest(range(1, len(t.sv) + 1)) AS x) i
+        |  GROUP BY 1, 2, 3),
+        |sa1 AS (
+        |  SELECT j, vec_id, cid FROM (
+        |    SELECT j, vec_id, cid,
+        |      row_number() OVER (PARTITION BY j, vec_id ORDER BY dist, cid) AS rn
+        |    FROM sd1) WHERE rn = 1),
+        |sc1 AS (
+        |  SELECT a.j, a.cid, i.x AS pos, sum(t.sv[i.x]) // count(*) AS cc
+        |  FROM sa1 a JOIN subs t ON a.j = t.j AND a.vec_id = t.vec_id,
+        |       LATERAL (SELECT unnest(range(1, len(t.sv) + 1)) AS x) i
+        |  GROUP BY 1, 2, 3),
+        |sseeds1 AS (
+        |  SELECT j, cid, list(cc ORDER BY pos) AS cv FROM sc1 GROUP BY 1, 2),
+        |sd2 AS (
+        |  SELECT t.j, t.vec_id, s.cid,
+        |         sum((t.sv[i.x] - s.cv[i.x]) * (t.sv[i.x] - s.cv[i.x])) AS dist
+        |  FROM subs t JOIN sseeds1 s ON t.j = s.j,
+        |       LATERAL (SELECT unnest(range(1, len(t.sv) + 1)) AS x) i
+        |  GROUP BY 1, 2, 3),
+        |sa2 AS (
+        |  SELECT j, vec_id, cid FROM (
+        |    SELECT j, vec_id, cid,
+        |      row_number() OVER (PARTITION BY j, vec_id ORDER BY dist, cid) AS rn
+        |    FROM sd2) WHERE rn = 1),
+        |sc2 AS (
+        |  SELECT a.j, a.cid, i.x AS pos, sum(t.sv[i.x]) // count(*) AS cc
+        |  FROM sa2 a JOIN subs t ON a.j = t.j AND a.vec_id = t.vec_id,
+        |       LATERAL (SELECT unnest(range(1, len(t.sv) + 1)) AS x) i
+        |  GROUP BY 1, 2, 3),
+        |sb AS (
+        |  SELECT j, cid, list(cc ORDER BY pos) AS cv FROM sc2 GROUP BY 1, 2),
+        |cdist AS (
+        |  SELECT t.vec_id, t.j, s.cid,
+        |         sum((t.sv[i.x] - s.cv[i.x]) * (t.sv[i.x] - s.cv[i.x])) AS d
+        |  FROM subs t JOIN sb s ON t.j = s.j,
+        |       LATERAL (SELECT unnest(range(1, len(t.sv) + 1)) AS x) i
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT vec_id, j, cid,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |qs AS (
+        |  SELECT j.j AS j,
+        |    qv[(j.j * (len(qv) // 8) + 1):((j.j + 1) * (len(qv) // 8))] AS qsub
+        |  FROM q, LATERAL (SELECT unnest(range(0, 8)) AS j) j),
+        |dt AS (
+        |  SELECT s.j, s.cid,
+        |         sum((qs.qsub[i.x] - s.cv[i.x]) * (qs.qsub[i.x] - s.cv[i.x])) AS dq
+        |  FROM sb s JOIN qs ON s.j = qs.j,
+        |       LATERAL (SELECT unnest(range(1, len(s.cv) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT c.vec_id, CAST(sum(d.dq) AS BIGINT) AS approx
+        |  FROM codes c
+        |  JOIN routed r ON c.vec_id = r.vec_id
+        |  JOIN probes p ON r.ccid = p.cid
+        |  JOIN dt d ON c.j = d.j AND c.code = d.cid
         |  GROUP BY 1)
         |SELECT vec_id, approx, CAST(rank AS INT) AS rank FROM (
         |  SELECT vec_id, approx,

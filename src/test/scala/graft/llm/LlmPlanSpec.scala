@@ -74,6 +74,33 @@ class LlmPlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"vocab side not broadcast:\n${df.queryExecution.executedPlan}")
   }
 
+  test("ivfPqTopK: codebooks broadcast, no raw-vector cartesian except " +
+       "against broadcast codebooks, no corpus-sized build side") {
+    import spark.implicits._
+    val vecs = (0L until 120L)
+      .map(i => (i, Seq.tabulate(16)(d => (((i * 31 + d * 17) % 13) - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val df = Pq.ivfPqTopK(vecs.filter(col("vec_id") =!= 0),
+      col("vec_id"), col("embedding"),
+      vecs.filter(col("vec_id") === 0), col("embedding"),
+      k = 3, kc = 4, ksub = 4, m = 4, nprobe = 2)
+    df.count()
+    val plan = df.queryExecution.executedPlan
+    // every nested-loop join (the corpus×codebook scoring legs) must
+    // have a BROADCAST build side — a shuffled all-pairs join would be
+    // the 100 TB killer
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val nested = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(nested.isEmpty,
+      s"cartesian product (non-broadcast all-pairs) in plan:\n$plan")
+    val bnl = collectWithSubqueries(plan) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.nonEmpty, s"expected broadcast codebook joins in:\n$plan")
+  }
+
   test("ivfTopK assignment prefilter joins on the coarse bucket, " +
        "broadcast-built") {
     import spark.implicits._
