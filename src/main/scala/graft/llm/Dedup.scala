@@ -140,17 +140,51 @@ object Dedup {
                      id: Column, text: Column,
                      allDocs: DataFrame, allId: Column, allText: Column,
                      n: Int = 3, k: Int = 32, bands: Int = 16,
-                     threshold: Double = 0.8): DataFrame = {
-    val probe = bandSignatures(batch, id, text, n, k, bands)
+                     threshold: Double = 0.8): DataFrame =
+    probeLsh(index, bandSignatures(batch, id, text, n, k, bands),
+      allDocs, allId, allText, n, threshold)
+
+  /** The probe core of [[incrementalLsh]], taking ALREADY-COMPUTED batch
+    * band signatures — so [[ingestLsh]] can compute them once and use
+    * them for both the probe and the index append. */
+  private def probeLsh(index: DataFrame, probeSigs: DataFrame,
+                       allDocs: DataFrame, allId: Column, allText: Column,
+                       n: Int, threshold: Double): DataFrame = {
     val cand = index
       .select(col("doc_id").as("a_id"), col("n_sh").as("na"),
               col("band"), col("bsig"))
-      .join(probe.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
+      .join(probeSigs.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
               col("band"), col("bsig")), Seq("band", "bsig"))
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "na", "b_id", "nb").distinct()
       .cache()
     verifyExactJaccard(cand, allDocs, allId, allText, n, threshold)
+  }
+
+  /** D2g: the MAINTENANCE half of the incremental loop — probe AND
+    * index-append in one operation, closing [[incrementalLsh]]'s
+    * "the batch gets indexed right after" contract: the batch's band
+    * signatures are computed ONCE (materialized), probed against the
+    * stored index, and then APPENDED to it, so the NEXT ingest's probe
+    * sees this batch and batch(i)↔batch(i+1) pairs are caught one
+    * ingest later — the steady state of a continuously-maintained
+    * dedup index. Evaluation order is pinned by materialization: the
+    * probe result is localCheckpointed BEFORE the append runs, so the
+    * lazily-read index snapshot can never include the batch itself
+    * (a batch never probes its own signatures). At 100 TB the append
+    * is the only index write and is batch-sized; with the index
+    * partitioned on `band` it lands as per-partition appends. */
+  def ingestLsh(indexPath: String, batch: DataFrame,
+                id: Column, text: Column,
+                allDocs: DataFrame, allId: Column, allText: Column,
+                n: Int = 3, k: Int = 32, bands: Int = 16,
+                threshold: Double = 0.8): DataFrame = {
+    val sigs = bandSignatures(batch, id, text, n, k, bands).localCheckpoint()
+    val index = batch.sparkSession.read.parquet(indexPath)
+    val pairs = probeLsh(index, sigs, allDocs, allId, allText, n, threshold)
+      .localCheckpoint()
+    sigs.write.mode("append").parquet(indexPath)
+    pairs
   }
 
   /** Distinct (a_id, na, b_id, nb) candidate pairs from a bucket table's

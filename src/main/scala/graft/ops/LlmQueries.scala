@@ -190,6 +190,31 @@ object LlmQueries {
       base.unionByName(batch), col("doc_id"), col("text"))
   }
 
+  /** D2g: TWO successive ingests through a MAINTAINED index — the
+    * [[Dedup.ingestLsh]] loop: the index starts from the base corpus,
+    * ingest 1 probes batch 1 (base↔b1 pairs) and APPENDS b1's
+    * signatures, ingest 2 probes batch 2 against the grown index — its
+    * b1↔b2 pairs exist ONLY because ingest 1 maintained the index.
+    * Output is both ingests' pairs (disjoint classes by id range). */
+  def d2LshIngest(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select("doc_id", "text")
+    val idxPath = ioDir(dir, "lshidx-ing")
+    Dedup.bandSignatures(base, col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(idxPath)
+    val b1 = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" qqzz")).as("text"))
+    val b2 = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" qqzz ww")).as("text"))
+    val all1 = base.unionByName(b1)
+    val p1 = Dedup.ingestLsh(idxPath, b1, col("doc_id"), col("text"),
+      all1, col("doc_id"), col("text"))
+    val p2 = Dedup.ingestLsh(idxPath, b2, col("doc_id"), col("text"),
+      all1.unionByName(b2), col("doc_id"), col("text"))
+    p1.unionByName(p2)
+  }
+
   def d3CosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "embeddings")
     Similarity.topK(e.filter(col("vec_id") =!= 0), col("vec_id"),
@@ -464,6 +489,7 @@ object LlmQueries {
     "d1_dedup_exact" -> d1DedupExact,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d2_incremental_lsh" -> d2IncrementalLsh,
+    "d2_lsh_ingest" -> d2LshIngest,
     "d17_url_canon" -> d17UrlCanon,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d2_dedup_clusters" -> d2DedupClusters,
@@ -625,6 +651,32 @@ object LlmQueries {
     // ingest's job (see Dedup.incrementalLsh)
     "d2_incremental_lsh" ->
       (exactJaccardSql + "\n  AND a_id < 1000000 AND b_id >= 1000000"),
+    // the maintained-index replay: three-part corpus; ingest-1 pairs are
+    // base↔b1, ingest-2 pairs are (base ∪ b1)↔b2 — each ingest reports
+    // index-vs-batch only (batch-internal pairs land on the next ingest)
+    "d2_lsh_ingest" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' qqzz'
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text || ' qqzz ww'
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |$shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         |  AND ((a_id < 1000000 AND b_id >= 1000000 AND b_id < 2000000)
+         |       OR (a_id < 2000000 AND b_id >= 2000000))""".stripMargin,
     // same deterministic URL synthesis; canonicalization via regex
     // (host between :// and /, lowered; path up to ?/#, trailing slash
     // stripped) — the Spark side uses parse_url for the same pieces

@@ -34,6 +34,33 @@ class LlmSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 28.0 / 29.0)))
   }
 
+  test("ingestLsh maintains the index: ingest 2 catches a batch1-batch2 " +
+       "pair that only the appended batch-1 signatures could surface") {
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("lsh-ingest").toString + "/idx"
+    // base corpus: mutually dissimilar docs
+    val base = docsDf((1 to 20).map(i =>
+      (i.toLong, (1 to 12).map(w => s"b${i}w$w").mkString(" "))): _*)
+    Dedup.bandSignatures(base, col("doc_id"), col("text"))
+      .write.parquet(idxPath)
+    // batch 1: a BRAND-NEW doc, unrelated to base — ingest 1 must
+    // report nothing, but must still index it
+    val t1 = (1 to 12).map(w => s"nw$w").mkString(" ")
+    val b1 = docsDf((1000L, t1))
+    val all1 = base.unionByName(b1)
+    val p1 = Dedup.ingestLsh(idxPath, b1, col("doc_id"), col("text"),
+      all1, col("doc_id"), col("text"))
+    assert(p1.count() === 0L)
+    // batch 2: a near-dup of the batch-1 doc only. The resulting pair
+    // can ONLY come from b1's signatures appended by ingest 1.
+    val b2 = docsDf((2000L, t1 + " tail"))
+    val p2 = Dedup.ingestLsh(idxPath, b2, col("doc_id"), col("text"),
+      all1.unionByName(b2), col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // t1 has 10 shingles; b2 those plus 1 -> J = 10/11
+    assert(p2.toSeq == Seq((1000L, 2000L, 10.0 / 11.0)))
+  }
+
   test("simhash16 equal for identical docs, in 16-bit range") {
     val d = docsDf((1L, "a b c d e"), (2L, "a b c d e"), (3L, "zz yy xx"))
     val m = Dedup.simhash16(d, col("doc_id"), col("text"))
