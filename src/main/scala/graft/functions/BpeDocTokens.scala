@@ -80,6 +80,54 @@ object BpeDocTokens {
       GraftBridge.expression(as),
       GraftBridge.expression(bs)))
 
+  /** Decode a merge-table side from ArrayData; null on any null entry. */
+  private[functions] def sideArray(a: ArrayData): Array[String] = {
+    val n = a.numElements()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      out(i) = a.getUTF8String(i).toString
+      i += 1
+    }
+    out
+  }
+
+  /** Symbolize one word (code points) and apply every merge rank with
+    * the greedy one-pending-symbol pass — the loop both kernels share
+    * ([[compute]] counts the result; [[BpeDocIds.compute]] maps it to
+    * vocabulary ids). Returns the word's final token list. */
+  private[functions] def encodeWord(w: String, mas: Array[String],
+                                    mbs: Array[String])
+      : java.util.ArrayList[String] = {
+    var cur = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val l = Character.charCount(cp)
+      cur.add(w.substring(i, i + l))
+      i += l
+    }
+    var mi = 0
+    while (mi < mas.length) {
+      val out = new java.util.ArrayList[String](cur.size)
+      var pend: String = null
+      var si = 0
+      while (si < cur.size) {
+        val sym = cur.get(si)
+        if (pend == null) pend = sym
+        else if (pend == mas(mi) && sym == mbs(mi)) {
+          out.add(pend + sym); pend = null
+        } else { out.add(pend); pend = sym }
+        si += 1
+      }
+      if (pend != null) out.add(pend)
+      cur = out
+      mi += 1
+    }
+    cur
+  }
+
   /** The kernel. Semantics must stay IDENTICAL to the declarative twin:
     * words = split(text, " ") minus empties; symbols = code points
     * (Spark `length`/`split("")` granularity); each merge rank applies
@@ -89,15 +137,9 @@ object BpeDocTokens {
   def compute(text: UTF8String, as: ArrayData, bs: ArrayData): InternalRow = {
     val nm = as.numElements()
     if (bs.numElements() != nm) return null
-    val mas = new Array[String](nm)
-    val mbs = new Array[String](nm)
-    var mi = 0
-    while (mi < nm) {
-      if (as.isNullAt(mi) || bs.isNullAt(mi)) return null
-      mas(mi) = as.getUTF8String(mi).toString
-      mbs(mi) = bs.getUTF8String(mi).toString
-      mi += 1
-    }
+    val mas = sideArray(as)
+    val mbs = sideArray(bs)
+    if (mas == null || mbs == null) return null
     val s = text.toString
     val words = s.split(" ", -1)
     var nWords = 0L
@@ -108,33 +150,12 @@ object BpeDocTokens {
       val w = words(wi)
       if (w.nonEmpty) {
         nWords += 1
-        var cur = new java.util.ArrayList[String](w.length)
         var i = 0
         while (i < w.length) {
-          val cp = w.codePointAt(i)
-          val l = Character.charCount(cp)
-          cur.add(w.substring(i, i + l))
-          i += l
+          nSym0 += 1
+          i += Character.charCount(w.codePointAt(i))
         }
-        nSym0 += cur.size
-        mi = 0
-        while (mi < nm) {
-          val out = new java.util.ArrayList[String](cur.size)
-          var pend: String = null
-          var si = 0
-          while (si < cur.size) {
-            val sym = cur.get(si)
-            if (pend == null) pend = sym
-            else if (pend == mas(mi) && sym == mbs(mi)) {
-              out.add(pend + sym); pend = null
-            } else { out.add(pend); pend = sym }
-            si += 1
-          }
-          if (pend != null) out.add(pend)
-          cur = out
-          mi += 1
-        }
-        nTok += cur.size
+        nTok += encodeWord(w, mas, mbs).size
       }
       wi += 1
     }

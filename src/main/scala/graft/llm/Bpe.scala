@@ -214,6 +214,60 @@ object Bpe {
       .select(col("doc_id"), col("r.n_words").as("n_words"),
               col("r.n_sym0").as("n_sym0"), col("r.n_tok").as("n_tok"))
 
+  /** The VOCABULARY a trained merge table induces: (vocab_id, sym).
+    * Base symbols are the distinct code points over every non-empty
+    * corpus word (ALL words, not just the histogram's length>=2 ones —
+    * encoding must cover single-char words too); merged symbols are the
+    * rank-ordered concats. Ids are assigned by the deterministic total
+    * order (tier, sym): tier 0 = base symbols sorted lexicographically,
+    * then merges by rank — the byte-alphabet-then-merges layout real BPE
+    * vocabularies use. Two merges CAN produce the same surface string
+    * ("a"+"bc" and "ab"+"c"); the groupBy keeps one entry at the lowest
+    * tier, so sym → id stays a function. The global row_number window
+    * runs over a vocabulary-sized table — never corpus data. */
+  def vocab(docs: DataFrame, text: Column, merges: DataFrame): DataFrame = {
+    val baseSyms = docs
+      .select(explode(split(text, " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(explode(split(col("w"), "")).as("sym"))
+      .filter(length(col("sym")) >= 1)
+      .distinct()
+      .select(col("sym"), lit(0).as("r"))
+    val mergeSyms = merges.select(concat(col("a"), col("b")).as("sym"),
+      col("rank").as("r"))
+    baseSyms.unionByName(mergeSyms)
+      .groupBy("sym").agg(min(col("r")).as("r"))
+      .withColumn("vocab_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("r"), col("sym"))) - 1).cast("int"))
+      .select("vocab_id", "sym")
+  }
+
+  /** [[encode]]'s loader-ready sibling: per-document TOKEN-ID sequences
+    * (doc_id, n_tok, token_ids: array<int>) — what a training data
+    * pipeline actually materializes. The merge table and the
+    * [[vocab]] (ordered by id, so position IS the id) each aggregate to
+    * one broadcast row; every document then pays a single call of the
+    * fused [[graft.functions.BpeDocIds]] kernel. Documents with no
+    * words are dropped, as in [[encode]]. */
+  def encodeIds(docs: DataFrame, docId: Column, text: Column,
+                merges: DataFrame): DataFrame = {
+    val vs = vocab(docs, text, merges)
+      .agg(array_sort(collect_list(struct(col("vocab_id"), col("sym"))))
+        .as("v"))
+      .select(transform(col("v"), _.getField("sym")).as("v_syms"))
+    docs.select(docId.as("doc_id"), text.as("_text"))
+      .crossJoin(broadcast(mergeArrays(merges)))
+      .crossJoin(broadcast(vs))
+      .select(col("doc_id"),
+        graft.functions.BpeDocIds(col("_text"), col("ms_a"), col("ms_b"),
+          col("v_syms")).as("token_ids"))
+      .filter(size(col("token_ids")) >= 1)
+      .select(col("doc_id"),
+        size(col("token_ids")).cast("long").as("n_tok"),
+        col("token_ids"))
+  }
+
   /** The declarative formulation of [[encode]]: the outer `aggregate`
     * walks the merges in rank order, the inner [[mergePair]] fold
     * applies one merge — expression depth CONSTANT in the merge count

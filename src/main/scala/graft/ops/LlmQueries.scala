@@ -386,6 +386,22 @@ object LlmQueries {
     Bpe.encode(corpus, col("doc_id"), col("text"), merges)
   }
 
+  /** D15d: the tokenizer's OUTPUT side — per-document token-ID
+    * sequences under the trained merge table and its induced vocabulary
+    * ([[Bpe.vocab]] + [[Bpe.encodeIds]] / the [[graft.functions.BpeDocIds]]
+    * kernel): the loader-ready artifact, not just counts. */
+  def d15BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+    val merges = Bpe.trainBatched(
+      Bpe.wordHistogram(corpus, col("text")), bpeEncodeMerges)
+    // the API emits real array<int> sequences; the GATE serializes them
+    // to one csv string per doc because the driver's comparator hashes
+    // scalar cells (DuckDB lists are unhashable on its pandas path)
+    Bpe.encodeIds(corpus, col("doc_id"), col("text"), merges)
+      .select(col("doc_id"), col("n_tok"),
+        array_join(col("token_ids"), ",").as("token_ids"))
+  }
+
   /** D13: corpus-self-trained char-bigram LM surprise (integer
     * floor-log2 — see [[TextAnalysis.bigramSurprise]]). */
   def d13LmSurprise(s: SparkSession, dir: String): DataFrame =
@@ -520,6 +536,7 @@ object LlmQueries {
     "d14_chunk_overlap" -> d14ChunkOverlap,
     "d15_bpe_pairs" -> d15BpePairs,
     "d15_bpe_encode" -> d15BpeEncode,
+    "d15_bpe_tokens" -> d15BpeTokens,
     "d10_redact_pii" -> d10RedactPii,
     "pipe_training_mix" -> pipeTrainingMix,
     "pipe_rag_index" -> pipeRagIndex,
@@ -543,12 +560,16 @@ object LlmQueries {
     * the unmatchable sentinel pair (chr(2), chr(2)) — a no-op replace —
     * instead of an EMPTY CTE whose cross join would annihilate every
     * downstream round; mirrors [[Bpe.train]]'s exhaustion stop. */
-  private def bpeEncodeOracle(k: Int): String = {
-    val d = "chr(1)"           // symbol delimiter
-    val d2 = s"$d||$d"         // inter-symbol boundary
-    val toSyms =               // word -> \x01c\x01\x01c\x01... char string
-      s"regexp_replace(tok, '(.)', $d||'\\1'||$d, 'g')"
-    val rounds = (1 to k).map { r =>
+  private val bpeD = "chr(1)"        // symbol delimiter
+  private val bpeD2 = s"$bpeD||$bpeD" // inter-symbol boundary
+  private val bpeToSyms =            // word -> \x01c\x01\x01c\x01...
+    s"regexp_replace(tok, '(.)', $bpeD||'\\1'||$bpeD, 'g')"
+
+  /** The per-rank (pairs, winner, substitute) training CTEs shared by
+    * the BPE oracles — see [[bpeEncodeOracle]] for the replay notes. */
+  private def bpeRounds(k: Int): Seq[String] = {
+    val (d, d2) = (bpeD, bpeD2)
+    (1 to k).map { r =>
       s"""p$r AS (
          |  SELECT z[1] AS a, z[2] AS b, CAST(sum(c) AS BIGINT) AS weight
          |  FROM (SELECT c, unnest(list_zip(l, l[2:])) AS z FROM (
@@ -565,9 +586,21 @@ object LlmQueries {
          |                    $d||a$r||b$r||$d) AS str
          |  FROM s${r - 1}, win$r)""".stripMargin
     }
-    val encChain = (1 to k).foldLeft(toSyms) { (acc, r) =>
-      s"replace($acc, $d||a$r||$d2||b$r||$d, $d||a$r||b$r||$d)"
+  }
+
+  /** A word's full merge chain as one nested replace expression. */
+  private def bpeEncChain(k: Int): String =
+    (1 to k).foldLeft(bpeToSyms) { (acc, r) =>
+      s"replace($acc, $bpeD||a$r||$bpeD2||b$r||$bpeD, $bpeD||a$r||b$r||$bpeD)"
     }
+
+  private def bpeEncodeOracle(k: Int): String = {
+    val d = "chr(1)"           // symbol delimiter
+    val d2 = s"$d||$d"         // inter-symbol boundary
+    val toSyms =               // word -> \x01c\x01\x01c\x01... char string
+      s"regexp_replace(tok, '(.)', $d||'\\1'||$d, 'g')"
+    val rounds = bpeRounds(k)
+    val encChain = bpeEncChain(k)
     s"""WITH w0 AS (
        |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -587,6 +620,60 @@ object LlmQueries {
        |  CAST(sum(len(string_split(trim(str, $d), $d2))) AS BIGINT)
        |    AS n_tok
        |FROM es GROUP BY doc_id""".stripMargin
+  }
+
+  /** [[bpeEncodeOracle]] generalized to TOKEN-ID sequences: the same
+    * training replay, plus the induced vocabulary (base code points at
+    * tier 0, merge concats by rank, ids by (tier, sym) order — exactly
+    * [[graft.llm.Bpe.vocab]]) and per-(doc, word-position) token
+    * explosion joined to it. Sentinel (chr(2)) exhaustion rounds are
+    * excluded from the vocab, mirroring the Spark merge table simply
+    * not having those rows. */
+  private def bpeTokensOracle(k: Int): String = {
+    val (d, d2) = (bpeD, bpeD2)
+    val rounds = bpeRounds(k)
+    val encChain = bpeEncChain(k)
+    val mergeSyms = (1 to k)
+      .map(r => s"SELECT a$r || b$r AS sym, $r AS r FROM win$r WHERE a$r != chr(2)")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH w0 AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE length(tok) >= 2 GROUP BY tok),
+       |s0 AS (SELECT c, $bpeToSyms AS str FROM w0),
+       |${rounds.mkString(",\n")},
+       |allw AS (
+       |  SELECT doc_id, i.x AS widx, l[i.x] AS tok FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |    LATERAL (SELECT unnest(range(1, len(l) + 1)) AS x) i
+       |  WHERE length(l[i.x]) >= 1),
+       |basesyms AS (
+       |  SELECT DISTINCT substr(tok, i.x, 1) AS sym, 0 AS r
+       |  FROM allw, LATERAL (SELECT unnest(range(1, len(tok) + 1)) AS x) i),
+       |mergesyms AS (
+       |  $mergeSyms),
+       |vocab AS (
+       |  SELECT sym, min(r) AS r FROM (
+       |    SELECT * FROM basesyms UNION ALL SELECT * FROM mergesyms)
+       |  GROUP BY sym),
+       |vids AS (
+       |  SELECT sym,
+       |    CAST(row_number() OVER (ORDER BY r, sym) - 1 AS INT) AS vocab_id
+       |  FROM vocab),
+       |es AS (
+       |  SELECT doc_id, widx, $encChain AS str
+       |  FROM allw, ${(1 to k).map("win" + _).mkString(", ")}),
+       |toks AS (
+       |  SELECT doc_id, widx, p.x AS pos, tl[p.x] AS tsym FROM (
+       |    SELECT doc_id, widx, string_split(trim(str, $d), $d2) AS tl
+       |    FROM es),
+       |    LATERAL (SELECT unnest(range(1, len(tl) + 1)) AS x) p),
+       |ids AS (
+       |  SELECT t.doc_id, t.widx, t.pos, v.vocab_id
+       |  FROM toks t JOIN vids v ON t.tsym = v.sym)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  array_to_string(list(vocab_id ORDER BY widx, pos), ',') AS token_ids
+       |FROM ids GROUP BY doc_id""".stripMargin
   }
 
   /** Shared CTE: word-3-gram distinct shingles of a `corpus(doc_id, text)`. */
@@ -1533,6 +1620,7 @@ object LlmQueries {
         |ORDER BY weight DESC, a ASC, b ASC
         |LIMIT 10""".stripMargin,
     "d15_bpe_encode" -> bpeEncodeOracle(bpeEncodeMerges),
+    "d15_bpe_tokens" -> bpeTokensOracle(bpeEncodeMerges),
     // integer LM surprise: floor(log2(N/c)) per bigram via binary-string
     // length — exact integers end to end, no floating logs to drift.
     "d13_lm_surprise" ->
