@@ -1,0 +1,78 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fact-scale partitioned MERGE (SNK5) — [[Catalog.mergeCatalog]]'s
+  * semantics lifted to a table too big to rewrite wholesale: the target
+  * is a parquet table PARTITIONED on a key (the SNK2 layout), and a
+  * batch rewrites ONLY the partitions it touches. Untouched partitions
+  * are never read and never written — their files stay byte-identical
+  * (spec-pinned at the file level). This retires the wholesale-rewrite
+  * caveat of [[graft.stream.Streams.catalogUpsert]] at fact scale: the
+  * same upsert shape, but the unit of rewrite is a partition, not the
+  * table.
+  *
+  * Reference: the per-layer write-back loop of
+  * `WROS/Weighted Raster Overlay Service.pyt:879-885`, at the scale
+  * where per-layer = per-partition.
+  */
+object PartitionMerge {
+
+  /** MERGE `batch` into the partitioned parquet table at `path`. Rows
+    * matched on (partCol, keyCol) take the batch's payload columns —
+    * including legitimate NULLs, standard MERGE UPDATE SET semantics —
+    * unmatched batch rows INSERT, and rows of untouched partitions are
+    * untouched files. Returns the touched partition values.
+    *
+    * Plan shape — the fact side NEVER shuffles:
+    *  - the touched-partition list is collected (bounded by the
+    *    partition-value domain, the convergence-count class — never
+    *    fact rows) and pushed as a static `isin` PartitionFilter, so
+    *    the current-state scan reads only touched directories;
+    *  - the batch BROADCASTS into the rewrite join (fact rows stream
+    *    map-side, no exchange);
+    *  - matched keys are extracted from the rewrite result
+    *    (batch-sized) and broadcast into the insert anti-join, which
+    *    therefore runs over the BATCH, not the fact;
+    *  - the rewrite result is materialized (localCheckpoint) BEFORE
+    *    the dynamic-partition overwrite commits, because the write
+    *    would otherwise truncate its own source partitions mid-read
+    *    (the catalogUpsert hazard). At petabyte partitions the same
+    *    plan stages each partition to a sibling directory and swaps by
+    *    rename — the unit of atomicity is unchanged.
+    *
+    * Assumes `keyCol` is unique within a partition (the fact-upsert
+    * contract); a batch with several rows per key should be reduced
+    * first, as [[graft.stream.Streams.catalogUpsert]] does. */
+  def mergeInto(spark: SparkSession, path: String, batch: DataFrame,
+                partCol: String, keyCol: String,
+                payloadCols: Seq[String]): Seq[String] = {
+    val parts = batch.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(parts.nonEmpty, "partition merge: batch touches no partitions")
+    val cur = spark.read.parquet(path).filter(col(partCol).isin(parts: _*))
+    val b = batch.select(
+      col(partCol).as("_bp") +: col(keyCol).as("_bk") +:
+        payloadCols.map(f => col(f).as(s"_b_$f")): _*)
+    val rewritten = cur
+      .join(broadcast(b),
+        col(partCol) === col("_bp") && col(keyCol) === col("_bk"), "left")
+      .select(col(partCol) +: col(keyCol) +: col("_bk") +:
+        payloadCols.map(f =>
+          when(col("_bk").isNotNull, col(s"_b_$f")).otherwise(col(f)).as(f)): _*)
+      .localCheckpoint()
+    val matched = rewritten.filter(col("_bk").isNotNull)
+      .select(col(partCol).as("_mp"), col("_bk").as("_mk")).distinct()
+    val inserts = b
+      .join(broadcast(matched),
+        col("_bp") === col("_mp") && col("_bk") === col("_mk"), "left_anti")
+      .select(col("_bp").as(partCol) +: col("_bk").as(keyCol) +:
+        payloadCols.map(f => col(s"_b_$f").as(f)): _*)
+    rewritten.drop("_bk").unionByName(inserts)
+      .write.mode("overwrite").partitionBy(partCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path)
+    parts
+  }
+}

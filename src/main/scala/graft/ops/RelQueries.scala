@@ -579,6 +579,38 @@ object RelQueries {
            (sum("v") * 100).cast("long").as("sum_value_cents"))
   }
 
+  /** SNK5: fact-scale partitioned MERGE — SNK2's layout + pruning
+    * composed with the R18+ merge ([[graft.catalog.PartitionMerge]]):
+    * a batch of updates (value-doubled every-7th purchase/error event)
+    * and inserts (+1e9-id purchase copies) rewrites ONLY the two
+    * partitions it touches; click/signup/view files are never read or
+    * written (byte-identity spec-pinned in LayoutSpec). The declared
+    * result re-reads the WHOLE table post-merge, so untouched
+    * partitions prove themselves by summing correctly. */
+  def snk5PartitionMerge(s: SparkSession, dir: String): DataFrame = {
+    val out = ioDir(dir, "snk5fact")
+    table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+              col("value").cast(dec).as("v"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val ev = table(s, dir, "events")
+    val updates = ev
+      .filter(col("event_type").isin("purchase", "error") &&
+              col("event_id") % 7 === 0)
+      .select(col("event_id"), col("event_type"),
+              (col("value").cast(dec) * 2).cast(dec).as("v"))
+    val inserts = ev
+      .filter(col("event_type") === "purchase" && col("event_id") % 11 === 0)
+      .select((col("event_id") + 1000000000L).as("event_id"),
+              col("event_type"), col("value").cast(dec).as("v"))
+    graft.catalog.PartitionMerge.mergeInto(s, out,
+      updates.unionByName(inserts), "event_type", "event_id", Seq("v"))
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           (sum("v") * 100).cast("long").as("sum_value_cents"))
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -1198,6 +1230,7 @@ object RelQueries {
     "src4_orc_roundtrip" -> src4Orc,
     "snk2_partitioned" -> snk2Partitioned,
     "snk4_compaction" -> snk4Compaction,
+    "snk5_partition_merge" -> snk5PartitionMerge,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
     "q6_sql_text" -> q6SqlText,
@@ -1527,6 +1560,35 @@ object RelQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
         |FROM events WHERE event_type IN ('purchase', 'error')
         |GROUP BY 1""".stripMargin,
+    // the merge replay: matched rows take the batch payload (CASE on the
+    // match, not coalesce — NULL payloads propagate), unmatched batch
+    // rows insert, untouched partitions ride through unmodified
+    "snk5_partition_merge" ->
+      """WITH fact AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |batch AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'error') AND event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000000, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND event_id % 11 = 0),
+        |merged AS (
+        |  SELECT f.event_id, f.event_type,
+        |    CASE WHEN b.event_id IS NOT NULL THEN b.v ELSE f.v END AS v
+        |  FROM fact f LEFT JOIN batch b
+        |    ON f.event_type = b.event_type AND f.event_id = b.event_id
+        |  UNION ALL
+        |  SELECT b.event_id, b.event_type, b.v FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM fact f
+        |    WHERE f.event_type = b.event_type AND f.event_id = b.event_id))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(v) * 100 AS BIGINT) AS sum_value_cents
+        |FROM merged GROUP BY 1""".stripMargin,
     // content identity through fragment -> compact: the aggregate over
     // the compacted copy must equal the direct-source aggregate
     "snk4_compaction" ->

@@ -186,6 +186,39 @@ class CatalogSpec extends SparkSpec
     assert(e2.getMessage.contains("Metadata"))
   }
 
+  test("PartitionMerge: touched partitions upsert, untouched partition " +
+       "files stay byte-identical, NULL payloads propagate") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snk5").toString + "/fact"
+    Seq((1L, "a", Some(10.0)), (2L, "a", Some(20.0)),
+        (3L, "b", Some(30.0)), (4L, "b", Some(40.0)),
+        (5L, "c", Some(50.0)))
+      .toDF("k", "p", "v")
+      .write.partitionBy("p").parquet(root)
+    def files(sub: String) = {
+      val d = new java.io.File(s"$root/p=$sub")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => (f.getName,
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq))
+    }
+    val before = files("c")
+    assert(before.nonEmpty)
+    // update k=2 (to NULL — MERGE UPDATE SET semantics), insert k=6
+    val batch = Seq((2L, "a", None: Option[Double]),
+                    (6L, "b", Some(60.0))).toDF("k", "p", "v")
+    val parts = PartitionMerge.mergeInto(spark, root, batch, "p", "k", Seq("v"))
+    assert(parts == Seq("a", "b"))
+    assert(files("c").toSeq == before.toSeq,
+      "untouched partition's files changed")
+    val out = spark.read.parquet(root).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(2), if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out == Map(
+      1L -> ("a", 10.0), 2L -> ("a", null), 3L -> ("b", 30.0),
+      4L -> ("b", 40.0), 5L -> ("c", 50.0), 6L -> ("b", 60.0)))
+  }
+
   test("duplicateNames flags repeated layer names (R3, pyt:1149-1159)") {
     import spark.implicits._
     val cat = Seq("slope", "aspect", "slope", "slope").toDF("name")
