@@ -1116,6 +1116,65 @@ object RelQueries {
     s.sql(q18Sql)
   }
 
+  /** TPC-H Q2 shape: correlated scalar MIN over a FOUR-WAY join — the
+    * min-cost-supplier query, re-expressed on the fixture (no partsupp
+    * table: lineitem plays the supply-offer role, extendedprice the
+    * cost). The inner subquery joins lineitem→supplier→nation→region
+    * under the same region filter and correlates on the outer part key;
+    * Catalyst decorrelates it into a per-part aggregate of the joined
+    * inner, joined back (SubquerySpec asserts + cross-checks the
+    * hand-decorrelated form). Exactness: the min comparison is equality
+    * on UNARITHMETIC doubles (same value set both engines); money exits
+    * as per-row cents. DISTINCT collapses equal-offer duplicates so the
+    * fully-keyed top-20 is deterministic. */
+  private[ops] val q2Sql: String =
+    """SELECT DISTINCT s_name, n_name, p_partkey, p_brand,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      |FROM part, lineitem, supplier, nation, region
+      |WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE' AND p_size = 15
+      |  AND l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND l2.l_suppkey = s2.s_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |ORDER BY price_cents ASC, p_partkey ASC, s_name ASC
+      |LIMIT 20""".stripMargin
+
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q2Sql)
+  }
+
+  /** TPC-H Q20 shape: NESTED IN (part-filter inside a grouped lineitem
+    * subquery inside the supplier IN) with a CORRELATED SCALAR on the
+    * inner derived table — the dominant-supplier query: suppliers whose
+    * shipped quantity of some small part exceeds 1/8 of that part's
+    * total shipped quantity. The correlation target is a GROUP BY
+    * column of the derived table (the decorrelation stressor Q17–Q22
+    * don't cover). 0.125 is an exact binary fraction and l_quantity an
+    * integer-valued double, so the threshold compare is exact. */
+  private[ops] val q20Sql: String =
+    """SELECT s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT g.l_suppkey FROM (
+      |    SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+      |    FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+      |    GROUP BY l_suppkey, l_partkey) g
+      |  WHERE g.q > 0.125 * (SELECT sum(l2.l_quantity) FROM lineitem l2
+      |                       WHERE l2.l_partkey = g.l_partkey))
+      |ORDER BY s_name""".stripMargin
+
+  def q20DominantShare(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q20Sql)
+  }
+
   /** Deletion neighborhood of a string: the string plus every
     * single-character deletion — the FastSS candidate key for edit
     * distance ≤ 1 (two strings within ED 1 ALWAYS share a variant, so an
@@ -1247,6 +1306,8 @@ object RelQueries {
     "q21_waiting" -> q21Waiting,
     "q22_in_subquery" -> q22InSubquery,
     "q18_large_orders" -> q18LargeOrders,
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q20_dominant_share" -> q20DominantShare,
     "q19_disjunctive" -> q19Disjunctive
   )
 
@@ -1737,6 +1798,8 @@ object RelQueries {
     "q21_waiting" -> q21Sql,
     "q22_in_subquery" -> q22Sql,
     "q18_large_orders" -> q18Sql,
+    "q2_min_cost_supplier" -> q2Sql,
+    "q20_dominant_share" -> q20Sql,
     "q19_disjunctive" -> q19Sql
   )
 }

@@ -108,6 +108,77 @@ class SubquerySpec extends SparkSpec
       s"part scan lost the brand disjunction: $scans")
   }
 
+  test("q2: correlated min over a 4-way join decorrelates to an " +
+       "aggregate join") {
+    val df = RelQueries.q2MinCostSupplier(spark, dir)
+    val plan = optimized(df)
+    assert(!plan.contains("scalar-subquery"),
+      s"correlated scalar min survived optimization:\n$plan")
+    assert(plan.contains("Join"), s"no join in decorrelated plan:\n$plan")
+  }
+
+  test("q2: SQL form matches the hand-decorrelated DataFrame form") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+    val nat = spark.read.parquet(s"$dir/nation.parquet")
+    val reg = spark.read.parquet(s"$dir/region.parquet")
+      .filter(col("r_name") === "EUROPE")
+    def euOffers(suffix: String) = li
+      .join(sup.select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+    val minEu = euOffers("m")
+      .groupBy(col("l_partkey").as("mp"))
+      .agg(min("l_extendedprice").as("minp"))
+    val manual = euOffers("o")
+      .join(part.filter(col("p_size") === 15),
+            col("p_partkey") === col("l_partkey"))
+      .join(minEu, col("mp") === col("p_partkey"))
+      .filter(col("l_extendedprice") === col("minp"))
+      .select(col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .distinct()
+      .orderBy(col("price_cents").asc, col("p_partkey").asc,
+               col("s_name").asc)
+      .limit(20)
+    assert(sortedRows(RelQueries.q2MinCostSupplier(spark, dir)) ==
+           sortedRows(manual))
+  }
+
+  test("q20: nested IN plans as semi joins, the inner correlated scalar " +
+       "decorrelates") {
+    val df = RelQueries.q20DominantShare(spark, dir)
+    val plan = optimized(df)
+    assert(!plan.contains("scalar-subquery") && !plan.contains("in-subquery"),
+      s"subquery expression survived optimization:\n$plan")
+    assert(plan.contains("LeftSemi"), s"no semi join for IN:\n$plan")
+  }
+
+  test("q20: SQL form matches the hand-decorrelated DataFrame form") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+    val totals = li.groupBy(col("l_partkey").as("tp"))
+      .agg(sum("l_quantity").as("tq"))
+    val dominant = li
+      .join(part.filter(col("p_size") <= 10).select("p_partkey"),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").as("q"))
+      .join(totals, col("tp") === col("l_partkey"))
+      .filter(col("q") > lit(0.125) * col("tq"))
+      .select("l_suppkey").distinct()
+    val manual = sup
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"),
+        round(col("s_acctbal") * 100).cast("long").as("acctbal_cents"))
+      .orderBy("s_name")
+    assert(sortedRows(RelQueries.q20DominantShare(spark, dir)) ==
+           sortedRows(manual))
+  }
+
   test("q22: SQL form matches the hand-decorrelated DataFrame form") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
