@@ -19,8 +19,18 @@ object Skew {
     * hot key's rows land in `salts` different tasks instead of one.
     * Result is exactly the plain inner equi-join (the salt is internal). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-                 salts: Int): DataFrame = {
+                 salts: Int): DataFrame =
+    saltedJoinOn(left, right, Seq(key), salts)
+
+  /** [[saltedJoin]] generalized to a MULTI-column equi-join key, with an
+    * optional `merge` hint pinning the sort-merge plan (the shape a
+    * fact×fact join gets when neither side broadcasts — at test SF the
+    * optimizer would otherwise broadcast the smaller side and mask the
+    * skew the salt exists to spread). */
+  def saltedJoinOn(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   salts: Int, merge: Boolean = false): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(keys.nonEmpty, "need at least one join key")
     // collision-proof internal column name — a fixed "_salt" would
     // silently clobber a business column of that name
     val taken = (left.columns ++ right.columns).toSet
@@ -28,8 +38,9 @@ object Skew {
     val l = left.withColumn(saltCol,
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
         .cast("int"))
-    val r = right.withColumn(saltCol,
+    val r0 = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
-    l.join(r, Seq(key, saltCol)).drop(saltCol)
+    val r = if (merge) r0.hint("merge") else r0
+    l.join(r, keys :+ saltCol).drop(saltCol)
   }
 }

@@ -97,6 +97,61 @@ object WroQueries {
               col("n_layers"))
   }
 
+  /** The skewed-overlay's planted OBSERVATION table: raw fact rows
+    * unpivoted (no per-cell pre-aggregation) with a hot cell — rows
+    * whose order key is not divisible by 4 (three quarters of the
+    * table) all land on cell 0. The 100× question for the flagship:
+    * real rasters have empty-ocean/dense-city distributions. */
+  private[ops] def skewedObs(spark: SparkSession, dir: String): DataFrame = {
+    val hot = when(col("l_orderkey") % 4 === 0, col("l_orderkey") % 10000)
+      .otherwise(lit(0L))
+    val kv = layers.flatMap { case (name, src, _) =>
+      Seq(lit(name), col(src).cast("double")) }
+    table(spark, dir, "lineitem")
+      .select(hot.as("cell_id"), explode(map(kv: _*)).as(Seq("layer", "value")))
+  }
+
+  /** The skewed fact×fact stage of [[overlaySkewed]], exposed for the
+    * partition-balance spec: observations join their (cell, layer) max.
+    * `salted = false` is the naive plan the salt exists to fix. */
+  private[ops] def skewedJoined(spark: SparkSession, dir: String,
+                                salted: Boolean): DataFrame = {
+    val obs = skewedObs(spark, dir)
+    val cellMax = obs.groupBy("cell_id", "layer").agg(max("value").as("maxv"))
+    if (salted)
+      Skew.saltedJoinOn(obs, cellMax, Seq("cell_id", "layer"), salts = 16,
+        merge = true)
+    else obs.join(cellMax.hint("merge"), Seq("cell_id", "layer"))
+  }
+
+  /** The flagship under PLANTED SKEW (the verdict's 100×-question gate):
+    * per-observation overlay — remap every raw row, keep only
+    * "representative" observations (within the top half of their cell's
+    * value range), weighted-sum per cell — on a distribution where one
+    * hot cell carries 3/4 of the table.
+    *
+    * Where the skew bites and how it is handled:
+    *  - the per-(cell, layer) max is a hash AGGREGATE — map-side partial
+    *    aggregation absorbs input skew by construction;
+    *  - the observation×cellMax join is fact×fact at mosaic scale (one
+    *    stats row per cell of a 10^12-cell raster does not broadcast),
+    *    pinned to sort-merge by hint and SALTED across 16 sub-keys
+    *    ([[Skew.saltedJoinOn]]): the hot cell's rows land in 16 tasks
+    *    instead of one. SkewSpec measures the balance — no join task
+    *    above 4× the median — and that the UNSALTED plan genuinely
+    *    violates it on the same data;
+    *  - remap and weights stay broadcast (the flagship kernel).
+    * The oracle replays the PLAIN join — the gate proves the salt is
+    * result-invariant, not just balanced. */
+  def overlaySkewed(spark: SparkSession, dir: String): DataFrame = {
+    val rep = skewedJoined(spark, dir, salted = true)
+      .filter(col("value") * 2 >= col("maxv"))
+    val ranges = WeightedOverlay.explodeRanges(catalog(spark, dir))
+    WeightedOverlay.score(WeightedOverlay.remap(rep, ranges), weights(spark))
+      .select(col("cell_id"), col("score10").cast("long").as("score10"),
+              col("n_layers").as("n_obs"))
+  }
+
   /** A9 as explicit bin COUNTS (pyt:903 grounding — the raster histogram
     * behind classification): per-layer equi-width 5-bin histogram via a
     * width_bucket-style expression. Stats ride a broadcast; the bin
@@ -280,6 +335,7 @@ object WroQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wro_overlay_flagship" -> flagship,
     "wro_overlay_nodata" -> overlayNoData,
+    "wro_overlay_skewed" -> overlaySkewed,
     "a9_histogram" -> a9Histogram,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
@@ -311,6 +367,30 @@ object WroQueries {
          |  SELECT c.cell_id, c.layer, r.out
          |  FROM masked c JOIN ranges r ON c.layer = r.layer AND c.value >= r.lo AND c.value < r.hi)
          |SELECT m.cell_id, CAST(sum(m.out * w.w10) AS BIGINT) AS score10, count(*) AS n_layers
+         |FROM remapped m JOIN weights w ON m.layer = w.layer
+         |GROUP BY m.cell_id""".stripMargin,
+    // plain-join replay of the salted plan — proves salt invariance
+    "wro_overlay_skewed" ->
+      s"""$rangesSql,
+         |weights AS (${layers.map { case (n, _, w) => s"SELECT '$n' AS layer, $w AS w10" }.mkString(" UNION ALL ")}),
+         |obs AS (
+         |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN l_orderkey % 10000
+         |              ELSE 0 END AS cell_id, layer, value
+         |  FROM (${layers.map { case (name, src, _) =>
+                  s"SELECT l_orderkey, '$name' AS layer, CAST($src AS DOUBLE) AS value FROM lineitem"
+                }.mkString(" UNION ALL ")})),
+         |cellmax AS (
+         |  SELECT cell_id, layer, max(value) AS maxv FROM obs GROUP BY 1, 2),
+         |rep AS (
+         |  SELECT o.cell_id, o.layer, o.value FROM obs o
+         |  JOIN cellmax m ON o.cell_id = m.cell_id AND o.layer = m.layer
+         |  WHERE o.value * 2 >= m.maxv),
+         |remapped AS (
+         |  SELECT c.cell_id, c.layer, r.out
+         |  FROM rep c JOIN ranges r
+         |    ON c.layer = r.layer AND c.value >= r.lo AND c.value < r.hi)
+         |SELECT m.cell_id, CAST(sum(m.out * w.w10) AS BIGINT) AS score10,
+         |  count(*) AS n_obs
          |FROM remapped m JOIN weights w ON m.layer = w.layer
          |GROUP BY m.cell_id""".stripMargin,
     "wro_overlay_flagship" ->

@@ -18,6 +18,42 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain && plain.size == 51)
   }
 
+  test("skewed overlay: salted join keeps every task within 4x the " +
+       "median; the unsalted plan genuinely violates that on same data") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val dir = "/root/testdata/sf0.001"
+    // partition-level balance only shows with AQE's small-data coalesce
+    // off — at test SF it would legally collapse everything to one task
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val (prev, prevParts) = (spark.conf.get(coalesceKey),
+                             spark.conf.get(partsKey))
+    try {
+      spark.conf.set(coalesceKey, "false")
+      // enough partitions that the median reflects the typical task, not
+      // a hot one (the test session runs with very few by default)
+      spark.conf.set(partsKey, "32")
+      def partCounts(salted: Boolean): Seq[Long] = {
+        val counts = WroQueries.skewedJoined(spark, dir, salted)
+          .groupBy(spark_partition_id().as("p")).count()
+          .collect().map(_.getLong(1)).sorted.toSeq
+        assert(counts.length > 1, "need >1 partition to measure balance")
+        counts
+      }
+      val s = partCounts(salted = true)
+      val sMed = s(s.length / 2)
+      assert(s.last <= 4 * sMed,
+        s"salted join skewed: max ${s.last} > 4 x median $sMed ($s)")
+      val p = partCounts(salted = false)
+      val pMed = p(p.length / 2)
+      assert(p.last > 4 * pMed,
+        s"planted skew not real: max ${p.last} <= 4 x median $pMed ($p)")
+    } finally {
+      spark.conf.set(coalesceKey, prev)
+      spark.conf.set(partsKey, prevParts)
+    }
+  }
+
   test("saltedJoin distributes a hot key across multiple salts") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (1L, i)).toDF("k", "lv")
