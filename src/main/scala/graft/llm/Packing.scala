@@ -29,12 +29,21 @@ object Packing {
     * counts), riding the same single window pass. */
   def sequencePack(docs: DataFrame, id: Column, text: Column,
                    stratum: Column, ctx: Int,
-                   carry: Seq[String] = Nil): DataFrame = {
+                   carry: Seq[String] = Nil): DataFrame =
+    packByCount(docs, id, size(split(text, " ")), stratum, ctx, carry)
+
+  /** [[sequencePack]] over a PRE-COUNTED token column — the tokenized
+    * composition uses this with the REAL BPE token counts from
+    * [[Bpe.encodeIds]] instead of the whitespace proxy; the window pass
+    * is identical. */
+  def packByCount(docs: DataFrame, id: Column, nTokens: Column,
+                  stratum: Column, ctx: Int,
+                  carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(stratum.as("source") +: id.as("doc_id") +:
-              size(split(text, " ")).as("n_tokens") +: carry.map(col): _*)
+              nTokens.as("n_tokens") +: carry.map(col): _*)
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("source") +: col("doc_id") +: col("n_tokens") +:
         floor((col("cum") - col("n_tokens")) / lit(ctx.toDouble))
