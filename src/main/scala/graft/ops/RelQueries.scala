@@ -1116,6 +1116,63 @@ object RelQueries {
     s.sql(q18Sql)
   }
 
+  /** TPC-H Q4 shape: correlated EXISTS whose inner predicate compares a
+    * NON-KEY outer column with date arithmetic (l_shipdate more than 30
+    * days after the order date) — decorrelation must carry o_orderdate
+    * into the semi-join condition, a mixed equi + non-equi existence
+    * join (the flavor q21's pure-equi EXISTS doesn't cover). Timestamp
+    * literals and INTERVAL arithmetic are dialect-neutral. */
+  private[ops] val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q4Sql)
+  }
+
+  /** F17: Spark 4 VARIANT — semi-structured JSON as the binary variant
+    * type: try_parse_json absorbs malformed rows (planted on every 10th
+    * event) as NULL instead of failing the task, variant_get extracts a
+    * typed path. The modern open-table shredding surface; f6's
+    * get_json_object is the string-walking predecessor. */
+  def f17Variant(s: SparkSession, dir: String): DataFrame = {
+    // truncation, not a trailing token — the variant parser (like most
+    // streaming JSON parsers) stops after the first complete value and
+    // would accept '{"k":69}}'; an unterminated object cannot parse
+    val raw = when(col("event_id") % 10 === 0,
+      substring(col("props"), 1, 4)).otherwise(col("props"))
+    table(s, dir, "events")
+      .select(col("event_type"), try_parse_json(raw).as("v"))
+      .select(col("event_type"), col("v"),
+              variant_get(col("v"), "$.k", "int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           count(col("v")).as("n_valid"),
+           sum(col("k")).cast("long").as("sum_k"))
+  }
+
+  /** O7: UNPIVOT/melt — wide metric columns to long (metric, value)
+    * rows, the inverse of o5_pivot; re-aggregated per metric so the
+    * gate stays scalar. Money-class values snap to cents per row. */
+  def o7Unpivot(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+
   /** TPC-H Q2 shape: correlated scalar MIN over a FOUR-WAY join — the
     * min-cost-supplier query, re-expressed on the fixture (no partsupp
     * table: lineitem plays the supply-offer role, extendedprice the
@@ -1308,6 +1365,9 @@ object RelQueries {
     "q18_large_orders" -> q18LargeOrders,
     "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q20_dominant_share" -> q20DominantShare,
+    "q4_order_priority" -> q4OrderPriority,
+    "f17_variant" -> f17Variant,
+    "o7_unpivot" -> o7Unpivot,
     "q19_disjunctive" -> q19Disjunctive
   )
 
@@ -1800,6 +1860,27 @@ object RelQueries {
     "q18_large_orders" -> q18Sql,
     "q2_min_cost_supplier" -> q2Sql,
     "q20_dominant_share" -> q20Sql,
+    "q4_order_priority" -> q4Sql,
+    // variant parse/extract replay: the planted malformed rows (every
+    // 10th event) are NULL on both sides — try_parse_json there,
+    // a CASE here; valid rows extract $.k as a typed int
+    "f17_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(CASE WHEN event_id % 10 = 0 THEN NULL ELSE 1 END) AS n_valid,
+        |  CAST(sum(CASE WHEN event_id % 10 = 0 THEN NULL
+        |           ELSE CAST(json_extract(props, '$.k') AS INT) END) AS BIGINT)
+        |    AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "o7_unpivot" ->
+      """SELECT metric, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem)
+        |GROUP BY 1""".stripMargin,
     "q19_disjunctive" -> q19Sql
   )
 }
