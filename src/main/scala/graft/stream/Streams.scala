@@ -165,6 +165,32 @@ object Streams {
       }
       .start()
 
+  /** S13: STREAMING dedup-index maintenance — the D2g ingest loop
+    * ([[graft.llm.Dedup.ingestLsh]]) under Structured Streaming: each
+    * micro-batch of documents probes the persisted LSH index for
+    * near-dups against everything ingested before it, emits the pairs
+    * (parquet append — the alert/quarantine feed), and appends its own
+    * signatures + text, so batch(i)↔batch(i+1) pairs surface on
+    * ingest i+1 without any rescan. The per-batch cost is batch-sized
+    * (ingestLsh's contract); the corpus-text table exists only to
+    * serve exact verification of candidate pairs. Exactly the shape a
+    * continuously-fed crawl pipeline runs. */
+  def lshIngestStream(docsStream: DataFrame, indexPath: String,
+                      corpusPath: String, pairsPath: String,
+                      checkpoint: String): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val all = batch.sparkSession.read.parquet(corpusPath)
+          .unionByName(batch)
+        val pairs = graft.llm.Dedup.ingestLsh(indexPath, batch,
+          col("doc_id"), col("text"), all, col("doc_id"), col("text"))
+        pairs.write.mode("append").parquet(pairsPath)
+        batch.write.mode("append").parquet(corpusPath)
+      }
+      .start()
+
   /** S12: stream-STATIC enrichment join — the stateless sibling of the
     * S7 stream-stream join: each micro-batch joins against a static
     * dimension (re-resolved per batch, so a refreshed dim table is

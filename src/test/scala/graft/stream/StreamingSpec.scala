@@ -68,6 +68,40 @@ class StreamingSpec extends SparkSpec {
       ("N", "1.0,2.0")))  // batch-2 insert landed
   }
 
+  test("S13 streaming LSH ingest: batch 2 finds its near-dup in batch 1 " +
+       "purely via the maintained index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s13").toString
+    val (idx, corpus, pairs) = (s"$dir/idx", s"$dir/corpus", s"$dir/pairs")
+    // seed: a base corpus, indexed, mutually dissimilar
+    val base = (1 to 10).map(i =>
+      (i.toLong, (1 to 12).map(w => s"b${i}w$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    base.write.parquet(corpus)
+    graft.llm.Dedup.bandSignatures(base, col("doc_id"), col("text"))
+      .write.parquet(idx)
+    // pairs sink must exist with the right schema for the final read
+    spark.emptyDataset[(Long, Long, Double)]
+      .toDF("a_id", "b_id", "jaccard").write.parquet(pairs)
+    val t1 = (1 to 12).map(w => s"s$w").mkString(" ")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.lshIngestStream(input.toDF().toDF("doc_id", "text"),
+      idx, corpus, pairs, s"$dir/ckpt")
+    try {
+      input.addData((100L, t1))          // batch 1: brand-new doc
+      q.processAllAvailable()
+      input.addData((200L, t1 + " x"))   // batch 2: near-dup of batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // only one pair ever: (100, 200), found on ingest 2 via the index
+    // maintained by ingest 1 (t1 has 10 shingles, batch 2 adds one)
+    assert(got.toSeq == Seq((100L, 200L, 10.0 / 11.0)))
+    // and the corpus table accreted both batches
+    assert(spark.read.parquet(corpus).count() === 12L)
+  }
+
   test("S11 transformWithState carries typed ValueState across batches") {
     import spark.implicits._
     val prev = spark.conf.getOption(
