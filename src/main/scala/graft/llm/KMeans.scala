@@ -36,8 +36,18 @@ object KMeans {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * Scale).cast("long"))
 
-  /** Exact squared-L2 between two quantized (long-array) columns. */
+  /** Exact squared-L2 between two quantized (long-array) columns — the
+    * fused native [[graft.functions.SqDistL2]] kernel: one codegen'd
+    * pass, no intermediate array (the [[Similarity.cosine]] pattern).
+    * Exactly equal to [[sqDistDeclarative]] (integer arithmetic —
+    * equivalence property-tested in LlmSpec). */
   def sqDist(a: Column, b: Column): Column =
+    graft.functions.SqDistL2(a, b)
+
+  /** The declarative reference formulation of [[sqDist]]: zip_with for
+    * differences, aggregate (sequential fold) for the sum. Interpreted
+    * per element — the fused kernel is the hot-path form. */
+  def sqDistDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
   /** One Lloyd iteration: assign every corpus vector to its nearest of

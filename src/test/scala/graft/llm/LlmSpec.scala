@@ -105,6 +105,32 @@ class LlmSpec extends SparkSpec {
     assert(withNull.isNullAt(0), "null element must be NULL")
   }
 
+  test("SqDistL2 equals the declarative zip_with fold (property), " +
+       "null on length mismatch / null element") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val genVecs = for {
+      n <- Gen.choose(1, 64)
+      a <- Gen.listOfN(n, Gen.choose(-2097152L, 2097152L))
+      b <- Gen.listOfN(n, Gen.choose(-2097152L, 2097152L))
+    } yield (a, b)
+    graft.PropCheck.checkProp(Prop.forAll(genVecs) { case (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(KMeans.sqDist(col("a"), col("b")).as("fused"),
+                KMeans.sqDistDeclarative(col("a"), col("b")).as("decl"))
+        .head()
+      row.getLong(0) == row.getLong(1)
+    }, minTests = 50)
+    val edge = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+      .select(KMeans.sqDist(col("a"), col("b"))).head()
+    assert(edge.isNullAt(0), "length mismatch must be NULL")
+    val withNull = Seq(1).toDF("one")
+      .select(KMeans.sqDist(
+        array(lit(1L), lit(null).cast("long")),
+        array(lit(1L), lit(2L)))).head()
+    assert(withNull.isNullAt(0), "null element must be NULL")
+  }
+
   test("Similarity.topK ranks by cosine desc with id tie-break") {
     import spark.implicits._
     val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
