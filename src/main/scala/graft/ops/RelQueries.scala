@@ -1137,6 +1137,30 @@ object RelQueries {
     s.sql(q4Sql)
   }
 
+  /** TPC-H Q15 shape: a CTE ("view") referenced TWICE — once as the
+    * fact being filtered, once inside the uncorrelated scalar max that
+    * filters it (top-revenue supplier). Exercises CTE dedup/reuse in
+    * both planners; revenue snaps to cents per row before the sum. */
+  private[ops] val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |                  AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_cents
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_cents = (SELECT max(total_cents) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q15Sql)
+  }
+
   /** F17: Spark 4 VARIANT — semi-structured JSON as the binary variant
     * type: try_parse_json absorbs malformed rows (planted on every 10th
     * event) as NULL instead of failing the task, variant_get extracts a
@@ -1366,6 +1390,7 @@ object RelQueries {
     "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q20_dominant_share" -> q20DominantShare,
     "q4_order_priority" -> q4OrderPriority,
+    "q15_top_supplier" -> q15TopSupplier,
     "f17_variant" -> f17Variant,
     "o7_unpivot" -> o7Unpivot,
     "q19_disjunctive" -> q19Disjunctive
@@ -1861,6 +1886,7 @@ object RelQueries {
     "q2_min_cost_supplier" -> q2Sql,
     "q20_dominant_share" -> q20Sql,
     "q4_order_priority" -> q4Sql,
+    "q15_top_supplier" -> q15Sql,
     // variant parse/extract replay: the planted malformed rows (every
     // 10th event) are NULL on both sides — try_parse_json there,
     // a CASE here; valid rows extract $.k as a typed int
