@@ -48,8 +48,13 @@ object PartitionMerge {
   def mergeInto(spark: SparkSession, path: String, batch: DataFrame,
                 partCol: String, keyCol: String,
                 payloadCols: Seq[String]): Seq[String] = {
-    val parts = batch.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val parts0 = batch.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    // a NULL partition value would silently match nothing in the isin
+    // filter below (its row neither updates nor inserts) — reject loudly
+    require(!parts0.contains(null),
+      s"partition merge: batch carries a NULL $partCol value")
+    val parts = parts0.sorted
     require(parts.nonEmpty, "partition merge: batch touches no partitions")
     val cur = spark.read.parquet(path).filter(col(partCol).isin(parts: _*))
     val b = batch.select(

@@ -262,7 +262,11 @@ object Bpe {
       .select(col("doc_id"),
         graft.functions.BpeDocIds(col("_text"), col("ms_a"), col("ms_b"),
           col("v_syms")).as("token_ids"))
-      .filter(size(col("token_ids")) >= 1)
+      // drop only genuinely EMPTY results (no-word docs); a NULL result
+      // is the kernel's mismatched-vocabulary signal and must SURVIVE to
+      // the output (a size filter would eat it — NULL rows are what make
+      // a bad vocab visible at the gate instead of silently vanishing)
+      .filter(col("token_ids").isNull || size(col("token_ids")) >= 1)
       .select(col("doc_id"),
         size(col("token_ids")).cast("long").as("n_tok"),
         col("token_ids"))

@@ -141,15 +141,20 @@ object Dedup {
                      allDocs: DataFrame, allId: Column, allText: Column,
                      n: Int = 3, k: Int = 32, bands: Int = 16,
                      threshold: Double = 0.8): DataFrame =
-    probeLsh(index, bandSignatures(batch, id, text, n, k, bands),
-      allDocs, allId, allText, n, threshold)
+    probeLshTracked(index, bandSignatures(batch, id, text, n, k, bands),
+      allDocs, allId, allText, n, threshold)._1
 
   /** The probe core of [[incrementalLsh]], taking ALREADY-COMPUTED batch
     * band signatures — so [[ingestLsh]] can compute them once and use
-    * them for both the probe and the index append. */
-  private def probeLsh(index: DataFrame, probeSigs: DataFrame,
-                       allDocs: DataFrame, allId: Column, allText: Column,
-                       n: Int, threshold: Double): DataFrame = {
+    * them for both the probe and the index append. Also returns the
+    * intermediate CACHED frames: one-shot callers leave them for the
+    * harness clearCache (the lloydTwice convention), but the streaming
+    * ingest loop must unpersist per batch or executor storage grows
+    * without bound. */
+  private def probeLshTracked(index: DataFrame, probeSigs: DataFrame,
+                              allDocs: DataFrame, allId: Column,
+                              allText: Column, n: Int, threshold: Double)
+      : (DataFrame, Seq[DataFrame]) = {
     val cand = index
       .select(col("doc_id").as("a_id"), col("n_sh").as("na"),
               col("band"), col("bsig"))
@@ -158,7 +163,9 @@ object Dedup {
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "na", "b_id", "nb").distinct()
       .cache()
-    verifyExactJaccard(cand, allDocs, allId, allText, n, threshold)
+    val (out, caches) =
+      verifyExactJaccardTracked(cand, allDocs, allId, allText, n, threshold)
+    (out, cand +: caches)
   }
 
   /** D2g: the MAINTENANCE half of the incremental loop — probe AND
@@ -181,8 +188,13 @@ object Dedup {
                 threshold: Double = 0.8): DataFrame = {
     val sigs = bandSignatures(batch, id, text, n, k, bands).localCheckpoint()
     val index = batch.sparkSession.read.parquet(indexPath)
-    val pairs = probeLsh(index, sigs, allDocs, allId, allText, n, threshold)
-      .localCheckpoint()
+    val (probed, caches) =
+      probeLshTracked(index, sigs, allDocs, allId, allText, n, threshold)
+    val pairs = probed.localCheckpoint()
+    // the checkpoint materialized everything — release the probe's
+    // cached intermediates NOW, so a long-lived ingest loop (the S13
+    // stream) holds no per-batch cache entries
+    caches.foreach(_.unpersist(false))
     sigs.write.mode("append").parquet(indexPath)
     pairs
   }
@@ -211,7 +223,15 @@ object Dedup {
     * One row per candidate doc joins twice; no re-aggregation. */
   private def verifyExactJaccard(cand: DataFrame, docs: DataFrame,
                                  id: Column, text: Column, n: Int,
-                                 threshold: Double): DataFrame = {
+                                 threshold: Double): DataFrame =
+    verifyExactJaccardTracked(cand, docs, id, text, n, threshold)._1
+
+  /** [[verifyExactJaccard]] also handing back its cached intermediate,
+    * for callers that must unpersist per batch (see probeLshTracked). */
+  private def verifyExactJaccardTracked(cand: DataFrame, docs: DataFrame,
+                                        id: Column, text: Column, n: Int,
+                                        threshold: Double)
+      : (DataFrame, Seq[DataFrame]) = {
     val candIds = cand
       .select(explode(array(col("a_id"), col("b_id"))).as("cid"))
       .distinct()
@@ -224,7 +244,7 @@ object Dedup {
       .join(broadcast(candIds), id === col("cid"), "left_semi")
       .select(id.as("did"), shingleArray(text, n).as("shs"))
       .cache()
-    cand
+    val out = cand
       .join(candArr.select(col("did").as("a_id"), col("shs").as("sa")), "a_id")
       .join(candArr.select(col("did").as("b_id"), col("shs").as("sb")), "b_id")
       .select(col("a_id"), col("b_id"),
@@ -233,6 +253,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (out, Seq(candArr))
   }
 
   /** D2d: EXACT n-gram Jaccard pairs via a PREFIX-FILTERED inverted

@@ -615,10 +615,7 @@ object LlmQueries {
     }
 
   private def bpeEncodeOracle(k: Int): String = {
-    val d = "chr(1)"           // symbol delimiter
-    val d2 = s"$d||$d"         // inter-symbol boundary
-    val toSyms =               // word -> \x01c\x01\x01c\x01... char string
-      s"regexp_replace(tok, '(.)', $d||'\\1'||$d, 'g')"
+    val (d, d2, toSyms) = (bpeD, bpeD2, bpeToSyms)
     val rounds = bpeRounds(k)
     val encChain = bpeEncChain(k)
     s"""WITH w0 AS (

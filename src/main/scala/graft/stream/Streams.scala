@@ -157,10 +157,19 @@ object Streams {
         val fs = new org.apache.hadoop.fs.Path(catalogPath).getFileSystem(hconf)
         val live = new org.apache.hadoop.fs.Path(catalogPath)
         val old = new org.apache.hadoop.fs.Path(s"$catalogPath.old-$batchId")
+        // Hadoop rename reports failure by RETURNING FALSE — every step
+        // must be checked, or a failed promote would fall through to the
+        // delete below and destroy the last-good snapshot silently
         fs.delete(old, true)
-        if (fs.exists(live)) fs.rename(live, old)
-        fs.rename(new org.apache.hadoop.fs.Path(staging), live)
-        fs.delete(old, true)
+        if (fs.exists(live) && !fs.rename(live, old))
+          throw new java.io.IOException(
+            s"catalog swap: could not move live snapshot aside ($live -> $old)")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(staging), live))
+          throw new java.io.IOException(
+            s"catalog swap: could not promote staged snapshot ($staging -> " +
+            s"$live); last-good copy preserved at $old")
+        // only drop the backup once the new live copy demonstrably exists
+        if (fs.exists(live)) fs.delete(old, true)
         ()
       }
       .start()

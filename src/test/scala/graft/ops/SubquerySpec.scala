@@ -124,15 +124,15 @@ class SubquerySpec extends SparkSpec
     val nat = spark.read.parquet(s"$dir/nation.parquet")
     val reg = spark.read.parquet(s"$dir/region.parquet")
       .filter(col("r_name") === "EUROPE")
-    def euOffers(suffix: String) = li
+    def euOffers() = li
       .join(sup.select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
             col("l_suppkey") === col("s_suppkey"))
       .join(nat, col("s_nationkey") === col("n_nationkey"))
       .join(reg, col("n_regionkey") === col("r_regionkey"))
-    val minEu = euOffers("m")
+    val minEu = euOffers()
       .groupBy(col("l_partkey").as("mp"))
       .agg(min("l_extendedprice").as("minp"))
-    val manual = euOffers("o")
+    val manual = euOffers()
       .join(part.filter(col("p_size") === 15),
             col("p_partkey") === col("l_partkey"))
       .join(minEu, col("mp") === col("p_partkey"))
