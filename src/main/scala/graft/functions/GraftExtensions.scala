@@ -44,6 +44,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val Seq(t, a, b) = arity("bpe_doc_tokens", 3)(children)
         BpeDocTokens(t, a, b)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_doc_ids"),
+      new ExpressionInfo(classOf[BpeDocIds].getName, "bpe_doc_ids"),
+      (children: Seq[Expression]) => {
+        val Seq(t, a, b, v) = arity("bpe_doc_ids", 4)(children)
+        BpeDocIds(t, a, b, v)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sq_dist_l2"),
+      new ExpressionInfo(classOf[SqDistL2].getName, "sq_dist_l2"),
+      (children: Seq[Expression]) => {
+        val Seq(a, b) = arity("sq_dist_l2", 2)(children)
+        SqDistL2(a, b)
+      }))
     // literal range join -> codegen'd binary-search remap (plan rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinToRemap)
   }

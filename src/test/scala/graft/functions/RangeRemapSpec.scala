@@ -78,4 +78,22 @@ class RangeRemapSpec extends SparkSpec {
     assert(r.getInt(0) == 3)
     assert(r.getSeq[String](1) == Seq("a", "b,c", "d"))
   }
+
+  test("SQL registration of the kernel family (cosine_sim, sq_dist_l2, " +
+       "bpe_doc_tokens, bpe_doc_ids)") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1D, 0D), array(1D, 0D)) AS cs,
+        |  sq_dist_l2(array(1L, 2L), array(4L, 6L)) AS d2,
+        |  bpe_doc_tokens('ab ab', array('a'), array('b')) AS toks,
+        |  bpe_doc_ids('ab ab', array('a'), array('b'),
+        |              array('a', 'b', 'ab')) AS ids""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) == 9L + 16L)
+    // "ab ab": 2 words, 4 base symbols, merged to 1 token each
+    assert(r.getStruct(2).getLong(0) == 2L &&
+           r.getStruct(2).getLong(1) == 4L &&
+           r.getStruct(2).getLong(2) == 2L)
+    assert(r.getSeq[Int](3) == Seq(2, 2))
+  }
 }
