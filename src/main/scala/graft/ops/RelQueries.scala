@@ -1161,6 +1161,51 @@ object RelQueries {
     s.sql(q15Sql)
   }
 
+  /** TPC-H Q7 shape: two-nation shipping volume — a SIX-way join with
+    * nation joined TWICE (supplier side and customer side) under a
+    * disjunction that spans both roles, grouped by shipment year. The
+    * double-role dimension join + cross-side OR is the shape Q2–Q22
+    * siblings don't cover. */
+  private[ops] val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |                AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM supplier s
+      |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q7Sql)
+  }
+
+  /** TPC-H Q14 shape: promo revenue share per year — conditional
+    * aggregation over a fact×dim join. Numerator and denominator exit
+    * as exact cents (no float division crosses the gate). */
+  private[ops] val q14Sql: String =
+    """SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |       THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |            AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+      |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |                AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q14Sql)
+  }
+
   /** F17: Spark 4 VARIANT — semi-structured JSON as the binary variant
     * type: try_parse_json absorbs malformed rows (planted on every 10th
     * event) as NULL instead of failing the task, variant_get extracts a
@@ -1391,6 +1436,8 @@ object RelQueries {
     "q20_dominant_share" -> q20DominantShare,
     "q4_order_priority" -> q4OrderPriority,
     "q15_top_supplier" -> q15TopSupplier,
+    "q7_nation_volume" -> q7NationVolume,
+    "q14_promo_share" -> q14PromoShare,
     "f17_variant" -> f17Variant,
     "o7_unpivot" -> o7Unpivot,
     "q19_disjunctive" -> q19Disjunctive
@@ -1887,6 +1934,8 @@ object RelQueries {
     "q20_dominant_share" -> q20Sql,
     "q4_order_priority" -> q4Sql,
     "q15_top_supplier" -> q15Sql,
+    "q7_nation_volume" -> q7Sql,
+    "q14_promo_share" -> q14Sql,
     // variant parse/extract replay: the planted malformed rows (every
     // 10th event) are NULL on both sides — try_parse_json there,
     // a CASE here; valid rows extract $.k as a typed int
