@@ -172,6 +172,31 @@ object LlmQueries {
            min(col("doc_id")).as("keep_id"))
   }
 
+  /** D18b: per-HOST crawl quota — the politeness/diversity cap every
+    * crawl pipeline applies before anything else: canonicalize the
+    * host ([[d17UrlCanon]]'s parse_url machinery, 14 synthesized
+    * hosts), rank each host's documents deterministically (doc_id
+    * order), keep the first 20. One keyed window; the quota decision is
+    * reported per host so the gate stays scalar. */
+  def d18HostQuota(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+      lit("H"), (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 3 === 0, lit(".Example.ORG"))
+        .otherwise(lit(".example.com")),
+      lit("/p/"), col("doc_id").cast("string"))
+    val host = lower(parse_url(url, lit("HOST")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("doc_id")
+    docs(s, dir)
+      .select(col("doc_id"), host.as("host"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("rn") <= 20, 1L).otherwise(0L)).as("n_kept"),
+           min(col("doc_id")).as("first_id"))
+  }
+
   /** D2f: the incremental-ingest form of near-dup detection — the base
     * corpus's band signatures are built once and PERSISTED (parquet —
     * the stored index is the point), then a new batch (the d2 fixture's
@@ -526,6 +551,7 @@ object LlmQueries {
     "d2_incremental_lsh" -> d2IncrementalLsh,
     "d2_lsh_ingest" -> d2LshIngest,
     "d17_url_canon" -> d17UrlCanon,
+    "d18_host_quota" -> d18HostQuota,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d2_dedup_clusters" -> d2DedupClusters,
     "d2_simhash" -> d2Simhash,
@@ -808,6 +834,29 @@ object LlmQueries {
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
          |  AND ((a_id < 1000000 AND b_id >= 1000000 AND b_id < 2000000)
          |       OR (a_id < 2000000 AND b_id >= 2000000))""".stripMargin,
+    // host-quota replay: same deterministic host synthesis; host via
+    // regex between :// and /, lowered; quota = row_number per host
+    "d18_host_quota" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+        |    'H' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '.Example.ORG'
+        |          ELSE '.example.com' END) ||
+        |    '/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, host,
+        |    row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+        |  FROM h)
+        |SELECT host, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  min(doc_id) AS first_id
+        |FROM r GROUP BY 1""".stripMargin,
     // same deterministic URL synthesis; canonicalization via regex
     // (host between :// and /, lowered; path up to ?/#, trailing slash
     // stripped) — the Spark side uses parse_url for the same pieces

@@ -125,6 +125,30 @@ object RelQueries {
               col("last_click.event_id").as("click_id"))
   }
 
+  /** W10: TIME-WEIGHTED aggregation over an irregular event series —
+    * each event's value holds until the user's next event, so the
+    * weight is the gap length (the step-function integral every
+    * sensor/price pipeline needs; a plain avg over irregular samples
+    * is biased toward bursts). One keyed window (lead) + one keyed
+    * aggregate. Exactness: cents × whole seconds, all integer — the
+    * division into an average is left to the consumer so no float
+    * crosses the gate; gaps truncate to seconds identically (`div` /
+    * `//`). Users with a single event carry no interval and drop. */
+  def w10TimeWeighted(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    table(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("ts_us"),
+              round(col("value") * 100).cast("long").as("v_cents"))
+      .withColumn("nxt", lead(col("ts_us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+           sum(expr("(nxt - ts_us) div 1000000")).as("total_s"),
+           sum(expr("v_cents * ((nxt - ts_us) div 1000000)"))
+             .as("weighted_cents_s"))
+  }
+
   /** J10 (beyond §2.B): the skew-salting kernel through the gate —
     * salted fact×dim equi-join (hot keys scattered across 8 sub-keys,
     * dim replicated per salt), aggregated after. Must equal the PLAIN
@@ -1377,6 +1401,7 @@ object RelQueries {
     "j7_asof" -> j7AsOf,
     "j8_cross" -> j8Cross,
     "j10_salted_join" -> j10SaltedJoin,
+    "w10_time_weighted" -> w10TimeWeighted,
     "j11_bucketed_join" -> j11BucketedJoin,
     "j9_interval_overlap" -> j9IntervalOverlap,
     "j6_range_autorewrite" -> j6RangeAutoRewrite,
@@ -1936,6 +1961,21 @@ object RelQueries {
     "q15_top_supplier" -> q15Sql,
     "q7_nation_volume" -> q7Sql,
     "q14_promo_share" -> q14Sql,
+    "w10_time_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS v_cents
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, ts_us, v_cents,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |                      ORDER BY ts_us, event_id) AS nxt
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum((nxt - ts_us) // 1000000) AS BIGINT) AS total_s,
+        |  CAST(sum(v_cents * ((nxt - ts_us) // 1000000)) AS BIGINT)
+        |    AS weighted_cents_s
+        |FROM l WHERE nxt IS NOT NULL GROUP BY 1""".stripMargin,
     // variant parse/extract replay: the planted malformed rows (every
     // 10th event) are NULL on both sides — try_parse_json there,
     // a CASE here; valid rows extract $.k as a typed int
