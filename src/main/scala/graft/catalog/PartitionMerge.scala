@@ -80,4 +80,44 @@ object PartitionMerge {
       .parquet(path)
     parts
   }
+
+  /** Targeted DELETE from the partitioned table — the GDPR /
+    * right-to-be-forgotten operation a training-data store must support:
+    * remove exactly the (partCol, keyCol) pairs in `deletes`, rewriting
+    * ONLY the partitions that contain them. Same plan discipline as
+    * [[mergeInto]]: static isin PartitionFilter, broadcast delete-key
+    * anti-join (fact side never shuffles), materialize before the
+    * dynamic overwrite. One wrinkle mergeInto cannot hit: a partition
+    * whose every row is deleted produces NO output rows, so dynamic
+    * overwrite would leave its old files in place — those directories
+    * are removed explicitly (the surviving-partition list is
+    * partition-domain-sized driver data). Returns the touched
+    * partition values. */
+  def deleteFrom(spark: SparkSession, path: String, deletes: DataFrame,
+                 partCol: String, keyCol: String): Seq[String] = {
+    val parts0 = deletes.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    require(!parts0.contains(null),
+      s"partition delete: batch carries a NULL $partCol value")
+    val parts = parts0.sorted
+    require(parts.nonEmpty, "partition delete: batch touches no partitions")
+    val cur = spark.read.parquet(path).filter(col(partCol).isin(parts: _*))
+    val dk = deletes.select(col(partCol).as("_dp"), col(keyCol).as("_dk"))
+    val remaining = cur
+      .join(broadcast(dk),
+        col(partCol) === col("_dp") && col(keyCol) === col("_dk"),
+        "left_anti")
+      .localCheckpoint()
+    remaining.write.mode("overwrite").partitionBy(partCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(path)
+    val survived = remaining.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    parts.filterNot(survived).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$p"), true)
+    }
+    parts
+  }
 }

@@ -635,6 +635,29 @@ object RelQueries {
            (sum("v") * 100).cast("long").as("sum_value_cents"))
   }
 
+  /** SNK6: targeted partition-pruned DELETE
+    * ([[graft.catalog.PartitionMerge.deleteFrom]]) — the GDPR operation
+    * over the SNK5 layout: remove every 13th purchase and every 17th
+    * error event; click/signup/view partitions are never touched. The
+    * declared result re-reads the whole table post-delete. */
+  def snk6GdprDelete(s: SparkSession, dir: String): DataFrame = {
+    val out = ioDir(dir, "snk6fact")
+    table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+              col("value").cast(dec).as("v"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val deletes = table(s, dir, "events")
+      .filter((col("event_type") === "purchase" && col("event_id") % 13 === 0) ||
+              (col("event_type") === "error" && col("event_id") % 17 === 0))
+      .select(col("event_id"), col("event_type"))
+    graft.catalog.PartitionMerge.deleteFrom(s, out, deletes,
+      "event_type", "event_id")
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           (sum("v") * 100).cast("long").as("sum_value_cents"))
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -1441,6 +1464,7 @@ object RelQueries {
     "snk2_partitioned" -> snk2Partitioned,
     "snk4_compaction" -> snk4Compaction,
     "snk5_partition_merge" -> snk5PartitionMerge,
+    "snk6_gdpr_delete" -> snk6GdprDelete,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
     "q6_sql_text" -> q6SqlText,
@@ -1777,6 +1801,14 @@ object RelQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
         |FROM events WHERE event_type IN ('purchase', 'error')
+        |GROUP BY 1""".stripMargin,
+    "snk6_gdpr_delete" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_value_cents
+        |FROM events
+        |WHERE NOT (event_type = 'purchase' AND event_id % 13 = 0)
+        |  AND NOT (event_type = 'error' AND event_id % 17 = 0)
         |GROUP BY 1""".stripMargin,
     // the merge replay: matched rows take the batch payload (CASE on the
     // match, not coalesce — NULL payloads propagate), unmatched batch

@@ -219,6 +219,37 @@ class CatalogSpec extends SparkSpec
       4L -> ("b", 40.0), 5L -> ("c", 50.0), 6L -> ("b", 60.0)))
   }
 
+  test("PartitionMerge.deleteFrom: untouched partition byte-identical, " +
+       "fully-deleted partition's directory removed") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snk6").toString + "/fact"
+    Seq((1L, "a", 10.0), (2L, "a", 20.0),
+        (3L, "b", 30.0),
+        (5L, "c", 50.0))
+      .toDF("k", "p", "v")
+      .write.partitionBy("p").parquet(root)
+    def files(sub: String) = {
+      val d = new java.io.File(s"$root/p=$sub")
+      if (!d.exists()) Array.empty[(String, Seq[Byte])]
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .map(f => (f.getName,
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq))
+    }
+    val beforeC = files("c")
+    assert(beforeC.nonEmpty)
+    // delete k=1 from a (partial) and k=3 from b (the WHOLE partition)
+    val deletes = Seq((1L, "a"), (3L, "b")).toDF("k", "p")
+    val parts = PartitionMerge.deleteFrom(spark, root, deletes, "p", "k")
+    assert(parts == Seq("a", "b"))
+    assert(files("c").toSeq == beforeC.toSeq,
+      "untouched partition's files changed")
+    assert(files("b").isEmpty, "fully-deleted partition dir must be gone")
+    val out = spark.read.parquet(root).collect()
+      .map(r => (r.getLong(0), r.getString(2))).sorted
+    assert(out.toSeq == Seq((2L, "a"), (5L, "c")))
+  }
+
   test("duplicateNames flags repeated layer names (R3, pyt:1149-1159)") {
     import spark.implicits._
     val cat = Seq("slope", "aspect", "slope", "slope").toDF("name")
