@@ -1253,6 +1253,25 @@ object RelQueries {
     s.sql(q14Sql)
   }
 
+  /** TPC-H Q13 shape: customer distribution — LEFT OUTER join with a
+    * filter in the ON clause (not WHERE — customers with only urgent
+    * orders must still count as zero), then TWO stacked aggregations
+    * (orders per customer → customers per order-count). */
+  private[ops] val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q13Sql)
+  }
+
   /** F17: Spark 4 VARIANT — semi-structured JSON as the binary variant
     * type: try_parse_json absorbs malformed rows (planted on every 10th
     * event) as NULL instead of failing the task, variant_get extracts a
@@ -1487,6 +1506,7 @@ object RelQueries {
     "q15_top_supplier" -> q15TopSupplier,
     "q7_nation_volume" -> q7NationVolume,
     "q14_promo_share" -> q14PromoShare,
+    "q13_custdist" -> q13CustDist,
     "f17_variant" -> f17Variant,
     "o7_unpivot" -> o7Unpivot,
     "q19_disjunctive" -> q19Disjunctive
@@ -1993,6 +2013,7 @@ object RelQueries {
     "q15_top_supplier" -> q15Sql,
     "q7_nation_volume" -> q7Sql,
     "q14_promo_share" -> q14Sql,
+    "q13_custdist" -> q13Sql,
     "w10_time_weighted" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -80,6 +80,29 @@ object Streams {
               unix_micros(col("purchase_ts")).as("purchase_ts_us"))
   }
 
+  /** S14: stream-stream LEFT OUTER join — [[clickPurchaseJoin]] with
+    * NULL emission for clicks that never convert: an unmatched left row
+    * is held in join state and emitted with a NULL right side only once
+    * the watermark PROVES no matching purchase can still arrive (the
+    * subtle semantics that separate streaming outer joins from batch
+    * ones — emission time is a watermark decision, not a scan order).
+    * State stays bounded exactly as in the inner form. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+              unix_micros(col("click_ts")).as("click_ts_us"))
+  }
+
   /** S9 (beyond §2.B): streaming training-data ingest — the LLM-pipeline
     * gates composed on a document STREAM, the shape a continuous-crawl
     * ingest actually runs: stateful exact dedup on the content hash

@@ -199,6 +199,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S14 left-outer stream-stream join: unmatched clicks emit with a " +
+       "NULL purchase only after the watermark closes their window") {
+    import spark.implicits._
+    val cIn = MemoryStream[(Long, Long, Long, Double)](spark)
+    val pIn = MemoryStream[(Long, Long, Long, Double)](spark)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "mins", "user_id", "value")
+        .select(col("event_id"),
+                timestamp_millis(col("mins") * 60000).as("ts"),
+                col("user_id"))
+    val q = Streams.clickPurchaseLeftJoin(shape(cIn.toDF()), shape(pIn.toDF()))
+      .writeStream.format("memory").queryName("s14join")
+      .outputMode("append").start()
+    try {
+      // click 1 converts; click 2 (user 2) never will
+      cIn.addData((1L, 100L, 1L, 0.0), (2L, 100L, 2L, 0.0))
+      q.processAllAvailable()
+      pIn.addData((10L, 110L, 1L, 9.0))
+      q.processAllAvailable()
+      val early = spark.table("s14join")
+        .collect().map(r => (r.getLong(0), r.isNullAt(2)))
+      // the matched row may emit, but click 2's NULL row must NOT have:
+      // its 30-minute window is still open
+      assert(!early.exists(x => x._1 == 2L && x._2),
+        s"NULL row emitted before the watermark closed the window: " +
+        early.mkString(","))
+      // advance both watermarks far past click 2's window + delay
+      cIn.addData((3L, 500L, 9L, 0.0))
+      pIn.addData((11L, 500L, 9L, 9.0))
+      q.processAllAvailable()
+      val got = spark.table("s14join")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSet
+      assert(got.contains((1L, 10L)), s"matched pair missing: $got")
+      assert(got.contains((2L, -1L)),
+        s"unmatched click never emitted with NULL: $got")
+    } finally q.stop()
+  }
+
   test("S4 watermark drops events later than the horizon") {
     import spark.implicits._
     val input = MemoryStream[(Long, Double)](spark)
