@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft._
-import graft.llm.{Bpe, Dedup, KMeans, Multimodal, Packing, Pq, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, HostRank, KMeans, Multimodal, Packing, Pq, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -195,6 +195,19 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("rn") <= 20, 1L).otherwise(0L)).as("n_kept"),
            min(col("doc_id")).as("first_id"))
+  }
+
+  /** D19: host-graph PageRank ([[HostRank.ranks]]) — 3 weighted power
+    * iterations over the deterministic 7-host link graph the documents
+    * fixture induces (src = doc_id mod 7, dst = (3·doc_id+1) mod 7,
+    * weight = doc count), integer fixed-point throughout so the oracle
+    * replays the rounds bit-exactly. */
+  def d19HostRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = docs(s, dir)
+      .select((col("doc_id") % 7).as("src"),
+              ((col("doc_id") * 3 + 1) % 7).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    HostRank.ranks(edges, nNodes = 7, iters = 3)
   }
 
   /** D2f: the incremental-ingest form of near-dup detection — the base
@@ -552,6 +565,7 @@ object LlmQueries {
     "d2_lsh_ingest" -> d2LshIngest,
     "d17_url_canon" -> d17UrlCanon,
     "d18_host_quota" -> d18HostQuota,
+    "d19_host_rank" -> d19HostRank,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d2_dedup_clusters" -> d2DedupClusters,
     "d2_simhash" -> d2Simhash,
@@ -834,6 +848,31 @@ object LlmQueries {
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
          |  AND ((a_id < 1000000 AND b_id >= 1000000 AND b_id < 2000000)
          |       OR (a_id < 2000000 AND b_id >= 2000000))""".stripMargin,
+    // PageRank replay: generated power-iteration rounds (the lloyd-CTE
+    // pattern) — all integer fixed-point, same truncation both engines
+    "d19_host_rank" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst, sum((r.rank * e.w) // e.outw) AS sc
+           |  FROM e JOIN r${i - 1} r ON e.src = r.host GROUP BY 1),
+           |r$i AS (
+           |  SELECT h.host,
+           |    ((1048576 * 15 // 100) // 7) +
+           |    (85 * coalesce(c.sc, 0) // 100) AS rank
+           |  FROM hosts h LEFT JOIN c$i c ON h.host = c.dst)""".stripMargin
+      }
+      s"""WITH edges AS (
+         |  SELECT doc_id % 7 AS src, (doc_id * 3 + 1) % 7 AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM documents GROUP BY 1, 2),
+         |outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+         |e AS (SELECT edges.src, edges.dst, edges.w, outw.outw
+         |      FROM edges JOIN outw USING (src)),
+         |hosts AS (SELECT unnest(range(0, 7)) AS host),
+         |r0 AS (SELECT host, 1048576 // 7 AS rank FROM hosts),
+         |${rounds.mkString(",\n")}
+         |SELECT host, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
+    },
     // host-quota replay: same deterministic host synthesis; host via
     // regex between :// and /, lowered; quota = row_number per host
     "d18_host_quota" ->
