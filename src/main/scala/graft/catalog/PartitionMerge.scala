@@ -60,12 +60,7 @@ object PartitionMerge {
     val b = batch.select(
       col(partCol).as("_bp") +: col(keyCol).as("_bk") +:
         payloadCols.map(f => col(f).as(s"_b_$f")): _*)
-    val rewritten = cur
-      .join(broadcast(b),
-        col(partCol) === col("_bp") && col(keyCol) === col("_bk"), "left")
-      .select(col(partCol) +: col(keyCol) +: col("_bk") +:
-        payloadCols.map(f =>
-          when(col("_bk").isNotNull, col(s"_b_$f")).otherwise(col(f)).as(f)): _*)
+    val rewritten = rewriteJoin(cur, b, partCol, keyCol, payloadCols)
       .localCheckpoint()
     val matched = rewritten.filter(col("_bk").isNotNull)
       .select(col(partCol).as("_mp"), col("_bk").as("_mk")).distinct()
@@ -80,6 +75,20 @@ object PartitionMerge {
       .parquet(path)
     parts
   }
+
+  /** The rewrite leg of [[mergeInto]] as a pure plan: broadcast batch
+    * left-joined onto the pruned fact scan, matched rows taking the
+    * batch payload. Exposed so the "fact side never shuffles" claim is
+    * PLAN-ASSERTED (CatalogSpec), not just documented. */
+  private[graft] def rewriteJoin(cur: DataFrame, b: DataFrame,
+                                 partCol: String, keyCol: String,
+                                 payloadCols: Seq[String]): DataFrame =
+    cur
+      .join(broadcast(b),
+        col(partCol) === col("_bp") && col(keyCol) === col("_bk"), "left")
+      .select(col(partCol) +: col(keyCol) +: col("_bk") +:
+        payloadCols.map(f =>
+          when(col("_bk").isNotNull, col(s"_b_$f")).otherwise(col(f)).as(f)): _*)
 
   /** Targeted DELETE from the partitioned table — the GDPR /
     * right-to-be-forgotten operation a training-data store must support:

@@ -250,6 +250,37 @@ class CatalogSpec extends SparkSpec
     assert(out.toSeq == Seq((2L, "a"), (5L, "c")))
   }
 
+  test("PartitionMerge plans: fact side never shuffles — rewrite is a " +
+       "broadcast join over the pruned scan, delete a broadcast anti") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val helper = new AdaptiveSparkPlanHelper {}
+    def shuffles(df: org.apache.spark.sql.DataFrame) = {
+      df.count()
+      helper.collectWithSubqueries(df.queryExecution.executedPlan) {
+        case s: ShuffleExchangeLike => s
+      }
+    }
+    val root = java.nio.file.Files.createTempDirectory("snk5p").toString + "/f"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v")
+      .write.partitionBy("p").parquet(root)
+    val cur = spark.read.parquet(root)
+      .filter(org.apache.spark.sql.functions.col("p").isin("a"))
+    val b = Seq((1L, "a", 99.0)).toDF("k", "p", "v")
+      .select(col("p").as("_bp"), col("k").as("_bk"), col("v").as("_b_v"))
+    val rw = PartitionMerge.rewriteJoin(cur, b, "p", "k", Seq("v"))
+    assert(shuffles(rw).isEmpty,
+      s"rewrite join shuffles the fact side:\n${rw.queryExecution.executedPlan}")
+    val dk = Seq((1L, "a")).toDF("k", "p")
+      .select(col("p").as("_dp"), col("k").as("_dk"))
+    val rem = cur.join(
+      org.apache.spark.sql.functions.broadcast(dk),
+      col("p") === col("_dp") && col("k") === col("_dk"), "left_anti")
+    assert(shuffles(rem).isEmpty,
+      s"delete anti-join shuffles the fact side:\n${rem.queryExecution.executedPlan}")
+  }
+
   test("duplicateNames flags repeated layer names (R3, pyt:1149-1159)") {
     import spark.implicits._
     val cat = Seq("slope", "aspect", "slope", "slope").toDF("name")
