@@ -197,6 +197,37 @@ object LlmQueries {
            min(col("doc_id")).as("first_id"))
   }
 
+  /** D20: CONTENT-DEFINED chunking — boundaries where a rolling
+    * content predicate fires (here: md5 of the trailing 4-gram starts
+    * with '0' or '1', a 1/8 boundary rate), so an insertion early in a
+    * document only reshapes chunks up to the next boundary instead of
+    * shifting every fixed window (the CDC property that makes
+    * chunk-level dedup robust to edits; [[Packing.chunkOverlap]] is the
+    * fixed-window sibling). Pure per-row array expressions — zero
+    * exchange until the final per-doc projection; md5-on-substring is
+    * the engine-portable boundary hash. */
+  def d20CdcChunks(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      // boundary AFTER position i when the trailing 4-gram's md5 starts
+      // '0'/'1'; sequence(4, n) DESCENDS for n < 4 — guard to empty
+      .select(col("doc_id"), col("n"),
+        when(col("n") >= 4,
+          filter(sequence(lit(4), col("n")), i =>
+            substring(md5(col("text").substr(i - 3, lit(4))), 1, 1)
+              .isin("0", "1")))
+          .otherwise(array().cast("array<int>")).as("bpos"))
+      // implicit bounds at 0 and n; chunk lengths are adjacent diffs
+      .select(col("doc_id"), col("n"),
+        concat(array(lit(0)), col("bpos"), array(col("n"))).as("bounds"))
+      .select(col("doc_id"),
+        (size(col("bounds")) - 1).cast("long").as("n_chunks"),
+        array_max(zip_with(
+          slice(col("bounds"), lit(2), size(col("bounds")) - 1),
+          slice(col("bounds"), lit(1), size(col("bounds")) - 1),
+          (b, a) => b - a)).cast("long").as("max_chunk_len"),
+        col("n").cast("long").as("n_chars"))
+
   /** D19: host-graph PageRank ([[HostRank.ranks]]) — 3 weighted power
     * iterations over the deterministic 7-host link graph the documents
     * fixture induces (src = doc_id mod 7, dst = (3·doc_id+1) mod 7,
@@ -566,6 +597,7 @@ object LlmQueries {
     "d17_url_canon" -> d17UrlCanon,
     "d18_host_quota" -> d18HostQuota,
     "d19_host_rank" -> d19HostRank,
+    "d20_cdc_chunks" -> d20CdcChunks,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d2_dedup_clusters" -> d2DedupClusters,
     "d2_simhash" -> d2Simhash,
@@ -848,6 +880,22 @@ object LlmQueries {
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
          |  AND ((a_id < 1000000 AND b_id >= 1000000 AND b_id < 2000000)
          |       OR (a_id < 2000000 AND b_id >= 2000000))""".stripMargin,
+    // CDC replay: list_filter boundary positions (same md5-prefix
+    // predicate), implicit 0/n bounds, adjacent-diff chunk lengths
+    "d20_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |d2 AS (
+        |  SELECT doc_id, n,
+        |    list_filter(range(4, n + 1), x ->
+        |      substr(md5(substr(text, x - 3, 4)), 1, 1) IN ('0', '1'))
+        |      AS bpos
+        |  FROM d),
+        |b AS (SELECT doc_id, n, [0] || bpos || [n] AS bounds FROM d2)
+        |SELECT doc_id, CAST(len(bounds) - 1 AS BIGINT) AS n_chunks,
+        |  CAST(list_max(list_transform(range(2, len(bounds) + 1),
+        |    i -> bounds[i] - bounds[i - 1])) AS BIGINT) AS max_chunk_len,
+        |  CAST(n AS BIGINT) AS n_chars
+        |FROM b""".stripMargin,
     // PageRank replay: generated power-iteration rounds (the lloyd-CTE
     // pattern) — all integer fixed-point, same truncation both engines
     "d19_host_rank" -> {
