@@ -313,6 +313,39 @@ class ExtQueriesSpec extends SparkSpec {
     assert(d3 == "ban")
   }
 
+  test("bpe encodeIds == encode token counts on random corpora, ids " +
+       "decode back to the document (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    import graft.llm.Bpe
+    val genWord = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val genDoc = for {
+      n <- Gen.choose(1, 8)
+      ws <- Gen.listOfN(n, genWord)
+    } yield ws.mkString(" ")
+    val genCorpus = Gen.choose(2, 5).flatMap(n => Gen.listOfN(n, genDoc))
+    graft.PropCheck.checkProp(Prop.forAll(genCorpus) { corpus =>
+      val d = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val merges = Bpe.train(Bpe.wordHistogram(d, col("text")), 3)
+      val v = Bpe.vocab(d, col("text"), merges)
+        .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+      val ids = Bpe.encodeIds(d, col("doc_id"), col("text"), merges)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+      val enc = Bpe.encode(d, col("doc_id"), col("text"), merges)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      // same doc set, same token counts, and concatenated decoded ids
+      // reproduce the document text minus spaces
+      ids.keySet == enc.keySet &&
+        ids.forall { case (k, seq) => seq.length.toLong == enc(k) } &&
+        ids.forall { case (k, seq) =>
+          seq.map(v).mkString == corpus(k.toInt).replace(" ", "") }
+    }, minTests = 10)
+  }
+
   test("pq/adc: codes pick nearest subspace centroid, ADC sums lookups") {
     import spark.implicits._
     // dim 4, m=2 (subdim 2), stride 3 -> centroids id3=[1,1,5,5],
