@@ -240,6 +240,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S15 file source: newly landed parquet files are picked up by the " +
+       "running query, batch transform unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s15").toString
+    val in = s"$dir/in"
+    Seq((1L, "click", 1.0), (2L, "view", 2.0))
+      .toDF("event_id", "event_type", "value").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val streamed = spark.readStream.schema(schema).parquet(in)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = streamed.writeStream.format("memory").queryName("s15agg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("s15agg").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(first == Map("click" -> 1L, "view" -> 1L))
+      // a new file LANDS while the query runs — it must be ingested
+      // without a restart (the micro-batch file listing picks it up)
+      Seq((3L, "click", 3.0)).toDF("event_id", "event_type", "value")
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val second = spark.table("s15agg").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(second == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
   test("S4 watermark drops events later than the horizon") {
     import spark.implicits._
     val input = MemoryStream[(Long, Double)](spark)
