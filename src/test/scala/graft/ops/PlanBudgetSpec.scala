@@ -135,7 +135,23 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d15_bpe_encode" -> 1,
     // train hides behind the codebook cache boundary; the probe is
     // assignment reduce + probes cut + scored top-k + fallback anti
-    "d3_ivf_trained" -> 4)
+    "d3_ivf_trained" -> 4,
+    // one user_id window exchange; the per-user aggregate reuses it
+    "w10_time_weighted" -> 1,
+    // unpivot is a per-row fan-out; one metric-agg exchange
+    "o7_unpivot" -> 1,
+    // variant parse/extract map-side; one event_type agg exchange
+    "f17_variant" -> 1,
+    // one host window exchange; the per-host aggregate reuses it
+    "d18_host_quota" -> 1,
+    // pure per-row array math + one... zero: the output is per-doc rows
+    "d20_cdc_chunks" -> 0,
+    // outer join shuffle + per-customer agg (reuses the join layout) +
+    // the c_count distribution agg
+    "q13_custdist" -> 3,
+    // dims broadcast at gate SF; the fact join pair shuffles once and
+    // the year agg adds the second
+    "q7_nation_volume" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
