@@ -197,6 +197,39 @@ object LlmQueries {
            min(col("doc_id")).as("first_id"))
   }
 
+  /** D21: embedding OUTLIER scoring — the data-quality gate that drops
+    * documents whose embedding sits far from their source's centroid
+    * (mislabeled/garbage content clusters away from its stratum). Per
+    * source: integer-grid centroid (per-position sum div n — the
+    * [[KMeans.reduceToCodebook]] convention), then each member's exact
+    * [[graft.functions.SqDistL2]] distance, top-3 reported per source
+    * with full tie-break. One fact join (vec→doc metadata), one
+    * centroid aggregate, broadcast centroids, one window. */
+  def d21EmbedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+    val d = docs(s, dir).select(col("doc_id"), col("source"))
+    val j = e.join(d, col("vec_id") === col("doc_id"))
+      .select(col("source"), col("doc_id"), col("qv"))
+    val cent = j
+      .select(col("source"), posexplode(col("qv")).as(Seq("pos0", "q")))
+      .groupBy(col("source"), col("pos0"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+      .select(col("source"), col("pos0"), expr("sum_q div n").as("c"))
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("pos0"), col("c")))).as("pc"))
+      .select(col("source"),
+              transform(col("pc"), _.getField("c")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("dist").desc, col("doc_id").asc)
+    j.join(broadcast(cent), "source")
+      .select(col("source"), col("doc_id"),
+              KMeans.sqDist(col("qv"), col("cv")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("rank"), col("doc_id"), col("dist"))
+  }
+
   /** D20: CONTENT-DEFINED chunking — boundaries where a rolling
     * content predicate fires (here: md5 of the trailing 4-gram starts
     * with '0' or '1', a 1/8 boundary rate), so an insertion early in a
@@ -598,6 +631,7 @@ object LlmQueries {
     "d18_host_quota" -> d18HostQuota,
     "d19_host_rank" -> d19HostRank,
     "d20_cdc_chunks" -> d20CdcChunks,
+    "d21_embed_outliers" -> d21EmbedOutliers,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d2_dedup_clusters" -> d2DedupClusters,
     "d2_simhash" -> d2Simhash,
@@ -880,6 +914,34 @@ object LlmQueries {
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
          |  AND ((a_id < 1000000 AND b_id >= 1000000 AND b_id < 2000000)
          |       OR (a_id < 2000000 AND b_id >= 2000000))""".stripMargin,
+    // outlier replay: per-source integer centroid (sum // n per
+    // position), exact integer L2, top-3 per source with tie-break
+    "d21_embed_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |j AS (
+        |  SELECT d.source, d.doc_id, e.qv
+        |  FROM e JOIN documents d ON e.vec_id = d.doc_id),
+        |cp AS (
+        |  SELECT source, i.x AS pos, sum(qv[i.x]) // count(*) AS c
+        |  FROM j, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS x) i
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT source, list(c ORDER BY pos) AS cv FROM cp GROUP BY 1),
+        |scored AS (
+        |  SELECT j.source, j.doc_id,
+        |    CAST(sum((j.qv[i.x] - c.cv[i.x]) * (j.qv[i.x] - c.cv[i.x]))
+        |         AS BIGINT) AS dist
+        |  FROM j JOIN cent c ON j.source = c.source,
+        |       LATERAL (SELECT unnest(range(1, len(j.qv) + 1)) AS x) i
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(rank AS INT) AS rank, doc_id, dist FROM (
+        |  SELECT source, doc_id, dist,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY dist DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
     // CDC replay: list_filter boundary positions (same md5-prefix
     // predicate), implicit 0/n bounds, adjacent-diff chunk lengths
     "d20_cdc_chunks" ->
