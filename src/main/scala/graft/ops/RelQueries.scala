@@ -586,6 +586,31 @@ object RelQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** SRC5: MALFORMED-input tolerance at the source — PERMISSIVE JSON
+    * parsing: every 10th line is truncated (unparseable); the read
+    * captures it in the corrupt-record column instead of failing the
+    * scan, and the query reports valid/corrupt counts plus the valid
+    * lines' key sum. The ingestion posture a 100 TB crawl read needs —
+    * FAILFAST dies on the first bad byte of a petabyte. The plants are
+    * deterministic, so the oracle computes the same partition of lines
+    * arithmetically. */
+  def src5JsonCorrupt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jsonl = table(s, dir, "events")
+      .select(when(col("event_id") % 10 === 0,
+        substring(col("props"), 1, 4)).otherwise(col("props")).as("line"))
+      .as[String]
+    s.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .schema("k INT, _bad STRING")
+      .json(jsonl)
+      .agg(count(lit(1)).as("n"),
+           count(col("k")).as("n_valid"),
+           count(col("_bad")).as("n_corrupt"),
+           sum(col("k")).cast("long").as("sum_k"))
+  }
+
   /** SNK2: partitioned parquet sink + partition-pruned read-back (the
     * 100 TB mosaic layout, R26/SNK2): write events partitioned by
     * event_type, read back only two partitions (directory pruning — the
@@ -1484,6 +1509,7 @@ object RelQueries {
     "snk4_compaction" -> snk4Compaction,
     "snk5_partition_merge" -> snk5PartitionMerge,
     "snk6_gdpr_delete" -> snk6GdprDelete,
+    "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
     "q6_sql_text" -> q6SqlText,
@@ -1822,6 +1848,16 @@ object RelQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
         |FROM events WHERE event_type IN ('purchase', 'error')
         |GROUP BY 1""".stripMargin,
+    // the plants are deterministic: every 10th event's line is
+    // truncated and unparseable, the rest carry an int k
+    "src5_json_corrupt" ->
+      """SELECT count(*) AS n,
+        |  count(CASE WHEN event_id % 10 = 0 THEN NULL ELSE 1 END) AS n_valid,
+        |  count(CASE WHEN event_id % 10 = 0 THEN 1 ELSE NULL END) AS n_corrupt,
+        |  CAST(sum(CASE WHEN event_id % 10 = 0 THEN NULL
+        |       ELSE CAST(json_extract(props, '$.k') AS INT) END) AS BIGINT)
+        |    AS sum_k
+        |FROM events""".stripMargin,
     "snk6_gdpr_delete" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
