@@ -112,10 +112,7 @@ object PartitionMerge {
     require(parts.nonEmpty, "partition delete: batch touches no partitions")
     val cur = spark.read.parquet(path).filter(col(partCol).isin(parts: _*))
     val dk = deletes.select(col(partCol).as("_dp"), col(keyCol).as("_dk"))
-    val remaining = cur
-      .join(broadcast(dk),
-        col(partCol) === col("_dp") && col(keyCol) === col("_dk"),
-        "left_anti")
+    val remaining = deleteAntiJoin(cur, dk, partCol, keyCol)
       .localCheckpoint()
     remaining.write.mode("overwrite").partitionBy(partCol)
       .option("partitionOverwriteMode", "dynamic")
@@ -125,8 +122,22 @@ object PartitionMerge {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
     parts.filterNot(survived).foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$p"), true)
+      // directory names carry Spark's partition-path ESCAPING (':' is
+      // %3A etc.) — deleting the raw value's path would miss the real
+      // directory and silently leave the "deleted" rows on disk
+      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(p)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$escaped"), true)
     }
     parts
   }
+
+  /** The anti-join leg of [[deleteFrom]] as a pure plan — the
+    * [[rewriteJoin]] pattern, so the shuffle-free claim is asserted on
+    * the PRODUCTION join, not a test-side copy. */
+  private[graft] def deleteAntiJoin(cur: DataFrame, dk: DataFrame,
+                                    partCol: String, keyCol: String): DataFrame =
+    cur.join(broadcast(dk),
+      col(partCol) === col("_dp") && col(keyCol) === col("_dk"),
+      "left_anti")
 }

@@ -27,8 +27,12 @@ object HostRank {
 
   /** `iters` weighted power iterations over `edges` (src, dst, w) on
     * the node domain [0, nNodes). Returns (host, rank) on the 2^20
-    * grid; Σ rank ≈ Scale (truncation leaks at most a few units per
-    * node per round — identically in any engine). */
+    * grid. DANGLING nodes (no outgoing edges — common in real host
+    * graphs) redistribute their rank uniformly each round, the
+    * standard PageRank treatment, so Σ rank ≈ Scale holds on ANY
+    * graph (truncation leaks a few units per node per round,
+    * identically in any engine) instead of silently evaporating 85%
+    * of every dangling node's mass per iteration. */
   def ranks(edges: DataFrame, nNodes: Int, iters: Int): DataFrame = {
     require(nNodes >= 1 && iters >= 0, "need nNodes >= 1 and iters >= 0")
     val spark = edges.sparkSession
@@ -36,6 +40,7 @@ object HostRank {
     val e = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("outw"))
       .localCheckpoint()
+    val srcs = e.select(col("src")).distinct().localCheckpoint()
     val hosts = spark.range(nNodes).select(col("id").as("host"))
     val tp = Scale * 15L / 100L / nNodes
     var r = hosts.select(col("host"), lit(Scale / nNodes).as("rank"))
@@ -43,9 +48,16 @@ object HostRank {
       val contrib = e.join(r, col("src") === col("host"))
         .select(col("dst"), expr("rank * w div outw").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
+      // dangling mass: total rank of nodes with no out-edges, shared
+      // uniformly — a 1-row aggregate broadcast into the update
+      val dang = r.join(srcs, col("host") === col("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
       r = hosts.join(contrib, col("host") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("host"),
-          (lit(tp) + expr("85 * coalesce(sc, 0L) div 100")).as("rank"))
+          (lit(tp) +
+            expr(s"85 * (coalesce(sc, 0L) + dmass div $nNodes) div 100"))
+            .as("rank"))
         .localCheckpoint()
     }
     r

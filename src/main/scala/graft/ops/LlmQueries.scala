@@ -243,10 +243,12 @@ object LlmQueries {
     docs(s, dir)
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       // boundary AFTER position i when the trailing 4-gram's md5 starts
-      // '0'/'1'; sequence(4, n) DESCENDS for n < 4 — guard to empty
+      // '0'/'1' — only INTERIOR positions (i < n): a boundary at the
+      // last char would fabricate a zero-length trailing chunk.
+      // sequence(4, n-1) DESCENDS for n < 5 — guard to empty
       .select(col("doc_id"), col("n"),
-        when(col("n") >= 4,
-          filter(sequence(lit(4), col("n")), i =>
+        when(col("n") >= 5,
+          filter(sequence(lit(4), col("n") - 1), i =>
             substring(md5(col("text").substr(i - 3, lit(4))), 1, 1)
               .isin("0", "1")))
           .otherwise(array().cast("array<int>")).as("bpos"))
@@ -263,13 +265,19 @@ object LlmQueries {
 
   /** D19: host-graph PageRank ([[HostRank.ranks]]) — 3 weighted power
     * iterations over the deterministic 7-host link graph the documents
-    * fixture induces (src = doc_id mod 7, dst = (3·doc_id+1) mod 7,
-    * weight = doc count), integer fixed-point throughout so the oracle
-    * replays the rounds bit-exactly. */
+    * fixture induces: src = doc_id mod 7, dst = (doc_id mod 13) mod 7.
+    * 13 and 7 are coprime, so dst is NOT a function of src (each src
+    * fans out to many dsts with varying weights) and the mod-13
+    * folding gives dsts 0–5 roughly double host 6's in-weight — the
+    * ranks are genuinely non-uniform, so a transposed join, dropped
+    * weight, or wrong denominator CHANGES the answer (a dst that was a
+    * bijection of src would make the gate blind to all of those).
+    * Integer fixed-point throughout; the oracle replays the rounds
+    * bit-exactly. */
   def d19HostRank(s: SparkSession, dir: String): DataFrame = {
     val edges = docs(s, dir)
       .select((col("doc_id") % 7).as("src"),
-              ((col("doc_id") * 3 + 1) % 7).as("dst"))
+              ((col("doc_id") % 13) % 7).as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     HostRank.ranks(edges, nNodes = 7, iters = 3)
   }
@@ -948,7 +956,7 @@ object LlmQueries {
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |d2 AS (
         |  SELECT doc_id, n,
-        |    list_filter(range(4, n + 1), x ->
+        |    list_filter(range(4, n), x ->
         |      substr(md5(substr(text, x - 3, 4)), 1, 1) IN ('0', '1'))
         |      AS bpos
         |  FROM d),
@@ -972,7 +980,7 @@ object LlmQueries {
            |  FROM hosts h LEFT JOIN c$i c ON h.host = c.dst)""".stripMargin
       }
       s"""WITH edges AS (
-         |  SELECT doc_id % 7 AS src, (doc_id * 3 + 1) % 7 AS dst,
+         |  SELECT doc_id % 7 AS src, (doc_id % 13) % 7 AS dst,
          |    CAST(count(*) AS BIGINT) AS w
          |  FROM documents GROUP BY 1, 2),
          |outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),

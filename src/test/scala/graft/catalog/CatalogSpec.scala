@@ -274,9 +274,8 @@ class CatalogSpec extends SparkSpec
       s"rewrite join shuffles the fact side:\n${rw.queryExecution.executedPlan}")
     val dk = Seq((1L, "a")).toDF("k", "p")
       .select(col("p").as("_dp"), col("k").as("_dk"))
-    val rem = cur.join(
-      org.apache.spark.sql.functions.broadcast(dk),
-      col("p") === col("_dp") && col("k") === col("_dk"), "left_anti")
+    // the PRODUCTION anti-join plan, not a test-side copy
+    val rem = PartitionMerge.deleteAntiJoin(cur, dk, "p", "k")
     assert(shuffles(rem).isEmpty,
       s"delete anti-join shuffles the fact side:\n${rem.queryExecution.executedPlan}")
   }

@@ -346,6 +346,27 @@ class ExtQueriesSpec extends SparkSpec {
     }, minTests = 10)
   }
 
+  test("HostRank: hand-computed iteration — orientation matters, " +
+       "dangling mass redistributes, total mass conserved") {
+    import spark.implicits._
+    import graft.llm.HostRank
+    // 3 nodes; the only edge is 0 -> 1; nodes 1 and 2 are dangling.
+    // Hand-computed (Scale = 2^20): r0 = 349525 each, tp = 52428,
+    // contrib(1) = 349525, dangling = r(1)+r(2) = 699050, share 233016.
+    // rank(0) = rank(2) = 52428 + 85*233016 div 100         = 250491
+    // rank(1) = 52428 + 85*(349525 + 233016) div 100        = 547587
+    val edges = Seq((0L, 1L, 1L)).toDF("src", "dst", "w")
+    val r = HostRank.ranks(edges, nNodes = 3, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 250491L, 1L -> 547587L, 2L -> 250491L))
+    // a transposed join (src/dst swapped) would rank node 0 highest —
+    // this pins the direction; and Σ rank ≈ Scale (truncation only)
+    assert(r(1L) > r(0L))
+    // per node per round: <1 unit at each of the tp, share, and damp
+    // truncations -> slack 3 units x 3 nodes (measured leak here: 7)
+    assert(math.abs(r.values.sum - HostRank.Scale) <= 3 * 3)
+  }
+
   test("pq/adc: codes pick nearest subspace centroid, ADC sums lookups") {
     import spark.implicits._
     // dim 4, m=2 (subdim 2), stride 3 -> centroids id3=[1,1,5,5],
