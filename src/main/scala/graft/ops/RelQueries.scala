@@ -149,6 +149,41 @@ object RelQueries {
              .as("weighted_cents_s"))
   }
 
+  /** J13: NEAREST-event join — the bidirectional as-of (J7 is
+    * backward-only): for each purchase, the same user's nearest click
+    * within ±30 minutes, ties to the earlier side. ONE union + ONE
+    * window partition carries both directions (last click state
+    * backward, first click state forward) — never a per-key join
+    * explosion, the same scale argument as J7. Fully ordered frames
+    * (ts, type, id) make every pick deterministic in both engines. */
+  def j13NearestEvent(s: SparkSession, dir: String): DataFrame = {
+    val win = 1800000000L // 30 minutes in epoch micros
+    val ev = table(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+    val order = Window.partitionBy("user_id")
+      .orderBy("ts_us", "event_type", "event_id")
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val clickState = when(col("event_type") === "click",
+      struct(col("ts_us"), col("event_id")))
+    val staged = ev
+      .withColumn("prev", last(clickState, ignoreNulls = true).over(back))
+      .withColumn("nxt", first(clickState, ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "purchase")
+    val dPrev = col("ts_us") - col("prev.ts_us")
+    val dNext = col("nxt.ts_us") - col("ts_us")
+    val usePrev = col("prev").isNotNull && dPrev <= win &&
+      (col("nxt").isNull || dNext > win || dPrev <= dNext)
+    val useNext = col("nxt").isNotNull && dNext <= win
+    staged.select(col("event_id"), col("user_id"),
+      when(usePrev, col("prev.event_id"))
+        .when(useNext, col("nxt.event_id")).as("click_id"),
+      when(usePrev, col("prev.ts_us"))
+        .when(useNext, col("nxt.ts_us")).as("click_ts_us"))
+  }
+
   /** J10 (beyond §2.B): the skew-salting kernel through the gate —
     * salted fact×dim equi-join (hot keys scattered across 8 sub-keys,
     * dim replicated per salt), aggregated after. Must equal the PLAIN
@@ -1469,6 +1504,7 @@ object RelQueries {
     "j8_cross" -> j8Cross,
     "j10_salted_join" -> j10SaltedJoin,
     "w10_time_weighted" -> w10TimeWeighted,
+    "j13_nearest_event" -> j13NearestEvent,
     "j11_bucketed_join" -> j11BucketedJoin,
     "j9_interval_overlap" -> j9IntervalOverlap,
     "j6_range_autorewrite" -> j6RangeAutoRewrite,
@@ -2050,6 +2086,47 @@ object RelQueries {
     "q7_nation_volume" -> q7Sql,
     "q14_promo_share" -> q14Sql,
     "q13_custdist" -> q13Sql,
+    // nearest-event replay: the same fully-ordered frames in both
+    // directions; paired (ts, id) picks stay consistent because the
+    // CASE columns are null together
+    "j13_nearest_event" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_us END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_type, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS prev_ts,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_type, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS prev_id,
+        |    first_value(CASE WHEN event_type = 'click' THEN ts_us END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_type, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts,
+        |    first_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_type, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id
+        |  FROM ev),
+        |p AS (SELECT * FROM w WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  CASE WHEN prev_ts IS NOT NULL AND ts_us - prev_ts <= 1800000000
+        |            AND (next_ts IS NULL OR next_ts - ts_us > 1800000000
+        |                 OR ts_us - prev_ts <= next_ts - ts_us)
+        |       THEN prev_id
+        |       WHEN next_ts IS NOT NULL AND next_ts - ts_us <= 1800000000
+        |       THEN next_id END AS click_id,
+        |  CASE WHEN prev_ts IS NOT NULL AND ts_us - prev_ts <= 1800000000
+        |            AND (next_ts IS NULL OR next_ts - ts_us > 1800000000
+        |                 OR ts_us - prev_ts <= next_ts - ts_us)
+        |       THEN prev_ts
+        |       WHEN next_ts IS NOT NULL AND next_ts - ts_us <= 1800000000
+        |       THEN next_ts END AS click_ts_us
+        |FROM p""".stripMargin,
     "w10_time_weighted" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
