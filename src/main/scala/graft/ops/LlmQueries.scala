@@ -434,6 +434,26 @@ object LlmQueries {
   def d6Quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityBySource(docs(s, dir), Seq("the", "data", "value"))
 
+  /** D22: per-source PERCENTILE normalization of a quality signal —
+    * a global threshold over raw scores silently biases the mix toward
+    * verbose sources; rank-normalizing within each source first (the
+    * standard mix-building practice) keeps every stratum's top half.
+    * percent_rank over a fully tie-broken order is an exact rational,
+    * identical in both engines; one window + one aggregate reusing the
+    * same source partitioning. */
+  def d22QualityPercentile(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_tok"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("pr") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+           min(when(col("pr") >= 0.5, col("n_tok"))).as("min_kept_tok"))
+  }
+
   /** D11: OOV rate against a 16-token vocabulary — the fixture lexicon
     * has 31 distinct tokens, so roughly half of each doc's tokens are
     * out-of-vocabulary and the rate genuinely varies per doc. */
@@ -640,6 +660,7 @@ object LlmQueries {
     "d19_host_rank" -> d19HostRank,
     "d20_cdc_chunks" -> d20CdcChunks,
     "d21_embed_outliers" -> d21EmbedOutliers,
+    "d22_quality_percentile" -> d22QualityPercentile,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d2_dedup_clusters" -> d2DedupClusters,
     "d2_simhash" -> d2Simhash,
@@ -922,6 +943,19 @@ object LlmQueries {
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
          |  AND ((a_id < 1000000 AND b_id >= 1000000 AND b_id < 2000000)
          |       OR (a_id < 2000000 AND b_id >= 2000000))""".stripMargin,
+    "d22_quality_percentile" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT *, percent_rank() OVER (PARTITION BY source
+        |    ORDER BY n_tok, doc_id) AS pr FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  min(CASE WHEN pr >= 0.5 THEN n_tok END) AS min_kept_tok
+        |FROM p GROUP BY 1""".stripMargin,
     // outlier replay: per-source integer centroid (sum // n per
     // position), exact integer L2, top-3 per source with tie-break
     "d21_embed_outliers" ->
