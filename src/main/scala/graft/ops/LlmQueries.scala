@@ -282,6 +282,48 @@ object LlmQueries {
     HostRank.ranks(edges, nNodes = 7, iters = 3)
   }
 
+  /** PIPE5: the CRAWL-FRONTIER capstone — D17+D18b+D19 composed end to
+    * end the way a crawler's scheduler actually runs them: canonicalize
+    * URLs (scheme/case/tracking/slash variants collapse), keep one doc
+    * per canonical URL (min id), apply the per-host politeness quota
+    * (first 20 by id), and PRIORITIZE hosts by the trained PageRank —
+    * the output is the per-host frontier budget (kept docs + rank). */
+  def pipeCrawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+      lit("h"), (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 3 === 0, lit(".Example.ORG"))
+        .otherwise(lit(".example.org")),
+      lit("/p/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+        .otherwise(lit("")))
+    val canon = concat(
+      lower(parse_url(url, lit("HOST"))),
+      regexp_replace(parse_url(url, lit("PATH")), "/$", ""))
+    val kept = d.select(col("doc_id"), canon.as("canon_url"))
+      .groupBy("canon_url").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("canon_url"), col("doc_id"),
+              (col("doc_id") % 7).as("hostn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hostn").orderBy("doc_id")
+    val quota = kept.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .groupBy("hostn")
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"))
+    val edges = d
+      .select((col("doc_id") % 7).as("src"),
+              ((col("doc_id") % 13) % 7).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    quota
+      .join(broadcast(HostRank.ranks(edges, nNodes = 7, iters = 3)),
+        col("hostn") === col("host"))
+      .select(col("hostn").as("host"), col("n_kept"), col("first_id"),
+              col("rank").as("host_rank"))
+  }
+
   /** D2f: the incremental-ingest form of near-dup detection — the base
     * corpus's band signatures are built once and PERSISTED (parquet —
     * the stored index is the point), then a new batch (the d2 fixture's
@@ -695,7 +737,8 @@ object LlmQueries {
     "pipe_training_mix" -> pipeTrainingMix,
     "pipe_rag_index" -> pipeRagIndex,
     "pipe_pretrain_corpus" -> pipePretrainCorpus,
-    "pipe_tokenized_pack" -> pipeTokenizedPack
+    "pipe_tokenized_pack" -> pipeTokenizedPack,
+    "pipe_crawl_frontier" -> pipeCrawlFrontier
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -984,6 +1027,62 @@ object LlmQueries {
         |                       ORDER BY dist DESC, doc_id ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 3""".stripMargin,
+    // crawl-frontier replay: canon regex + min-keeper + quota window +
+    // the same generated PageRank rounds as d19
+    "pipe_crawl_frontier" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst, sum((r.rank * e.w) // e.outw) AS sc
+           |  FROM e JOIN r${i - 1} r ON e.src = r.host GROUP BY 1),
+           |r$i AS (
+           |  SELECT h.host,
+           |    ((1048576 * 15 // 100) // 7) +
+           |    (85 * coalesce(c.sc, 0) // 100) AS rank
+           |  FROM hosts h LEFT JOIN c$i c ON h.host = c.dst)""".stripMargin
+      }
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+         |    'h' || CAST(doc_id % 7 AS VARCHAR) ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN '.Example.ORG'
+         |          ELSE '.example.org' END) ||
+         |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 4 = 0
+         |          THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+         |          ELSE '' END) AS url
+         |  FROM documents),
+         |cn AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) ||
+         |    regexp_replace(
+         |      regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1), '/$$', '')
+         |    AS canon_url
+         |  FROM u),
+         |kept AS (
+         |  SELECT canon_url, min(doc_id) AS doc_id FROM cn GROUP BY 1),
+         |q AS (
+         |  SELECT doc_id % 7 AS hostn, doc_id,
+         |    row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id)
+         |      AS rn
+         |  FROM kept),
+         |agg AS (
+         |  SELECT hostn, count(*) AS n_kept, min(doc_id) AS first_id
+         |  FROM q WHERE rn <= 20 GROUP BY 1),
+         |edges AS (
+         |  SELECT doc_id % 7 AS src, (doc_id % 13) % 7 AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM documents GROUP BY 1, 2),
+         |outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+         |e AS (SELECT edges.src, edges.dst, edges.w, outw.outw
+         |      FROM edges JOIN outw USING (src)),
+         |hosts AS (SELECT unnest(range(0, 7)) AS host),
+         |r0 AS (SELECT host, 1048576 // 7 AS rank FROM hosts),
+         |${rounds.mkString(",\n")}
+         |SELECT a.hostn AS host, a.n_kept, a.first_id,
+         |  CAST(r.rank AS BIGINT) AS host_rank
+         |FROM agg a JOIN r3 r ON a.hostn = r.host""".stripMargin
+    },
     // CDC replay: list_filter boundary positions (same md5-prefix
     // predicate), implicit 0/n bounds, adjacent-diff chunk lengths
     "d20_cdc_chunks" ->
