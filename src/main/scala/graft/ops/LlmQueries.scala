@@ -274,13 +274,16 @@ object LlmQueries {
     * bijection of src would make the gate blind to all of those).
     * Integer fixed-point throughout; the oracle replays the rounds
     * bit-exactly. */
-  def d19HostRank(s: SparkSession, dir: String): DataFrame = {
-    val edges = docs(s, dir)
-      .select((col("doc_id") % 7).as("src"),
-              ((col("doc_id") % 13) % 7).as("dst"))
+  def d19HostRank(s: SparkSession, dir: String): DataFrame =
+    HostRank.ranks(hostEdges(docs(s, dir)), nNodes = 7, iters = 3)
+
+  /** The deterministic 7-host link graph shared by [[d19HostRank]] and
+    * [[pipeCrawlFrontier]] — ONE definition, so the de-degeneracy
+    * argument (coprime mod-13 folding) cannot drift between them. */
+  private def hostEdges(d: DataFrame): DataFrame =
+    d.select((col("doc_id") % 7).as("src"),
+             ((col("doc_id") % 13) % 7).as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-    HostRank.ranks(edges, nNodes = 7, iters = 3)
-  }
 
   /** PIPE5: the CRAWL-FRONTIER capstone — D17+D18b+D19 composed end to
     * end the way a crawler's scheduler actually runs them: canonicalize
@@ -313,12 +316,8 @@ object LlmQueries {
       .filter(col("rn") <= 20)
       .groupBy("hostn")
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"))
-    val edges = d
-      .select((col("doc_id") % 7).as("src"),
-              ((col("doc_id") % 13) % 7).as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     quota
-      .join(broadcast(HostRank.ranks(edges, nNodes = 7, iters = 3)),
+      .join(broadcast(HostRank.ranks(hostEdges(d), nNodes = 7, iters = 3)),
         col("hostn") === col("host"))
       .select(col("hostn").as("host"), col("n_kept"), col("first_id"),
               col("rank").as("host_rank"))
@@ -824,6 +823,41 @@ object LlmQueries {
     * explosion joined to it. Sentinel (chr(2)) exhaustion rounds are
     * excluded from the vocab, mirroring the Spark merge table simply
     * not having those rows. */
+  /** PageRank replay prefix shared by the d19 and pipe5 oracles: the
+    * deterministic host graph + out-weights + uniform r0 — ONE
+    * definition, matching the Scala-side [[hostEdges]]. */
+  private val hostRankPrefixSql: String =
+    """edges AS (
+      |  SELECT doc_id % 7 AS src, (doc_id % 13) % 7 AS dst,
+      |    CAST(count(*) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1, 2),
+      |outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+      |e AS (SELECT edges.src, edges.dst, edges.w, outw.outw
+      |      FROM edges JOIN outw USING (src)),
+      |hosts AS (SELECT unnest(range(0, 7)) AS host),
+      |r0 AS (SELECT host, 1048576 // 7 AS rank FROM hosts)""".stripMargin
+
+  /** Generated power-iteration rounds INCLUDING the dangling-mass
+    * redistribution term [[graft.llm.HostRank.ranks]] carries — the
+    * replay must encode the function's full contract even though the
+    * fixture graph has no dangling residues (dmass is 0 there), or a
+    * corpus missing a mod-7 class would split the engines. */
+  private def hostRankRounds(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""dg$i AS (
+         |  SELECT coalesce(sum(r.rank), 0) AS dmass
+         |  FROM r${i - 1} r WHERE r.host NOT IN (SELECT src FROM e)),
+         |c$i AS (
+         |  SELECT e.dst, sum((r.rank * e.w) // e.outw) AS sc
+         |  FROM e JOIN r${i - 1} r ON e.src = r.host GROUP BY 1),
+         |r$i AS (
+         |  SELECT h.host,
+         |    ((1048576 * 15 // 100) // 7) +
+         |    (85 * (coalesce(c.sc, 0) + (SELECT dmass FROM dg$i) // 7)
+         |       // 100) AS rank
+         |  FROM hosts h LEFT JOIN c$i c ON h.host = c.dst)""".stripMargin
+    }.mkString(",\n")
+
   /** The WITH-clause prefix shared by [[bpeTokensOracle]] and the
     * tokenized-pack oracle: training replay + vocabulary + per-(doc,
     * word-ordinality, position) token ids (the `ids` CTE). */
@@ -1028,18 +1062,8 @@ object LlmQueries {
         |  FROM scored)
         |WHERE rank <= 3""".stripMargin,
     // crawl-frontier replay: canon regex + min-keeper + quota window +
-    // the same generated PageRank rounds as d19
+    // the SHARED generated PageRank rounds (hostRankPrefixSql/Rounds)
     "pipe_crawl_frontier" -> {
-      val rounds = (1 to 3).map { i =>
-        s"""c$i AS (
-           |  SELECT e.dst, sum((r.rank * e.w) // e.outw) AS sc
-           |  FROM e JOIN r${i - 1} r ON e.src = r.host GROUP BY 1),
-           |r$i AS (
-           |  SELECT h.host,
-           |    ((1048576 * 15 // 100) // 7) +
-           |    (85 * coalesce(c.sc, 0) // 100) AS rank
-           |  FROM hosts h LEFT JOIN c$i c ON h.host = c.dst)""".stripMargin
-      }
       s"""WITH u AS (
          |  SELECT doc_id,
          |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
@@ -1069,16 +1093,8 @@ object LlmQueries {
          |agg AS (
          |  SELECT hostn, count(*) AS n_kept, min(doc_id) AS first_id
          |  FROM q WHERE rn <= 20 GROUP BY 1),
-         |edges AS (
-         |  SELECT doc_id % 7 AS src, (doc_id % 13) % 7 AS dst,
-         |    CAST(count(*) AS BIGINT) AS w
-         |  FROM documents GROUP BY 1, 2),
-         |outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
-         |e AS (SELECT edges.src, edges.dst, edges.w, outw.outw
-         |      FROM edges JOIN outw USING (src)),
-         |hosts AS (SELECT unnest(range(0, 7)) AS host),
-         |r0 AS (SELECT host, 1048576 // 7 AS rank FROM hosts),
-         |${rounds.mkString(",\n")}
+         |$hostRankPrefixSql,
+         |${hostRankRounds(3)}
          |SELECT a.hostn AS host, a.n_kept, a.first_id,
          |  CAST(r.rank AS BIGINT) AS host_rank
          |FROM agg a JOIN r3 r ON a.hostn = r.host""".stripMargin
@@ -1101,29 +1117,10 @@ object LlmQueries {
         |FROM b""".stripMargin,
     // PageRank replay: generated power-iteration rounds (the lloyd-CTE
     // pattern) — all integer fixed-point, same truncation both engines
-    "d19_host_rank" -> {
-      val rounds = (1 to 3).map { i =>
-        s"""c$i AS (
-           |  SELECT e.dst, sum((r.rank * e.w) // e.outw) AS sc
-           |  FROM e JOIN r${i - 1} r ON e.src = r.host GROUP BY 1),
-           |r$i AS (
-           |  SELECT h.host,
-           |    ((1048576 * 15 // 100) // 7) +
-           |    (85 * coalesce(c.sc, 0) // 100) AS rank
-           |  FROM hosts h LEFT JOIN c$i c ON h.host = c.dst)""".stripMargin
-      }
-      s"""WITH edges AS (
-         |  SELECT doc_id % 7 AS src, (doc_id % 13) % 7 AS dst,
-         |    CAST(count(*) AS BIGINT) AS w
-         |  FROM documents GROUP BY 1, 2),
-         |outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
-         |e AS (SELECT edges.src, edges.dst, edges.w, outw.outw
-         |      FROM edges JOIN outw USING (src)),
-         |hosts AS (SELECT unnest(range(0, 7)) AS host),
-         |r0 AS (SELECT host, 1048576 // 7 AS rank FROM hosts),
-         |${rounds.mkString(",\n")}
-         |SELECT host, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
-    },
+    "d19_host_rank" ->
+      s"""WITH $hostRankPrefixSql,
+         |${hostRankRounds(3)}
+         |SELECT host, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
     // host-quota replay: same deterministic host synthesis; host via
     // regex between :// and /, lowered; quota = row_number per host
     "d18_host_quota" ->

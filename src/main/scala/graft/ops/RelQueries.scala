@@ -149,14 +149,14 @@ object RelQueries {
              .as("weighted_cents_s"))
   }
 
-  /** J13: NEAREST-event join — the bidirectional as-of (J7 is
+  /** J14: NEAREST-event join — the bidirectional as-of (J7 is
     * backward-only): for each purchase, the same user's nearest click
     * within ±30 minutes, ties to the earlier side. ONE union + ONE
     * window partition carries both directions (last click state
     * backward, first click state forward) — never a per-key join
     * explosion, the same scale argument as J7. Fully ordered frames
     * (ts, type, id) make every pick deterministic in both engines. */
-  def j13NearestEvent(s: SparkSession, dir: String): DataFrame = {
+  def j14NearestEvent(s: SparkSession, dir: String): DataFrame = {
     val win = 1800000000L // 30 minutes in epoch micros
     val ev = table(s, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))
@@ -1504,7 +1504,7 @@ object RelQueries {
     "j8_cross" -> j8Cross,
     "j10_salted_join" -> j10SaltedJoin,
     "w10_time_weighted" -> w10TimeWeighted,
-    "j13_nearest_event" -> j13NearestEvent,
+    "j14_nearest_event" -> j14NearestEvent,
     "j11_bucketed_join" -> j11BucketedJoin,
     "j9_interval_overlap" -> j9IntervalOverlap,
     "j6_range_autorewrite" -> j6RangeAutoRewrite,
@@ -2089,29 +2089,28 @@ object RelQueries {
     // nearest-event replay: the same fully-ordered frames in both
     // directions; paired (ts, id) picks stay consistent because the
     // CASE columns are null together
-    "j13_nearest_event" ->
+    "j14_nearest_event" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |  FROM events WHERE event_type IN ('click', 'purchase')),
         |w AS (
         |  SELECT *,
         |    last_value(CASE WHEN event_type = 'click' THEN ts_us END
-        |      IGNORE NULLS) OVER (PARTITION BY user_id
-        |        ORDER BY ts_us, event_type, event_id
-        |        ROWS UNBOUNDED PRECEDING) AS prev_ts,
+        |      IGNORE NULLS) OVER wb AS prev_ts,
         |    last_value(CASE WHEN event_type = 'click' THEN event_id END
-        |      IGNORE NULLS) OVER (PARTITION BY user_id
-        |        ORDER BY ts_us, event_type, event_id
-        |        ROWS UNBOUNDED PRECEDING) AS prev_id,
+        |      IGNORE NULLS) OVER wb AS prev_id,
         |    first_value(CASE WHEN event_type = 'click' THEN ts_us END
-        |      IGNORE NULLS) OVER (PARTITION BY user_id
-        |        ORDER BY ts_us, event_type, event_id
-        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts,
+        |      IGNORE NULLS) OVER wf AS next_ts,
         |    first_value(CASE WHEN event_type = 'click' THEN event_id END
-        |      IGNORE NULLS) OVER (PARTITION BY user_id
-        |        ORDER BY ts_us, event_type, event_id
-        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id
-        |  FROM ev),
+        |      IGNORE NULLS) OVER wf AS next_id
+        |  FROM ev
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id
+        |           ORDER BY ts_us, event_type, event_id
+        |           ROWS UNBOUNDED PRECEDING),
+        |    wf AS (PARTITION BY user_id
+        |           ORDER BY ts_us, event_type, event_id
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
         |p AS (SELECT * FROM w WHERE event_type = 'purchase')
         |SELECT event_id, user_id,
         |  CASE WHEN prev_ts IS NOT NULL AND ts_us - prev_ts <= 1800000000
