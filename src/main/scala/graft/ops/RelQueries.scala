@@ -1427,6 +1427,151 @@ object RelQueries {
     s.sql(q20Sql)
   }
 
+  /** TPC-H Q8 shape: national market share — the EIGHT-way join (all
+    * seven relational tables, nation twice: customer side restricts the
+    * market region, supplier side names the nation whose share is
+    * measured), derived-table + conditional-aggregation share per order
+    * year. Numerator and denominator exit as exact cents; the division
+    * stays outside the gate. */
+  private[ops] val q8Sql: String =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN nation = 'NATION_6' THEN volume_cents
+      |           ELSE 0 END) AS BIGINT) AS nation_cents,
+      |  CAST(sum(volume_cents) AS BIGINT) AS total_cents
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |         AS BIGINT) AS volume_cents,
+      |    n2.n_name AS nation
+      |  FROM part, lineitem, supplier, orders, customer,
+      |       nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+      |    AND p_type = 'PROMO') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q8Sql)
+  }
+
+  /** TPC-H Q9 shape: product-type profit by nation and year — the
+    * LIKE-filtered part scan fanned through lineitem to supplier nation,
+    * profit = revenue minus supply cost. No partsupp table in the
+    * fixture, so cost is re-expressed as 10% of the part's retail price
+    * per unit; to keep the gate integer-exact the amount is in
+    * DECI-cents: 10 x revenue_cents - retail_cents x quantity (each
+    * factor snaps per ROW via the established round(x*100) pattern
+    * before any multiplication, so both engines do identical BIGINT
+    * arithmetic). */
+  private[ops] val q9Sql: String =
+    """SELECT nation, o_year,
+      |  CAST(sum(amount_decicents) AS BIGINT) AS profit_decicents
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(year(o_orderdate) AS INT) AS o_year,
+      |    10 * CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |              AS BIGINT)
+      |      - CAST(round(p_retailprice * 100) AS BIGINT)
+      |        * CAST(l_quantity AS BIGINT) AS amount_decicents
+      |  FROM part, lineitem, supplier, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  def q9ProfitNation(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q9Sql)
+  }
+
+  /** TPC-H Q11 shape: important stock — group-by with a HAVING clause
+    * comparing the group aggregate against UNCORRELATED SCALAR
+    * subqueries over the same filtered join (the global-threshold shape;
+    * Q15's scalar filters a CTE, this one lives inside HAVING). No
+    * partsupp: lineitem value per part plays the stock-value role.
+    * TPC-H scales Q11's fraction by 1/SF so the row count survives data
+    * growth; the same effect here is SCALE-FREE — keep parts holding
+    * more than twice the MEAN per-part share (v x npart > 2 x total),
+    * all-BIGINT multiplies, never a float threshold. */
+  private[ops] val q11Sql: String =
+    """SELECT l_partkey,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |       AS BIGINT) AS value_cents
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_3'
+      |GROUP BY l_partkey
+      |HAVING CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |            AS BIGINT)
+      |  * (SELECT count(DISTINCT l_partkey)
+      |     FROM lineitem, supplier, nation
+      |     WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |       AND n_name = 'NATION_3')
+      |  > 2 *
+      |  (SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |               AS BIGINT)
+      |   FROM lineitem, supplier, nation
+      |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |     AND n_name = 'NATION_3')
+      |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q11Sql)
+  }
+
+  /** TPC-H Q12 shape: shipping-mode priority split — fact-fact join
+    * with a multi-value IN on the grouping column, INTERVAL-arithmetic
+    * lateness predicate, and the two-way conditional counts. No
+    * l_shipmode/commitdate in the fixture: l_returnflag plays the mode,
+    * late = shipped more than 60 days after the order date. */
+  private[ops] val q12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_returnflag IN ('A', 'R')
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  def q12PriorityShipping(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q12Sql)
+  }
+
+  /** TPC-H Q16 shape: supplier count per part attribute triple — a
+    * NOT-IN anti subquery excluding flagged suppliers (negative account
+    * balance plays the complaints role; no partsupp, so lineitem is the
+    * who-supplies-what relation), count(DISTINCT) under a negated LIKE
+    * + brand + size-IN filter, ordered by the count. */
+  private[ops] val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#1'
+      |  AND p_type NOT LIKE 'PRO%'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q16Sql)
+  }
+
   /** Deletion neighborhood of a string: the string plus every
     * single-character deletion — the FastSS candidate key for edit
     * distance ≤ 1 (two strings within ED 1 ALWAYS share a variant, so an
@@ -1571,7 +1716,12 @@ object RelQueries {
     "q13_custdist" -> q13CustDist,
     "f17_variant" -> f17Variant,
     "o7_unpivot" -> o7Unpivot,
-    "q19_disjunctive" -> q19Disjunctive
+    "q19_disjunctive" -> q19Disjunctive,
+    "q8_market_share" -> q8MarketShare,
+    "q9_profit_nation" -> q9ProfitNation,
+    "q11_important_parts" -> q11ImportantParts,
+    "q12_priority_shipping" -> q12PriorityShipping,
+    "q16_supplier_cnt" -> q16SupplierCnt
   )
 
   val oracle: Map[String, String] = Map(
@@ -2086,6 +2236,11 @@ object RelQueries {
     "q7_nation_volume" -> q7Sql,
     "q14_promo_share" -> q14Sql,
     "q13_custdist" -> q13Sql,
+    "q8_market_share" -> q8Sql,
+    "q9_profit_nation" -> q9Sql,
+    "q11_important_parts" -> q11Sql,
+    "q12_priority_shipping" -> q12Sql,
+    "q16_supplier_cnt" -> q16Sql,
     // nearest-event replay: the same fully-ordered frames in both
     // directions; paired (ts, id) picks stay consistent because the
     // CASE columns are null together

@@ -151,7 +151,22 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q13_custdist" -> 3,
     // dims broadcast at gate SF; the fact join pair shuffles once and
     // the year agg adds the second
-    "q7_nation_volume" -> 2)
+    "q7_nation_volume" -> 2,
+    // all six dims broadcast at gate SF; the two exchanges are the
+    // derived-table fact join pair + the per-year agg
+    "q8_market_share" -> 2,
+    // same posture as q8 minus customer: fact pair + nation/year agg
+    "q9_profit_nation" -> 2,
+    // three independent subplans (main + npart scalar + total scalar),
+    // each a broadcast join feeding a partkey-grain aggregate — the
+    // exchanges carry only (partkey, cents) rows, never fact tuples
+    "q11_important_parts" -> 6,
+    // orders side broadcasts under the date filter at gate SF; the
+    // lateness join + returnflag agg
+    "q12_priority_shipping" -> 2,
+    // NOT-IN anti side broadcasts; two-phase distinct (partial on the
+    // quad, count on the triple) + the final agg
+    "q16_supplier_cnt" -> 3)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
