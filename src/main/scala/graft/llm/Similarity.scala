@@ -182,6 +182,51 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
+    * near-duplicate removal by CLUSTER-then-dedup. K-means clusters the
+    * embedding space (two Lloyd rounds on the integer grid,
+    * [[KMeans.codebook2Q]], seeds = the k lowest ids), every vector is
+    * assigned to its nearest centroid, and cosine near-dup pairs form
+    * ONLY inside a cluster — the pair join is an equi-join on cid
+    * (hash-partitionable; work is Σ|cluster|², never n²). Same bucket
+    * role as [[cosineNearDupBucketed]]'s sign-LSH, but the buckets are
+    * DATA-ADAPTIVE: dense regions split across centroids instead of
+    * piling into one hyperplane cell, which is why the published recipe
+    * clusters first at 100 TB. Drop rule (greedy by id, no iterative
+    * closure): a vector is dropped when any LOWER-id cluster-mate
+    * matches at ≥ threshold; its keeper is the minimum such id. One row
+    * per DROPPED vector: (vec_id, cid, kept_id, cos_sim to the keeper).
+    * Clustering is on quantized vectors (exact integer argmin, oracle-
+    * replayable); pair cosine is on the original doubles. */
+  def semDedup(corpus: DataFrame, id: Column, embDouble: Column,
+               k: Int, threshold: Double): DataFrame = {
+    val base = corpus.select(id.as("vec_id"), embDouble.as("v"))
+    // the quantized view feeds both training rounds AND the final
+    // assignment — materialize once (the codebook2Q caller contract)
+    val q = base.select(col("vec_id"), KMeans.quantize(col("v")).as("qv"))
+      .localCheckpoint()
+    val cb = KMeans.codebook2Q(q, k)
+    val assigned = q.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("cid"),
+              KMeans.sqDist(col("qv"), col("cv")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+    val members = assigned.join(base, "vec_id")
+    val lhs = members.select(col("cid"), col("vec_id").as("a_id"),
+      col("v").as("va"))
+    val rhs = members.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("vb"))
+    val sims = lhs.join(rhs, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("cid"), col("a_id"), col("b_id"),
+              round(cosine(col("va"), col("vb")), 6).as("cs"))
+      .filter(col("cs") >= threshold)
+    sims.groupBy(col("b_id").as("vec_id"))
+      .agg(max(col("cid")).as("cid"),
+           min(col("a_id")).as("kept_id"),
+           min_by(col("cs"), col("a_id")).as("cos_sim"))
+  }
+
   /** Near-dup pairs with a sign-LSH bucket prefilter: pairs only form
     * inside a bucket, so the join is an equi-join on the bucket id (hash
     * partitionable — work is n²/2^bits instead of n²). Near-identical

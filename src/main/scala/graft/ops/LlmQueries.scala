@@ -144,6 +144,14 @@ object LlmQueries {
     Similarity.cosineNearDupBucketed(embsWithNearDups(s, dir),
       col("vec_id"), col("v"), 0.95, bits = 6)
 
+  /** D23: SemDeDup — cluster-then-dedup over the SAME planted near-dup
+    * corpus and threshold as d2_cosine_neardup, different bucketing
+    * (trained k-means cells instead of fixed sign hyperplanes): the two
+    * queries cross-validate through their independent oracles. */
+  def d23SemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(embsWithNearDups(s, dir), col("vec_id"), col("v"),
+      k = 8, threshold = 0.95)
+
   /** D17: URL canonicalization + canonical-key dedup — the crawl-corpus
     * hygiene step (the same page arrives as http/https, with tracking
     * params, case-varied hosts, trailing slashes): canonical key =
@@ -709,6 +717,7 @@ object LlmQueries {
     "d7_stratified_sample" -> d7StratifiedSample,
     "d8_sequence_pack" -> d8SequencePack,
     "d2_cosine_neardup" -> d2CosineNearDup,
+    "d23_semdedup" -> d23SemDedup,
     "d3_cosine_topk" -> d3CosineTopK,
     "d3_ann_lsh" -> d3AnnLsh,
     "d3_ivf_topk" -> d3IvfTopK,
@@ -1315,6 +1324,88 @@ object LlmQueries {
       """
         |SELECT a_id, b_id, round(dot / (na * nb), 6) AS cos_sim
         |FROM dots WHERE round(dot / (na * nb), 6) >= 0.95""".stripMargin),
+    // SemDeDup replay: the planted corpus quantized to the grid, the
+    // d3_ivf_trained two-Lloyd CTEs (seeds = 8 lowest ids, no holdout),
+    // a THIRD assignment against the final INTEGER codebook (no double
+    // conversion — the compare stays pure BIGINT), then within-cluster
+    // cosine pairs and the greedy-by-id drop rule
+    "d23_semdedup" -> (
+      cosPairSql(
+        """WITH corp AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          |    list_transform(embedding,
+          |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+          |  FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000,
+          |    [CAST(embedding[1] AS DOUBLE) + 0.05] ||
+          |      list_transform(embedding[2:], x -> CAST(x AS DOUBLE)),
+          |    [CAST(round((CAST(embedding[1] AS DOUBLE) + 0.05) * 1048576)
+          |          AS BIGINT)] ||
+          |      list_transform(embedding[2:],
+          |        x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+          |  FROM embeddings WHERE vec_id % 20 = 0),
+          |seeds0 AS (
+          |  SELECT vec_id AS cid, qv AS cv FROM corp ORDER BY vec_id LIMIT 8),
+          |d1 AS (
+          |  SELECT t.vec_id, s.cid,
+          |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
+          |  FROM corp t, seeds0 s,
+          |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+          |  GROUP BY 1, 2),
+          |a1 AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          |    FROM d1) WHERE rn = 1),
+          |c1 AS (
+          |  SELECT a1.cid, i.x AS pos, sum(t.qv[i.x]) // count(*) AS cc
+          |  FROM a1 JOIN corp t USING (vec_id),
+          |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+          |  GROUP BY 1, 2),
+          |seeds1 AS (SELECT cid, list(cc ORDER BY pos) AS cv FROM c1 GROUP BY 1),
+          |d2 AS (
+          |  SELECT t.vec_id, s.cid,
+          |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
+          |  FROM corp t, seeds1 s,
+          |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+          |  GROUP BY 1, 2),
+          |a2 AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          |    FROM d2) WHERE rn = 1),
+          |c2 AS (
+          |  SELECT a2.cid, i.x AS pos, sum(t.qv[i.x]) // count(*) AS cc
+          |  FROM a2 JOIN corp t USING (vec_id),
+          |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+          |  GROUP BY 1, 2),
+          |cents AS (SELECT cid, list(cc ORDER BY pos) AS cv FROM c2 GROUP BY 1),
+          |d3 AS (
+          |  SELECT t.vec_id, s.cid,
+          |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
+          |  FROM corp t, cents s,
+          |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+          |  GROUP BY 1, 2),
+          |a3 AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          |    FROM d3) WHERE rn = 1),
+          |pairs AS (
+          |  SELECT a.vec_id AS a_id, ta.v AS va, b.vec_id AS b_id, tb.v AS vb
+          |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          |  JOIN corp ta ON ta.vec_id = a.vec_id
+          |  JOIN corp tb ON tb.vec_id = b.vec_id)""".stripMargin) +
+      """,
+        |sims AS (
+        |  SELECT a_id, b_id, round(dot / (na * nb), 6) AS cs
+        |  FROM dots WHERE round(dot / (na * nb), 6) >= 0.95)
+        |SELECT s.b_id AS vec_id, max(a.cid) AS cid, min(s.a_id) AS kept_id,
+        |  min_by(s.cs, s.a_id) AS cos_sim
+        |FROM sims s JOIN a3 a ON a.vec_id = s.b_id
+        |GROUP BY s.b_id""".stripMargin),
     "d3_cosine_topk" -> (
       cosPairSql(
         """WITH pairs AS (

@@ -503,4 +503,44 @@ class LlmSpec extends SparkSpec {
     // sampling never invents rows and respects the stratum partition
     assert(s1.forall { case (id, src) => src == s"src${id % 4}" })
   }
+
+  test("semDedup contract: drops are a subset of exact all-pairs near-dups " +
+       "with identical keeper cosines, and survivors plus drops = corpus") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.table(spark, dir, "embeddings")
+      .limit(120)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      // plant twins of every 10th vector so clusters genuinely dedup
+      .unionByName(graft.table(spark, dir, "embeddings").limit(120)
+        .filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 5000L).as("vec_id"),
+          Similarity.asDouble(col("embedding")).as("v")))
+    val n = corpus.count()
+    val dropped = Similarity.semDedup(corpus, col("vec_id"), col("v"),
+        k = 4, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // exact all-pairs ground truth (the O(n^2) baseline)
+    val exact = Similarity.cosineNearDup(corpus, col("vec_id"), col("v"),
+        threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map { case (a, b, cs) => (b, a) -> cs }.toMap
+    assert(dropped.nonEmpty, "planted identical twins must be dropped")
+    dropped.foreach { case (vecId, keptId, cs) =>
+      assert(keptId < vecId, "keeper must be the lower id")
+      assert(exact.contains((vecId, keptId)),
+        s"semDedup reported ($vecId dup-of $keptId) not in the exact set")
+      assert(exact((vecId, keptId)) == cs,
+        "keeper cosine must equal the exact pair's cosine")
+    }
+    // identical twins can never be separated by a NEAREST-centroid
+    // assignment ... unless an equidistant tie broke differently, which
+    // the integer grid makes impossible for bit-identical vectors: all
+    // 12 planted twins must be found
+    assert(dropped.count(_._1 >= 5000L) == 12,
+      "every planted identical twin is cluster-mates with its original")
+    assert(dropped.map(_._1).distinct.length == dropped.length,
+      "a vector is dropped at most once")
+    assert(dropped.length < n, "dedup must keep at least the keepers")
+  }
 }
