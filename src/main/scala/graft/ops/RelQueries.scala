@@ -876,6 +876,29 @@ object RelQueries {
     groups.unionByName(unioned)
   }
 
+  /** A19: INCREMENTAL materialized-view maintenance ([[graft.catalog.Mv]])
+    * — the view is built from history, persisted, then refreshed with a
+    * disjoint batch by folding the batch's own partial aggregate in;
+    * history is never re-aggregated. The oracle doesn't know any of
+    * that: it full-scans and GROUP BYs, so the gate proves incremental
+    * == recompute. Here "history" is 9/10 of lineitem and the "batch"
+    * the remaining tenth (a real deployment feeds refresh from newly
+    * landed files — MvSpec asserts that path never re-reads history). */
+  def a19IncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val li = table(s, dir, "lineitem")
+    val mvPath = ioDir(dir, "a19mv")
+    graft.catalog.Mv.partials(
+        li.filter(col("l_orderkey") % 10 =!= 0), keys, cents)
+      .write.mode("overwrite").parquet(mvPath)
+    graft.catalog.Mv.merge(
+      s.read.parquet(mvPath),
+      graft.catalog.Mv.partials(
+        li.filter(col("l_orderkey") % 10 === 0), keys, cents),
+      keys)
+  }
+
   /** SNK4: small-file compaction — the operational rewrite every 100 TB
     * table eventually needs: a fragmented layout (64 shards here; the
     * real-world version is thousands of streaming micro-batch files)
@@ -1674,6 +1697,7 @@ object RelQueries {
     "o6_pagination" -> o6Pagination,
     "a16_conditional_agg" -> a16ConditionalAgg,
     "a18_sketch_rollup" -> a18SketchRollup,
+    "a19_incremental_mv" -> a19IncrementalMv,
     "a17_grouping_sets" -> a17GroupingSets,
     "o3_union" -> o3Union,
     "o4_setops" -> o4SetOps,
@@ -1883,6 +1907,16 @@ object RelQueries {
         |FROM orders GROUP BY 1
         |UNION ALL
         |SELECT '<all>', count(DISTINCT o_custkey), 1 FROM orders""".stripMargin,
+    // the oracle full-scans — the gate proves incremental == recompute
+    "a19_incremental_mv" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |       AS BIGINT) AS sum_cents,
+        |  CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |       AS BIGINT) AS max_cents
+        |FROM lineitem
+        |GROUP BY 1, 2""".stripMargin,
     "f12_try_family" ->
       """SELECT o_orderkey,
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
