@@ -171,28 +171,60 @@ object Streams {
           .select("name", "input_ranges", "range_labels", "output_values")
         val merged = graft.catalog.Catalog.mergeCatalog(cur, perName)
           .drop("action")
-        // stage → swap: write the new snapshot beside the live one, then
-        // promote it with directory renames so a crash at any point
-        // leaves either the old snapshot live or recoverable at .old-N
-        val staging = s"$catalogPath.staging-$batchId"
-        merged.write.mode("overwrite").parquet(staging)
-        val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
-        val fs = new org.apache.hadoop.fs.Path(catalogPath).getFileSystem(hconf)
-        val live = new org.apache.hadoop.fs.Path(catalogPath)
-        val old = new org.apache.hadoop.fs.Path(s"$catalogPath.old-$batchId")
-        // Hadoop rename reports failure by RETURNING FALSE — every step
-        // must be checked, or a failed promote would fall through to the
-        // delete below and destroy the last-good snapshot silently
-        fs.delete(old, true)
-        if (fs.exists(live) && !fs.rename(live, old))
-          throw new java.io.IOException(
-            s"catalog swap: could not move live snapshot aside ($live -> $old)")
-        if (!fs.rename(new org.apache.hadoop.fs.Path(staging), live))
-          throw new java.io.IOException(
-            s"catalog swap: could not promote staged snapshot ($staging -> " +
-            s"$live); last-good copy preserved at $old")
-        // only drop the backup once the new live copy demonstrably exists
-        if (fs.exists(live)) fs.delete(old, true)
+        stageAndSwap(merged, catalogPath, batchId)
+      }
+      .start()
+
+  /** Stage → swap snapshot promotion: write the new snapshot beside the
+    * live one, then promote it with directory renames so a crash at any
+    * point leaves either the old snapshot live or recoverable at
+    * .old-N. Hadoop rename reports failure by RETURNING FALSE — every
+    * step is checked, or a failed promote would fall through to the
+    * final delete and destroy the last-good snapshot silently. */
+  private def stageAndSwap(snapshot: DataFrame, livePath: String,
+                           batchId: Long): Unit = {
+    val staging = s"$livePath.staging-$batchId"
+    snapshot.write.mode("overwrite").parquet(staging)
+    val hconf = snapshot.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(livePath).getFileSystem(hconf)
+    val live = new org.apache.hadoop.fs.Path(livePath)
+    val old = new org.apache.hadoop.fs.Path(s"$livePath.old-$batchId")
+    fs.delete(old, true)
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(
+        s"snapshot swap: could not move live snapshot aside ($live -> $old)")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), live))
+      throw new java.io.IOException(
+        s"snapshot swap: could not promote staged snapshot ($staging -> " +
+        s"$live); last-good copy preserved at $old")
+    // only drop the backup once the new live copy demonstrably exists
+    if (fs.exists(live)) fs.delete(old, true)
+  }
+
+  /** S16: CONTINUOUS materialized-view maintenance — the
+    * [[graft.catalog.Mv]] refresh loop under Structured Streaming: each
+    * micro-batch aggregates ONLY its own rows to the view's mergeable
+    * state, folds that into the stored view, and promotes the new
+    * snapshot with the same checked-rename stage→swap as
+    * [[catalogUpsert]] (crash leaves the old view live or recoverable).
+    * The view stays group-sized, so per-batch cost is batch + view —
+    * the dashboard-feeding aggregate never re-reads history. First
+    * batch bootstraps the view from its own partials. */
+  def mvRefreshStream(rows: DataFrame, viewPath: String,
+                      keys: Seq[String], valueCents: org.apache.spark.sql.Column,
+                      checkpoint: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = graft.catalog.Mv.partials(batch, keys, valueCents)
+        val s = batch.sparkSession
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(viewPath).getFileSystem(hconf)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(viewPath)))
+            graft.catalog.Mv.merge(s.read.parquet(viewPath), delta, keys)
+          else delta
+        stageAndSwap(merged, viewPath, batchId)
         ()
       }
       .start()

@@ -68,6 +68,41 @@ class StreamingSpec extends SparkSpec {
       ("N", "1.0,2.0")))  // batch-2 insert landed
   }
 
+  test("S16 streaming MV refresh: the view after N micro-batches equals " +
+       "the full recompute, and batch 1 bootstraps it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s16").toString
+    val viewPath = s"$dir/mv"
+    val input = MemoryStream[(String, Double)](spark)
+    val rows = input.toDF().toDF("flag", "price")
+    val q = Streams.mvRefreshStream(rows, viewPath, Seq("flag"),
+      round(col("price") * 100).cast("long"), s"$dir/ckpt")
+    val b1 = Seq(("A", 1.10), ("A", 2.30), ("B", 5.00))
+    val b2 = Seq(("A", 0.60), ("C", 9.99))   // A merges, C is view-new
+    try {
+      input.addData(b1: _*)   // no view exists yet — bootstrap
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(viewPath)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(afterB1 == Set(("A", 2L, 340L, 230L), ("B", 1L, 500L, 500L)))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(viewPath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // == Mv.partials over everything the stream ever carried
+    val full = graft.catalog.Mv.partials(
+        (b1 ++ b2).toDF("flag", "price"), Seq("flag"),
+        round(col("price") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == full)
+    assert(got == Set(("A", 3L, 400L, 230L), ("B", 1L, 500L, 500L),
+      ("C", 1L, 999L, 999L)))
+  }
+
   test("S13 streaming LSH ingest: batch 2 finds its near-dup in batch 1 " +
        "purely via the maintained index") {
     import spark.implicits._
