@@ -202,16 +202,26 @@ object Similarity {
                k: Int, threshold: Double): DataFrame = {
     val base = corpus.select(id.as("vec_id"), embDouble.as("v"))
     // the quantized view feeds both training rounds AND the final
-    // assignment — materialize once (the codebook2Q caller contract)
-    val q = base.select(col("vec_id"), KMeans.quantize(col("v")).as("qv"))
+    // assignment — materialize once (the codebook2Q caller contract).
+    // v rides along so the assignment aggregate can carry it through
+    // map-side combine instead of a join back to the corpus (two fewer
+    // exchanges and one fewer corpus scan)
+    val q = base.select(col("vec_id"), col("v"),
+        KMeans.quantize(col("v")).as("qv"))
       .localCheckpoint()
-    val cb = KMeans.codebook2Q(q, k)
-    val assigned = q.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("cid"),
+    val cb = KMeans.codebook2Q(q.select("vec_id", "qv"), k)
+    // materialized BEFORE the self-join: both pair sides read the same
+    // assignment instead of each re-running training + assignment (the
+    // d16 double-derivation lesson — without this the whole Lloyd
+    // pipeline appears twice in the executed plan)
+    val members = q.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("v"), col("cid"),
               KMeans.sqDist(col("qv"), col("cv")).as("dist"))
       .groupBy("vec_id")
-      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
-    val members = assigned.join(base, "vec_id")
+      .agg(min_by(struct(col("cid"), col("v")), struct(col("dist"), col("cid")))
+        .as("w"))
+      .select(col("vec_id"), col("w.cid").as("cid"), col("w.v").as("v"))
+      .localCheckpoint()
     val lhs = members.select(col("cid"), col("vec_id").as("a_id"),
       col("v").as("va"))
     val rhs = members.select(col("cid"), col("vec_id").as("b_id"),

@@ -166,7 +166,13 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "q12_priority_shipping" -> 2,
     // NOT-IN anti side broadcasts; two-phase distinct (partial on the
     // quad, count on the triple) + the final agg
-    "q16_supplier_cnt" -> 3)
+    "q16_supplier_cnt" -> 3,
+    // training + assignment hide behind the members checkpoint; visible:
+    // the cid pair self-join (2) + the per-dropped-vector aggregate
+    "d23_semdedup" -> 3,
+    // batch partial agg + the group-sized merge re-aggregation; the
+    // view write is its own job
+    "a19_incremental_mv" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
