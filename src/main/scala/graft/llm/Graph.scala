@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting — the local-clustering primitive a
+  * link-graph pipeline runs for spam/link-farm detection (farms are
+  * triangle-dense) and community structure, sibling to [[HostRank]]'s
+  * centrality.
+  *
+  * Algorithm (public MapReduce classic — Cohen 2009 "Graph Twiddling in
+  * a MapReduce World"; Schank–Wagner node-iterator): orient every
+  * undirected edge from its LOWER-degree endpoint to its higher (ties
+  * by id), enumerate wedges only at each edge's SOURCE, and close them
+  * with one semi-join back against the oriented edge set. Degree
+  * orientation is the whole scale story: wedge count drops from
+  * Σ deg(v)² (quadratic in the max degree — a celebrity host with 10⁷
+  * links would generate 10¹⁴ wedges) to O(|E|^1.5) total, because no
+  * vertex fans out wedges beyond its oriented out-degree ≤ √|E|-ish
+  * (arboricity-bounded). Every step is a keyed join or aggregate —
+  * hash-partitionable, no all-pairs anywhere.
+  *
+  * The triangle COUNT is orientation-invariant, which the declared
+  * query's oracle exploits: it recounts with plain id-ordering — an
+  * independent formulation that must land on the same number.
+  */
+object Graph {
+
+  /** Canonical undirected edge set from a possibly-directed, possibly-
+    * duplicated edge list: self-loops dropped, (a,b) stored once with
+    * a < b. */
+  def undirected(edges: DataFrame, src: Column, dst: Column): DataFrame =
+    edges.select(least(src, dst).as("a"), greatest(src, dst).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Count of triangles, nodes, and undirected edges — one row.
+    * `edges` is any (src, dst) edge list; normalization is part of the
+    * operator. */
+  def triangles(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    // every derived set feeds MULTIPLE plan legs (und: degrees, both
+    // orientation joins, the closure, the edge count; oriented: both
+    // wedge sides) — materialize each once or the whole derivation
+    // re-runs per leg (the semDedup/d16 lesson)
+    val und = undirected(edges, src, dst).localCheckpoint()
+    // degree of every endpoint (a node with no edges has no wedges —
+    // absent keys cost nothing)
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    // orient low-degree -> high-degree, ties by id: (u, w) means u is
+    // the wedge-enumerating endpoint
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+      .localCheckpoint()
+    // wedges at u: every pair of its oriented out-neighbors, canonical
+    // (x < y keeps each wedge once); closed when (x,y) or (y,x) is
+    // itself an oriented edge — check via the UNDIRECTED canonical form
+    val wedges = oriented.as("e1").join(oriented.as("e2"), Seq("u"))
+      .filter(col("e1.w") < col("e2.w"))
+      .select(col("e1.w").as("x"), col("e2.w").as("y"))
+    val closed = wedges.join(und,
+      col("x") === col("a") && col("y") === col("b"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(nNodes))
+      .crossJoin(broadcast(nEdges))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+}

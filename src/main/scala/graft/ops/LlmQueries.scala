@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft._
-import graft.llm.{Bpe, Dedup, HostRank, KMeans, Multimodal, Packing, Pq, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, Graph, HostRank, KMeans, Multimodal, Packing, Pq, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -284,6 +284,16 @@ object LlmQueries {
     * bit-exactly. */
   def d19HostRank(s: SparkSession, dir: String): DataFrame =
     HostRank.ranks(hostEdges(docs(s, dir)), nNodes = 7, iters = 3)
+
+  /** D24: triangle count on a derived link graph ([[Graph.triangles]]:
+    * degree-oriented wedge enumeration + one closure semi-join). The
+    * graph is orders folded onto 499 nodes — hundreds of nodes,
+    * thousands of distinct edges, growing denser with SF. The oracle
+    * recounts with plain id-ordering; the count's orientation-
+    * invariance makes the two formulations independent. */
+  def d24Triangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangles(table(s, dir, "orders"),
+      col("o_custkey") % 499, col("o_orderkey") % 499)
 
   /** The deterministic 7-host link graph shared by [[d19HostRank]] and
     * [[pipeCrawlFrontier]] — ONE definition, so the de-degeneracy
@@ -707,6 +717,7 @@ object LlmQueries {
     "d17_url_canon" -> d17UrlCanon,
     "d18_host_quota" -> d18HostQuota,
     "d19_host_rank" -> d19HostRank,
+    "d24_triangles" -> d24Triangles,
     "d20_cdc_chunks" -> d20CdcChunks,
     "d21_embed_outliers" -> d21EmbedOutliers,
     "d22_quality_percentile" -> d22QualityPercentile,
@@ -1126,6 +1137,24 @@ object LlmQueries {
         |FROM b""".stripMargin,
     // PageRank replay: generated power-iteration rounds (the lloyd-CTE
     // pattern) — all integer fixed-point, same truncation both engines
+    // id-ordered triangle enumeration — deliberately NOT the Spark
+    // side's degree orientation; the count must agree anyway
+    "d24_triangles" ->
+      """WITH raw AS (
+        |  SELECT least(o_custkey % 499, o_orderkey % 499) AS a,
+        |         greatest(o_custkey % 499, o_orderkey % 499) AS b
+        |  FROM orders),
+        |und AS (SELECT DISTINCT a, b FROM raw WHERE a <> b),
+        |nodes AS (SELECT DISTINCT v FROM (
+        |  SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)),
+        |tri AS (
+        |  SELECT count(*) AS n
+        |  FROM und e1
+        |  JOIN und e2 ON e1.b = e2.a
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+        |       (SELECT count(*) FROM und) AS n_edges,
+        |       (SELECT n FROM tri) AS n_triangles""".stripMargin,
     "d19_host_rank" ->
       s"""WITH $hostRankPrefixSql,
          |${hostRankRounds(3)}

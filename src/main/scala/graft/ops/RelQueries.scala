@@ -149,6 +149,32 @@ object RelQueries {
              .as("weighted_cents_s"))
   }
 
+  /** W11: RUNNING DISTINCT count — cumulative distinct event types per
+    * user over time. No engine supports count(DISTINCT) OVER a running
+    * frame (it would need per-row set state); the scalable
+    * decomposition is FIRST-SEEN flag (row_number == 1 within
+    * (user, type)) + running sum — two windows sharing ONE user_id
+    * exchange, O(1) state per row: the explicit repartition on user_id
+    * satisfies BOTH windows' clustering (hash(user_id) clusters
+    * (user_id, event_type) too), where leaving it to the planner costs
+    * a second exchange on the wider key. The oracle replays the same
+    * decomposition in DuckDB syntax; rows are per-event so every
+    * intermediate running value is gated, not just the final count. */
+  def w11RunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    val perType = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .repartition(col("user_id"))
+      .withColumn("first_seen",
+        when(row_number().over(perType) === 1, 1L).otherwise(0L))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+              sum(col("first_seen")).over(byUser).as("n_distinct_types"))
+  }
+
   /** J14: NEAREST-event join — the bidirectional as-of (J7 is
     * backward-only): for each purchase, the same user's nearest click
     * within ±30 minutes, ties to the earlier side. ONE union + ONE
@@ -644,6 +670,31 @@ object RelQueries {
            count(col("k")).as("n_valid"),
            count(col("_bad")).as("n_corrupt"),
            sum(col("k")).cast("long").as("sum_k"))
+  }
+
+  /** SRC6: SCHEMA EVOLUTION on read — a long-lived table's early files
+    * predate a column added later; `mergeSchema` reconciles the footers
+    * and the old files surface NULL for the new column (no rewrite of
+    * petabytes of history to add a field). Batch 1 (even orderkeys)
+    * lacks o_orderpriority, batch 2 carries it; the aggregate groups by
+    * the evolved column, so batch-1 rows land in the NULL group. The
+    * oracle rebuilds the same split arithmetically from the source
+    * table. */
+  def src6SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = ioDir(dir, "src6evo")
+    val o = table(s, dir, "orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").parquet(s"$out/v1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"),
+              col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
   }
 
   /** SNK2: partitioned parquet sink + partition-pruned read-back (the
@@ -1745,7 +1796,9 @@ object RelQueries {
     "q9_profit_nation" -> q9ProfitNation,
     "q11_important_parts" -> q11ImportantParts,
     "q12_priority_shipping" -> q12PriorityShipping,
-    "q16_supplier_cnt" -> q16SupplierCnt
+    "q16_supplier_cnt" -> q16SupplierCnt,
+    "w11_running_distinct" -> w11RunningDistinct,
+    "src6_schema_evolution" -> src6SchemaEvolution
   )
 
   val oracle: Map[String, String] = Map(
@@ -2275,6 +2328,33 @@ object RelQueries {
     "q11_important_parts" -> q11Sql,
     "q12_priority_shipping" -> q12Sql,
     "q16_supplier_cnt" -> q16Sql,
+    // the same first-seen + running-sum decomposition, DuckDB syntax;
+    // epoch_us on TIMESTAMP_NS floors — matching the reader's rebuild
+    "w11_running_distinct" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |flagged AS (
+        |  SELECT event_id, user_id, ts_us,
+        |    CASE WHEN row_number() OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts_us, event_id) = 1 THEN 1 ELSE 0 END AS fs
+        |  FROM ev)
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(sum(fs) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_distinct_types
+        |FROM flagged""".stripMargin,
+    // rebuilds the batch split arithmetically: even orderkeys are the
+    // pre-evolution files whose priority column reads NULL
+    "src6_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |       END AS o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
     // nearest-event replay: the same fully-ordered frames in both
     // directions; paired (ts, id) picks stay consistent because the
     // CASE columns are null together

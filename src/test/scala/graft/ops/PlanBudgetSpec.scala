@@ -172,7 +172,16 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d23_semdedup" -> 3,
     // batch partial agg + the group-sized merge re-aggregation; the
     // view write is its own job
-    "a19_incremental_mv" -> 2)
+    "a19_incremental_mv" -> 2,
+    // und/deg/oriented checkpointed (each feeds 2-5 plan legs);
+    // visible: the wedge self-join pair, the closure semi-join, and
+    // the 1-row count merges
+    "d24_triangles" -> 5,
+    // ONE explicit user_id exchange serves both windows (hash(user_id)
+    // clusters (user_id, event_type) too)
+    "w11_running_distinct" -> 1,
+    // the evolved-read aggregate; the two batch writes are their own jobs
+    "src6_schema_evolution" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
