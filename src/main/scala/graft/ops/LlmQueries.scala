@@ -126,6 +126,30 @@ object LlmQueries {
         col("doc_id"), col("text")),
       col("a_id"), col("b_id"))
 
+  /** D25: KEEP-BEST dedup — the near-dup family closure with a QUALITY
+    * representative rule: each family keeps its longest member (ties to
+    * the lowest id), not the lowest id — the production rule when
+    * near-dup variants differ in completeness (the planted chain
+    * variants are strict text supersets, so keep-best provably inverts
+    * min-id). Family key = least(doc_id, cluster_id): the closure
+    * labels each doc with its minimum reachable OTHER member, so the
+    * least() is the component minimum for every member. */
+  def d25DedupKeepbest(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithNearDupChains(s, dir)
+    val clusters = Dedup.dedupClusters(
+      Dedup.ngramJaccard(corpus, col("doc_id"), col("text")),
+      col("a_id"), col("b_id"))
+    clusters
+      .select(col("doc_id"),
+              least(col("doc_id"), col("cluster_id")).as("family"))
+      .join(corpus, "doc_id")
+      .groupBy("family")
+      .agg(count(lit(1)).as("n_members"),
+           max_by(col("doc_id"),
+             struct(length(col("text")), -col("doc_id"))).as("kept_id"),
+           max(length(col("text")).cast("long")).as("kept_len"))
+  }
+
   /** Concat-and-chunk sequence packing into 2048-token context windows,
     * one deterministic stream per source. */
   def d8SequencePack(s: SparkSession, dir: String): DataFrame =
@@ -723,6 +747,7 @@ object LlmQueries {
     "d22_quality_percentile" -> d22QualityPercentile,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d2_dedup_clusters" -> d2DedupClusters,
+    "d25_dedup_keepbest" -> d25DedupKeepbest,
     "d2_simhash" -> d2Simhash,
     "d9_decontaminate" -> d9Decontaminate,
     "d7_stratified_sample" -> d7StratifiedSample,
@@ -958,6 +983,38 @@ object LlmQueries {
       |sh AS (SELECT DISTINCT doc_id, w[i.x] || ' ' || w[i.x+1] || ' ' || w[i.x+2] AS s
       |       FROM words, LATERAL (SELECT unnest(range(1, len(w)-1)) AS x) i
       |       WHERE len(w) >= 3)""".stripMargin
+
+  /** Shared recursive-closure CTE chain for the near-dup-chain corpus:
+    * planted corpus -> shingles -> exact Jaccard pairs (>= 0.8) ->
+    * symmetric edges -> transitive reach. Used by the d2_dedup_clusters
+    * and d25_dedup_keepbest oracles (one definition, no drift). */
+  private val closureCtes =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' qqzz'
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text || ' qqzz wwoo eeyy'
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |$shingleCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
   /** Cosine of doc pairs `(a_id, va, b_id, vb)` via explicit position sum. */
   private def cosPairSql(pairsCte: String): String =
@@ -1274,34 +1331,25 @@ object LlmQueries {
         |SELECT d.doc_id, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
     "d2_dedup_clusters" ->
-      s"""WITH RECURSIVE corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text || ' qqzz'
-         |  FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 3000000, text || ' qqzz wwoo eeyy'
-         |  FROM documents WHERE doc_id % 10 = 0),
-         |$shingleCtes,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT a_id, b_id FROM inter
-         |  JOIN sizes sa ON sa.doc_id = a_id
-         |  JOIN sizes sb ON sb.doc_id = b_id
-         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-         |edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION SELECT b_id, a_id FROM pairs),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      s"""$closureCtes
          |SELECT src AS doc_id, min(dst) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+    // same recursive closure; family = least(self, min-reachable) = the
+    // component minimum, then the longest-text (ties: lowest id) pick
+    "d25_dedup_keepbest" ->
+      s"""$closureCtes,
+         |fam AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS family
+         |  FROM reach GROUP BY src),
+         |sel AS (
+         |  SELECT f.family, f.doc_id, length(c.text) AS l,
+         |    row_number() OVER (PARTITION BY f.family
+         |      ORDER BY length(c.text) DESC, f.doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY f.family) AS nm
+         |  FROM fam f JOIN corpus c ON c.doc_id = f.doc_id)
+         |SELECT family, CAST(nm AS BIGINT) AS n_members, doc_id AS kept_id,
+         |  CAST(l AS BIGINT) AS kept_len
+         |FROM sel WHERE rn = 1""".stripMargin,
     "d8_sequence_pack" ->
       """WITH t AS (
         |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens

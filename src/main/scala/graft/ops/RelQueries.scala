@@ -149,6 +149,36 @@ object RelQueries {
              .as("weighted_cents_s"))
   }
 
+  /** J15: ε-BAND join (|value_a − value_b| ≤ ε) without a cross join —
+    * the numeric sibling of J12's edit-distance join: bucket width = ε,
+    * the probe side explodes to bucket ± 1 (a pair within ε differs by
+    * at most one bucket — complete by construction), candidates come
+    * from a plain bucket equi-join, and only candidates pay the exact
+    * band predicate. 3× linear fan-out, never quadratic; the bucket id
+    * is an ordinary join key (hash-partitionable, AQE/salting apply).
+    * All arithmetic on integer CENTS (ε = 5 cents, bucket = cents div
+    * 5) so bucketing completeness and the predicate are exact — a
+    * double-division floor can straddle boundaries by a ulp. Each
+    * unordered pair materializes exactly once: (a,b) forms only where
+    * b's exploded bucket equals a's home bucket, and the a_id < b_id
+    * cut keeps one orientation. The oracle is an inequality join over
+    * the same cents — an independent bucket-free formulation. */
+  def j15EpsilonJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = table(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("bkt", expr("cents div 5"))
+      .localCheckpoint() // both join sides read this once, not scan twice
+    val probe = p.select(col("id").as("b_id"), col("cents").as("b_cents"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    p.select(col("id").as("a_id"), col("cents").as("a_cents"), col("bkt"))
+      .join(probe, "bkt")
+      .filter(col("a_id") < col("b_id") &&
+              abs(col("a_cents") - col("b_cents")) <= 5)
+      .select(col("a_id"), col("b_id"), col("a_cents"), col("b_cents"))
+  }
+
   /** W11: RUNNING DISTINCT count — cumulative distinct event types per
     * user over time. No engine supports count(DISTINCT) OVER a running
     * frame (it would need per-row set state); the scalable
@@ -1798,7 +1828,8 @@ object RelQueries {
     "q12_priority_shipping" -> q12PriorityShipping,
     "q16_supplier_cnt" -> q16SupplierCnt,
     "w11_running_distinct" -> w11RunningDistinct,
-    "src6_schema_evolution" -> src6SchemaEvolution
+    "src6_schema_evolution" -> src6SchemaEvolution,
+    "j15_epsilon_join" -> j15EpsilonJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -2345,6 +2376,17 @@ object RelQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS n_distinct_types
         |FROM flagged""".stripMargin,
+    // bucket-free inequality-join formulation of the band join
+    "j15_epsilon_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  a.cents AS a_cents, b.cents AS b_cents
+        |FROM p a JOIN p b
+        |  ON a.id < b.id
+        | AND b.cents >= a.cents - 5 AND b.cents <= a.cents + 5""".stripMargin,
     // rebuilds the batch split arithmetically: even orderkeys are the
     // pre-evolution files whose priority column reads NULL
     "src6_schema_evolution" ->
