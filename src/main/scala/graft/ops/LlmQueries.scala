@@ -1192,8 +1192,6 @@ object LlmQueries {
         |    i -> bounds[i] - bounds[i - 1])) AS BIGINT) AS max_chunk_len,
         |  CAST(n AS BIGINT) AS n_chars
         |FROM b""".stripMargin,
-    // PageRank replay: generated power-iteration rounds (the lloyd-CTE
-    // pattern) — all integer fixed-point, same truncation both engines
     // id-ordered triangle enumeration — deliberately NOT the Spark
     // side's degree orientation; the count must agree anyway
     "d24_triangles" ->
@@ -1212,6 +1210,8 @@ object LlmQueries {
         |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
         |       (SELECT count(*) FROM und) AS n_edges,
         |       (SELECT n FROM tri) AS n_triangles""".stripMargin,
+    // PageRank replay: generated power-iteration rounds (the lloyd-CTE
+    // pattern) — all integer fixed-point, same truncation both engines
     "d19_host_rank" ->
       s"""WITH $hostRankPrefixSql,
          |${hostRankRounds(3)}

@@ -182,9 +182,17 @@ object Streams {
     * step is checked, or a failed promote would fall through to the
     * final delete and destroy the last-good snapshot silently. */
   private def stageAndSwap(snapshot: DataFrame, livePath: String,
-                           batchId: Long): Unit = {
+                           batchId: Long,
+                           marker: Option[String] = None): Unit = {
     val staging = s"$livePath.staging-$batchId"
     snapshot.write.mode("overwrite").parquet(staging)
+    // an optional underscore-prefixed marker file travels with the
+    // snapshot through the renames (parquet readers skip _-files)
+    marker.foreach { m =>
+      val fs0 = new org.apache.hadoop.fs.Path(staging).getFileSystem(
+        snapshot.sparkSession.sparkContext.hadoopConfiguration)
+      fs0.create(new org.apache.hadoop.fs.Path(s"$staging/$m"), true).close()
+    }
     val hconf = snapshot.sparkSession.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(livePath).getFileSystem(hconf)
     val live = new org.apache.hadoop.fs.Path(livePath)
@@ -216,18 +224,63 @@ object Streams {
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val delta = graft.catalog.Mv.partials(batch, keys, valueCents)
-        val s = batch.sparkSession
-        val hconf = s.sparkContext.hadoopConfiguration
-        val fs = new org.apache.hadoop.fs.Path(viewPath).getFileSystem(hconf)
-        val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(viewPath)))
-            graft.catalog.Mv.merge(s.read.parquet(viewPath), delta, keys)
-          else delta
-        stageAndSwap(merged, viewPath, batchId)
-        ()
+        applyMvBatch(batch, viewPath, keys, valueCents, batchId)
       }
       .start()
+
+  /** One MV refresh application — extracted so crash/replay semantics
+    * are directly testable. Two hazards the naive fold gets wrong:
+    *
+    *  1. CRASH RECOVERY: a crash between stageAndSwap's two renames
+    *     leaves no live view but the last-good snapshot at .old-N. A
+    *     bare exists() bootstrap would then rebuild from the replayed
+    *     batch ALONE and stageAndSwap would delete the .old-N backup —
+    *     silent loss of all history. Recover the newest backup first.
+    *  2. REPLAY IDEMPOTENCE: foreachBatch is at-least-once — a batch
+    *     whose swap committed but whose checkpoint didn't is re-run on
+    *     restart, and an additive fold applied twice double-counts.
+    *     The snapshot carries its last-applied batch id as an
+    *     underscore-prefixed marker file (ignored by parquet readers,
+    *     travels with the directory through the swap renames); a replay
+    *     of an already-applied id is a no-op. catalogUpsert needs
+    *     neither: its keyed MERGE replay is idempotent and a missing
+    *     catalog fails loudly on read. */
+  private[stream] def applyMvBatch(batch: DataFrame, viewPath: String,
+      keys: Seq[String], valueCents: org.apache.spark.sql.Column,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val s = batch.sparkSession
+    val fs = new Path(viewPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    val live = new Path(viewPath)
+    if (!fs.exists(live)) {
+      // recover the newest interrupted-swap backup, if any
+      val backups = fs.globStatus(new Path(s"$viewPath.old-*"))
+      if (backups != null && backups.nonEmpty) {
+        val newest = backups.maxBy(b =>
+          b.getPath.getName.split("-").last.toLong).getPath
+        if (!fs.rename(newest, live))
+          throw new java.io.IOException(
+            s"mv refresh: could not recover backup $newest -> $live")
+      }
+    }
+    val applied: Long =
+      if (!fs.exists(live)) -1L
+      else fs.listStatus(live).map(_.getPath.getName)
+        .collectFirst { case n if n.startsWith(AppliedMarker) =>
+          n.stripPrefix(AppliedMarker).toLong }
+        .getOrElse(-1L)
+    if (batchId <= applied) return // replayed batch — already folded in
+    val delta = graft.catalog.Mv.partials(batch, keys, valueCents)
+    val merged =
+      if (fs.exists(live))
+        graft.catalog.Mv.merge(s.read.parquet(viewPath), delta, keys)
+      else delta
+    stageAndSwap(merged, viewPath, batchId,
+      marker = Some(s"$AppliedMarker$batchId"))
+  }
+
+  private val AppliedMarker = "_graft_applied_batch-"
 
   /** S13: STREAMING dedup-index maintenance — the D2g ingest loop
     * ([[graft.llm.Dedup.ingestLsh]]) under Structured Streaming: each

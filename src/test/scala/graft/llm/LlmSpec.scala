@@ -508,12 +508,15 @@ class LlmSpec extends SparkSpec {
        "with identical keeper cosines, and survivors plus drops = corpus") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
+    // filter, not limit: limit without orderBy has no guaranteed row
+    // selection under multi-partition scans, and the twin count below
+    // is asserted exactly
     val corpus = graft.table(spark, dir, "embeddings")
-      .limit(120)
+      .filter(col("vec_id") < 120)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
       // plant twins of every 10th vector so clusters genuinely dedup
-      .unionByName(graft.table(spark, dir, "embeddings").limit(120)
-        .filter(col("vec_id") % 10 === 0)
+      .unionByName(graft.table(spark, dir, "embeddings")
+        .filter(col("vec_id") < 120 && col("vec_id") % 10 === 0)
         .select((col("vec_id") + 5000L).as("vec_id"),
           Similarity.asDouble(col("embedding")).as("v")))
     val n = corpus.count()

@@ -103,6 +103,53 @@ class StreamingSpec extends SparkSpec {
       ("C", 1L, 999L, 999L)))
   }
 
+  test("S16 replay idempotence: re-applying a committed batch id is a " +
+       "no-op, never a double-count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s16r").toString
+    val viewPath = s"$dir/mv"
+    val cents = round(col("price") * 100).cast("long")
+    val b1 = Seq(("A", 1.00), ("B", 2.00)).toDF("flag", "price")
+    Streams.applyMvBatch(b1, viewPath, Seq("flag"), cents, batchId = 0L)
+    def read() = spark.read.parquet(viewPath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val once = read()
+    assert(once == Set(("A", 1L, 100L, 100L), ("B", 1L, 200L, 200L)))
+    // the at-least-once replay: same batch, same id — swap committed,
+    // checkpoint didn't. Must not fold a second time.
+    Streams.applyMvBatch(b1, viewPath, Seq("flag"), cents, batchId = 0L)
+    assert(read() == once, "replayed batch double-counted into the view")
+    // a genuinely new batch still applies
+    Streams.applyMvBatch(Seq(("A", 0.50)).toDF("flag", "price"),
+      viewPath, Seq("flag"), cents, batchId = 1L)
+    assert(read() == Set(("A", 2L, 150L, 100L), ("B", 1L, 200L, 200L)))
+  }
+
+  test("S16 crash recovery: a mid-swap crash (live gone, backup at " +
+       ".old-N) is recovered, never rebuilt from the batch alone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s16c").toString
+    val viewPath = s"$dir/mv"
+    val cents = round(col("price") * 100).cast("long")
+    Streams.applyMvBatch(Seq(("A", 1.00)).toDF("flag", "price"),
+      viewPath, Seq("flag"), cents, batchId = 0L)
+    // simulate the crash window between stageAndSwap's two renames:
+    // live moved aside, promote never happened
+    val fs = new org.apache.hadoop.fs.Path(viewPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(viewPath),
+      new org.apache.hadoop.fs.Path(s"$viewPath.old-1")))
+    // restart replays batch 1: history must survive the recovery
+    Streams.applyMvBatch(Seq(("A", 0.25)).toDF("flag", "price"),
+      viewPath, Seq("flag"), cents, batchId = 1L)
+    val got = spark.read.parquet(viewPath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(("A", 2L, 125L, 100L)),
+      s"batch-0 history lost in recovery: $got")
+  }
+
   test("S13 streaming LSH ingest: batch 2 finds its near-dup in batch 1 " +
        "purely via the maintained index") {
     import spark.implicits._
