@@ -179,6 +179,39 @@ object RelQueries {
       .select(col("a_id"), col("b_id"), col("a_cents"), col("b_cents"))
   }
 
+  /** J16: DYNAMIC partition pruning — the star-schema join pattern at
+    * 100 TB: the fact table is partitioned on the join key, the dim
+    * side carries a selective filter, and Catalyst injects the dim's
+    * surviving keys as a RUNTIME partition filter on the fact scan
+    * (DynamicPruningExpression), so only the matching partition
+    * directories are read — SNK2+ proved STATIC pruning from a literal
+    * predicate; this is the join-driven form (no literal anywhere: the
+    * pruning values exist only in dim rows). `DppSpec` plan-asserts the
+    * dynamic filter and that exactly 2 of 5 directories were read. */
+  def j16DppJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = ioDir(dir, "j16dpp")
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    // the dim carries a SELECTIVE FILTER (weight >= 2 keeps 2 of 5
+    // rows) — DPP's planning rule requires one on the build side, and
+    // the dim must be a REAL source (a filtered LocalRelation constant-
+    // folds away, leaving no Filter node for the rule to see)
+    val dimPath = ioDir(dir, "j16dim")
+    Seq(("click", 1L), ("view", 1L), ("signup", 1L), ("purchase", 5L),
+        ("error", 2L))
+      .toDF("event_type", "weight")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath).filter(col("weight") >= 2L)
+    s.read.parquet(out)
+      .join(broadcast(dim), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("cents") * col("weight")).as("weighted_cents"))
+  }
+
   /** W11: RUNNING DISTINCT count — cumulative distinct event types per
     * user over time. No engine supports count(DISTINCT) OVER a running
     * frame (it would need per-row set state); the scalable
@@ -1829,7 +1862,8 @@ object RelQueries {
     "q16_supplier_cnt" -> q16SupplierCnt,
     "w11_running_distinct" -> w11RunningDistinct,
     "src6_schema_evolution" -> src6SchemaEvolution,
-    "j15_epsilon_join" -> j15EpsilonJoin
+    "j15_epsilon_join" -> j15EpsilonJoin,
+    "j16_dpp_join" -> j16DppJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -2376,6 +2410,15 @@ object RelQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS n_distinct_types
         |FROM flagged""".stripMargin,
+    // the dim rows replayed as a CASE over the two surviving types
+    "j16_dpp_join" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT) *
+        |           CASE event_type WHEN 'purchase' THEN 5 ELSE 2 END)
+        |       AS BIGINT) AS weighted_cents
+        |FROM events
+        |WHERE event_type IN ('purchase', 'error')
+        |GROUP BY 1""".stripMargin,
     // bucket-free inequality-join formulation of the band join
     "j15_epsilon_join" ->
       """WITH p AS (

@@ -187,7 +187,9 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "j15_epsilon_join" -> 0,
     // closure rounds hide behind dedupClusters' checkpoints; the one
     // visible exchange is the per-family keep-best aggregate
-    "d25_dedup_keepbest" -> 1)
+    "d25_dedup_keepbest" -> 1,
+    // broadcast join + DPP leave one exchange: the event_type aggregate
+    "j16_dpp_join" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
