@@ -126,6 +126,34 @@ object LlmQueries {
         col("doc_id"), col("text")),
       col("a_id"), col("b_id"))
 
+  /** PIPE6: the SemDeDup corpus-prep capstone — the published pipeline
+    * shape end to end: semantic dedup over embeddings (D23's trained
+    * k-means cells), drop the flagged docs from the document corpus,
+    * token-count quality floor, then pack the survivors into context
+    * windows per source (D8's manifest). Twins are planted BELOW the id
+    * space (vec_id − 10⁶), so the planted twin is the keeper and the
+    * REAL doc drops — every 20th document genuinely leaves the corpus,
+    * making the dedup step provably load-bearing (the rag-index
+    * capstone's zero-chunk argument, semantic edition). */
+  def pipeSemdedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val planted = e.unionByName(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") - 1000000L).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + 0.05),
+               expr("slice(v, 2, size(v) - 1)")).as("v")))
+    val dropped = Similarity.semDedup(planted, col("vec_id"), col("v"),
+        k = 8, threshold = 0.95)
+      .filter(col("vec_id") >= 0) // only real docs can drop
+      .select(col("vec_id").as("doc_id"))
+    val kept = docs(s, dir)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .filter(col("n_tok") >= 5)
+    Packing.packByCount(kept, col("doc_id"), col("n_tok"), col("source"),
+      ctx = 1024)
+  }
+
   /** D25: KEEP-BEST dedup — the near-dup family closure with a QUALITY
     * representative rule: each family keeps its longest member (ties to
     * the lowest id), not the lowest id — the production rule when
@@ -782,7 +810,8 @@ object LlmQueries {
     "pipe_rag_index" -> pipeRagIndex,
     "pipe_pretrain_corpus" -> pipePretrainCorpus,
     "pipe_tokenized_pack" -> pipeTokenizedPack,
-    "pipe_crawl_frontier" -> pipeCrawlFrontier
+    "pipe_crawl_frontier" -> pipeCrawlFrontier,
+    "pipe_semdedup_corpus" -> pipeSemdedupCorpus
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1015,6 +1044,86 @@ object LlmQueries {
        |  SELECT src, dst FROM edges
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+
+  /** Shared SemDeDup replay CTEs (corp → two-Lloyd → third assignment
+    * → within-cluster pairs → sims at the 0.95 threshold). `shift` is
+    * the planted-twin id arithmetic: "+ 1000000" plants twins ABOVE the
+    * corpus (originals keep — the d23 gate), "- 1000000" plants them
+    * BELOW (the planted twin keeps, the REAL doc drops — the capstone's
+    * load-bearing form). */
+  private def semDedupCtes(shift: String): String =
+    cosPairSql(
+      s"""WITH corp AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id $shift,
+         |    [CAST(embedding[1] AS DOUBLE) + 0.05] ||
+         |      list_transform(embedding[2:], x -> CAST(x AS DOUBLE)),
+         |    [CAST(round((CAST(embedding[1] AS DOUBLE) + 0.05) * 1048576)
+         |          AS BIGINT)] ||
+         |      list_transform(embedding[2:],
+         |        x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |seeds0 AS (
+         |  SELECT vec_id AS cid, qv AS cv FROM corp ORDER BY vec_id LIMIT 8),
+         |d1 AS (
+         |  SELECT t.vec_id, s.cid,
+         |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
+         |  FROM corp t, seeds0 s,
+         |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+         |  GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |c1 AS (
+         |  SELECT a1.cid, i.x AS pos, sum(t.qv[i.x]) // count(*) AS cc
+         |  FROM a1 JOIN corp t USING (vec_id),
+         |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+         |  GROUP BY 1, 2),
+         |seeds1 AS (SELECT cid, list(cc ORDER BY pos) AS cv FROM c1 GROUP BY 1),
+         |d2 AS (
+         |  SELECT t.vec_id, s.cid,
+         |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
+         |  FROM corp t, seeds1 s,
+         |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+         |  GROUP BY 1, 2),
+         |a2 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |c2 AS (
+         |  SELECT a2.cid, i.x AS pos, sum(t.qv[i.x]) // count(*) AS cc
+         |  FROM a2 JOIN corp t USING (vec_id),
+         |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+         |  GROUP BY 1, 2),
+         |cents AS (SELECT cid, list(cc ORDER BY pos) AS cv FROM c2 GROUP BY 1),
+         |d3 AS (
+         |  SELECT t.vec_id, s.cid,
+         |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
+         |  FROM corp t, cents s,
+         |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
+         |  GROUP BY 1, 2),
+         |a3 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d3) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, ta.v AS va, b.vec_id AS b_id, tb.v AS vb
+         |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN corp ta ON ta.vec_id = a.vec_id
+         |  JOIN corp tb ON tb.vec_id = b.vec_id)""".stripMargin) +
+    """,
+      |sims AS (
+      |  SELECT a_id, b_id, round(dot / (na * nb), 6) AS cs
+      |  FROM dots WHERE round(dot / (na * nb), 6) >= 0.95)""".stripMargin
 
   /** Cosine of doc pairs `(a_id, va, b_id, vb)` via explicit position sum. */
   private def cosPairSql(pairsCte: String): String =
@@ -1401,84 +1510,35 @@ object LlmQueries {
       """
         |SELECT a_id, b_id, round(dot / (na * nb), 6) AS cos_sim
         |FROM dots WHERE round(dot / (na * nb), 6) >= 0.95""".stripMargin),
+    // the capstone: sims with twins planted BELOW (real docs drop),
+    // anti-join into documents, token floor, d8's pack-window replay
+    "pipe_semdedup_corpus" -> (
+      semDedupCtes("- 1000000") +
+      """,
+        |dropped AS (SELECT DISTINCT b_id AS doc_id FROM sims WHERE b_id >= 0),
+        |kept AS (
+        |  SELECT d.source, d.doc_id,
+        |    len(string_split(d.text, ' ')) AS n_tok
+        |  FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+        |  WHERE x.doc_id IS NULL
+        |    AND len(string_split(d.text, ' ')) >= 5),
+        |cums AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM kept)
+        |SELECT source, doc_id, CAST(n_tok AS INT) AS n_tokens,
+        |  CAST(floor((cum - n_tok) / 1024.0) AS INT) AS pack_id,
+        |  CAST((cum - n_tok) % 1024 AS INT) AS pos
+        |FROM cums""".stripMargin),
     // SemDeDup replay: the planted corpus quantized to the grid, the
     // d3_ivf_trained two-Lloyd CTEs (seeds = 8 lowest ids, no holdout),
     // a THIRD assignment against the final INTEGER codebook (no double
     // conversion — the compare stays pure BIGINT), then within-cluster
     // cosine pairs and the greedy-by-id drop rule
     "d23_semdedup" -> (
-      cosPairSql(
-        """WITH corp AS (
-          |  SELECT vec_id,
-          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-          |    list_transform(embedding,
-          |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
-          |  FROM embeddings
-          |  UNION ALL
-          |  SELECT vec_id + 1000000,
-          |    [CAST(embedding[1] AS DOUBLE) + 0.05] ||
-          |      list_transform(embedding[2:], x -> CAST(x AS DOUBLE)),
-          |    [CAST(round((CAST(embedding[1] AS DOUBLE) + 0.05) * 1048576)
-          |          AS BIGINT)] ||
-          |      list_transform(embedding[2:],
-          |        x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
-          |  FROM embeddings WHERE vec_id % 20 = 0),
-          |seeds0 AS (
-          |  SELECT vec_id AS cid, qv AS cv FROM corp ORDER BY vec_id LIMIT 8),
-          |d1 AS (
-          |  SELECT t.vec_id, s.cid,
-          |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
-          |  FROM corp t, seeds0 s,
-          |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
-          |  GROUP BY 1, 2),
-          |a1 AS (
-          |  SELECT vec_id, cid FROM (
-          |    SELECT vec_id, cid,
-          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-          |    FROM d1) WHERE rn = 1),
-          |c1 AS (
-          |  SELECT a1.cid, i.x AS pos, sum(t.qv[i.x]) // count(*) AS cc
-          |  FROM a1 JOIN corp t USING (vec_id),
-          |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
-          |  GROUP BY 1, 2),
-          |seeds1 AS (SELECT cid, list(cc ORDER BY pos) AS cv FROM c1 GROUP BY 1),
-          |d2 AS (
-          |  SELECT t.vec_id, s.cid,
-          |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
-          |  FROM corp t, seeds1 s,
-          |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
-          |  GROUP BY 1, 2),
-          |a2 AS (
-          |  SELECT vec_id, cid FROM (
-          |    SELECT vec_id, cid,
-          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-          |    FROM d2) WHERE rn = 1),
-          |c2 AS (
-          |  SELECT a2.cid, i.x AS pos, sum(t.qv[i.x]) // count(*) AS cc
-          |  FROM a2 JOIN corp t USING (vec_id),
-          |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
-          |  GROUP BY 1, 2),
-          |cents AS (SELECT cid, list(cc ORDER BY pos) AS cv FROM c2 GROUP BY 1),
-          |d3 AS (
-          |  SELECT t.vec_id, s.cid,
-          |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
-          |  FROM corp t, cents s,
-          |       LATERAL (SELECT unnest(range(1, len(t.qv) + 1)) AS x) i
-          |  GROUP BY 1, 2),
-          |a3 AS (
-          |  SELECT vec_id, cid FROM (
-          |    SELECT vec_id, cid,
-          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-          |    FROM d3) WHERE rn = 1),
-          |pairs AS (
-          |  SELECT a.vec_id AS a_id, ta.v AS va, b.vec_id AS b_id, tb.v AS vb
-          |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-          |  JOIN corp ta ON ta.vec_id = a.vec_id
-          |  JOIN corp tb ON tb.vec_id = b.vec_id)""".stripMargin) +
-      """,
-        |sims AS (
-        |  SELECT a_id, b_id, round(dot / (na * nb), 6) AS cs
-        |  FROM dots WHERE round(dot / (na * nb), 6) >= 0.95)
+      semDedupCtes("+ 1000000") +
+      """
         |SELECT s.b_id AS vec_id, max(a.cid) AS cid, min(s.a_id) AS kept_id,
         |  min_by(s.cs, s.a_id) AS cos_sim
         |FROM sims s JOIN a3 a ON a.vec_id = s.b_id

@@ -189,7 +189,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // visible exchange is the per-family keep-best aggregate
     "d25_dedup_keepbest" -> 1,
     // broadcast join + DPP leave one exchange: the event_type aggregate
-    "j16_dpp_join" -> 1)
+    "j16_dpp_join" -> 1,
+    // semdedup hides behind its members checkpoint; visible: pair join +
+    // drop agg + the doc anti-join + the per-source pack window
+    "pipe_semdedup_corpus" -> 5)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
