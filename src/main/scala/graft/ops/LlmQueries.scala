@@ -126,6 +126,32 @@ object LlmQueries {
         col("doc_id"), col("text")),
       col("a_id"), col("b_id"))
 
+  /** D26: TEMPERATURE-sampled multilingual mix (the XLM-R recipe class:
+    * sample language l with probability ∝ n_l^α so high-resource
+    * languages are down-weighted) at α = 0.5 — chosen because sqrt is
+    * IEEE-correctly-rounded and therefore bit-identical in any engine,
+    * where pow(x, 0.7) is not. Per-language keep rate =
+    * min(1, C/sqrt(n_l)) quantized to a 16-bit integer threshold
+    * (floor — exact both engines on a shared double), selection =
+    * deterministic md5(doc_id) prefix under the threshold (the d7
+    * hash-sampling scheme, rates now DATA-DERIVED instead of fixed).
+    * C = 8 makes English (~40% of the corpus) sample at well under
+    * half the rate of the tail languages, and sqrt(64) = 8 exercises
+    * the rate-1 keep-all branch at the gate SF. One broadcast of 5
+    * thresholds against the corpus — no shuffle of document rows. */
+  def d26TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val t16 = d.groupBy("lang")
+      .agg(least(lit(65536L),
+        floor(lit(8.0) * 65536 / sqrt(count(lit(1)))).cast("long"))
+        .as("t16"))
+    d.join(broadcast(t16), "lang")
+      .filter(col("t16") === 65536L ||
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") < col("t16"))
+      .select(col("doc_id"), col("lang"), col("t16"))
+  }
+
   /** PIPE6: the SemDeDup corpus-prep capstone — the published pipeline
     * shape end to end: semantic dedup over embeddings (D23's trained
     * k-means cells), drop the flagged docs from the document corpus,
@@ -811,7 +837,8 @@ object LlmQueries {
     "pipe_pretrain_corpus" -> pipePretrainCorpus,
     "pipe_tokenized_pack" -> pipeTokenizedPack,
     "pipe_crawl_frontier" -> pipeCrawlFrontier,
-    "pipe_semdedup_corpus" -> pipeSemdedupCorpus
+    "pipe_semdedup_corpus" -> pipeSemdedupCorpus,
+    "d26_temperature_mix" -> d26TemperatureMix
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1510,6 +1537,27 @@ object LlmQueries {
       """
         |SELECT a_id, b_id, round(dot / (na * nb), 6) AS cos_sim
         |FROM dots WHERE round(dot / (na * nb), 6) >= 0.95""".stripMargin),
+    // data-derived per-lang thresholds; hex prefix decoded by nibble
+    "d26_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |th AS (
+        |  SELECT lang, least(65536,
+        |    CAST(floor(8.0 * 65536 / sqrt(n_l)) AS BIGINT)) AS t16
+        |  FROM counts),
+        |h AS (
+        |  SELECT d.doc_id, d.lang, t.t16,
+        |    substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS hx
+        |  FROM documents d JOIN th t ON d.lang = t.lang),
+        |v AS (
+        |  SELECT doc_id, lang, t16,
+        |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+        |    (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+        |    (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS hv
+        |  FROM h)
+        |SELECT doc_id, lang, CAST(t16 AS BIGINT) AS t16
+        |FROM v WHERE t16 = 65536 OR hv < t16""".stripMargin,
     // the capstone: sims with twins planted BELOW (real docs drop),
     // anti-join into documents, token floor, d8's pack-window replay
     "pipe_semdedup_corpus" -> (

@@ -192,7 +192,9 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "j16_dpp_join" -> 1,
     // semdedup hides behind its members checkpoint; visible: pair join +
     // drop agg + the doc anti-join + the per-source pack window
-    "pipe_semdedup_corpus" -> 5)
+    "pipe_semdedup_corpus" -> 5,
+    // the 5-threshold aggregate; the doc side joins a broadcast
+    "d26_temperature_mix" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
