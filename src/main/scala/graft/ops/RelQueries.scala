@@ -179,6 +179,30 @@ object RelQueries {
       .select(col("a_id"), col("b_id"), col("a_cents"), col("b_cents"))
   }
 
+  /** F21: COLLATION-aware join (Spark 4 collations): the fact side's
+    * case-mangled names (deterministic upper/lower/as-is by key mod 3 —
+    * the d17 synthesis pattern) equi-join the canonical dim under
+    * UTF8_LCASE, as a real HASH JOIN on the collated key — not a
+    * lower()-wrapped filter: the collation IS the key's equality
+    * semantics, so pushdown/statistics treat it as a plain column. The
+    * emitted name comes from the DIM side (stable case — a collated
+    * group's representative string is engine-unspecified, never gate
+    * it). Oracle replays with lower() equality. */
+  def f21CollationJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer")
+    val mangled = c.select(col("c_custkey"),
+      when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+        .when(col("c_custkey") % 3 === 1, lower(col("c_name")))
+        .otherwise(col("c_name")).as("m"))
+    val dim = c.select(col("c_custkey").as("k"),
+      lower(col("c_name")).as("canon"))
+    mangled.join(dim,
+        collate(col("m"), "UTF8_LCASE") ===
+        collate(col("canon"), "UTF8_LCASE"))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_key"))
+  }
+
   /** J16: DYNAMIC partition pruning — the star-schema join pattern at
     * 100 TB: the fact table is partitioned on the join key, the dim
     * side carries a selective filter, and Catalyst injects the dim's
@@ -1863,7 +1887,8 @@ object RelQueries {
     "w11_running_distinct" -> w11RunningDistinct,
     "src6_schema_evolution" -> src6SchemaEvolution,
     "j15_epsilon_join" -> j15EpsilonJoin,
-    "j16_dpp_join" -> j16DppJoin
+    "j16_dpp_join" -> j16DppJoin,
+    "f21_collation_join" -> f21CollationJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -2410,6 +2435,19 @@ object RelQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS n_distinct_types
         |FROM flagged""".stripMargin,
+    // lower()-equality replay of the collated join
+    "f21_collation_join" ->
+      """WITH m AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+        |         WHEN c_custkey % 3 = 1 THEN lower(c_name)
+        |         ELSE c_name END AS m
+        |  FROM customer),
+        |dim AS (SELECT c_custkey AS k, lower(c_name) AS canon FROM customer)
+        |SELECT canon, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        |FROM m JOIN dim ON lower(m.m) = dim.canon
+        |GROUP BY 1""".stripMargin,
     // the dim rows replayed as a CASE over the two surviving types
     "j16_dpp_join" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -194,7 +194,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // drop agg + the doc anti-join + the per-source pack window
     "pipe_semdedup_corpus" -> 5,
     // the 5-threshold aggregate; the doc side joins a broadcast
-    "d26_temperature_mix" -> 1)
+    "d26_temperature_mix" -> 1,
+    // collated keys hash-join: both sides exchange on the collated key
+    // (AQE keeps SMJ — collation equality can't broadcast-dedupe) +
+    // the canon aggregate
+    "f21_collation_join" -> 3)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
