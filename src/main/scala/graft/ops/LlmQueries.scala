@@ -136,8 +136,9 @@ object LlmQueries {
     * deterministic md5(doc_id) prefix under the threshold (the d7
     * hash-sampling scheme, rates now DATA-DERIVED instead of fixed).
     * C = 8 makes English (~40% of the corpus) sample at well under
-    * half the rate of the tail languages, and sqrt(64) = 8 exercises
-    * the rate-1 keep-all branch at the gate SF. One broadcast of 5
+    * half the rate of the tail languages, and sqrt(64) = 8 drives
+    * French to exactly rate 1 at the gate SF (t16 = 65536 keeps all —
+    * a 4-hex prefix never exceeds 65535, no special case needed). One broadcast of 5
     * thresholds against the corpus — no shuffle of document rows. */
   def d26TemperatureMix(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -145,9 +146,10 @@ object LlmQueries {
       .agg(least(lit(65536L),
         floor(lit(8.0) * 65536 / sqrt(count(lit(1)))).cast("long"))
         .as("t16"))
+    // no keep-all special case needed: a 4-hex-digit prefix is at most
+    // 65535, so `hv < 65536` already keeps every row at rate 1
     d.join(broadcast(t16), "lang")
-      .filter(col("t16") === 65536L ||
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
           .cast("long") < col("t16"))
       .select(col("doc_id"), col("lang"), col("t16"))
   }
@@ -1557,7 +1559,7 @@ object LlmQueries {
         |    (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS hv
         |  FROM h)
         |SELECT doc_id, lang, CAST(t16 AS BIGINT) AS t16
-        |FROM v WHERE t16 = 65536 OR hv < t16""".stripMargin,
+        |FROM v WHERE hv < t16""".stripMargin,
     // the capstone: sims with twins planted BELOW (real docs drop),
     // anti-join into documents, token floor, d8's pack-window replay
     "pipe_semdedup_corpus" -> (

@@ -182,12 +182,14 @@ object RelQueries {
   /** F21: COLLATION-aware join (Spark 4 collations): the fact side's
     * case-mangled names (deterministic upper/lower/as-is by key mod 3 —
     * the d17 synthesis pattern) equi-join the canonical dim under
-    * UTF8_LCASE, as a real HASH JOIN on the collated key — not a
-    * lower()-wrapped filter: the collation IS the key's equality
-    * semantics, so pushdown/statistics treat it as a plain column. The
-    * emitted name comes from the DIM side (stable case — a collated
-    * group's representative string is engine-unspecified, never gate
-    * it). Oracle replays with lower() equality. */
+    * UTF8_LCASE — the collation IS the key's equality semantics, not a
+    * lower() wrapper around the column. Spark REFUSES hash-based joins
+    * on keys without binary equality (it warns and plans a sort-merge
+    * join instead — collation-aware comparisons need the sort path), so
+    * this is deliberately gated as the SMJ it really is. The emitted
+    * name comes from the DIM side (stable case — a collated group's
+    * representative string is engine-unspecified, never gate it).
+    * Oracle replays with lower() equality. */
   def f21CollationJoin(s: SparkSession, dir: String): DataFrame = {
     val c = table(s, dir, "customer")
     val mangled = c.select(col("c_custkey"),

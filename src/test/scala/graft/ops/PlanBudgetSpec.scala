@@ -195,9 +195,8 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "pipe_semdedup_corpus" -> 5,
     // the 5-threshold aggregate; the doc side joins a broadcast
     "d26_temperature_mix" -> 1,
-    // collated keys hash-join: both sides exchange on the collated key
-    // (AQE keeps SMJ — collation equality can't broadcast-dedupe) +
-    // the canon aggregate
+    // Spark refuses hash joins on collated (non-binary-equality) keys:
+    // a sort-merge join exchanges both sides + the canon aggregate
     "f21_collation_join" -> 3)
 
   budgets.foreach { case (name, budget) =>
