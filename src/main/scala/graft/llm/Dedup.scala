@@ -443,4 +443,72 @@ object Dedup {
       "near-dup) edge set; raise maxIter or pre-partition the graph")
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
+
+  /** POSITIONAL word `n`-grams of a text column — [[shingleArray]]'s
+    * order-preserving sibling (no array_distinct: span detection needs
+    * every position, and the array index IS the word position). Same
+    * single-element-transform let-binding so split() runs once per row. */
+  def gramArray(text: Column, n: Int): Column =
+    flatten(transform(array(split(text, " ")), w =>
+      when(size(w) >= n,
+        transform(
+          sequence(lit(1), size(w) - (n - 1)), i =>
+            concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(lit(Array.empty[String]))))
+
+  /** D27: duplicate-SPAN detection — substring-level exact dedup (the
+    * published training-data method: Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499,
+    * which removes repeated ≥50-token substrings the document-level
+    * passes D1/D2 cannot see). Their suffix array over the concatenated
+    * corpus is a single-machine structure; the Spark-native equivalent
+    * is a positional k-gram inverted index: a k-gram occurring in ≥2
+    * DISTINCT documents marks its position duplicated, and maximal runs
+    * of duplicated positions are exactly the shared substrings of
+    * length ≥ k words (a shared m-word span duplicates its m-k+1
+    * consecutive k-gram positions).
+    *
+    * Returns (doc_id, n_pos, dup_pos, n_spans) per affected document —
+    * the span census a removal pass consumes (D9's decontaminate is the
+    * cut-on-contact special case of this with a fixed benchmark side).
+    *
+    * Scale shape: positional k-grams are a per-row flatMap (no
+    * exchange); the index is ONE groupBy on an (xxhash64, md5) key pair
+    * (D1's two-family-collision argument — the shuffle carries ~24 B
+    * per gram, never gram text); duplicated keys — a tiny fraction of
+    * any real corpus — join back candidate-sized (AQE broadcasts the
+    * dup side when small). Run-grouping is the pos − row_number()
+    * identity: O(1) state per row, and the window plus the per-doc
+    * aggregate both ride ONE explicit doc_id exchange (hash(doc_id)
+    * clusters (doc_id, dup) too — the w11 lesson). Grams feed two plan
+    * legs and are deliberately re-derived, not cached: they are ~k× the
+    * corpus size, and recompute beats materializing at 100 TB (the
+    * d2_minhash_lsh policy). */
+  def duplicateSpans(docs: DataFrame, id: Column, text: Column,
+                     k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(id.as("doc_id"), posexplode(gramArray(text, k)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+              xxhash64(col("g")).as("h"), md5(col("g")).as("fp"))
+    // "≥2 distinct docs" is min(doc_id) ≠ max(doc_id) — a plain
+    // single-exchange aggregate where countDistinct would plan a
+    // second, wider distinct-expand exchange
+    val dup = grams.groupBy("h", "fp")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select(col("h"), col("fp"), lit(1).as("isdup"))
+    // rows with isdup NULL form their own window partition; their
+    // row_number is never read (grp stays NULL, countDistinct skips it)
+    val byRun = Window.partitionBy("doc_id", "isdup").orderBy("pos")
+    grams.join(dup, Seq("h", "fp"), "left")
+      .repartition(col("doc_id"))
+      .withColumn("grp",
+        when(col("isdup").isNotNull, col("pos") - row_number().over(byRun)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+           count(col("isdup")).as("dup_pos"),
+           countDistinct(col("grp")).as("n_spans"))
+      .filter(col("dup_pos") > 0)
+  }
 }

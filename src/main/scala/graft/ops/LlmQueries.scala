@@ -140,6 +140,27 @@ object LlmQueries {
     * French to exactly rate 1 at the gate SF (t16 = 65536 keeps all —
     * a 4-hex prefix never exceeds 65535, no special case needed). One broadcast of 5
     * thresholds against the corpus — no shuffle of document rows. */
+  /** D27: duplicate-span census ([[Dedup.duplicateSpans]], word-8-gram
+    * inverted index). Every 11th document re-enters the corpus with a
+    * 10-word sentinel phrase appended (ids +4000000): the copy contains
+    * the ENTIRE original, so the original's every position reads
+    * duplicated (span dedup subsumes exact dedup — 1 span covering the
+    * doc), while the copy shows TWO spans — the copied prefix and the
+    * phrase interior (shared across all planted copies) — separated by
+    * the boundary grams that mix each doc's unique tail into the
+    * phrase and therefore occur once. The run-grouping logic is
+    * load-bearing, not decorative. Natural cross-doc 8-gram repeats in
+    * the word-salad fixture surface identically in both engines. */
+  def d27SubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"),
+          lit(" spn0 spn1 spn2 spn3 spn4 spn5 spn6 spn7 spn8 spn9"))
+          .as("text")))
+    Dedup.duplicateSpans(corpus, col("doc_id"), col("text"), k = 8)
+  }
+
   def d26TemperatureMix(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val t16 = d.groupBy("lang")
@@ -840,7 +861,8 @@ object LlmQueries {
     "pipe_tokenized_pack" -> pipeTokenizedPack,
     "pipe_crawl_frontier" -> pipeCrawlFrontier,
     "pipe_semdedup_corpus" -> pipeSemdedupCorpus,
-    "d26_temperature_mix" -> d26TemperatureMix
+    "d26_temperature_mix" -> d26TemperatureMix,
+    "d27_substring_dedup" -> d27SubstringDedup
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1560,6 +1582,39 @@ object LlmQueries {
         |  FROM h)
         |SELECT doc_id, lang, CAST(t16 AS BIGINT) AS t16
         |FROM v WHERE hv < t16""".stripMargin,
+    // gram-string inverted index + the same pos - row_number() run
+    // grouping (Spark groups by the (xxhash64, md5) pair of the gram —
+    // the D1 hash-vs-string count-equality policy)
+    "d27_substring_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |    text || ' spn0 spn1 spn2 spn3 spn4 spn5 spn6 spn7 spn8 spn9'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+        |g AS (
+        |  SELECT doc_id, i.x AS pos,
+        |    ws[i.x] || ' ' || ws[i.x+1] || ' ' || ws[i.x+2] || ' ' ||
+        |    ws[i.x+3] || ' ' || ws[i.x+4] || ' ' || ws[i.x+5] || ' ' ||
+        |    ws[i.x+6] || ' ' || ws[i.x+7] AS gram
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS x) i
+        |  WHERE len(ws) >= 8),
+        |d AS (SELECT gram FROM g GROUP BY gram
+        |      HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT g.doc_id, g.pos, d.gram AS dg
+        |      FROM g LEFT JOIN d ON g.gram = d.gram),
+        |r AS (SELECT doc_id, pos, dg,
+        |        CASE WHEN dg IS NOT NULL THEN
+        |          pos - row_number() OVER (
+        |            PARTITION BY doc_id, dg IS NOT NULL ORDER BY pos)
+        |        END AS grp
+        |      FROM m)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_pos,
+        |  CAST(count(dg) AS BIGINT) AS dup_pos,
+        |  CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
+        |FROM r GROUP BY doc_id HAVING count(dg) > 0""".stripMargin,
     // the capstone: sims with twins planted BELOW (real docs drop),
     // anti-join into documents, token floor, d8's pack-window replay
     "pipe_semdedup_corpus" -> (

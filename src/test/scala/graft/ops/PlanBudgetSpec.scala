@@ -197,7 +197,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d26_temperature_mix" -> 1,
     // Spark refuses hash joins on collated (non-binary-equality) keys:
     // a sort-merge join exchanges both sides + the canon aggregate
-    "f21_collation_join" -> 3)
+    "f21_collation_join" -> 3,
+    // gram index agg + the one doc_id exchange both window and final
+    // agg ride; AQE broadcasts the duplicated-key side of the mark join
+    "d27_substring_dedup" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
