@@ -148,6 +148,48 @@ object TextAnalysis {
         coalesce(col("surprise"), lit(0L)).cast("long").as("surprise"))
   }
 
+  /** D28: hashed-feature LINEAR classifier inference — the fastText-
+    * style quality gate production pipelines run over every document
+    * (CCNet / LLaMA-class data prep): tokens hash into a FIXED feature
+    * space (the hashing trick — vocabulary-free, so the model is a
+    * dense weight vector, not an unbounded dictionary), the doc score
+    * is the sum of its tokens' bucket weights, and the keep decision is
+    * a threshold on the score. Weights arrive as a TABLE (the model
+    * artifact a trainer exports) of (bucket, wt) rows over
+    * `nBuckets` buckets; integer weights keep the score exact in any
+    * engine.
+    *
+    * Plan shape — the model-inference pattern at 100 TB: the weight
+    * table collapses into ONE array row (position = bucket, via
+    * sort_array(collect_list(struct))) and broadcasts; each document
+    * folds its token array against element_at inside codegen. The
+    * corpus is never exploded and never shuffled — zero exchanges on
+    * the fact side, one tiny aggregate on the model side. The bucket
+    * hash is an md5 prefix (the d7/d26 cross-engine-hash policy;
+    * xxhash64 would be faster but has no DuckDB twin to gate against).
+    *
+    * Emits (doc_id, n_tok, score, keep) per document. */
+  def hashedLinearScore(docs: DataFrame, id: Column, text: Column,
+                        weights: DataFrame, nBuckets: Int): DataFrame = {
+    // a d-hex-digit prefix enumerates exactly 16^d buckets — powers of
+    // 16 make the prefix itself the bucket id, no modulo on either side
+    require(Integer.bitCount(nBuckets) == 1 &&
+        Integer.numberOfTrailingZeros(nBuckets) % 4 == 0 && nBuckets <= 65536,
+      s"nBuckets must be a power of 16 (16/256/4096/65536), got $nBuckets")
+    val hexDigits = Integer.numberOfTrailingZeros(nBuckets) / 4
+    val packed = weights.agg(
+      transform(sort_array(collect_list(struct(col("bucket"), col("wt")))),
+        x => x("wt")).as("wts"))
+    docs.select(id.as("doc_id"), split(text, " ").as("toks"))
+      .crossJoin(broadcast(packed))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        aggregate(col("toks"), lit(0L), (acc, t) =>
+          acc + element_at(col("wts"),
+            conv(substring(md5(t), 1, hexDigits), 16, 10).cast("int") + 1))
+          .as("score"))
+      .withColumn("keep", col("score") >= 0)
+  }
+
   /** PII patterns → sentinels, applied in order (email first, so an
     * address's dotted domain is consumed before the IPv4 pattern runs).
     * Deliberately restricted to the RE2-compatible regex subset (no

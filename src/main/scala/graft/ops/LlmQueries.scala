@@ -161,6 +161,20 @@ object LlmQueries {
     Dedup.duplicateSpans(corpus, col("doc_id"), col("text"), k = 8)
   }
 
+  /** D28: hashed-feature linear classifier over every document
+    * ([[TextAnalysis.hashedLinearScore]], 256 buckets). The weight
+    * table is generated arithmetically ((b·37) mod 101 − 50 — integer,
+    * full [-50,50] coverage, SQL-replayable) where a trained fastText
+    * export would land; the operator under test is the INFERENCE:
+    * model-as-table → one broadcast array row → per-doc codegen fold,
+    * corpus never exploded, never shuffled. */
+  def d28QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val weights = s.range(256).select(col("id").cast("int").as("bucket"),
+      ((col("id") * 37) % 101 - 50).as("wt"))
+    TextAnalysis.hashedLinearScore(docs(s, dir), col("doc_id"), col("text"),
+      weights, nBuckets = 256)
+  }
+
   def d26TemperatureMix(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val t16 = d.groupBy("lang")
@@ -862,7 +876,8 @@ object LlmQueries {
     "pipe_crawl_frontier" -> pipeCrawlFrontier,
     "pipe_semdedup_corpus" -> pipeSemdedupCorpus,
     "d26_temperature_mix" -> d26TemperatureMix,
-    "d27_substring_dedup" -> d27SubstringDedup
+    "d27_substring_dedup" -> d27SubstringDedup,
+    "d28_quality_classifier" -> d28QualityClassifier
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1615,6 +1630,25 @@ object LlmQueries {
         |  CAST(count(dg) AS BIGINT) AS dup_pos,
         |  CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
         |FROM r GROUP BY doc_id HAVING count(dg) > 0""".stripMargin,
+    // explode-join replay of the packed-array fold: same md5-prefix
+    // bucket (nibble-decoded), same arithmetic weight table
+    "d28_quality_classifier" ->
+      """WITH w AS (
+        |  SELECT b, (b * 37) % 101 - 50 AS wt
+        |  FROM (SELECT unnest(range(0, 256)) AS b)),
+        |t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b
+        |  FROM t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(w.wt) AS BIGINT) AS score,
+        |  (sum(w.wt) >= 0) AS keep
+        |FROM tb JOIN w USING (b)
+        |GROUP BY doc_id""".stripMargin,
     // the capstone: sims with twins planted BELOW (real docs drop),
     // anti-join into documents, token floor, d8's pack-window replay
     "pipe_semdedup_corpus" -> (

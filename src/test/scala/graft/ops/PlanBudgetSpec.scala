@@ -200,7 +200,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "f21_collation_join" -> 3,
     // gram index agg + the one doc_id exchange both window and final
     // agg ride; AQE broadcasts the duplicated-key side of the mark join
-    "d27_substring_dedup" -> 2)
+    "d27_substring_dedup" -> 2,
+    // the single exchange is the 256-row weight-pack aggregate (model
+    // side); the document side is a pure codegen fold — no corpus
+    // explode, no corpus shuffle
+    "d28_quality_classifier" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
