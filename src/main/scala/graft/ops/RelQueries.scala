@@ -1127,6 +1127,40 @@ object RelQueries {
           .reduce(_ && _).cast("int").as("within_tol"): _*)
   }
 
+  /** A20: exact WEIGHTED percentiles per group — the price below which
+    * a quarter / half / three quarters of the shipped VOLUME trades
+    * (weight = quantity), not a quarter of the rows: the
+    * volume-weighted sibling of A14 no engine offers as a built-in
+    * (there is no weighted quantile_disc). Scalable decomposition: one
+    * ordered running-weight window + threshold picks — weighted
+    * percentile_disc(p) = min value whose running weight crosses p·W,
+    * with the crossings tested as BIGINT cross-multiplies
+    * (4·cumw ≥ W, 2·cumw ≥ W, 4·cumw ≥ 3·W — the q11 threshold policy,
+    * no double division anywhere). A rows-frame running sum is
+    * order-dependent WITHIN a tie run, but the pick is not: a run
+    * crosses iff its LAST row does (intra-run sums only grow), and
+    * min() then returns the run's value whichever row crossed — so the
+    * result is deterministic under ties with no tie-break key needed.
+    * The group-by rides the windows' l_returnflag exchange (the a14
+    * one-shuffle shape); everything stays integer cents × integral
+    * quantities. */
+  def a20WeightedPercentile(s: SparkSession, dir: String): DataFrame = {
+    val run = Window.partitionBy("l_returnflag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("l_returnflag")
+    table(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity")).cast("long").as("wq"))
+      .withColumn("cumw", sum(col("wq")).over(run))
+      .withColumn("totw", sum(col("wq")).over(all))
+      .groupBy("l_returnflag")
+      .agg(min(when(col("cumw") * 4 >= col("totw"), col("cents"))).as("wp25"),
+           min(when(col("cumw") * 2 >= col("totw"), col("cents"))).as("wp50"),
+           min(when(col("cumw") * 4 >= col("totw") * 3, col("cents"))).as("wp75"),
+           sum(col("wq")).as("total_weight"))
+  }
+
   /** O1: global multi-key sort of the FACT table with a full tie-break
     * (the (orderkey, linenumber) PK closes the order) — the named form
     * of the capability that previously rode a 15-row catalog sort. The
@@ -1822,6 +1856,7 @@ object RelQueries {
     "a4_approx_distinct" -> a4ApproxDistinct,
     "a11_approx_percentile" -> a11ApproxPercentile,
     "a14_exact_percentile" -> a14ExactPercentile,
+    "a20_weighted_percentile" -> a20WeightedPercentile,
     "a5_rollup" -> a5Rollup,
     "a6_collect" -> a6Collect,
     "a8_argmax" -> a8ArgMax,
@@ -2086,6 +2121,26 @@ object RelQueries {
         |  quantile_disc(l_quantity, 0.95) AS p95,
         |  count(*) AS n, 1 AS within_tol
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // DuckDB has no weighted quantile either — same running-weight
+    // decomposition, same BIGINT cross-multiplied thresholds
+    "a20_weighted_percentile" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(round(l_quantity) AS BIGINT) AS wq
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, cents, wq,
+        |    sum(wq) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(wq) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM li)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cumw * 4 >= totw THEN cents END) AS wp25,
+        |  min(CASE WHEN cumw * 2 >= totw THEN cents END) AS wp50,
+        |  min(CASE WHEN cumw * 4 >= totw * 3 THEN cents END) AS wp75,
+        |  CAST(sum(wq) AS BIGINT) AS total_weight
+        |FROM r GROUP BY 1""".stripMargin,
     "a5_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -204,7 +204,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the single exchange is the 256-row weight-pack aggregate (model
     // side); the document side is a pure codegen fold — no corpus
     // explode, no corpus shuffle
-    "d28_quality_classifier" -> 1)
+    "d28_quality_classifier" -> 1,
+    // both windows and the group-by ride one l_returnflag exchange
+    // (the a14 one-shuffle shape, weighted)
+    "a20_weighted_percentile" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
