@@ -1016,6 +1016,38 @@ object RelQueries {
     groups.unionByName(unioned)
   }
 
+  /** A21: EXACT mergeable distinct-count via bitmap aggregates (Spark 4
+    * bitmap_construct_agg / bitmap_or_agg) — a18's HLL rollup with the
+    * error bar removed: ids bucket into fixed 32k-bit bitmap segments
+    * (bitmap_bucket_number / bitmap_bit_position), each (group, bucket)
+    * aggregates to ONE bitmap, and any coarser rollup — here the global
+    * count — ORs bitmaps without re-touching a single row: the
+    * ClickHouse/Druid pre-aggregated-bitmap pattern, and the reason a
+    * 100 TB daily-distinct dashboard needs one fact scan ever. State is
+    * O(id-range/8) bytes per group split across buckets, shuffled as
+    * compact binary — never the row stream. The per-bucket table feeds
+    * both rollup legs and is localCheckpointed: it is bounded by
+    * groups × buckets, the convergence-count class (a 1.5k-id fixture
+    * fits one bucket; the bucketing IS the 100 TB id-space story).
+    * Oracle: plain count(DISTINCT) per group ∪ global — an independent
+    * formulation, so the gate cross-validates the whole bitmap algebra. */
+  def a21BitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val perBucket = table(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+        expr("bitmap_bit_position(o_custkey)").as("pos"))
+      .groupBy("prio", "bkt")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .localCheckpoint()
+    val perGroup = perBucket.groupBy("prio")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+    val global = perBucket.groupBy("bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("obm"))
+      .agg(sum(expr("bitmap_count(obm)")).as("n_distinct"))
+      .select(lit("<all>").as("prio"), col("n_distinct"))
+    perGroup.unionByName(global)
+  }
+
   /** A19: INCREMENTAL materialized-view maintenance ([[graft.catalog.Mv]])
     * — the view is built from history, persisted, then refreshed with a
     * disjoint batch by folding the batch's own partial aggregate in;
@@ -1873,6 +1905,7 @@ object RelQueries {
     "a16_conditional_agg" -> a16ConditionalAgg,
     "a18_sketch_rollup" -> a18SketchRollup,
     "a19_incremental_mv" -> a19IncrementalMv,
+    "a21_bitmap_distinct" -> a21BitmapDistinct,
     "a17_grouping_sets" -> a17GroupingSets,
     "o3_union" -> o3Union,
     "o4_setops" -> o4SetOps,
@@ -2087,6 +2120,14 @@ object RelQueries {
         |FROM orders GROUP BY 1
         |UNION ALL
         |SELECT '<all>', count(DISTINCT o_custkey), 1 FROM orders""".stripMargin,
+    // independent formulation: plain COUNT(DISTINCT) cross-validates
+    // the whole bitmap bucket/construct/or/count algebra
+    "a21_bitmap_distinct" ->
+      """SELECT o_orderpriority AS prio,
+        |  count(DISTINCT o_custkey) AS n_distinct
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT '<all>', count(DISTINCT o_custkey) FROM orders""".stripMargin,
     // the oracle full-scans — the gate proves incremental == recompute
     "a19_incremental_mv" ->
       """SELECT l_returnflag, l_linestatus,

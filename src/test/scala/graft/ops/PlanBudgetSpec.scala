@@ -207,7 +207,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d28_quality_classifier" -> 1,
     // both windows and the group-by ride one l_returnflag exchange
     // (the a14 one-shuffle shape, weighted)
-    "a20_weighted_percentile" -> 1)
+    "a20_weighted_percentile" -> 1,
+    // the fact-scan bitmap build hides behind its checkpoint; the three
+    // visible exchanges move only groups x buckets bitmap rows (per-prio
+    // rollup, per-bucket OR, global sum) — never the row stream
+    "a21_bitmap_distinct" -> 3)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
