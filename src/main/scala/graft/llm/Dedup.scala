@@ -511,4 +511,51 @@ object Dedup {
            countDistinct(col("grp")).as("n_spans"))
       .filter(col("dup_pos") > 0)
   }
+
+  /** D29: duplicate-span REMOVAL — the rewrite half of Lee et al. 2022
+    * ([[duplicateSpans]] is the census): every duplicated k-gram keeps
+    * its occurrence in the LOWEST doc_id that contains it and is cut
+    * everywhere else, so exactly one copy of each shared substring
+    * survives corpus-wide (their keep-one-occurrence rule with min-id
+    * as the deterministic tie). A cut k-gram at position p covers words
+    * p..p+k−1; a document's rewritten text is its words minus the union
+    * of covered positions — overlapping spans compose by position
+    * union, no interval algebra needed.
+    *
+    * Emits (doc_id, n_words, n_removed, new_text) for affected docs.
+    *
+    * Scale shape: same gram derivation and (xxhash64, md5) index as the
+    * census (grams re-derived per leg, the d2 recompute policy); the
+    * per-gram keeper is the SAME min/max aggregate; covered positions
+    * collapse per doc through one collect_set aggregate (bounded by doc
+    * length — document-sized, never corpus-sized); the rebuild is a
+    * per-row codegen filter over a position sequence (1-based, the
+    * exact list the oracle's comprehension walks) — the corpus text
+    * crosses one join, zero explodes. */
+  def removeDuplicateSpans(docs: DataFrame, id: Column, text: Column,
+                           k: Int = 8): DataFrame = {
+    val grams = docs
+      .select(id.as("doc_id"), posexplode(gramArray(text, k)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+              xxhash64(col("g")).as("h"), md5(col("g")).as("fp"))
+    val keepers = grams.groupBy("h", "fp")
+      .agg(min(col("doc_id")).as("keeper"), max(col("doc_id")).as("d1"))
+      .filter(col("keeper") =!= col("d1"))
+      .select("h", "fp", "keeper")
+    val covered = grams.join(keepers, Seq("h", "fp"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("wpos"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("wpos")).as("cov"))
+    docs.select(id.as("doc_id"), split(text, " ").as("ws"))
+      .join(covered, "doc_id")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("cov")).cast("long").as("n_removed"),
+        array_join(transform(
+          filter(sequence(lit(1), size(col("ws"))),
+            p => !array_contains(col("cov"), p)),
+          p => element_at(col("ws"), p)), " ").as("new_text"))
+  }
 }

@@ -161,6 +161,30 @@ object LlmQueries {
     Dedup.duplicateSpans(corpus, col("doc_id"), col("text"), k = 8)
   }
 
+  /** D29: duplicate-span removal ([[Dedup.removeDuplicateSpans]]) over
+    * the same planted corpus as d27 — the rewrite the census motivates.
+    * Originals (lowest ids) keep their text verbatim and never appear
+    * in the output; each planted copy loses its copied prefix AND the
+    * sentinel phrase (its keeper is the lowest planted id — which
+    * uniquely KEEPS the phrase words, making the min-id rule itself
+    * gate-visible), with the boundary words that occur once surviving
+    * the cut. The oracle rebuilds new_text with a DuckDB list
+    * comprehension over the same 1-based position list — string-exact
+    * output, not just counts. Some fixture docs are FULLY covered by
+    * lower-id docs' grams (word-salad text over a small vocabulary)
+    * and legitimately rewrite to '' — DuckDB's array_to_string of the
+    * empty list is NULL where Spark's array_join is '', so the oracle
+    * coalesces. */
+  def d29SpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"),
+          lit(" spn0 spn1 spn2 spn3 spn4 spn5 spn6 spn7 spn8 spn9"))
+          .as("text")))
+    Dedup.removeDuplicateSpans(corpus, col("doc_id"), col("text"), k = 8)
+  }
+
   /** D28: hashed-feature linear classifier over every document
     * ([[TextAnalysis.hashedLinearScore]], 256 buckets). The weight
     * table is generated arithmetically ((b·37) mod 101 − 50 — integer,
@@ -877,7 +901,8 @@ object LlmQueries {
     "pipe_semdedup_corpus" -> pipeSemdedupCorpus,
     "d26_temperature_mix" -> d26TemperatureMix,
     "d27_substring_dedup" -> d27SubstringDedup,
-    "d28_quality_classifier" -> d28QualityClassifier
+    "d28_quality_classifier" -> d28QualityClassifier,
+    "d29_span_removal" -> d29SpanRemoval
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1630,6 +1655,37 @@ object LlmQueries {
         |  CAST(count(dg) AS BIGINT) AS dup_pos,
         |  CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
         |FROM r GROUP BY doc_id HAVING count(dg) > 0""".stripMargin,
+    // same gram index; keeper = min doc_id per duplicated gram; the
+    // rebuild walks the same 1-based position list as a comprehension
+    "d29_span_removal" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |    text || ' spn0 spn1 spn2 spn3 spn4 spn5 spn6 spn7 spn8 spn9'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+        |g AS (
+        |  SELECT doc_id, i.x AS pos,
+        |    ws[i.x] || ' ' || ws[i.x+1] || ' ' || ws[i.x+2] || ' ' ||
+        |    ws[i.x+3] || ' ' || ws[i.x+4] || ' ' || ws[i.x+5] || ' ' ||
+        |    ws[i.x+6] || ' ' || ws[i.x+7] AS gram
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS x) i
+        |  WHERE len(ws) >= 8),
+        |ks AS (SELECT gram, min(doc_id) AS keeper FROM g GROUP BY gram
+        |       HAVING min(doc_id) <> max(doc_id)),
+        |cv AS (SELECT DISTINCT g.doc_id, g.pos + i.x AS wpos
+        |       FROM g JOIN ks ON g.gram = ks.gram
+        |       CROSS JOIN LATERAL (SELECT unnest(range(0, 8)) AS x) i
+        |       WHERE g.doc_id <> ks.keeper),
+        |cl AS (SELECT doc_id, list(wpos) AS cov FROM cv GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(len(w.ws) AS BIGINT) AS n_words,
+        |  CAST(len(cl.cov) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(
+        |    [w.ws[i] FOR i IN range(1, len(w.ws) + 1)
+        |     IF NOT list_contains(cl.cov, i)], ' '), '') AS new_text
+        |FROM w JOIN cl USING (doc_id)""".stripMargin,
     // explode-join replay of the packed-array fold: same md5-prefix
     // bucket (nibble-decoded), same arithmetic weight table
     "d28_quality_classifier" ->

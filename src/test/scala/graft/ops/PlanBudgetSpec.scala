@@ -211,7 +211,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the fact-scan bitmap build hides behind its checkpoint; the three
     // visible exchanges move only groups x buckets bitmap rows (per-prio
     // rollup, per-bucket OR, global sum) — never the row stream
-    "a21_bitmap_distinct" -> 3)
+    "a21_bitmap_distinct" -> 3,
+    // keeper-index agg + the covered-position per-doc set agg; AQE
+    // broadcasts keepers into the mark join and the doc-sized cov
+    // table into the rebuild join
+    "d29_span_removal" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
