@@ -185,6 +185,50 @@ object LlmQueries {
     Dedup.removeDuplicateSpans(corpus, col("doc_id"), col("text"), k = 8)
   }
 
+  /** PIPE7: the CCNet-shaped corpus-prep capstone (Wenzek et al. 2019
+    * class: dedup → fastText-style quality model → language-aware
+    * sampling), composed from this round's operators the way the
+    * published pipeline chains them: (1) duplicate-SPAN removal over
+    * the plain corpus (natural cross-doc spans are real in the
+    * word-salad fixture — ~70 docs rewrite at gate SF, some to empty),
+    * (2) the hashed-feature linear classifier scores the REWRITTEN
+    * text (scoring before dedup would let duplicated boilerplate vote)
+    * + a 5-token floor that also retires the emptied docs, (3) d26's
+    * sqrt-temperature mix with thresholds derived from the SURVIVING
+    * language distribution — rates must follow the corpus the earlier
+    * gates produced, not the raw one, (4) per-source context-window
+    * pack of the rewritten token counts. The rewritten corpus is
+    * localCheckpointed where a production pipeline would materialize
+    * the stage: it feeds both the classifier and the survivor join,
+    * and the span-removal subplan must not run twice. */
+  def pipeCcnetCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val removed = Dedup.removeDuplicateSpans(
+        d.select(col("doc_id"), col("text")), col("doc_id"), col("text"),
+        k = 8)
+      .select(col("doc_id"), col("new_text"))
+    val rewritten = d.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("new_text"), col("text")).as("text"))
+      .localCheckpoint()
+    val weights = s.range(256).select(col("id").cast("int").as("bucket"),
+      ((col("id") * 37) % 101 - 50).as("wt"))
+    val gate = TextAnalysis.hashedLinearScore(rewritten, col("doc_id"),
+        col("text"), weights, nBuckets = 256)
+      .filter(col("keep") && col("n_tok") >= 5)
+      .select(col("doc_id"), col("n_tok"))
+    val kept = rewritten.join(gate, "doc_id")
+    val t16 = kept.groupBy("lang")
+      .agg(least(lit(65536L),
+        floor(lit(8.0) * 65536 / sqrt(count(lit(1)))).cast("long"))
+        .as("t16"))
+    val sampled = kept.join(broadcast(t16), "lang")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") < col("t16"))
+    Packing.packByCount(sampled, col("doc_id"), col("n_tok"), col("source"),
+      ctx = 1024)
+  }
+
   /** D28: hashed-feature linear classifier over every document
     * ([[TextAnalysis.hashedLinearScore]], 256 buckets). The weight
     * table is generated arithmetically ((b·37) mod 101 − 50 — integer,
@@ -902,7 +946,8 @@ object LlmQueries {
     "d26_temperature_mix" -> d26TemperatureMix,
     "d27_substring_dedup" -> d27SubstringDedup,
     "d28_quality_classifier" -> d28QualityClassifier,
-    "d29_span_removal" -> d29SpanRemoval
+    "d29_span_removal" -> d29SpanRemoval,
+    "pipe_ccnet_corpus" -> pipeCcnetCorpus
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1655,6 +1700,73 @@ object LlmQueries {
         |  CAST(count(dg) AS BIGINT) AS dup_pos,
         |  CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
         |FROM r GROUP BY doc_id HAVING count(dg) > 0""".stripMargin,
+    // the four stage replays chained: d29's rebuild (no plants, CASE
+    // keeps unaffected docs' text verbatim — split+rejoin must not be
+    // trusted to round-trip), d28's classifier inlined on the rewritten
+    // text, d26's thresholds over the SURVIVORS, d8's pack windows
+    "pipe_ccnet_corpus" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, i.x AS pos,
+        |    ws[i.x] || ' ' || ws[i.x+1] || ' ' || ws[i.x+2] || ' ' ||
+        |    ws[i.x+3] || ' ' || ws[i.x+4] || ' ' || ws[i.x+5] || ' ' ||
+        |    ws[i.x+6] || ' ' || ws[i.x+7] AS gram
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS x) i
+        |  WHERE len(ws) >= 8),
+        |ks AS (SELECT gram, min(doc_id) AS keeper FROM g GROUP BY gram
+        |       HAVING min(doc_id) <> max(doc_id)),
+        |cv AS (SELECT DISTINCT g.doc_id, g.pos + i.x AS wpos
+        |       FROM g JOIN ks ON g.gram = ks.gram
+        |       CROSS JOIN LATERAL (SELECT unnest(range(0, 8)) AS x) i
+        |       WHERE g.doc_id <> ks.keeper),
+        |cl AS (SELECT doc_id, list(wpos) AS cov FROM cv GROUP BY doc_id),
+        |rw AS (
+        |  SELECT d.doc_id, d.lang, d.source,
+        |    CASE WHEN cl.doc_id IS NULL THEN d.text
+        |         ELSE coalesce(array_to_string(
+        |           [w.ws[i] FOR i IN range(1, len(w.ws) + 1)
+        |            IF NOT list_contains(cl.cov, i)], ' '), '') END AS text
+        |  FROM documents d JOIN w ON d.doc_id = w.doc_id
+        |  LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |tb AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM rw)),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |    sum((b * 37) % 101 - 50) AS score
+        |  FROM tb GROUP BY doc_id),
+        |keptd AS (
+        |  SELECT r.doc_id, r.lang, r.source, s.n_tok
+        |  FROM rw r JOIN sc s USING (doc_id)
+        |  WHERE s.score >= 0 AND s.n_tok >= 5),
+        |th AS (
+        |  SELECT lang, least(65536,
+        |    CAST(floor(8.0 * 65536 / sqrt(count(*))) AS BIGINT)) AS t16
+        |  FROM keptd GROUP BY lang),
+        |samp AS (
+        |  SELECT k.doc_id, k.source, k.n_tok
+        |  FROM keptd k JOIN th t USING (lang)
+        |  WHERE (strpos('0123456789abcdef',
+        |           substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(CAST(k.doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(CAST(k.doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(CAST(k.doc_id AS VARCHAR)), 4, 1)) - 1) < t.t16),
+        |cums AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM samp)
+        |SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CAST(floor((cum - n_tok) / 1024.0) AS INT) AS pack_id,
+        |  CAST((cum - n_tok) % 1024 AS INT) AS pos
+        |FROM cums""".stripMargin,
     // same gram index; keeper = min doc_id per duplicated gram; the
     // rebuild walks the same 1-based position list as a comprehension
     "d29_span_removal" ->

@@ -215,7 +215,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // keeper-index agg + the covered-position per-doc set agg; AQE
     // broadcasts keepers into the mark join and the doc-sized cov
     // table into the rebuild join
-    "d29_span_removal" -> 2)
+    "d29_span_removal" -> 2,
+    // span removal hides behind the stage checkpoint; the visible
+    // exchanges are all doc-grain or smaller: model pack, gate join
+    // sides, threshold agg + broadcast-side prep, and the pack window
+    "pipe_ccnet_corpus" -> 8)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
