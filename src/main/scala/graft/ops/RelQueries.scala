@@ -238,6 +238,38 @@ object RelQueries {
            sum(col("cents") * col("weight")).as("weighted_cents"))
   }
 
+  /** J17: RUNTIME bloom-filter join pruning (Catalyst's
+    * InjectRuntimeFilter) as a declared, oracle-gated query — J16's
+    * sibling for when the fact table is NOT partitioned on the join
+    * key (the common case): the selective dim side aggregates a bloom
+    * filter over its join keys and the fact side filters on
+    * might_contain BEFORE its shuffle, so at 100 TB only
+    * possibly-matching rows pay exchange bytes. The fixture sits far
+    * below the production-tuned size gates, so the query runs in its
+    * own `newSession()` (isolated SQLConf — session-global state is
+    * never mutated under a shared gate session) with the size
+    * thresholds widened and broadcast disabled: eligibility is decided
+    * by plan SHAPE, exactly as `RuntimeFilterSpec` pins; the bloom
+    * build is itself a broadcast-sized aggregate. A plan assertion
+    * lives in the spec; the gate here proves the filter never changes
+    * the ANSWER (bloom false positives only pass extra rows to the
+    * exact join). */
+  def j17BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = table(ns, dir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val dim = table(ns, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+  }
+
   /** W11: RUNNING DISTINCT count — cumulative distinct event types per
     * user over time. No engine supports count(DISTINCT) OVER a running
     * frame (it would need per-row set state); the scalable
@@ -1958,6 +1990,7 @@ object RelQueries {
     "src6_schema_evolution" -> src6SchemaEvolution,
     "j15_epsilon_join" -> j15EpsilonJoin,
     "j16_dpp_join" -> j16DppJoin,
+    "j17_bloom_join" -> j17BloomJoin,
     "f21_collation_join" -> f21CollationJoin
   )
 
@@ -2545,6 +2578,15 @@ object RelQueries {
         |SELECT canon, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
         |FROM m JOIN dim ON lower(m.m) = dim.canon
+        |GROUP BY 1""".stripMargin,
+    // plain join replay — the runtime bloom filter must be invisible
+    // in the answer
+    "j17_bloom_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |       AS BIGINT) AS sum_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
         |GROUP BY 1""".stripMargin,
     // the dim rows replayed as a CASE over the two surviving types
     "j16_dpp_join" ->

@@ -48,4 +48,13 @@ class RuntimeFilterSpec extends SparkSpec {
   test("control: no bloom filter when the rule is disabled") {
     assert(!joinPlan(bloomOn = false).toLowerCase.contains("bloomfilter"))
   }
+
+  test("j17_bloom_join's production plan carries the runtime bloom filter " +
+       "on the fact side") {
+    val df = graft.SparkEntry.queries("j17_bloom_join")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("bloomfilter") || plan.contains("might_contain"),
+      "the declared query no longer plans its runtime filter")
+  }
 }
