@@ -818,6 +818,36 @@ object RelQueries {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
   }
 
+  /** SRC7: RAW TEXT / log-line ingestion — `spark.read.text` plus an
+    * in-plan parse (split-with-limit, the delimited-log shape; a
+    * regexp_extract parse is the same plan with a different
+    * expression): documents round-trip through a line-oriented text
+    * file as `id|lang|text` and are parsed back into typed columns.
+    * The limit-3 split keeps any later delimiter inside the payload —
+    * the field-count trap every log parser hits. The aggregate groups
+    * the PARSED columns (cast long id sum + per-lang word counts), so
+    * the gate proves the round-trip is lossless, not just countable;
+    * the oracle reads the source table directly. Text files split by
+    * line at any scale — the format is as parallel as parquet for
+    * ingest (and the reason it appears here: 100 TB of crawl logs
+    * arrive as text, not parquet). */
+  def src7TextSource(s: SparkSession, dir: String): DataFrame = {
+    val out = ioDir(dir, "src7txt")
+    table(s, dir, "documents")
+      .select(concat_ws("|", col("doc_id"), col("lang"), col("text"))
+        .as("value"))
+      .write.mode("overwrite").text(out)
+    val parsed = s.read.text(out)
+      .select(split(col("value"), "\\|", 3).as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+              element_at(col("f"), 2).as("lang"),
+              element_at(col("f"), 3).as("text"))
+    parsed.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+           sum(col("doc_id")).as("sum_id"),
+           sum(size(split(col("text"), " ")).cast("long")).as("sum_words"))
+  }
+
   /** SNK2: partitioned parquet sink + partition-pruned read-back (the
     * 100 TB mosaic layout, R26/SNK2): write events partitioned by
     * event_type, read back only two partitions (directory pruning — the
@@ -1988,6 +2018,7 @@ object RelQueries {
     "q16_supplier_cnt" -> q16SupplierCnt,
     "w11_running_distinct" -> w11RunningDistinct,
     "src6_schema_evolution" -> src6SchemaEvolution,
+    "src7_text_source" -> src7TextSource,
     "j15_epsilon_join" -> j15EpsilonJoin,
     "j16_dpp_join" -> j16DppJoin,
     "j17_bloom_join" -> j17BloomJoin,
@@ -2618,6 +2649,12 @@ object RelQueries {
         |    AS sum_cents
         |FROM orders
         |GROUP BY 1""".stripMargin,
+    // the round-trip must be lossless: replay reads the source table
+    "src7_text_source" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words
+        |FROM documents GROUP BY 1""".stripMargin,
     // nearest-event replay: the same fully-ordered frames in both
     // directions; paired (ts, id) picks stay consistent because the
     // CASE columns are null together
