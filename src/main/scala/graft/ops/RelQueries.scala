@@ -584,6 +584,56 @@ object RelQueries {
               (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
   }
 
+  /** W12: EXPONENTIAL smoothing (EWMA, decay 1/2) — the trend signal a
+    * plain moving average lags behind, integer-EXACT where the
+    * textbook recursive form (s·α + v·(1−α)) never is cross-engine:
+    * the horizon is bounded at 16 events (decay 1/2 makes older terms'
+    * weight < 2^-15 of the newest — numerically irrelevant, here
+    * exactly zero) and the weights are powers of two, so the smoothed
+    * value is the exact rational ewma_num/ewma_den with both sides
+    * BIGINT sums of cents·2^(15−j). 16 lag reads share ONE window
+    * frame (one user_id exchange); a series younger than the horizon
+    * normalizes by the weights actually present (ewma_den), not an
+    * assumed-full frame — the warm-up-bias trap. */
+  def w12Ewma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    def v(j: Int): Column =
+      if (j == 0) col("cents") else lag(col("cents"), j).over(w)
+    val num = (0 until 16).map { j =>
+      coalesce(v(j) * (1L << (15 - j)), lit(0L)) }.reduce(_ + _)
+    val den = (0 until 16).map { j =>
+      when(v(j).isNotNull, lit(1L << (15 - j))).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+              num.as("ewma_num"), den.as("ewma_den"))
+  }
+
+  /** Generated 16-term EWMA lag sums shared with [[w12Ewma]]'s shape —
+    * mechanically the same power-of-two weights, so both engines sum
+    * identical BIGINT terms. */
+  private def w12EwmaSql: String = {
+    def v(j: Int) = if (j == 0) "cents" else s"lag(cents, $j) OVER w"
+    val num = (0 until 16)
+      .map(j => s"coalesce((${v(j)}) * ${1L << (15 - j)}, 0)")
+      .mkString(" +\n    ")
+    val den = (0 until 16)
+      .map(j => s"CASE WHEN (${v(j)}) IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END")
+      .mkString(" +\n    ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events)
+       |SELECT event_id, user_id, ts_us,
+       |  CAST($num AS BIGINT) AS ewma_num,
+       |  CAST($den AS BIGINT) AS ewma_den
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+  }
+
   /** W3: running aggregate (rowsBetween unboundedPreceding..current).
     * Decimal accumulator: a running float sum is order-exact only
     * per-prefix; decimal makes it engine-exact too. */
@@ -1957,6 +2007,7 @@ object RelQueries {
     "a10_range_merge" -> a10RangeMerge,
     "w1_rank" -> w1Rank,
     "w2_lag" -> w2Lag,
+    "w12_ewma" -> w12Ewma,
     "w3_running" -> w3Running,
     "w4_moving" -> w4Moving,
     "w5_ntile" -> w5Ntile,
@@ -2288,6 +2339,7 @@ object RelQueries {
         |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "w12_ewma" -> w12EwmaSql,
     "w3_running" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS run_n,

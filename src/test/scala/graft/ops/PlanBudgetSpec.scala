@@ -219,7 +219,9 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // span removal hides behind the stage checkpoint; the visible
     // exchanges are all doc-grain or smaller: model pack, gate join
     // sides, threshold agg + broadcast-side prep, and the pack window
-    "pipe_ccnet_corpus" -> 8)
+    "pipe_ccnet_corpus" -> 8,
+    // 16 lag reads share one window frame: one user_id exchange
+    "w12_ewma" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
