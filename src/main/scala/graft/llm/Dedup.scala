@@ -444,6 +444,55 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  /** D30: CONTAINMENT near-dup pairs — the ASYMMETRIC overlap measure
+    * C(A→B) = |Sh(A) ∩ Sh(B)| / |Sh(A)|: a short document quoted
+    * whole inside a much longer one scores 1.0 where Jaccard
+    * (≈ |A|/|B|) falls below any symmetric threshold — the
+    * doc-inside-doc duplication [[ngramJaccard]] is structurally blind
+    * to. Emits (a_id, b_id, n_a, n_inter) with n_inter·100 ≥ n_a·pct
+    * (BIGINT cross-multiply, no division). The threshold is an INTEGER
+    * percent, not a Double: ceil(0.9·|A|) in binary floating point is
+    * ceil(18.000000000000004) = 19 at |A| = 20 — one ulp that SHRINKS
+    * the prefix below the safe length and silently drops true pairs.
+    *
+    * Candidate generation is the containment form of the prefix
+    * filter: only the PROBE side takes a prefix — if C(A→B) ≥ t, B
+    * must contain one of A's |A| − ceil(t·|A|) + 1 rarest shingles
+    * (missing all of them caps the intersection at ceil(t·|A|) − 1) —
+    * joined against the FULL shingle index on the build side
+    * (asymmetry means B gets no prefix cut). Rare-first ordering keeps
+    * probes off hot postings (the Bayardo argument); candidates then
+    * pay one exact intersection count. Shingle streams are re-derived
+    * per leg, the d2 recompute policy. */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+                       n: Int = 3, thresholdPct: Int = 90): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"thresholdPct ($thresholdPct) must be in (0, 100]")
+    val sh = shingles(docs, id, text, n)
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // ceil(pct·n/100) = (pct·n + 99) div 100, integer-exact
+    val prefixLen = (col("n_sh") - expr(
+      s"(n_sh * $thresholdPct + 99) div 100") + 1).cast("int")
+    val prefixes = sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+           sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
+      .select(col("doc_id").as("a_id"), col("n_sh").as("n_a"),
+              explode(slice(col("ordered"), lit(1), prefixLen)).as("o"))
+      .select(col("a_id"), col("n_a"), col("o.sh").as("sh"))
+    val cand = prefixes
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), "sh")
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id", "n_a").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id", "n_a")
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(col("n_inter") * 100 >= col("n_a") * thresholdPct)
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_inter"))
+  }
+
   /** POSITIONAL word `n`-grams of a text column — [[shingleArray]]'s
     * order-preserving sibling (no array_distinct: span detection needs
     * every position, and the array index IS the word position). Same
@@ -557,5 +606,50 @@ object Dedup {
           filter(sequence(lit(1), size(col("ws"))),
             p => !array_contains(col("cov"), p)),
           p => element_at(col("ws"), p)), " ").as("new_text"))
+  }
+
+  /** D31: corpus-wide LINE deduplication — the C4 rule (Raffel et al.
+    * 2020: web boilerplate repeats at line granularity, so any line
+    * occurring more than once in the corpus keeps exactly one copy).
+    * Keeper is the lowest (doc_id, pos) occurrence — one min(struct)
+    * aggregate, deterministic, and intra-doc repeats are handled by the
+    * same rule (keep the first position). Differs from
+    * [[removeDuplicateSpans]] in granularity AND alignment: spans are
+    * every overlapping k-gram; lines are a disjoint partition of the
+    * document, so removal is per-line, never a position union.
+    *
+    * Emits (doc_id, n_lines, n_removed, new_text) for affected docs,
+    * newline-joined rewritten text.
+    *
+    * Scale shape: lines shuffle once by (xxhash64, md5) content-hash
+    * pair — ~24 bytes of key per line, not the line text (the d1
+    * double-family argument: a silent merge needs a simultaneous
+    * collision in two independent hash families); the keeper aggregate
+    * and the removal join are both on that pair. The rewrite joins
+    * removed positions back to the doc — only affected docs pay it. */
+  def lineDedup(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val lines = docs
+      .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("p0", "line")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+              xxhash64(col("line")).as("h"), md5(col("line")).as("fp"))
+    val keepers = lines.groupBy("h", "fp")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keep"),
+           count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("h"), col("fp"),
+              col("keep.doc_id").as("kdoc"), col("keep.pos").as("kpos"))
+    val removed = lines.join(keepers, Seq("h", "fp"))
+      .filter(col("doc_id") =!= col("kdoc") || col("pos") =!= col("kpos"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("rm"))
+    docs.select(id.as("doc_id"), split(text, "\n").as("ls"))
+      .join(removed, "doc_id")
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(col("rm")).cast("long").as("n_removed"),
+        array_join(transform(
+          filter(sequence(lit(1), size(col("ls"))),
+            p => !array_contains(col("rm"), p)),
+          p => element_at(col("ls"), p)), "\n").as("new_text"))
   }
 }

@@ -37,6 +37,22 @@ object LlmQueries {
               concat(col("text"), lit(" qqzz")).as("text")))
   }
 
+  /** documents ∪ the first ceil(w/2) words of every 9th doc (new ids
+    * +5000000) — a PREFIX half quoted whole inside its original. The
+    * planted pair's containment C(half→full) is exactly 1.0 (a prefix's
+    * shingle set is a subset of the full doc's) while its Jaccard is
+    * ≈ 0.5 — below every symmetric near-dup threshold in this suite, so
+    * the pair is visible ONLY to the asymmetric measure. Integer word
+    * arithmetic ((w+1) div 2) on both engines; halves under 3 words
+    * produce no shingles and drop out identically on both sides. */
+  private def docsWithContainments(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, " +
+          "(size(split(text, ' ')) + 1) div 2), ' ')").as("text")))
+  }
+
   /** documents ∪ TWO suffix generations of every 10th doc: +1000000 (one
     * appended word) and +3000000 (three appended words). For a base doc
     * of w words the 3-gram Jaccards are (w-2)/(w-1) base~A, (w-1)/(w+1)
@@ -183,6 +199,34 @@ object LlmQueries {
           lit(" spn0 spn1 spn2 spn3 spn4 spn5 spn6 spn7 spn8 spn9"))
           .as("text")))
     Dedup.removeDuplicateSpans(corpus, col("doc_id"), col("text"), k = 8)
+  }
+
+  /** D30: asymmetric containment pairs ([[Dedup.containmentPairs]]) over
+    * the prefix-half corpus — every planted half is caught at C = 1.0
+    * where d2's Jaccard gate would score it ≈ 0.5 and miss. The oracle
+    * recomputes containment from the exact all-pairs shingle
+    * intersection (no prefix filter), so the prefix-filter completeness
+    * argument — missing all |A| − ceil(t·|A|) + 1 rarest probe shingles
+    * caps the intersection below threshold — is itself gate-checked. */
+  def d30Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docsWithContainments(s, dir),
+      col("doc_id"), col("text"))
+
+  /** D31: C4-style line dedup ([[Dedup.lineDedup]]) over a LINED view
+    * of the fixture: each doc's words chunked into 4-word
+    * newline-joined lines. 4 words over the fixture's ~40-word
+    * vocabulary makes natural cross-doc duplicate lines common at
+    * every SF — the operator is load-bearing with no planted rows, and
+    * intra-doc repeats exercise the keep-first-position rule. The
+    * oracle recomputes keepers by (doc_id, pos) window rank over the
+    * same chunking and rebuilds new_text with a list comprehension —
+    * string-exact, integer-only arithmetic. */
+  def d31LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lined = docs(s, dir).select(col("doc_id"),
+      expr("array_join(transform(sequence(1, (size(split(text, ' ')) + 3) div 4)," +
+        " i -> array_join(slice(split(text, ' '), (i - 1) * 4 + 1, 4), ' ')), " +
+        "chr(10))").as("text"))
+    Dedup.lineDedup(lined, col("doc_id"), col("text"))
   }
 
   /** PIPE7: the CCNet-shaped corpus-prep capstone (Wenzek et al. 2019
@@ -947,6 +991,8 @@ object LlmQueries {
     "d27_substring_dedup" -> d27SubstringDedup,
     "d28_quality_classifier" -> d28QualityClassifier,
     "d29_span_removal" -> d29SpanRemoval,
+    "d30_containment" -> d30Containment,
+    "d31_line_dedup" -> d31LineDedup,
     "pipe_ccnet_corpus" -> pipeCcnetCorpus
   )
 
@@ -1798,6 +1844,55 @@ object LlmQueries {
         |    [w.ws[i] FOR i IN range(1, len(w.ws) + 1)
         |     IF NOT list_contains(cl.cov, i)], ' '), '') AS new_text
         |FROM w JOIN cl USING (doc_id)""".stripMargin,
+    // exact all-pairs containment (no prefix filter) — independently
+    // verifies the Scala side's candidate-generation completeness
+    "d30_containment" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 5000000,
+         |    array_to_string((string_split(text, ' '))[
+         |      1:(len(string_split(text, ' ')) + 1) // 2], ' ')
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |$shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, sa.n AS n_a, n_inter
+         |FROM inter JOIN sizes sa ON sa.doc_id = a_id
+         |WHERE n_inter * 100 >= sa.n * 90""".stripMargin,
+    // C4 line dedup replayed by window rank over the same 4-word
+    // chunking; new_text rebuilt positionally (empty-list
+    // array_to_string is NULL in DuckDB where Spark's array_join is
+    // '' — coalesced, the d29 convention)
+    "d31_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i.x AS pos,
+        |    array_to_string(ws[(i.x-1)*4 + 1 : (i.x-1)*4 + 4], ' ') AS line
+        |  FROM w, LATERAL (SELECT unnest(range(1, (len(ws) + 3) // 4 + 1)) AS x) i),
+        |ranked AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY line) AS n_occ
+        |  FROM lines),
+        |rm AS (
+        |  SELECT doc_id, list(pos) AS rmp
+        |  FROM ranked WHERE n_occ > 1 AND rn > 1 GROUP BY doc_id),
+        |ll AS (
+        |  SELECT doc_id, list(line ORDER BY pos) AS lls
+        |  FROM lines GROUP BY doc_id)
+        |SELECT ll.doc_id,
+        |  CAST(len(ll.lls) AS BIGINT) AS n_lines,
+        |  CAST(len(rm.rmp) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(
+        |    [ll.lls[i] FOR i IN range(1, len(ll.lls) + 1)
+        |     IF NOT list_contains(rm.rmp, i)], chr(10)), '') AS new_text
+        |FROM ll JOIN rm USING (doc_id)""".stripMargin,
     // explode-join replay of the packed-array fold: same md5-prefix
     // bucket (nibble-decoded), same arithmetic weight table
     "d28_quality_classifier" ->

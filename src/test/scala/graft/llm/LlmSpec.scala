@@ -275,6 +275,54 @@ class LlmSpec extends SparkSpec {
     }, minTests = 5)
   }
 
+  test("containmentPairs is asymmetric: a quoted half scores 1.0 one way, " +
+       "below threshold the other, and Jaccard misses the pair entirely") {
+    val full = (1 to 20).map(i => s"w$i").mkString(" ")       // 18 shingles
+    val half = (1 to 10).map(i => s"w$i").mkString(" ")       // 8, all ⊂ full
+    val d = docsDf((1L, full), (2L, half), (3L, "p q r s t u v x"))
+    val got = Dedup.containmentPairs(d, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+                           r.getLong(2), r.getLong(3))).toSet
+    // only half→full: C(2→1) = 8/8; C(1→2) = 8/18 < 0.9 is absent
+    assert(got == Set((2L, 1L, 8L, 8L)))
+    // the symmetric gate is blind to the same pair: J = 8/18 < 0.8
+    assert(Dedup.ngramJaccard(d, col("doc_id"), col("text"),
+      threshold = 0.8).collect().isEmpty)
+  }
+
+  test("containmentPairs prefix length survives the ceil(0.9·20) ulp trap") {
+    // |A| = 20 shingles: binary-double ceil(0.9·20) = 19 would shrink the
+    // prefix to 2 probes; integer arithmetic keeps the safe 3. A doc
+    // missing exactly A's 2 rarest shingles (out of 22 words = 20
+    // shingles) still reaches C = 18/20 = 0.9 and MUST be found.
+    val a = (1 to 22).map(i => s"w$i").mkString(" ")
+    // b drops a's first 2 words -> loses exactly the 2 shingles starting
+    // at w1 and w2 (df = 1, so they are a's 2 RAREST probes); with the
+    // buggy prefix of 2 those are the only probes and the pair is missed
+    val b = (3 to 22).map(i => s"w$i").mkString(" ")
+    val d = docsDf((1L, a), (2L, b))
+    val got = Dedup.containmentPairs(d, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+                           r.getLong(2), r.getLong(3))).toSet
+    // C(1→2) = 18/20 = 0.9 exactly (boundary); C(2→1) = 18/18 = 1.0
+    assert(got == Set((1L, 2L, 20L, 18L), (2L, 1L, 18L, 18L)))
+  }
+
+  test("lineDedup keeps the lowest (doc_id, pos) copy of a duplicated " +
+       "line, including intra-doc repeats, and rewrites the rest") {
+    val d = docsDf(
+      (1L, "a b\nc d\na b"),     // intra-doc repeat: pos 3 removed
+      (2L, "c d\nx y"),          // "c d" removed (keeper is doc 1 pos 2)
+      (3L, "x y\nz z"))          // "x y" removed (keeper is doc 2 pos 2)
+    val got = Dedup.lineDedup(d, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 3L, 1L, "a b\nc d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 2L, 1L, "z z")))
+  }
+
   test("dedupClusters: chain, triangle, and pair all collapse to min id") {
     import spark.implicits._
     // chain 1-2-3 (1 and 3 NOT directly paired), triangle 10-11-12,
