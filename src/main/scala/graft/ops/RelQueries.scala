@@ -1160,6 +1160,26 @@ object RelQueries {
     perGroup.unionByName(global)
   }
 
+  /** A22: exact per-group MODE with a deterministic tie-break (smallest
+    * value wins equal counts). Two cascaded hash aggregates — count per
+    * (group, value), then one min(struct(-cnt, value)) per group — both
+    * partially aggregable map-side, so the plan is two Exchanges of
+    * per-group cardinality and NO window sort: the row_number
+    * formulation sorts every (group, value) pair inside a window just
+    * to read rank 1. The -cnt negation makes lexicographic struct-min
+    * mean (max count, then min value). */
+  def a22Mode(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+               col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("segment")
+      .agg(min(struct((-col("cnt")).as("neg"), col("pri"))).as("m"))
+      .select(col("segment"), col("m.pri").as("mode_priority"),
+              (-col("m.neg")).as("n_orders"))
+
   /** A19: INCREMENTAL materialized-view maintenance ([[graft.catalog.Mv]])
     * — the view is built from history, persisted, then refreshed with a
     * disjoint batch by folding the batch's own partial aggregate in;
@@ -2004,6 +2024,7 @@ object RelQueries {
     "a5_rollup" -> a5Rollup,
     "a6_collect" -> a6Collect,
     "a8_argmax" -> a8ArgMax,
+    "a22_mode" -> a22Mode,
     "a10_range_merge" -> a10RangeMerge,
     "w1_rank" -> w1Rank,
     "w2_lag" -> w2Lag,
@@ -2243,6 +2264,21 @@ object RelQueries {
         |FROM orders GROUP BY 1
         |UNION ALL
         |SELECT '<all>', count(DISTINCT o_custkey) FROM orders""".stripMargin,
+    // window-rank formulation — independent of the Spark side's
+    // double-aggregate argmax shape
+    "a22_mode" ->
+      """WITH t AS (
+        |  SELECT c_mktsegment AS segment, o_orderpriority AS pri,
+        |    count(*) AS cnt
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT segment, pri, cnt,
+        |    row_number() OVER (PARTITION BY segment
+        |                       ORDER BY cnt DESC, pri) AS rn
+        |  FROM t)
+        |SELECT segment, pri AS mode_priority, cnt AS n_orders
+        |FROM r WHERE rn = 1""".stripMargin,
     // the oracle full-scans — the gate proves incremental == recompute
     "a19_incremental_mv" ->
       """SELECT l_returnflag, l_linestatus,

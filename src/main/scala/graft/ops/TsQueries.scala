@@ -192,14 +192,69 @@ object TsQueries {
   def w7Interpolate(s: SparkSession, dir: String): DataFrame =
     interpolate(table(s, dir, "events").filter(col("user_id") < 20), HourUs)
 
+  /** Rolling z-score anomaly core over (user_id, event_id, t:us,
+    * cents): flag an event when its deviation from the TRAILING window
+    * of `win` preceding events exceeds k sigma. The test is pure BIGINT
+    * cross-multiplication — z² > k² ⇔ (n·x − Σx)² > k²·(n·Σx² − (Σx)²)
+    * (multiply (x − Σx/n)² > k²·(n·Σx² − (Σx)²)/n² through by n²) — so
+    * no division, sqrt, or float ever happens and the flag is exact on
+    * both engines. The frame EXCLUDES the current row (an outlier must
+    * not inflate its own baseline) and needs `minN` observations before
+    * it may fire. One Exchange on user_id; all three window aggregates
+    * share the same sorted frame pass. */
+  def anomalies(events: DataFrame, win: Int = 12, k: Int = 3,
+                minN: Int = 6): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      .rowsBetween(-win, -1)
+    val dev = col("n") * col("cents") - col("s")
+    events
+      .withColumn("n", count(col("cents")).over(w))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .filter(col("n") >= minN &&
+        dev * dev > lit(k.toLong * k) * (col("n") * col("s2") - col("s") * col("s")))
+      .select(col("user_id"), col("event_id"), col("t").as("t_us"),
+              col("cents"), col("n").as("n_win"), col("s").as("sum_win"))
+  }
+
+  /** W13: 3-sigma anomalies over the events fixture (12-event trailing
+    * baseline, 6 observations minimum). Non-vacuous at every SF — the
+    * fixture's value distribution is heavy-tailed enough that ~4% of
+    * events clear 3 sigma. Largest product at the fixture's max cents
+    * (49002) is ~3·10¹², five orders of magnitude inside Long. */
+  def w13Anomaly(s: SparkSession, dir: String): DataFrame =
+    anomalies(table(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w6_sessionize" -> w6Sessionize,
     "w7_gapfill" -> w7Gapfill,
     "w7_interpolate" -> w7Interpolate,
-    "w8_funnel" -> w8Funnel
+    "w8_funnel" -> w8Funnel,
+    "w13_anomaly" -> w13Anomaly
   )
 
   val oracle: Map[String, String] = Map(
+    // same BIGINT cross-multiply test; DuckDB's windowed sum(BIGINT) is
+    // HUGEINT, cast back down before the products
+    "w13_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT *, count(cents) OVER win AS n,
+        |    CAST(sum(cents) OVER win AS BIGINT) AS s,
+        |    CAST(sum(cents * cents) OVER win AS BIGINT) AS s2
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, t AS t_us, cents,
+        |  n AS n_win, s AS sum_win
+        |FROM w
+        |WHERE n >= 6
+        |  AND (n*cents - s) * (n*cents - s) > 9 * (n*s2 - s*s)""".stripMargin,
     "w6_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
          |g AS (SELECT user_id, event_id, t,

@@ -221,7 +221,18 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // sides, threshold agg + broadcast-side prep, and the pack window
     "pipe_ccnet_corpus" -> 8,
     // 16 lag reads share one window frame: one user_id exchange
-    "w12_ewma" -> 1)
+    "w12_ewma" -> 1,
+    // shingle-df prefix aggregate + the exact-intersection pair agg;
+    // candidates and the df table broadcast at gate SF
+    "d30_containment" -> 2,
+    // (xxhash64, md5) keeper agg + the per-doc removed-position agg;
+    // keepers and the rm sets broadcast into their joins
+    "d31_line_dedup" -> 2,
+    // the argmax is two cascaded hash aggregates (no window sort);
+    // the customer-orders join broadcasts at gate SF
+    "a22_mode" -> 2,
+    // all three frame aggregates ride one user_id window exchange
+    "w13_anomaly" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
