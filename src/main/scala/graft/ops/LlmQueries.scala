@@ -229,6 +229,48 @@ object LlmQueries {
     Dedup.lineDedup(lined, col("doc_id"), col("text"))
   }
 
+  /** PIPE8: the C4-shaped corpus-prep capstone (Raffel et al. 2020's
+    * published cleaning order, re-expressed over the fixture): (1) line
+    * the corpus (the d31 4-word chunking standing in for sentence
+    * boundaries), (2) corpus-wide line dedup — C4's "discard duplicated
+    * lines, keep one occurrence" — via [[Dedup.lineDedup]], (3) the
+    * page floor: a document must RETAIN at least 3 lines after dedup
+    * (C4 drops pages under 5 sentences; the floor binds on both short
+    * docs and dedup casualties, so stage 2 is load-bearing for stage
+    * 3), (4) the language gate: [[TextAnalysis.langId]]'s lexicon-vote
+    * prediction over the SURVIVING corpus must agree with the recorded
+    * lang (C4 keeps pages langdetect calls English — here the
+    * classifier and the label must concur, and the lexicon is built
+    * from the post-floor corpus, not the raw one), (5) per (lang,
+    * source) corpus accounting. `lined` and `floored` each feed 2+
+    * plan legs — localCheckpointed, the multi-leg policy. */
+  def pipeC4Corpus(s: SparkSession, dir: String): DataFrame = {
+    val lined = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      expr("array_join(transform(sequence(1, (size(split(text, ' ')) + 3) div 4)," +
+        " i -> array_join(slice(split(text, ' '), (i - 1) * 4 + 1, 4), ' ')), " +
+        "chr(10))").as("text"))
+      .localCheckpoint()
+    val rewritten = Dedup.lineDedup(lined, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_removed"), col("new_text"))
+    val spaceText = translate(col("text"), "\n", " ")
+    val floored = lined.join(rewritten, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("new_text"), col("text")).as("text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .filter(size(split(col("text"), "\n")) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"),
+        spaceText.as("text"), col("n_removed"))
+      .localCheckpoint()
+    val pred = TextAnalysis.langId(floored, col("doc_id"), col("text"),
+      col("lang"))
+    floored.join(pred, "doc_id")
+      .filter(col("pred_lang") === col("lang"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " ")).cast("long")).as("sum_words"),
+           sum(col("n_removed")).as("lines_removed"))
+  }
+
   /** PIPE7: the CCNet-shaped corpus-prep capstone (Wenzek et al. 2019
     * class: dedup → fastText-style quality model → language-aware
     * sampling), composed from this round's operators the way the
@@ -993,7 +1035,8 @@ object LlmQueries {
     "d29_span_removal" -> d29SpanRemoval,
     "d30_containment" -> d30Containment,
     "d31_line_dedup" -> d31LineDedup,
-    "pipe_ccnet_corpus" -> pipeCcnetCorpus
+    "pipe_ccnet_corpus" -> pipeCcnetCorpus,
+    "pipe_c4_corpus" -> pipeC4Corpus
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1864,6 +1907,58 @@ object LlmQueries {
          |SELECT a_id, b_id, sa.n AS n_a, n_inter
          |FROM inter JOIN sizes sa ON sa.doc_id = a_id
          |WHERE n_inter * 100 >= sa.n * 90""".stripMargin,
+    // the C4 chain replayed end to end: line rank dedup -> >=3 kept
+    // lines -> lexicon-vote language agreement -> (lang, source) sums.
+    // Docs losing EVERY line vanish from doc2 and fail the floor the
+    // same way the Spark side's empty rewrite does.
+    "pipe_c4_corpus" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i.x AS pos,
+        |    array_to_string(ws[(i.x-1)*4 + 1 : (i.x-1)*4 + 4], ' ') AS line
+        |  FROM w, LATERAL (SELECT unnest(range(1, (len(ws) + 3) // 4 + 1)) AS x) i),
+        |ranked AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY line) AS n_occ
+        |  FROM lines),
+        |doc2 AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(line ORDER BY pos), ' ') AS text,
+        |    count(*) AS n_kept
+        |  FROM ranked WHERE n_occ = 1 OR rn = 1 GROUP BY 1),
+        |nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+        |floored AS (
+        |  SELECT w.doc_id, w.lang, w.source, d2.text,
+        |    nl.n_lines - d2.n_kept AS n_removed
+        |  FROM w JOIN nl USING (doc_id) JOIN doc2 d2 ON d2.doc_id = w.doc_id
+        |  WHERE d2.n_kept >= 3),
+        |toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM floored),
+        |freq AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT lang AS lex_lang, tok FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |               ORDER BY n DESC, tok ASC) AS rk FROM freq)
+        |  WHERE rk <= 10),
+        |votes AS (
+        |  SELECT t.doc_id, l.lex_lang, count(*) AS votes
+        |  FROM toks t JOIN lex l ON t.tok = l.tok
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, lex_lang AS pred_lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY votes DESC, lex_lang ASC) AS rk FROM votes)
+        |  WHERE rk = 1)
+        |SELECT f.lang, f.source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(f.text, ' '))) AS BIGINT) AS sum_words,
+        |  CAST(sum(f.n_removed) AS BIGINT) AS lines_removed
+        |FROM floored f JOIN pred p
+        |  ON f.doc_id = p.doc_id AND f.lang = p.pred_lang
+        |GROUP BY 1, 2""".stripMargin,
     // C4 line dedup replayed by window rank over the same 4-word
     // chunking; new_text rebuilt positionally (empty-list
     // array_to_string is NULL in DuckDB where Spark's array_join is

@@ -232,7 +232,13 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the customer-orders join broadcasts at gate SF
     "a22_mode" -> 2,
     // all three frame aggregates ride one user_id window exchange
-    "w13_anomaly" -> 1)
+    "w13_anomaly" -> 1,
+    // line dedup hides behind the lined checkpoint (keeper agg + rm
+    // agg); langid over the floored checkpoint adds lexicon freq agg +
+    // lang-window + vote agg + doc-window; final (lang, source) agg.
+    // Every exchange is line-hash, lexicon, or doc-id grain — the raw
+    // corpus text crosses none of them after the checkpoints.
+    "pipe_c4_corpus" -> 7)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
