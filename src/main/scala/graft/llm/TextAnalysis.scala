@@ -39,6 +39,51 @@ object TextAnalysis {
       .filter(col("rank") <= perDoc)
   }
 
+  /** D32: BM25 document ranking for a fixed query termset (Robertson et
+    * al.; the Lucene-form idf ln(1 + (N − df + ½)/(df + ½)), which
+    * stays positive for corpus-dominant terms where the classic form
+    * goes negative). Per-term contributions are snapped to MICRO-integer
+    * scores — CAST(round(score·10⁶) AS BIGINT) — BEFORE the per-doc
+    * sum, so the only cross-engine float exposure is one ln and two
+    * divisions per (doc, term) at 10⁻⁶ granularity (the d4_tfidf
+    * rounding contract); the sum, the ranking, and the tie-break
+    * (score desc, doc_id) are exact BIGINT. len/avgLen is written
+    * `len·N / Σlen` — ONE double division, replicated verbatim in the
+    * oracle, never `len / (Σlen/N)`.
+    *
+    * Scale shape: the token scan aggregates to per-doc lengths and
+    * per-(doc, term) counts (term list is a tiny isin filter); df and
+    * the corpus stats broadcast; top-k is a TakeOrdered, no global
+    * sort. */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               terms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = tokens(docs, id, text)
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("nd"), sum("len").as("sumlen"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // every float op appears ONCE, in the same order the oracle's SQL
+    // text evaluates it; constants are written pre-folded (0.25 = 1-b)
+    // so neither engine folds differently
+    val idf = log(lit(1.0) +
+      (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val den = col("tf") + lit(k1) *
+      (lit(1 - b) + lit(b) * (col("len") * col("nd") / col("sumlen")))
+    val contrib = tf.join(broadcast(df_), "tok")
+      .join(lens, "doc_id").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(idf * (col("tf") * lit(k1 + 1)) / den * lit(1e6))
+          .cast("long").as("micro"))
+    contrib.groupBy("doc_id")
+      .agg(sum(col("micro")).as("score_micro"),
+           count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Unigram language ID: build a per-language lexicon (top `lexSize`
     * tokens by in-language frequency) from a labeled corpus, then
     * classify each doc by argmax lexicon-hit votes (tie → lexicographic

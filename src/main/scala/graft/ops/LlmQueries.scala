@@ -731,6 +731,15 @@ object LlmQueries {
     TextAnalysis.tfIdfTopTerms(docs(s, dir).filter(col("doc_id") < 50),
       col("doc_id"), col("text"), 3)
 
+  /** D32: BM25 top-10 over the corpus for a fixed 4-term query drawn
+    * from the fixture vocabulary ([[TextAnalysis.bm25TopK]]). The terms
+    * are corpus-common, so the classic negative-idf trap is live and
+    * the Lucene-form idf is load-bearing, and ranking discriminates on
+    * real length normalization (every doc matches some terms). */
+  def d32Bm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(docs(s, dir), col("doc_id"), col("text"),
+      Seq("table", "scan", "merge", "stream"))
+
   def d4LangId(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     TextAnalysis.langId(d, col("doc_id"), col("text"), col("lang"))
@@ -1008,6 +1017,7 @@ object LlmQueries {
     "a15_heavy_hitters" -> a15HeavyHitters,
     "d4_top_tokens" -> d4TopTokens,
     "d4_tfidf" -> d4TfIdf,
+    "d32_bm25" -> d32Bm25,
     "d4_langid" -> d4LangId,
     "d4_fingerprint" -> d4Fingerprint,
     "d5_multimodal" -> d5Multimodal,
@@ -2480,6 +2490,29 @@ object LlmQueries {
         |             ORDER BY tfidf DESC, tok ASC) AS rank
         |  FROM scored)
         |WHERE rank <= 3""".stripMargin,
+    // identical float-op order as the Scala side (idf*num/den*1e6,
+    // left-assoc); micro-integer snap BEFORE the per-doc sum, so the
+    // sum and ranking are exact BIGINT (the d4_tfidf rounding contract)
+    "d32_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS nd, CAST(sum(len) AS BIGINT) AS sumlen FROM lens),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('table', 'scan', 'merge', 'stream') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len * nd / sumlen)))
+        |      * 1e6) AS BIGINT) AS micro
+        |  FROM tf JOIN df USING (tok) JOIN lens USING (doc_id), stats)
+        |SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro,
+        |  count(*) AS n_terms
+        |FROM c GROUP BY 1
+        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
     "d4_langid" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -29,6 +29,7 @@ object TsQueries {
 
   private val GapUs   = 1800000000L   // 30 min session gap
   private val HourUs  = 3600000000L   // resample grid step
+  private val WeekUs  = 604800000000L // retention cohort grid
 
   /** Gap-based sessionization core over (user_id, event_id, t:us):
     * a new session starts when a user's inter-event gap exceeds
@@ -228,15 +229,44 @@ object TsQueries {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")))
 
+  /** Cohort-retention core over (user_id, t:us): cohort = the user's
+    * first active week (epoch-week = t div week, positive domain so
+    * truncating div and floor agree), cell (cohort, offset) = distinct
+    * users from that cohort active offset weeks later. The week grid is
+    * pure integer arithmetic; counts are exact countDistinct. Two
+    * exchanges at scale: the per-user first-week aggregate (reused by
+    * the join — both hash on user_id) and the cohort-cell distinct. */
+  def retention(events: DataFrame, stepUs: Long = WeekUs): DataFrame = {
+    val e = events.select(col("user_id"), expr(s"t div $stepUs").as("wk"))
+    val firsts = e.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    e.join(firsts, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** W14: weekly cohort retention of the events fixture. */
+  def w14Retention(s: SparkSession, dir: String): DataFrame =
+    retention(table(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w6_sessionize" -> w6Sessionize,
     "w7_gapfill" -> w7Gapfill,
     "w7_interpolate" -> w7Interpolate,
     "w8_funnel" -> w8Funnel,
-    "w13_anomaly" -> w13Anomaly
+    "w13_anomaly" -> w13Anomaly,
+    "w14_retention" -> w14Retention
   )
 
   val oracle: Map[String, String] = Map(
+    "w14_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+        |SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     // same BIGINT cross-multiply test; DuckDB's windowed sum(BIGINT) is
     // HUGEINT, cast back down before the products
     "w13_anomaly" ->

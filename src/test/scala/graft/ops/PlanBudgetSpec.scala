@@ -238,7 +238,14 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // lang-window + vote agg + doc-window; final (lang, source) agg.
     // Every exchange is line-hash, lexicon, or doc-id grain — the raw
     // corpus text crosses none of them after the checkpoints.
-    "pipe_c4_corpus" -> 7)
+    "pipe_c4_corpus" -> 7,
+    // lens agg + 1-row stats + tf agg + df agg + the doc-grain join
+    // exchanges + final doc agg; top-k is TakeOrdered (no exchange) and
+    // only (doc_id, micro) rows cross post-token exchanges
+    "d32_bm25" -> 7,
+    // first-week agg (reused by the user_id join) + the cohort-cell
+    // two-phase distinct
+    "w14_retention" -> 3)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
