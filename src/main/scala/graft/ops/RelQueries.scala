@@ -270,6 +270,45 @@ object RelQueries {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
   }
 
+  /** J18: 2-D SPATIAL bin-and-refine join — point-in-rectangle over the
+    * pseudo-raster plane (the GIS-native join the 1-D J6 range join
+    * can't express). The scalable spatial-join recipe: overlay a coarse
+    * tile grid, replicate each RECTANGLE to every tile it intersects
+    * (`sequence` × `sequence` — bounded by box-size/tile-size, never by
+    * row count), map each POINT to its single home tile, equi-join on
+    * tile, refine with the exact containment predicate. Every matching
+    * pair meets in EXACTLY one tile (the point's), so no post-join
+    * dedup is needed — the property the oracle's all-pairs BETWEEN join
+    * gate-checks (candidate completeness + no double counting). Here
+    * the 25-rectangle side broadcasts; at 100 TB with millions of
+    * boxes both sides hash-partition by tile and the same plan holds —
+    * tile size trades replication factor against per-tile fanout, and
+    * a hot tile (city-density skew) salts like any skewed key. All
+    * coordinates are integers; cents snap before the aggregate. */
+  def j18GridJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = table(s, dir, "lineitem")
+      .groupBy((col("l_orderkey") % 10000).as("cell_id"))
+      .agg(max(col("l_quantity").cast("double")).as("q"))
+      .select((col("cell_id") % 100).as("x"), expr("cell_id div 100").as("y"),
+        (col("q").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("ptx", expr("x div 16")).withColumn("pty", expr("y div 16"))
+    val rects = table(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("rid"),
+        ((col("n_nationkey") * 17) % 80).cast("long").as("x0"),
+        ((col("n_nationkey") * 29) % 80).cast("long").as("y0"))
+      .withColumn("x1", col("x0") + 5 + (col("rid") * 7) % 20)
+      .withColumn("y1", col("y0") + 5 + (col("rid") * 11) % 20)
+    val tiles = rects
+      .withColumn("tx", explode(sequence(expr("x0 div 16"), expr("x1 div 16"))))
+      .withColumn("ty", explode(sequence(expr("y0 div 16"), expr("y1 div 16"))))
+    pts.join(broadcast(tiles),
+        col("ptx") === col("tx") && col("pty") === col("ty") &&
+        col("x").between(col("x0"), col("x1")) &&
+        col("y").between(col("y0"), col("y1")))
+      .groupBy("rid")
+      .agg(count(lit(1)).as("n_points"), sum(col("cents")).as("sum_cents"))
+  }
+
   /** W11: RUNNING DISTINCT count — cumulative distinct event types per
     * user over time. No engine supports count(DISTINCT) OVER a running
     * frame (it would need per-row set state); the scalable
@@ -2094,6 +2133,7 @@ object RelQueries {
     "j15_epsilon_join" -> j15EpsilonJoin,
     "j16_dpp_join" -> j16DppJoin,
     "j17_bloom_join" -> j17BloomJoin,
+    "j18_grid_join" -> j18GridJoin,
     "f21_collation_join" -> f21CollationJoin
   )
 
@@ -2697,6 +2737,27 @@ object RelQueries {
         |SELECT canon, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
         |FROM m JOIN dim ON lower(m.m) = dim.canon
+        |GROUP BY 1""".stripMargin,
+    // exact all-pairs BETWEEN join, no tile grid: candidate
+    // completeness and exactly-once pair matching are both gate-checked
+    "j18_grid_join" ->
+      """WITH pts AS (
+        |  SELECT cell_id % 100 AS x, cell_id // 100 AS y, cents FROM (
+        |    SELECT l_orderkey % 10000 AS cell_id,
+        |      CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2))
+        |           * 100 AS BIGINT) AS cents
+        |    FROM lineitem GROUP BY 1)),
+        |rects AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS rid,
+        |    CAST((n_nationkey * 17) % 80 AS BIGINT) AS x0,
+        |    CAST((n_nationkey * 29) % 80 AS BIGINT) AS y0
+        |  FROM nation),
+        |r2 AS (SELECT rid, x0, y0, x0 + 5 + (rid * 7) % 20 AS x1,
+        |              y0 + 5 + (rid * 11) % 20 AS y1 FROM rects)
+        |SELECT rid, count(*) AS n_points,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM pts JOIN r2
+        |  ON x BETWEEN x0 AND x1 AND y BETWEEN y0 AND y1
         |GROUP BY 1""".stripMargin,
     // plain join replay — the runtime bloom filter must be invisible
     // in the answer

@@ -249,16 +249,127 @@ object TsQueries {
     retention(table(s, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("t")))
 
+  private val DayUs = 86400000000L
+
+  /** Gaps-and-islands longest-streak core over (user_id, day): a
+    * streak is a maximal run of CONSECUTIVE active days; island id =
+    * day − row_number over the user's distinct days (constant within a
+    * run, distinct across runs — the textbook identity, exact because
+    * both terms are integers). Per user: the longest streak with
+    * earliest-start tie-break, picked by min(struct(−len, start)) —
+    * lexicographic struct ordering makes the argmax a plain partially-
+    * aggregable min, no second window. ONE exchange end to end: the
+    * explicit repartition(user_id) satisfies the clustering that the
+    * distinct, the window, the island aggregate, and the final
+    * aggregate all require (hash(user_id) clusters every (user_id, *)
+    * grouping; the planner only reuses it when the layout already
+    * exists — the w11 lesson). */
+  def streaks(days: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days.repartition(col("user_id"))
+      .select("user_id", "day").distinct()
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      .groupBy("user_id")
+      .agg(min(struct((-col("len")).as("nl"), col("start_day").as("sd")))
+             .as("best"),
+           count(lit(1)).as("n_streaks"))
+      .select(col("user_id"), (-col("best.nl")).as("streak_len"),
+              col("best.sd").as("start_day"), col("n_streaks"))
+  }
+
+  /** W15: longest consecutive-active-day streak per user (epoch-day =
+    * t div day, positive domain). */
+  def w15Streak(s: SparkSession, dir: String): DataFrame =
+    streaks(table(s, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day")))
+
+  /** OHLC downsampling core over (key, event_id, t:us, cents): per
+    * (key, bucket) bar — open/close are the first/last value in
+    * (t, event_id) order via min_by/max_by over the FULL deterministic
+    * tie-break struct (event_id is unique, so the pick is exact — no
+    * "first row the executor happened to see"), high/low/volume/total
+    * are plain aggregates. One hash aggregate, fully map-side
+    * combinable: min_by/max_by partials merge associatively, so the
+    * bar NEVER needs a per-bucket sort — the window-rank formulation
+    * the oracle replays would pay one; at 100 TB that is the
+    * difference between a combine-only exchange of bar rows and a
+    * full-row sort-shuffle. */
+  def ohlc(events: DataFrame, stepUs: Long = HourUs): DataFrame = {
+    val ord = struct(col("t"), col("event_id"))
+    events
+      .select(col("key"), (col("t") - col("t") % stepUs).as("bus"),
+              col("t"), col("event_id"), col("cents"))
+      .groupBy("key", "bus")
+      .agg(min_by(col("cents"), ord).as("open_c"),
+           max(col("cents")).as("high_c"),
+           min(col("cents")).as("low_c"),
+           max_by(col("cents"), ord).as("close_c"),
+           count(lit(1)).as("n_events"),
+           sum(col("cents")).as("sum_c"))
+  }
+
+  /** W16: hourly OHLC bars of the events fixture, keyed by event type
+    * (the "instrument"), money as exact cents. */
+  def w16Ohlc(s: SparkSession, dir: String): DataFrame =
+    ohlc(table(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("key"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w6_sessionize" -> w6Sessionize,
     "w7_gapfill" -> w7Gapfill,
     "w7_interpolate" -> w7Interpolate,
     "w8_funnel" -> w8Funnel,
     "w13_anomaly" -> w13Anomaly,
-    "w14_retention" -> w14Retention
+    "w14_retention" -> w14Retention,
+    "w15_streak" -> w15Streak,
+    "w16_ohlc" -> w16Ohlc
   )
 
   val oracle: Map[String, String] = Map(
+    // independent formulation: window-rank argmax (ORDER BY len DESC,
+    // start ASC) instead of the min(struct(-len, start)) aggregate
+    "w15_streak" ->
+      s"""WITH e AS (SELECT DISTINCT user_id,
+         |  epoch_us(ts) // $DayUs AS day FROM events),
+         |i AS (SELECT user_id, day,
+         |        day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+         |          AS island
+         |      FROM e),
+         |g AS (SELECT user_id, island, count(*) AS len, min(day) AS start_day
+         |      FROM i GROUP BY 1, 2),
+         |sel AS (SELECT user_id, len, start_day,
+         |        row_number() OVER (PARTITION BY user_id
+         |          ORDER BY len DESC, start_day) AS rn,
+         |        count(*) OVER (PARTITION BY user_id) AS n_streaks
+         |        FROM g)
+         |SELECT user_id, CAST(len AS BIGINT) AS streak_len, start_day,
+         |  CAST(n_streaks AS BIGINT) AS n_streaks
+         |FROM sel WHERE rn = 1""".stripMargin,
+    // independent formulation: open/close via double window-rank (the
+    // per-bucket sort the min_by/max_by plan avoids)
+    "w16_ohlc" ->
+      s"""WITH e AS (
+         |  SELECT event_type AS key, event_id, epoch_us(ts) AS t,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |w AS (
+         |  SELECT key, t - t % $HourUs AS bus, cents,
+         |    row_number() OVER (PARTITION BY key, t - t % $HourUs
+         |                       ORDER BY t, event_id) AS ra,
+         |    row_number() OVER (PARTITION BY key, t - t % $HourUs
+         |                       ORDER BY t DESC, event_id DESC) AS rd
+         |  FROM e)
+         |SELECT key, bus,
+         |  CAST(min(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open_c,
+         |  max(cents) AS high_c, min(cents) AS low_c,
+         |  CAST(min(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close_c,
+         |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_c
+         |FROM w GROUP BY 1, 2""".stripMargin,
     "w14_retention" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),

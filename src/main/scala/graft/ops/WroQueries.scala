@@ -171,6 +171,94 @@ object WroQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The pseudo-raster as a 2-D grid: cell_id 0..9999 unfolds to a
+    * 100×100 raster (row = cell_id div 100, col = cell_id % 100). The
+    * grid is SPARSE — a (row, col) with no fact rows is NoData, and the
+    * raster-algebra queries below treat absence as NoData the way the
+    * service kernel does (pyt:597 NoData semantics): focal/zonal
+    * statistics aggregate over present cells only. */
+  private val GridW = 100L
+
+  /** GIS1 — FOCAL statistics (Esri Focal Statistics, 3×3 rectangle
+    * neighborhood): per grid cell, the sum and count of the quantity
+    * layer over the cell and its 8 neighbors. Spark-first shape: each
+    * present cell CONTRIBUTES to its 9 neighbors (two tiny generators,
+    * 9× row inflation of the BOUNDED ≤10k-cell raster — never of the
+    * fact table), then one hash aggregate with map-side partial combine
+    * folds contributions per target cell. At 100 TB the raster domain,
+    * not the fact table, bounds the focal exchange; a tiled layout
+    * (partition by tile, overlap = 1-cell halo) keeps the same plan
+    * shuffle-free per tile. Values snap to BIGINT cents before the sum
+    * (the money policy), so the focal sum is exact under any
+    * aggregation order. */
+  def focalStats(spark: SparkSession, dir: String): DataFrame =
+    focalFrom(perCell(spark, dir)
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % GridW).as("c"),
+        (col("quantity").cast("decimal(18,2)") * 100).cast("long").as("cents")))
+
+  /** Focal core over a sparse grid (r, c, cents), exposed for the
+    * hand-computed neighborhood spec. */
+  private[ops] def focalFrom(g: DataFrame): DataFrame = {
+    val off = typedLit(Seq(-1L, 0L, 1L))
+    g.select(col("r"), col("c"), col("cents"), explode(off).as("dr"))
+      .select((col("r") + col("dr")).as("r"), col("c"), col("cents"),
+        explode(off).as("dc"))
+      .select(col("r"), (col("c") + col("dc")).as("c"), col("cents"))
+      .filter(col("r").between(0, GridW - 1) && col("c").between(0, GridW - 1))
+      .groupBy("r", "c")
+      .agg(sum("cents").as("focal_sum"), count(lit(1)).as("n_nbr"))
+  }
+
+  /** GIS2 — ZONAL statistics (Esri Zonal Statistics as Table): zones =
+    * the quantity layer equal-interval-binned into 5 classes (the a9
+    * gate-proven break formula), values = the extendedprice layer as
+    * exact cents; per zone: cell count, sum, min, max. Because the
+    * catalog stores layers as bands of ONE wide per-cell row, the
+    * zone↔value alignment is a projection — the cell-aligned raster
+    * join that a band-per-table layout would need never materializes
+    * (the multiband-storage dividend; at 100 TB this is the difference
+    * between zero and one fact-grain shuffle). The per-cell aggregate
+    * is cached: stats leg + zoning leg reuse it (multi-leg policy), and
+    * every post-cache exchange carries ≤10k bounded rows. */
+  def zonalStats(spark: SparkSession, dir: String): DataFrame = {
+    val pc = perCell(spark, dir).cache()
+    val stats = pc.agg(min("quantity").as("mn"), max("quantity").as("mx"))
+    pc.crossJoin(broadcast(stats))
+      .select(
+        least(floor((col("quantity") - col("mn")) /
+                    ((col("mx") - col("mn")) / lit(5.0))), lit(4))
+          .cast("int").as("zone"),
+        (col("extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_cells"), sum("cents").as("sum_cents"),
+           min("cents").as("min_cents"), max("cents").as("max_cents"))
+  }
+
+  /** GIS3 — NEAREST-neighbor resampling, the one resampling mode the
+    * reference permits (pyt:25, pyt:606, pyt:823 — suitability classes
+    * must not be interpolated). Downscale ×4: output cell (R, C) takes
+    * the input cell nearest its center, floor((R+0.5)·4) = 4R+2. The
+    * selection predicate is a pure function of the grid position, so it
+    * is applied to the FACT TABLE before the per-cell shuffle — 15/16
+    * of the rows never enter the exchange (the pushed-down form of
+    * "resample then aggregate"; resampling after perCell would shuffle
+    * everything first). NoData (absent) input cells stay absent — exactly
+    * NEAREST's no-interpolation contract. */
+  def resampleNearest(spark: SparkSession, dir: String): DataFrame = {
+    val keep = expr("((l_orderkey % 10000) div 100) % 4 = 2") &&
+      expr("((l_orderkey % 10000) % 100) % 4 = 2")
+    val aggs = layers.map { case (name, src, _) =>
+      max(col(src).cast("double")).as(name) }
+    val pc = table(spark, dir, "lineitem").filter(keep)
+      .groupBy((col("l_orderkey") % 10000).as("cell_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    cellsFrom(pc).select(col("layer"),
+      expr("(cell_id div 100) div 4").as("out_r"),
+      expr("(cell_id % 100) div 4").as("out_c"),
+      (col("value").cast("decimal(18,4)") * 10000).cast("long").as("v4"))
+  }
+
   /** R2 (pyt:710-745): the layer-filter chain — keep rasters, optionally
     * visible only, never mosaic/web/datasource-less layers, skip names
     * containing \\Boundary / \\Footprint / \\Image, first-wins dedup by
@@ -337,6 +425,9 @@ object WroQueries {
     "wro_overlay_nodata" -> overlayNoData,
     "wro_overlay_skewed" -> overlaySkewed,
     "a9_histogram" -> a9Histogram,
+    "wro_focal_stats" -> focalStats,
+    "wro_zonal_stats" -> zonalStats,
+    "wro_resample_nearest" -> resampleNearest,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -347,6 +438,55 @@ object WroQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // contribute-to-neighbors replayed as a 3×3 offset cross join over
+    // the same per-cell cents; sum(BIGINT) is HUGEINT in DuckDB → CAST
+    "wro_focal_stats" ->
+      """WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, cents FROM pc),
+        |o AS (SELECT unnest([-1, 0, 1]) AS d),
+        |n AS (SELECT g.r + o1.d AS r, g.c + o2.d AS c, g.cents
+        |      FROM g, o o1, o o2)
+        |SELECT r, c, CAST(sum(cents) AS BIGINT) AS focal_sum,
+        |       count(*) AS n_nbr
+        |FROM n WHERE r BETWEEN 0 AND 99 AND c BETWEEN 0 AND 99
+        |GROUP BY 1, 2""".stripMargin,
+    // same break formula as a9 (gate-proven floor-division binning);
+    // cents snapped per-row BEFORE aggregation on both sides
+    "wro_zonal_stats" ->
+      """WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    max(CAST(l_quantity AS DOUBLE)) AS q,
+        |    CAST(CAST(max(CAST(l_extendedprice AS DOUBLE)) AS DECIMAL(18,2))
+        |         * 100 AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT min(q) AS mn, max(q) AS mx FROM pc)
+        |SELECT
+        |  CAST(least(floor((q - mn) / ((mx - mn) / 5.0)), 4) AS INT) AS zone,
+        |  count(*) AS n_cells, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM pc, s GROUP BY 1""".stripMargin,
+    // the same pushed-down selection: only input cells at (4R+2, 4C+2)
+    // survive into the aggregate
+    "wro_resample_nearest" ->
+      s"""WITH pc AS (
+         |  SELECT l_orderkey % 10000 AS cell_id,
+         |    ${layers.map { case (n, src, _) =>
+                 s"max(CAST($src AS DOUBLE)) AS $n" }.mkString(", ")}
+         |  FROM lineitem
+         |  WHERE ((l_orderkey % 10000) // 100) % 4 = 2
+         |    AND ((l_orderkey % 10000) % 100) % 4 = 2
+         |  GROUP BY 1),
+         |cells AS (${layers.map { case (n, _, _) =>
+               s"SELECT cell_id, '$n' AS layer, $n AS value FROM pc" }
+               .mkString(" UNION ALL ")})
+         |SELECT layer, (cell_id // 100) // 4 AS out_r,
+         |  (cell_id % 100) // 4 AS out_c,
+         |  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+         |FROM cells""".stripMargin,
     "a9_histogram" ->
       s"""WITH cells AS ($cellsSql),
          |stats AS (SELECT layer, min(value) AS mn, max(value) AS mx

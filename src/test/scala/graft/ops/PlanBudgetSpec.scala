@@ -245,7 +245,23 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d32_bm25" -> 7,
     // first-week agg (reused by the user_id join) + the cohort-cell
     // two-phase distinct
-    "w14_retention" -> 3)
+    "w14_retention" -> 3,
+    // per-cell agg + the focal target agg (contributions are 9x the
+    // bounded raster, map-side combined)
+    "wro_focal_stats" -> 2,
+    // cached per-cell build hides; visible: 1-row stats agg + zone agg
+    "wro_zonal_stats" -> 2,
+    // selection pushed below the one per-cell exchange: 15/16 of fact
+    // rows never shuffle
+    "wro_resample_nearest" -> 1,
+    // per-cell agg + final per-rectangle agg; the tile join broadcasts
+    "j18_grid_join" -> 2,
+    // the explicit repartition(user_id) serves distinct, window, both
+    // island aggregates, and the final per-user aggregate
+    "w15_streak" -> 1,
+    // ONE combine-capable hash aggregate; min_by/max_by partials merge,
+    // so no per-bucket sort exchange exists
+    "w16_ohlc" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
