@@ -13,13 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 package object graft {
   /** Load a driver fixture table (TESTDATA.md) from a scale-factor dir.
     *
-    * `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark 4's
-    * vectorized reader rejects outright; read it as a long (legacy
-    * nanosAsLong) and rebuild a proper TimestampType column at microsecond
-    * precision (integer arithmetic — double division would lose precision
-    * above 2^53 ns). FLOOR division, not `div` truncation: DuckDB's
-    * epoch_us() on TIMESTAMP_NS floors, and the two differ by 1us on
-    * pre-epoch nanos.
+    * `events.ts` has shipped in two physical encodings across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark 4's vectorized
+    * reader rejects outright — read as a long via legacy nanosAsLong and
+    * rebuilt below) and plain TIMESTAMP(MICROS) isAdjustedToUTC=false
+    * (which Spark reads as TIMESTAMP_NTZ). `rebuildEventTs` normalizes
+    * either to session-zone TimestampType at microsecond precision so
+    * every downstream operator sees one type regardless of generation.
     *
     * The session must be built with
     * `spark.sql.legacy.parquet.nanosAsLong=true` (all graft mains and the
@@ -31,11 +31,22 @@ package object graft {
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** Rebuild the nanos-as-long `ts` column as a microsecond TimestampType —
-    * shared by the batch reader above and streaming file sources (the
-    * rebuild must be identical or batch-equivalence checks drift). */
-  def rebuildEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+  /** Normalize the `ts` column to microsecond TimestampType — shared by
+    * the batch reader above and streaming file sources (the rebuild must
+    * be identical or batch-equivalence checks drift). Long = legacy
+    * nanos-as-long (FLOOR division to us, not `div` truncation: DuckDB's
+    * epoch_us() on TIMESTAMP_NS floors, and the two differ by 1us on
+    * pre-epoch nanos). TIMESTAMP_NTZ = the micros generation; the cast to
+    * session-zone timestamp is wall-clock identity under the UTC session
+    * every graft main pins. */
+  def rebuildEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+  }
 }
