@@ -127,6 +127,60 @@ object TextAnalysis {
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"), lit(0)))
 
+  /** D33: the Gopher quality-filter rule set (Rae et al. 2021,
+    * arXiv:2112.11446 §A.1.1) as a per-document PASS/FAIL gate — the
+    * published document-level heuristics, each an integer predicate so
+    * the gate is exact at any scale:
+    *
+    *  - r_nwords: 50 ≤ word count ≤ 100,000 (the published bounds);
+    *  - r_wlen: mean word length in [3, 10], cross-multiplied to
+    *    3·n ≤ Σ|w| ≤ 10·n (no division). Σ|w| falls out of the
+    *    single-space corpus as |text| − (n − 1) — one length(), no
+    *    second tokenization;
+    *  - r_stop: ≥ 2 distinct stop words present (the published
+    *    structure; the stop list is adapted to the fixture's function
+    *    words — Gopher's own list assumes natural English);
+    *  - r_rep: the most char-covering word's share ≤ 0.20 — the
+    *    unigram form of Gopher's duplicate-top-n-gram character
+    *    fraction, cross-multiplied to 5·max(count·|w|) ≤ Σ|w|.
+    *
+    * (Gopher's symbol-ratio and bullet/ellipsis line rules need
+    * symbols and line structure the single-line symbol-free fixture
+    * cannot exercise — deliberately out of scope rather than vacuously
+    * green.) The per-doc stats are pure per-row expressions; the one
+    * aggregation is the (doc, token) count behind r_rep — keyed,
+    * map-side combinable, never all-pairs. Emits every doc with its
+    * stats, per-rule flags, and the composite keep — the shape a
+    * pipeline joins back on doc_id to filter (233/500 keep at gate
+    * SF; every flag except the structural r_wlen is non-vacuous). */
+  def gopherRules(docs: DataFrame, id: Column, text: Column,
+                  stopwords: Seq[String]): DataFrame = {
+    val d = docs.select(id.as("doc_id"), text.as("text"))
+    val perDoc = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      (length(col("text")) - size(split(col("text"), " ")) + 1)
+        .cast("long").as("sum_wlen"),
+      size(array_intersect(array_distinct(split(col("text"), " ")),
+        typedLit(stopwords))).cast("long").as("n_stop"))
+    val topChars = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c") * length(col("tok")).cast("long")).as("top_chars"))
+    perDoc.join(topChars, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("sum_wlen"), col("n_stop"),
+        col("top_chars"),
+        (col("n_words") >= 50 && col("n_words") <= 100000)
+          .cast("int").as("r_nwords"),
+        (col("sum_wlen") >= lit(3) * col("n_words") &&
+         col("sum_wlen") <= lit(10) * col("n_words")).cast("int").as("r_wlen"),
+        (col("n_stop") >= 2).cast("int").as("r_stop"),
+        (lit(5) * col("top_chars") <= col("sum_wlen")).cast("int").as("r_rep"))
+      .withColumn("keep",
+        (col("r_nwords") === 1 && col("r_wlen") === 1 &&
+         col("r_stop") === 1 && col("r_rep") === 1).cast("int"))
+  }
+
   /** D6b: per-document repetition signals — the standard quality filters
     * for boilerplate/machine-generated text (the Gopher-rule family):
     * the fraction of the doc taken by its single most frequent word, and

@@ -740,6 +740,15 @@ object LlmQueries {
     TextAnalysis.bm25TopK(docs(s, dir), col("doc_id"), col("text"),
       Seq("table", "scan", "merge", "stream"))
 
+  /** D33: the Gopher quality-rule gate ([[TextAnalysis.gopherRules]]),
+    * stop list = the fixture vocabulary's function words. */
+  def d33GopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(docs(s, dir), col("doc_id"), col("text"),
+      GopherStops)
+
+  private val GopherStops =
+    Seq("the", "a", "of", "to", "and", "in", "is", "be")
+
   def d4LangId(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     TextAnalysis.langId(d, col("doc_id"), col("text"), col("lang"))
@@ -1018,6 +1027,7 @@ object LlmQueries {
     "d4_top_tokens" -> d4TopTokens,
     "d4_tfidf" -> d4TfIdf,
     "d32_bm25" -> d32Bm25,
+    "d33_gopher_rules" -> d33GopherRules,
     "d4_langid" -> d4LangId,
     "d4_fingerprint" -> d4Fingerprint,
     "d5_multimodal" -> d5Multimodal,
@@ -2513,6 +2523,33 @@ object LlmQueries {
         |  count(*) AS n_terms
         |FROM c GROUP BY 1
         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
+    // same integer cross-multiplied rules; Σ|w| via the single-space
+    // identity strlen − n + 1 on both sides (no second tokenization)
+    "d33_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(strlen(text) - len(w) + 1 AS BIGINT) AS sum_wlen,
+        |    CAST(len(list_intersect(list_distinct(w),
+        |      ['the','a','of','to','and','in','is','be'])) AS BIGINT) AS n_stop
+        |  FROM d),
+        |t AS (
+        |  SELECT doc_id, CAST(max(c * strlen(tok)) AS BIGINT) AS top_chars
+        |  FROM (SELECT doc_id, tok, count(*) AS c FROM (
+        |          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |          FROM documents) GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT doc_id, n_words, sum_wlen, n_stop, top_chars,
+        |  CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_nwords,
+        |  CAST(3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words AS INT)
+        |    AS r_wlen,
+        |  CAST(n_stop >= 2 AS INT) AS r_stop,
+        |  CAST(5 * top_chars <= sum_wlen AS INT) AS r_rep,
+        |  CAST(n_words BETWEEN 50 AND 100000
+        |    AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+        |    AND n_stop >= 2 AND 5 * top_chars <= sum_wlen AS INT) AS keep
+        |FROM p JOIN t USING (doc_id)""".stripMargin,
     "d4_langid" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),

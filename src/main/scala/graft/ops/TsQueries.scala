@@ -319,6 +319,43 @@ object TsQueries {
         unix_micros(col("ts")).as("t"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")))
 
+  /** Rolling-median core over (user_id, event_id, t:us, cents): the
+    * trailing-`frame`-event exact median of each user's value series —
+    * the robust baseline sibling of w13's mean/sigma z-score (a median
+    * baseline shrugs off the very outliers w13 exists to catch).
+    * percentile() is Spark's EXACT percentile ImperativeAggregate
+    * evaluated per frame; the frame is bounded ROWS (frame−1 PRECEDING
+    * .. CURRENT), so per-row state is O(frame), never the partition.
+    * `frame` must be ODD: the 0.5 quantile of an odd count IS the
+    * middle element — an integer cents value both engines return
+    * exactly, with the interpolation branch provably never taken (the
+    * double intermediate is lossless on integer cents ≪ 2^53).
+    * Incomplete leading frames (n < frame) are suppressed: an even
+    * prefix count would interpolate and put cross-engine float rounding
+    * into the gate. ONE exchange: the user_id window; at 100 TB the
+    * series would be range-partitioned (user, month) with frame−1 rows
+    * of carry-in halo per partition, same plan per slice. */
+  def rollingMedian(events: DataFrame, frame: Int = 9): DataFrame = {
+    require(frame % 2 == 1, s"frame must be odd for an exact median: $frame")
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    events
+      .withColumn("n_win", count(col("cents")).over(w))
+      .withColumn("med_c",
+        percentile(col("cents"), lit(0.5)).over(w).cast("long"))
+      .filter(col("n_win") === frame)
+      .select(col("user_id"), col("event_id"), col("t").as("t_us"),
+        col("cents"), col("med_c"))
+  }
+
+  /** W17: trailing-9-event rolling median of the events fixture,
+    * money as exact cents. */
+  def w17RollingMedian(s: SparkSession, dir: String): DataFrame =
+    rollingMedian(table(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w6_sessionize" -> w6Sessionize,
     "w7_gapfill" -> w7Gapfill,
@@ -327,10 +364,26 @@ object TsQueries {
     "w13_anomaly" -> w13Anomaly,
     "w14_retention" -> w14Retention,
     "w15_streak" -> w15Streak,
-    "w16_ohlc" -> w16Ohlc
+    "w16_ohlc" -> w16Ohlc,
+    "w17_rolling_median" -> w17RollingMedian
   )
 
   val oracle: Map[String, String] = Map(
+    // quantile_cont over the same 9-row frame: with an odd count the
+    // 0.5 quantile is the middle element — integer cents, interpolation
+    // never fires, the BIGINT cast is exact in both engines
+    "w17_rolling_median" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT *, count(cents) OVER win AS n,
+        |    CAST(quantile_cont(cents, 0.5) OVER win AS BIGINT) AS med_c
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, t AS t_us, cents, med_c
+        |FROM w WHERE n = 9""".stripMargin,
     // independent formulation: window-rank argmax (ORDER BY len DESC,
     // start ASC) instead of the min(struct(-len, start)) aggregate
     "w15_streak" ->

@@ -259,6 +259,48 @@ object WroQueries {
       (col("value").cast("decimal(18,4)") * 10000).cast("long").as("v4"))
   }
 
+  /** GIS4 — SLOPE gradients (Horn 1981; the kernel behind the Esri
+    * Surface toolset's Slope/Aspect, the natural next operator after
+    * GIS1's focal smoothing): per grid cell the x/y gradients of the
+    * quantity surface over its 3×3 neighborhood,
+    *   gx = (zNE + 2·zE + zSE) − (zNW + 2·zW + zSW),
+    *   gy = (zSW + 2·zS + zSE) − (zNW + 2·zN + zNE)
+    * (y positive toward increasing row). Emitted as exact
+    * cents·weight BIGINTs, UNDIVIDED: Horn's 1/(8·cellsize) factor and
+    * Esri's atan(√(gx²+gy²)) are monotone post-transforms of these two
+    * integers, and applying them would put IEEE trig in the gate.
+    * Only COMPLETE neighborhoods emit (n == 9): the sparse raster's
+    * absent cells are NoData, and Horn over NoData is implementation-
+    * defined (Esri substitutes the center z) — the complete-
+    * neighborhood restriction is the one contract every implementation
+    * agrees on, and it is non-vacuous at gate SF (edge cells and cells
+    * ringing empty cells are suppressed). Same contribute-to-neighbors
+    * shape as GIS1: each present cell fans out to the ≤9 targets it
+    * influences carrying the weight the TARGET sees — a source at
+    * relative offset (−dr,−dc) from its target weighs
+    * wx = −dc·(2−|dr|), wy = −dr·(2−|dc|) — then ONE map-side-combined
+    * hash aggregate folds contributions. The exchange is bounded by the
+    * ≤10k-cell raster domain, never the fact table; at 100 TB a tiled
+    * layout with a 1-cell halo keeps the identical plan shuffle-free
+    * per tile. */
+  def slope(spark: SparkSession, dir: String): DataFrame = {
+    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L }
+      yield (dr, dc, -dc * (2 - math.abs(dr)), -dr * (2 - math.abs(dc)))
+    perCell(spark, dir)
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % GridW).as("c"),
+        (col("quantity").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .select(col("r"), col("c"), col("cents"),
+        explode(typedLit(offs)).as("o"))
+      .select((col("r") + col("o._1")).as("r"), (col("c") + col("o._2")).as("c"),
+        (col("cents") * col("o._3")).as("xc"),
+        (col("cents") * col("o._4")).as("yc"))
+      .filter(col("r").between(0, GridW - 1) && col("c").between(0, GridW - 1))
+      .groupBy("r", "c")
+      .agg(sum("xc").as("gx"), sum("yc").as("gy"), count(lit(1)).as("n"))
+      .filter(col("n") === 9)
+      .select("r", "c", "gx", "gy")
+  }
+
   /** R2 (pyt:710-745): the layer-filter chain — keep rasters, optionally
     * visible only, never mosaic/web/datasource-less layers, skip names
     * containing \\Boundary / \\Footprint / \\Image, first-wins dedup by
@@ -428,6 +470,7 @@ object WroQueries {
     "wro_focal_stats" -> focalStats,
     "wro_zonal_stats" -> zonalStats,
     "wro_resample_nearest" -> resampleNearest,
+    "wro_slope" -> slope,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -454,6 +497,24 @@ object WroQueries {
         |       count(*) AS n_nbr
         |FROM n WHERE r BETWEEN 0 AND 99 AND c BETWEEN 0 AND 99
         |GROUP BY 1, 2""".stripMargin,
+    // Horn kernel replayed as the same 3×3 weighted offset cross join;
+    // HAVING count(*)=9 is the complete-neighborhood contract
+    "wro_slope" ->
+      """WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, cents FROM pc),
+        |o AS (SELECT unnest([-1, 0, 1]) AS d),
+        |n AS (SELECT g.r + o1.d AS r, g.c + o2.d AS c,
+        |        g.cents * (-o2.d * (2 - abs(o1.d))) AS xc,
+        |        g.cents * (-o1.d * (2 - abs(o2.d))) AS yc
+        |      FROM g, o o1, o o2)
+        |SELECT r, c, CAST(sum(xc) AS BIGINT) AS gx,
+        |       CAST(sum(yc) AS BIGINT) AS gy
+        |FROM n WHERE r BETWEEN 0 AND 99 AND c BETWEEN 0 AND 99
+        |GROUP BY 1, 2 HAVING count(*) = 9""".stripMargin,
     // same break formula as a9 (gate-proven floor-division binning);
     // cents snapped per-row BEFORE aggregation on both sides
     "wro_zonal_stats" ->

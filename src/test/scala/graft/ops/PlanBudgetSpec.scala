@@ -261,7 +261,16 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "w15_streak" -> 1,
     // ONE combine-capable hash aggregate; min_by/max_by partials merge,
     // so no per-bucket sort exchange exists
-    "w16_ohlc" -> 1)
+    "w16_ohlc" -> 1,
+    // one user_id window exchange; the bounded 9-row frame is per-row
+    // state, not an exchange
+    "w17_rolling_median" -> 1,
+    // per-cell agg + the Horn target agg (9x the bounded raster domain,
+    // map-side combined) — the focal shape with weights
+    "wro_slope" -> 2,
+    // (doc, token) count + per-doc max; the per-row stats leg
+    // broadcasts into the doc_id join
+    "d33_gopher_rules" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
