@@ -237,6 +237,54 @@ object Similarity {
            min_by(col("cs"), col("a_id")).as("cos_sim"))
   }
 
+  /** D34: approximate kNN GRAPH construction — every vector's top-kNbr
+    * most-similar neighbors, the all-queries generalization of the
+    * single-query d3 probes and the substrate of graph-based dedup,
+    * clustering-by-neighborhood, and HNSW-style index builds. Exact
+    * kNN is Θ(n²); the published scale recipe (and SemDeDup's) is
+    * cluster-then-search: route every vector to a TRAINED k-means cell
+    * ([[KMeans.codebook2Q]], the d23 machinery — data-adaptive where
+    * sign-LSH hyperplanes are not), then search only within the cell.
+    * The neighbor candidates meet in a plain cid equi-join (directed:
+    * a ≠ b, both orientations — a kNN graph is asymmetric), cosine is
+    * the fused codegen kernel, and the per-vector top-kNbr cut is one
+    * row_number window over (cs DESC, nbr_id) — rounded-then-ordered,
+    * so both engines rank the same values. Contract: per-CELL exact
+    * top-k (nprobe=1 recall — cross-cell true neighbors are the
+    * documented miss, the standard IVF trade); vectors alone in their
+    * cell emit nothing. At 100 TB: cid is the index's partition
+    * column, the join is per-partition, the window is keyed by vector
+    * — no stage touches more than one cell's candidates. */
+  def knnGraph(corpus: DataFrame, id: Column, embDouble: Column,
+               k: Int, kNbr: Int): DataFrame = {
+    val base = corpus.select(id.as("vec_id"), embDouble.as("v"))
+    val q = base.select(col("vec_id"), col("v"),
+        KMeans.quantize(col("v")).as("qv"))
+      .localCheckpoint()
+    val cb = KMeans.codebook2Q(q.select("vec_id", "qv"), k)
+    // assignment materialized once; both join sides read it (the d16
+    // double-derivation lesson)
+    val members = q.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("v"), col("cid"),
+              KMeans.sqDist(col("qv"), col("cv")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cid"), col("v")), struct(col("dist"), col("cid")))
+        .as("w"))
+      .select(col("vec_id"), col("w.cid").as("cid"), col("w.v").as("v"))
+      .localCheckpoint()
+    val w = Window.partitionBy("a_id").orderBy(col("cs").desc, col("b_id"))
+    members.select(col("cid"), col("vec_id").as("a_id"), col("v").as("va"))
+      .join(members.select(col("cid"), col("vec_id").as("b_id"),
+        col("v").as("vb")), Seq("cid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              round(cosine(col("va"), col("vb")), 6).as("cs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNbr)
+      .select(col("a_id").as("vec_id"), col("rank"),
+              col("b_id").as("nbr_id"), col("cs").as("cos_sim"))
+  }
+
   /** Near-dup pairs with a sign-LSH bucket prefilter: pairs only form
     * inside a bucket, so the join is an equi-join on the bucket id (hash
     * partitionable — work is n²/2^bits instead of n²). Near-identical

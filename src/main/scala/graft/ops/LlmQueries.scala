@@ -421,6 +421,14 @@ object LlmQueries {
     Similarity.semDedup(embsWithNearDups(s, dir), col("vec_id"), col("v"),
       k = 8, threshold = 0.95)
 
+  /** D34: the kNN graph over the raw embeddings table — trained cells
+    * route, within-cell directed top-3 ([[Similarity.knnGraph]]). */
+  def d34KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    Similarity.knnGraph(e, col("vec_id"),
+      Similarity.asDouble(col("embedding")), k = 8, kNbr = 3)
+  }
+
   /** D17: URL canonicalization + canonical-key dedup — the crawl-corpus
     * hygiene step (the same page arrives as http/https, with tracking
     * params, case-varied hosts, trailing slashes): canonical key =
@@ -1017,6 +1025,7 @@ object LlmQueries {
     "d8_sequence_pack" -> d8SequencePack,
     "d2_cosine_neardup" -> d2CosineNearDup,
     "d23_semdedup" -> d23SemDedup,
+    "d34_knn_graph" -> d34KnnGraph,
     "d3_cosine_topk" -> d3CosineTopK,
     "d3_ann_lsh" -> d3AnnLsh,
     "d3_ivf_topk" -> d3IvfTopK,
@@ -1296,23 +1305,38 @@ object LlmQueries {
     * corpus (originals keep — the d23 gate), "- 1000000" plants them
     * BELOW (the planted twin keeps, the REAL doc drops — the capstone's
     * load-bearing form). */
-  private def semDedupCtes(shift: String): String =
-    cosPairSql(
+  /** The planted-twin SemDeDup corpus CTE body (see [[semDedupCtes]]). */
+  private def semDedupCorp(shift: String): String =
+    s"""  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id $shift,
+       |    [CAST(embedding[1] AS DOUBLE) + 0.05] ||
+       |      list_transform(embedding[2:], x -> CAST(x AS DOUBLE)),
+       |    [CAST(round((CAST(embedding[1] AS DOUBLE) + 0.05) * 1048576)
+       |          AS BIGINT)] ||
+       |      list_transform(embedding[2:],
+       |        x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+       |  FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
+  /** The plain (unplanted) corpus CTE body — the d34 kNN graph runs on
+    * the raw embeddings table. */
+  private val plainCorp: String =
+    """  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+      |  FROM embeddings""".stripMargin
+
+  /** Two-Lloyd-round trained-cell assignment CTEs (corp → a3: the
+    * [[graft.llm.KMeans.codebook2Q]] replay) over the given corpus CTE
+    * body — shared by the SemDeDup family and the d34 kNN graph. */
+  private def lloydA3Ctes(corpSql: String): String =
       s"""WITH corp AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |    list_transform(embedding,
-         |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
-         |  FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id $shift,
-         |    [CAST(embedding[1] AS DOUBLE) + 0.05] ||
-         |      list_transform(embedding[2:], x -> CAST(x AS DOUBLE)),
-         |    [CAST(round((CAST(embedding[1] AS DOUBLE) + 0.05) * 1048576)
-         |          AS BIGINT)] ||
-         |      list_transform(embedding[2:],
-         |        x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
-         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |$corpSql),
          |seeds0 AS (
          |  SELECT vec_id AS cid, qv AS cv FROM corp ORDER BY vec_id LIMIT 8),
          |d1 AS (
@@ -1359,16 +1383,41 @@ object LlmQueries {
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d3) WHERE rn = 1),
-         |pairs AS (
-         |  SELECT a.vec_id AS a_id, ta.v AS va, b.vec_id AS b_id, tb.v AS vb
-         |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  JOIN corp ta ON ta.vec_id = a.vec_id
-         |  JOIN corp tb ON tb.vec_id = b.vec_id)""".stripMargin) +
+         |    FROM d3) WHERE rn = 1)""".stripMargin
+
+  private def semDedupCtes(shift: String): String =
+    cosPairSql(
+      lloydA3Ctes(semDedupCorp(shift)) +
+      """,
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, ta.v AS va, b.vec_id AS b_id, tb.v AS vb
+        |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN corp ta ON ta.vec_id = a.vec_id
+        |  JOIN corp tb ON tb.vec_id = b.vec_id)""".stripMargin) +
     """,
       |sims AS (
       |  SELECT a_id, b_id, round(dot / (na * nb), 6) AS cs
       |  FROM dots WHERE round(dot / (na * nb), 6) >= 0.95)""".stripMargin
+
+  /** D34 oracle: same trained cells over the PLAIN corpus, DIRECTED
+    * within-cell pairs, per-source top-kNbr by (cs DESC, nbr_id). */
+  private val knnGraphSql: String =
+    cosPairSql(
+      lloydA3Ctes(plainCorp) +
+      """,
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, ta.v AS va, b.vec_id AS b_id, tb.v AS vb
+        |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        |  JOIN corp ta ON ta.vec_id = a.vec_id
+        |  JOIN corp tb ON tb.vec_id = b.vec_id)""".stripMargin) +
+    """
+      |SELECT vec_id, rank, nbr_id, cs AS cos_sim FROM (
+      |  SELECT a_id AS vec_id, b_id AS nbr_id,
+      |    round(dot / (na * nb), 6) AS cs,
+      |    row_number() OVER (PARTITION BY a_id
+      |      ORDER BY round(dot / (na * nb), 6) DESC, b_id) AS rank
+      |  FROM dots)
+      |WHERE rank <= 3""".stripMargin
 
   /** Cosine of doc pairs `(a_id, va, b_id, vb)` via explicit position sum. */
   private def cosPairSql(pairsCte: String): String =
@@ -2060,6 +2109,7 @@ object LlmQueries {
         |  min_by(s.cs, s.a_id) AS cos_sim
         |FROM sims s JOIN a3 a ON a.vec_id = s.b_id
         |GROUP BY s.b_id""".stripMargin),
+    "d34_knn_graph" -> knnGraphSql,
     "d3_cosine_topk" -> (
       cosPairSql(
         """WITH pairs AS (

@@ -270,7 +270,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "wro_slope" -> 2,
     // (doc, token) count + per-doc max; the per-row stats leg
     // broadcasts into the doc_id join
-    "d33_gopher_rules" -> 2)
+    "d33_gopher_rules" -> 2,
+    // visible past the checkpointed assignment: the cid candidate join
+    // (two sides) + the per-vector rank window
+    "d34_knn_graph" -> 3)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
