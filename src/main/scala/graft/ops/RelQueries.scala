@@ -1199,6 +1199,79 @@ object RelQueries {
     perGroup.unionByName(global)
   }
 
+  /** A23: KMV theta-style distinct sketches with SET INTERSECTION — the
+    * audience-overlap estimate neither a18's HLL (no intersection
+    * operator) nor a plain rollup can give without re-touching rows.
+    * Sketch = each group's k smallest values of a uniform 60-bit hash
+    * (the 15-hex-char md5 prefix — fixed-length lowercase hex, so
+    * STRING order IS numeric order and the sketch never leaves
+    * string-land until the final 10-row estimate). θ = the k-th
+    * smallest; |A| ≈ k·2^60/θ, and for a pair the theta-sketch
+    * intersection rule: θ∩ = min(θa, θb),
+    * |A∩B| ≈ |{h ∈ Sa∩Sb : h < θ∩}| · 2^60/θ∩. Everything up to the
+    * single rounded estimate is integer/string-exact, so the oracle
+    * replays the whole sketch bit-for-bit — no tolerance contract
+    * needed. The overlapped sets are each type's ENGAGED users —
+    * (type, user) pairs with strictly above-mean event counts, the
+    * mean cross-multiplied (n·npairs > total) so the threshold is
+    * data-derived and SCALE-FREE: sets of 65–80 users per type with
+    * varying 24–43-user intersections at gate SF (the all-users sets
+    * are degenerate — every user touches every type), and k=32 < set
+    * size keeps the sketch in genuine estimation mode, not exact mode.
+    * The k-min cut is one per-group rank window over the (type, hash)
+    * distinct; retained state is groups×k rows (checkpointed — the
+    * convergence-count class); the pair stage joins 32-row sketches.
+    * At 100 TB the sketch build is the only fact-grain stage — one
+    * keyed aggregate + one bounded window — and sketches persist as
+    * the rollup artifact, exactly the a18 pre-aggregation pattern plus
+    * intersection algebra. The exact-intersection leg (the gate's
+    * cross-check) is a keyed self-join on user_id, never all-pairs. */
+  def a23ThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val pow60 = 1152921504606846976.0 // 2^60, exactly representable
+    val counts = table(s, dir, "events")
+      .groupBy(col("event_type").as("t"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // (type, user) grain — feeds totals AND the gate
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("npairs"))
+    val ev = counts.crossJoin(broadcast(totals))
+      .filter(col("n") * col("npairs") > col("total"))
+      .select(col("t"),
+        substring(md5(col("user_id").cast("string")), 1, 15).as("h"))
+    val w = Window.partitionBy("t").orderBy("h")
+    val sk = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("t", "h")
+      .localCheckpoint()
+    val theta = sk.groupBy("t").agg(max(col("h")).as("theta"))
+    val du = counts.crossJoin(broadcast(totals))
+      .filter(col("n") * col("npairs") > col("total"))
+      .select(col("t"), col("user_id"))
+    val exactInter = du.select(col("t").as("ta"), col("user_id"))
+      .join(du.select(col("t").as("tb"), col("user_id")), "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_inter_exact"))
+    val thS = least(col("tha"), col("thb"))
+    sk.select(col("t").as("ta"), col("h"))
+      .join(sk.select(col("t").as("tb"), col("h")), "h")
+      .filter(col("ta") < col("tb"))
+      .join(broadcast(theta.select(col("t").as("ta"),
+        col("theta").as("tha"))), "ta")
+      .join(broadcast(theta.select(col("t").as("tb"),
+        col("theta").as("thb"))), "tb")
+      .filter(col("h") < thS)
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("m_inter"), min(thS).as("th_s"))
+      .join(exactInter, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("m_inter"),
+        conv(col("th_s"), 16, 10).cast("long").as("theta_min"),
+        round(col("m_inter").cast("double") * lit(pow60) /
+          conv(col("th_s"), 16, 10).cast("long").cast("double"))
+          .cast("long").as("est_users"),
+        col("n_inter_exact"))
+  }
+
   /** A22: exact per-group MODE with a deterministic tie-break (smallest
     * value wins equal counts). Two cascaded hash aggregates — count per
     * (group, value), then one min(struct(-cnt, value)) per group — both
@@ -2079,6 +2152,7 @@ object RelQueries {
     "a18_sketch_rollup" -> a18SketchRollup,
     "a19_incremental_mv" -> a19IncrementalMv,
     "a21_bitmap_distinct" -> a21BitmapDistinct,
+    "a23_theta_overlap" -> a23ThetaOverlap,
     "a17_grouping_sets" -> a17GroupingSets,
     "o3_union" -> o3Union,
     "o4_setops" -> o4SetOps,
@@ -2304,6 +2378,38 @@ object RelQueries {
         |FROM orders GROUP BY 1
         |UNION ALL
         |SELECT '<all>', count(DISTINCT o_custkey) FROM orders""".stripMargin,
+    // bit-for-bit sketch replay: same md5-prefix hash, same k-min cut,
+    // same theta intersection rule; hex string order IS numeric order
+    "a23_theta_overlap" ->
+      """WITH c AS (
+        |  SELECT event_type AS t, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |             count(*) AS npairs FROM c),
+        |du AS (SELECT t, user_id FROM c, s WHERE n * npairs > total),
+        |e AS (SELECT t,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS h FROM du),
+        |r AS (SELECT t, h,
+        |        row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM e),
+        |sk AS (SELECT t, h FROM r WHERE rn <= 32),
+        |th AS (SELECT t, max(h) AS theta FROM sk GROUP BY 1),
+        |ex AS (
+        |  SELECT a.t AS ta, b.t AS tb, count(*) AS n_inter_exact
+        |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.t < b.t
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a.t AS ta, b.t AS tb, count(*) AS m_inter,
+        |    min(least(tha.theta, thb.theta)) AS th_s
+        |  FROM sk a JOIN sk b ON a.h = b.h AND a.t < b.t
+        |  JOIN th tha ON tha.t = a.t JOIN th thb ON thb.t = b.t
+        |  WHERE a.h < least(tha.theta, thb.theta)
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, m_inter,
+        |  CAST(concat('0x', th_s) AS BIGINT) AS theta_min,
+        |  CAST(round(m_inter * 1152921504606846976.0 /
+        |       CAST(concat('0x', th_s) AS BIGINT)) AS BIGINT) AS est_users,
+        |  n_inter_exact
+        |FROM m JOIN ex USING (ta, tb)""".stripMargin,
     // window-rank formulation — independent of the Spark side's
     // double-aggregate argmax shape
     "a22_mode" ->

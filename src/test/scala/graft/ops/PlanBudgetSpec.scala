@@ -273,7 +273,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d33_gopher_rules" -> 2,
     // visible past the checkpointed assignment: the cid candidate join
     // (two sides) + the per-vector rank window
-    "d34_knn_graph" -> 3)
+    "d34_knn_graph" -> 3,
+    // past the checkpointed (type,user) counts: k-min rank window, the
+    // sketch-pair h join, the exact-leg user_id self-join + both pair
+    // aggregates (each over <=10 bounded rows); thetas broadcast
+    "a23_theta_overlap" -> 6)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
