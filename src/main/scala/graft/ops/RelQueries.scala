@@ -1272,6 +1272,44 @@ object RelQueries {
         col("n_inter_exact"))
   }
 
+  /** V6: ONE-PASS data-quality profile (the Deequ/Great-Expectations
+    * shape): per audited column — null count, exact distinct count,
+    * and an approx-distinct within-tolerance flag — computed for ALL
+    * columns in a single Aggregate over a single fact scan, then
+    * unpivoted to one row per column. This is the constraint-suite
+    * pattern a 100 TB ingest gate runs nightly: the scan happens once
+    * regardless of how many metrics ride it. The exact multi-column
+    * count(DISTINCT)s plan as one Expand (rows × #distinct-columns
+    * before partial aggregation — the standard cost, paid map-side);
+    * the approx leg (HLL, no expand) is the scale path, and the gate
+    * pins it to 5%+1 of exact per column (a18's contract: the flag is
+    * oracle-checked, the estimate itself is engine-specific). The
+    * unpivot is a 1-row struct-array inline — no second scan, no
+    * shuffle beyond the aggregate's own. */
+  def v6DqProfile(s: SparkSession, dir: String): DataFrame = {
+    val audited =
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+        "l_shipdate")
+    val li = table(s, dir, "lineitem")
+    val aggs = count(lit(1)).as("n_rows") +: audited.flatMap { c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      approx_count_distinct(col(c)).as(s"${c}__approx")) }
+    val entries = array(audited.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__distinct").as("n_distinct"),
+        (abs(col(s"${c}__approx") - col(s"${c}__distinct")) <=
+          col(s"${c}__distinct") * 0.05 + lit(1.0))
+          .cast("int").as("within_tol"))
+    }: _*)
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(entries).as("m"))
+      .select(col("m.col_name").as("col_name"), col("n_rows"),
+        col("m.n_null").as("n_null"), col("m.n_distinct").as("n_distinct"),
+        col("m.within_tol").as("within_tol"))
+  }
+
   /** A22: exact per-group MODE with a deterministic tie-break (smallest
     * value wins equal counts). Two cascaded hash aggregates — count per
     * (group, value), then one min(struct(-cnt, value)) per group — both
@@ -2153,6 +2191,7 @@ object RelQueries {
     "a19_incremental_mv" -> a19IncrementalMv,
     "a21_bitmap_distinct" -> a21BitmapDistinct,
     "a23_theta_overlap" -> a23ThetaOverlap,
+    "v6_dq_profile" -> v6DqProfile,
     "a17_grouping_sets" -> a17GroupingSets,
     "o3_union" -> o3Union,
     "o4_setops" -> o4SetOps,
@@ -2378,6 +2417,17 @@ object RelQueries {
         |FROM orders GROUP BY 1
         |UNION ALL
         |SELECT '<all>', count(DISTINCT o_custkey) FROM orders""".stripMargin,
+    // per-column metrics replayed as independent scalar subqueries; the
+    // within_tol flag is Spark-side-attested (a18 contract), literal 1
+    "v6_dq_profile" ->
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+          "l_shipdate").map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  (SELECT count(*) FROM lineitem) AS n_rows,
+           |  (SELECT count(*) FROM lineitem WHERE $c IS NULL) AS n_null,
+           |  (SELECT count(DISTINCT $c) FROM lineitem) AS n_distinct,
+           |  CAST(1 AS INT) AS within_tol""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     // bit-for-bit sketch replay: same md5-prefix hash, same k-min cut,
     // same theta intersection rule; hex string order IS numeric order
     "a23_theta_overlap" ->

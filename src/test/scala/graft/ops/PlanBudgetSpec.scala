@@ -277,7 +277,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // past the checkpointed (type,user) counts: k-min rank window, the
     // sketch-pair h join, the exact-leg user_id self-join + both pair
     // aggregates (each over <=10 bounded rows); thetas broadcast
-    "a23_theta_overlap" -> 6)
+    "a23_theta_overlap" -> 6,
+    // one Expand-carrying aggregate: distinct partials + final merge —
+    // the profile scans the fact table exactly once
+    "v6_dq_profile" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
