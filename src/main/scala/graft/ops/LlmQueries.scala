@@ -271,6 +271,65 @@ object LlmQueries {
            sum(col("n_removed")).as("lines_removed"))
   }
 
+  /** PIPE9: the FineWeb-shaped corpus-prep capstone (Penedo et al.
+    * 2024, arXiv:2406.17557 — the published pipeline whose distinctive
+    * stages vs C4/CCNet are the URL-level gates and the Gopher rule
+    * set), composed in the published order: (1) URL BLOCKLIST — hosts
+    * synthesize deterministically from the fixture (the d17/d18
+    * machinery: scheme/case/utm/trailing-slash variants; host class =
+    * (doc_id%250)%7), two blocked hosts drop their docs; (2)
+    * fetch-level CANONICAL-URL dedup — lowercase host + path, query
+    * and trailing slash stripped, keep the first doc_id per canonical
+    * page (the same page re-crawled under URL variants); (3) language
+    * gate — the lexicon-vote classifier trained on the SURVIVING
+    * corpus must agree with the recorded label (FineWeb's fastText
+    * ≥ 0.65 re-expressed as agreement); (4) the GOPHER rule gate —
+    * this round's [[TextAnalysis.gopherRules]] composite keep, the
+    * stage FineWeb adds on top of C4's filters; (5) per (lang, source)
+    * accounting. Funnel at gate SF: 500 → 358 (blocklist) → 179
+    * (canonical dedup) → 41 (langid ∩ gopher) — every stage
+    * load-bearing with no planted rows. `kept` feeds the lexicon, the
+    * gopher stats, and the final join — localCheckpointed (multi-leg
+    * policy). All gates are doc_id-keyed joins; the only fact-grain
+    * exchanges are the canonical window and the token aggregates. */
+  def pipeFinewebCorpus(s: SparkSession, dir: String): DataFrame = {
+    val hostClass = (col("doc_id") % 250) % 7
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("H"), hostClass, lit(".Example.ORG")))
+        .otherwise(concat(lit("h"), hostClass, lit(".example.org"))),
+      lit("/p/"), (col("doc_id") % 250).cast("string"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+        .otherwise(lit("")))
+    val host = lower(parse_url(url, lit("HOST")))
+    val canon = concat(host,
+      regexp_replace(parse_url(url, lit("PATH")), "/$", ""))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canon").orderBy("doc_id")
+    val kept = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        host.as("host"), canon.as("canon"))
+      .filter(!col("host").isin("h3.example.org", "h5.example.org"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "text")
+      .localCheckpoint()
+    val pred = TextAnalysis.langId(kept, col("doc_id"), col("text"),
+      col("lang"))
+    val gopherKeep = TextAnalysis.gopherRules(kept, col("doc_id"),
+        col("text"), GopherStops)
+      .filter(col("keep") === 1).select("doc_id")
+    kept.join(pred, "doc_id")
+      .filter(col("pred_lang") === col("lang"))
+      .join(gopherKeep, "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " ")).cast("long")).as("sum_words"))
+  }
+
   /** PIPE7: the CCNet-shaped corpus-prep capstone (Wenzek et al. 2019
     * class: dedup → fastText-style quality model → language-aware
     * sampling), composed from this round's operators the way the
@@ -1065,7 +1124,8 @@ object LlmQueries {
     "d30_containment" -> d30Containment,
     "d31_line_dedup" -> d31LineDedup,
     "pipe_ccnet_corpus" -> pipeCcnetCorpus,
-    "pipe_c4_corpus" -> pipeC4Corpus
+    "pipe_c4_corpus" -> pipeC4Corpus,
+    "pipe_fineweb_corpus" -> pipeFinewebCorpus
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1980,6 +2040,60 @@ object LlmQueries {
     // lines -> lexicon-vote language agreement -> (lang, source) sums.
     // Docs losing EVERY line vanish from doc2 and fail the floor the
     // same way the Spark side's empty rewrite does.
+    // independent formulation: the blocklist and canonical key resolve
+    // to doc_id arithmetic (host class and path are functions of
+    // doc_id % 250), so the oracle never parses a URL; langid and
+    // gopher stages replay their own oracles over the kept corpus
+    "pipe_fineweb_corpus" ->
+      """WITH k0 AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  WHERE (doc_id % 250) % 7 NOT IN (3, 5)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id % 250 ORDER BY doc_id) AS rn FROM k0),
+        |kept AS (SELECT doc_id, lang, source, text FROM ranked WHERE rn = 1),
+        |toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM kept),
+        |freq AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT lang AS lex_lang, tok FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |               ORDER BY n DESC, tok ASC) AS rk FROM freq)
+        |  WHERE rk <= 10),
+        |votes AS (
+        |  SELECT t.doc_id, l.lex_lang, count(*) AS votes
+        |  FROM toks t JOIN lex l ON t.tok = l.tok
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, lex_lang AS pred_lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY votes DESC, lex_lang ASC) AS rk FROM votes)
+        |  WHERE rk = 1),
+        |gw AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM kept),
+        |gp AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(strlen(text) - len(w) + 1 AS BIGINT) AS sum_wlen,
+        |    CAST(len(list_intersect(list_distinct(w),
+        |      ['the','a','of','to','and','in','is','be'])) AS BIGINT) AS n_stop
+        |  FROM gw),
+        |gt AS (
+        |  SELECT doc_id, CAST(max(c * strlen(tok)) AS BIGINT) AS top_chars
+        |  FROM (SELECT doc_id, tok, count(*) AS c FROM (
+        |          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |          FROM kept) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |gk AS (
+        |  SELECT gp.doc_id FROM gp JOIN gt USING (doc_id)
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+        |    AND n_stop >= 2 AND 5 * top_chars <= sum_wlen)
+        |SELECT k.lang, k.source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(k.text, ' '))) AS BIGINT) AS sum_words
+        |FROM kept k
+        |JOIN pred p ON p.doc_id = k.doc_id AND k.lang = p.pred_lang
+        |JOIN gk ON gk.doc_id = k.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "pipe_c4_corpus" ->
       """WITH w AS (
         |  SELECT doc_id, lang, source, string_split(text, ' ') AS ws

@@ -280,7 +280,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "a23_theta_overlap" -> 6,
     // one Expand-carrying aggregate: distinct partials + final merge —
     // the profile scans the fact table exactly once
-    "v6_dq_profile" -> 2)
+    "v6_dq_profile" -> 2,
+    // past the checkpointed kept corpus: lexicon build + votes + the
+    // gopher token aggregates + the final accounting; all doc-keyed
+    "pipe_fineweb_corpus" -> 7)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
