@@ -652,4 +652,32 @@ object Dedup {
             p => !array_contains(col("rm"), p)),
           p => element_at(col("ls"), p)), "\n").as("new_text"))
   }
+
+  /** D35: cross-source CONTAMINATION MATRIX — which sources share
+    * verbatim content with which: for every source pair, the number of
+    * distinct word-`n`-grams present in both (the corpus-internal
+    * audit that tells you a "fresh" source is partially a mirror of
+    * another before you weight them independently in a training mix;
+    * d9 decontaminates against an external benchmark — this audits the
+    * corpus against itself). Shingles travel as md5 hashes (32-byte
+    * key instead of the n-word string — the narrow-shuffle policy;
+    * collision odds at 128 bits are below the gate's resolution on any
+    * corpus), deduplicated to (source, hash) grain BEFORE the join, so
+    * the inverted-index self-join fans each shingle to at most
+    * C(sources, 2) pairs — bounded by the SOURCE domain, never
+    * documents², the d2 never-all-pairs policy. Two keyed exchanges at
+    * 100 TB: the (source, hash) distinct and the pair count; both
+    * partially aggregate map-side. */
+  def sourceOverlap(docs: DataFrame, source: Column, text: Column,
+                    n: Int = 8): DataFrame = {
+    val sh = docs
+      .select(source.as("src"), explode(shingleArray(text, n)).as("s"))
+      .select(col("src"), md5(col("s")).as("h"))
+      .distinct()
+    sh.select(col("src").as("src_a"), col("h"))
+      .join(sh.select(col("src").as("src_b"), col("h")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -212,6 +212,11 @@ object LlmQueries {
     Dedup.containmentPairs(docsWithContainments(s, dir),
       col("doc_id"), col("text"))
 
+  /** D35: the cross-source contamination matrix over the raw corpus
+    * ([[Dedup.sourceOverlap]], word 8-grams — the d27 span length). */
+  def d35SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(docs(s, dir), col("source"), col("text"), n = 8)
+
   /** D31: C4-style line dedup ([[Dedup.lineDedup]]) over a LINED view
     * of the fixture: each doc's words chunked into 4-word
     * newline-joined lines. 4 words over the fixture's ~40-word
@@ -1096,6 +1101,7 @@ object LlmQueries {
     "d4_tfidf" -> d4TfIdf,
     "d32_bm25" -> d32Bm25,
     "d33_gopher_rules" -> d33GopherRules,
+    "d35_source_overlap" -> d35SourceOverlap,
     "d4_langid" -> d4LangId,
     "d4_fingerprint" -> d4Fingerprint,
     "d5_multimodal" -> d5Multimodal,
@@ -2040,6 +2046,18 @@ object LlmQueries {
     // lines -> lexicon-vote language agreement -> (lang, source) sums.
     // Docs losing EVERY line vanish from doc2 and fail the floor the
     // same way the Spark side's empty rewrite does.
+    // same 8-gram window, DISTINCT at (source, md5) grain both sides
+    "d35_source_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    md5(array_to_string(ws[i.x : i.x + 7], ' ')) AS h
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS x) i)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     // independent formulation: the blocklist and canonical key resolve
     // to doc_id arithmetic (host class and path are functions of
     // doc_id % 250), so the oracle never parses a URL; langid and

@@ -301,6 +301,47 @@ object WroQueries {
       .select("r", "c", "gx", "gy")
   }
 
+  /** GIS5 — CLASS-BOUNDARY detection over the classified raster (the
+    * Esri Boundary-Clean/Contour family's core predicate, and the
+    * classed-surface operation the reference's no-interpolation rule
+    * pyt:25/606/823 exists to protect): a present cell is a boundary
+    * cell iff any 4-neighbor carries a DIFFERENT class, classes = the
+    * a9/zonal gate-proven equal-interval binning of the quantity
+    * layer. Same contribute-to-neighbors shape as GIS1/GIS4 with a
+    * 5-point (von Neumann) stencil: each classed cell fans out to the
+    * ≤5 targets it informs, tagged is_self on its own cell; targets
+    * without a self contribution are NoData and drop (absent neighbors
+    * simply don't vote — a boundary against NoData is not a class
+    * boundary, the documented contract). One map-side-combined
+    * aggregate; min≠max over contributed classes IS the
+    * any-different predicate — no pairwise neighbor comparison
+    * materializes. Exchange bounded by the raster domain. */
+  def classBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val cs = perCell(spark, dir)
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % GridW).as("c"),
+        col("quantity").cast("double").as("q"))
+    val stats = cs.agg(min("q").as("mn"), max("q").as("mx"))
+    val classed = cs.crossJoin(broadcast(stats))
+      .select(col("r"), col("c"),
+        least(floor((col("q") - col("mn")) /
+                    ((col("mx") - col("mn")) / lit(5.0))), lit(4))
+          .cast("int").as("cls"))
+    val offs = Seq((0L, 0L, 1), (-1L, 0L, 0), (1L, 0L, 0),
+      (0L, -1L, 0), (0L, 1L, 0))
+    classed.select(col("r"), col("c"), col("cls"),
+        explode(typedLit(offs)).as("o"))
+      .select((col("r") + col("o._1")).as("r"), (col("c") + col("o._2")).as("c"),
+        col("cls"), col("o._3").as("is_self"))
+      .filter(col("r").between(0, GridW - 1) && col("c").between(0, GridW - 1))
+      .groupBy("r", "c")
+      .agg(max(col("is_self")).as("self_present"),
+           min(when(col("is_self") === 1, col("cls"))).as("own_cls"),
+           min(col("cls")).as("mn_cls"), max(col("cls")).as("mx_cls"))
+      .filter(col("self_present") === 1)
+      .select(col("r"), col("c"), col("own_cls").as("cls"),
+        (col("mn_cls") =!= col("mx_cls")).cast("int").as("is_boundary"))
+  }
+
   /** R2 (pyt:710-745): the layer-filter chain — keep rasters, optionally
     * visible only, never mosaic/web/datasource-less layers, skip names
     * containing \\Boundary / \\Footprint / \\Image, first-wins dedup by
@@ -471,6 +512,7 @@ object WroQueries {
     "wro_zonal_stats" -> zonalStats,
     "wro_resample_nearest" -> resampleNearest,
     "wro_slope" -> slope,
+    "wro_class_boundaries" -> classBoundaries,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -497,6 +539,27 @@ object WroQueries {
         |       count(*) AS n_nbr
         |FROM n WHERE r BETWEEN 0 AND 99 AND c BETWEEN 0 AND 99
         |GROUP BY 1, 2""".stripMargin,
+    // 5-point stencil replayed with a VALUES offset join; min/max over
+    // contributed classes is the any-different predicate on both sides
+    "wro_class_boundaries" ->
+      """WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    max(CAST(l_quantity AS DOUBLE)) AS q
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT min(q) AS mn, max(q) AS mx FROM pc),
+        |cl AS (
+        |  SELECT cell_id // 100 AS r, cell_id % 100 AS c,
+        |    CAST(least(floor((q - mn) / ((mx - mn) / 5.0)), 4) AS INT) AS cls
+        |  FROM pc, s),
+        |o(dr, dc, is_self) AS (VALUES (0, 0, 1), (-1, 0, 0), (1, 0, 0),
+        |                              (0, -1, 0), (0, 1, 0)),
+        |n AS (SELECT cl.r + o.dr AS r, cl.c + o.dc AS c, cls, is_self
+        |      FROM cl, o)
+        |SELECT r, c,
+        |  min(CASE WHEN is_self = 1 THEN cls END) AS cls,
+        |  CAST(min(cls) <> max(cls) AS INT) AS is_boundary
+        |FROM n WHERE r BETWEEN 0 AND 99 AND c BETWEEN 0 AND 99
+        |GROUP BY 1, 2 HAVING max(is_self) = 1""".stripMargin,
     // Horn kernel replayed as the same 3×3 weighted offset cross join;
     // HAVING count(*)=9 is the complete-neighborhood contract
     "wro_slope" ->

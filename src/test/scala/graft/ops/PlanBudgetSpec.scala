@@ -283,7 +283,13 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "v6_dq_profile" -> 2,
     // past the checkpointed kept corpus: lexicon build + votes + the
     // gopher token aggregates + the final accounting; all doc-keyed
-    "pipe_fineweb_corpus" -> 7)
+    "pipe_fineweb_corpus" -> 7,
+    // (source, hash) distinct + the inverted-index pair join + the pair
+    // count; fan-out bounded by the source domain, never docs^2
+    "d35_source_overlap" -> 3,
+    // per-cell agg + the 5-point stencil target agg (classes broadcast
+    // their 1-row stats); the focal/Horn exchange shape
+    "wro_class_boundaries" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
