@@ -317,9 +317,12 @@ object WroQueries {
     * any-different predicate — no pairwise neighbor comparison
     * materializes. Exchange bounded by the raster domain. */
   def classBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the bounded ≤10k-cell aggregate feeds both the stats leg
+    // and the classing leg (the zonal multi-leg policy)
     val cs = perCell(spark, dir)
       .select(expr("cell_id div 100").as("r"), (col("cell_id") % GridW).as("c"),
         col("quantity").cast("double").as("q"))
+      .cache()
     val stats = cs.agg(min("q").as("mn"), max("q").as("mx"))
     val classed = cs.crossJoin(broadcast(stats))
       .select(col("r"), col("c"),
