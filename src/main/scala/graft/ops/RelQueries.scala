@@ -1199,6 +1199,39 @@ object RelQueries {
     perGroup.unionByName(global)
   }
 
+  /** Q23: RECURSIVE CTE transitive closure (Spark 4's WITH RECURSIVE —
+    * an engine capability the reference's geodatabase layer has no
+    * analogue for, SURVEY §2.C): every document's ancestor chain
+    * through a synthesized derivation DAG (parent = doc_id −
+    * (doc_id % 7 + 3); parent < child guarantees acyclicity, so
+    * UNION ALL terminates without dedup — each node has ONE parent,
+    * chains never revisit). Depth capped at 20 in the recursion guard:
+    * bounded iteration is the production posture (Spark executes one
+    * UnionLoop step per level — an unbounded 100-level walk is 100
+    * driver-scheduled steps, and the cap keeps the gate inside
+    * spark.sql.cteRecursionLevelLimit). The SAME statement runs
+    * verbatim in both engines — the subquery-family policy (q17–q22)
+    * extended to recursion. Each level is a keyed equi-join of the
+    * frontier against the bounded edge table; at 100 TB the frontier
+    * is the only growing side and it shuffles on anc_id per level. */
+  private val q23Sql = """
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS child, doc_id - (doc_id % 7 + 3) AS parent
+      FROM documents
+      WHERE doc_id - (doc_id % 7 + 3) >= 0),
+    anc AS (
+      SELECT child AS doc_id, parent AS anc_id, 1 AS depth FROM edges
+      UNION ALL
+      SELECT a.doc_id, e.parent, a.depth + 1
+      FROM anc a JOIN edges e ON e.child = a.anc_id
+      WHERE a.depth < 20)
+    SELECT doc_id, anc_id, CAST(depth AS BIGINT) AS depth FROM anc"""
+
+  def q23AncestorChains(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(q23Sql)
+  }
+
   /** A23: KMV theta-style distinct sketches with SET INTERSECTION — the
     * audience-overlap estimate neither a18's HLL (no intersection
     * operator) nor a plain rollup can give without re-touching rows.
@@ -2224,6 +2257,7 @@ object RelQueries {
     "q17_small_qty" -> q17SmallQty,
     "q21_waiting" -> q21Waiting,
     "q22_in_subquery" -> q22InSubquery,
+    "q23_ancestor_chains" -> q23AncestorChains,
     "q18_large_orders" -> q18LargeOrders,
     "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q20_dominant_share" -> q20DominantShare,
@@ -2851,6 +2885,7 @@ object RelQueries {
     "q17_small_qty" -> q17Sql,
     "q21_waiting" -> q21Sql,
     "q22_in_subquery" -> q22Sql,
+    "q23_ancestor_chains" -> q23Sql,
     "q18_large_orders" -> q18Sql,
     "q2_min_cost_supplier" -> q2Sql,
     "q20_dominant_share" -> q20Sql,
