@@ -301,6 +301,36 @@ object WroQueries {
       .select("r", "c", "gx", "gy")
   }
 
+  /** GIS6 — ASPECT classing (Esri Aspect with classed output — the
+    * no-interpolation rule pyt:25/606/823 demands CLASSES, and Esri's
+    * own Aspect tool bins to the 8 compass sectors + flat): each
+    * complete-neighborhood cell's Horn gradient (gx east-positive, gy
+    * south-positive, [[slope]]'s exact integers) classified into its
+    * 45°-wide compass octant. The 22.5° sector boundaries are the one
+    * place IEEE trig could leak into the gate — instead tan(22.5°) =
+    * √2−1 ≈ 0.414214 is replaced by the rational 29/70 ≈ 0.414286 and
+    * the test becomes the BIGINT cross-multiply 70·|minor| ≤ 29·|major|
+    * (boundaries land at arctan(29/70) ≈ 22.504°, a documented 0.004°
+    * deviation; ties resolve INTO the cardinal band via ≤). Flat =
+    * both gradients zero. Codes: 0=E 1=NE 2=N 3=NW 4=W 5=SW 6=S 7=SE,
+    * 8=flat — the octant of the GRADIENT vector (steepest ascent;
+    * Esri's downslope aspect is the point reflection, a relabeling).
+    * Pure projection over the slope frame — no exchange beyond
+    * [[slope]]'s own two. */
+  def aspect(spark: SparkSession, dir: String): DataFrame = {
+    val (ax, ay) = (abs(col("gx")), abs(col("gy")))
+    val ew = when(col("gx") > 0, lit(0)).otherwise(lit(4))
+    val ns = when(col("gy") > 0, lit(6)).otherwise(lit(2))
+    val diag = when(col("gx") > 0,
+        when(col("gy") > 0, lit(7)).otherwise(lit(1)))
+      .otherwise(when(col("gy") > 0, lit(5)).otherwise(lit(3)))
+    slope(spark, dir).select(col("r"), col("c"),
+      when(col("gx") === 0 && col("gy") === 0, lit(8))
+        .when(ay * 70 <= ax * 29, ew)
+        .when(ax * 70 <= ay * 29, ns)
+        .otherwise(diag).as("octant"))
+  }
+
   /** GIS5 — CLASS-BOUNDARY detection over the classified raster (the
     * Esri Boundary-Clean/Contour family's core predicate, and the
     * classed-surface operation the reference's no-interpolation rule
@@ -516,6 +546,7 @@ object WroQueries {
     "wro_resample_nearest" -> resampleNearest,
     "wro_slope" -> slope,
     "wro_class_boundaries" -> classBoundaries,
+    "wro_aspect" -> aspect,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -542,6 +573,35 @@ object WroQueries {
         |       count(*) AS n_nbr
         |FROM n WHERE r BETWEEN 0 AND 99 AND c BETWEEN 0 AND 99
         |GROUP BY 1, 2""".stripMargin,
+    // the slope CTE + the same 29/70 cross-multiplied sector CASE
+    "wro_aspect" ->
+      """WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, cents FROM pc),
+        |o AS (SELECT unnest([-1, 0, 1]) AS d),
+        |n AS (SELECT g.r + o1.d AS r, g.c + o2.d AS c,
+        |        g.cents * (-o2.d * (2 - abs(o1.d))) AS xc,
+        |        g.cents * (-o1.d * (2 - abs(o2.d))) AS yc
+        |      FROM g, o o1, o o2),
+        |sl AS (
+        |  SELECT r, c, CAST(sum(xc) AS BIGINT) AS gx,
+        |         CAST(sum(yc) AS BIGINT) AS gy
+        |  FROM n WHERE r BETWEEN 0 AND 99 AND c BETWEEN 0 AND 99
+        |  GROUP BY 1, 2 HAVING count(*) = 9)
+        |SELECT r, c,
+        |  CASE
+        |    WHEN gx = 0 AND gy = 0 THEN 8
+        |    WHEN abs(gy) * 70 <= abs(gx) * 29 THEN
+        |      CASE WHEN gx > 0 THEN 0 ELSE 4 END
+        |    WHEN abs(gx) * 70 <= abs(gy) * 29 THEN
+        |      CASE WHEN gy > 0 THEN 6 ELSE 2 END
+        |    WHEN gx > 0 THEN CASE WHEN gy > 0 THEN 7 ELSE 1 END
+        |    ELSE CASE WHEN gy > 0 THEN 5 ELSE 3 END
+        |  END AS octant
+        |FROM sl""".stripMargin,
     // 5-point stencil replayed with a VALUES offset join; min/max over
     // contributed classes is the any-different predicate on both sides
     "wro_class_boundaries" ->

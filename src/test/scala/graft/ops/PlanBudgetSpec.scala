@@ -289,7 +289,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d35_source_overlap" -> 3,
     // per-cell agg + the 5-point stencil target agg (classes broadcast
     // their 1-row stats); the focal/Horn exchange shape
-    "wro_class_boundaries" -> 2)
+    "wro_class_boundaries" -> 2,
+    // pure projection over the slope frame: no exchange beyond
+    // slope's own two
+    "wro_aspect" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
