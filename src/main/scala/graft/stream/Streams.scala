@@ -247,7 +247,20 @@ object Streams {
     *     catalog fails loudly on read. */
   private[stream] def applyMvBatch(batch: DataFrame, viewPath: String,
       keys: Seq[String], valueCents: org.apache.spark.sql.Column,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+    applyFoldBatch(batch, viewPath, batchId,
+      b => graft.catalog.Mv.partials(b, keys, valueCents),
+      (mv, d) => graft.catalog.Mv.merge(mv, d, keys))
+
+  /** The generic fold-into-snapshot core behind [[applyMvBatch]] and
+    * [[profileStream]]: batch → mergeable partial state → fold into the
+    * stored snapshot → checked stage→swap, with the two replay hazards
+    * handled (backup recovery, batch-id idempotence marker). Any
+    * mergeable-state view — additive aggregates, sketches — composes by
+    * supplying its own partials/merge pair. */
+  private[stream] def applyFoldBatch(batch: DataFrame, viewPath: String,
+      batchId: Long, partials: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val s = batch.sparkSession
     val fs = new Path(viewPath).getFileSystem(
@@ -271,14 +284,35 @@ object Streams {
           n.stripPrefix(AppliedMarker).toLong }
         .getOrElse(-1L)
     if (batchId <= applied) return // replayed batch — already folded in
-    val delta = graft.catalog.Mv.partials(batch, keys, valueCents)
+    val delta = partials(batch)
     val merged =
-      if (fs.exists(live))
-        graft.catalog.Mv.merge(s.read.parquet(viewPath), delta, keys)
+      if (fs.exists(live)) merge(s.read.parquet(viewPath), delta)
       else delta
     stageAndSwap(merged, viewPath, batchId,
       marker = Some(s"$AppliedMarker$batchId"))
   }
+
+  /** S17: STREAMING data-quality profile — the v6 ingest-gate profile
+    * maintained INCREMENTALLY: each micro-batch aggregates only its own
+    * rows to mergeable per-column state (exact row/null counts + a
+    * Datasketches HLL sketch for distincts — counts merge by sum,
+    * sketches by hll_union_agg, the a18 algebra) and folds it into the
+    * stored profile via the same checked stage→swap as the MV refresh.
+    * Per-batch cost is batch + (columns) rows; history is never
+    * re-profiled — the property that makes a per-ingest DQ gate viable
+    * on a 100 TB table. The stored sketch column means ANY later rollup
+    * (union across tables, days, sources) is sketch algebra, not a
+    * rescan. */
+  def profileStream(rows: DataFrame, viewPath: String, cols: Seq[String],
+                    checkpoint: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyFoldBatch(batch, viewPath, batchId,
+          b => graft.catalog.Mv.profilePartials(b, cols),
+          (v, d) => graft.catalog.Mv.profileMerge(v, d))
+      }
+      .start()
 
   private val AppliedMarker = "_graft_applied_batch-"
 

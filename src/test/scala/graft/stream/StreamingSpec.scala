@@ -103,6 +103,46 @@ class StreamingSpec extends SparkSpec {
       ("C", 1L, 999L, 999L)))
   }
 
+  test("S17 streaming DQ profile: counts and distinct estimates after " +
+       "N micro-batches equal the full recompute") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s17").toString
+    val viewPath = s"$dir/profile"
+    val input = MemoryStream[(Long, String)](spark)
+    val rows = input.toDF().toDF("user_id", "event_type")
+      .select(col("user_id"),
+        when(col("event_type") =!= "none", col("event_type")).as("event_type"))
+    val q = Streams.profileStream(rows, viewPath,
+      Seq("user_id", "event_type"), s"$dir/ckpt")
+    val b1 = (1L to 40L).map(i => (i, if (i % 5 == 0) "none" else s"t${i % 3}"))
+    val b2 = (30L to 70L).map(i => (i, s"t${i % 4}"))  // overlaps b1's ids
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def read(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        expr("cast(round(hll_sketch_estimate(sk)) as long)").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = read(spark.read.parquet(viewPath))
+    // full recompute over everything the stream ever carried — counts
+    // must match exactly; the sketches are in exact (coupon) mode at
+    // this cardinality, so union-of-batch-sketches == one-pass sketch
+    val all = (b1 ++ b2).toDF("user_id", "event_type")
+      .select(col("user_id"),
+        when(col("event_type") =!= "none", col("event_type")).as("event_type"))
+    val full = read(graft.catalog.Mv.profilePartials(all,
+      Seq("user_id", "event_type")))
+    assert(got == full)
+    // ground truth: 81 rows, 8 nulls in event_type, 70 distinct users,
+    // 4 distinct types (t0..t2 from b1, t0..t3 from b2)
+    assert(got == Set(("user_id", 81L, 0L, 70L),
+                      ("event_type", 81L, 8L, 4L)))
+  }
+
   test("S16 replay idempotence: re-applying a committed batch id is a " +
        "no-op, never a double-count") {
     import spark.implicits._
