@@ -331,6 +331,74 @@ object WroQueries {
         .otherwise(diag).as("octant"))
   }
 
+  /** GIS7 — POLYGON zonal statistics (Esri Zonal Statistics with
+    * FEATURE zones — GIS2's zones were raster classes; real zone data
+    * is vector polygons): per polygon, the count and exact-cents sum
+    * of the raster cells inside it. Point-in-polygon is the classic
+    * even-odd ray cast in EXACT INTEGER arithmetic: edge (a, b)
+    * crosses the +x ray from (px, py) iff (a.y > py) ≠ (b.y > py) and
+    * px lies left of the edge's x at py — the division-free
+    * cross-multiplied form (px−a.x)·(b.y−a.y) ≶ (py−a.y)·(b.x−a.x),
+    * sign-flipped by edge direction (PNPOLY's integer twin; boundary
+    * cells follow the strict-inequality convention, identical in both
+    * engines because the arithmetic is). Concave polygons work by
+    * construction — P3 is an L. The crossing count folds in ONE
+    * higher-order aggregate over the vertex array (no edge explode,
+    * no shuffle at cell grain beyond perCell's own); the 6-polygon dim
+    * broadcasts, bbox-prefiltered (a pure pruning step: cells outside
+    * the bbox have even parity by construction). At real feature
+    * counts the j18 tile-replication join replaces the broadcast —
+    * same refine predicate. */
+  /** The GIS7 zone features — shared by the operator (vertex arrays)
+    * and its oracle (pre-expanded edge VALUES). */
+  private val polys: Seq[(Int, Seq[(Long, Long)])] = Seq(
+    1 -> Seq((10L, 10L), (30L, 10L), (30L, 30L), (10L, 30L)),
+    2 -> Seq((50L, 20L), (80L, 20L), (65L, 45L)),
+    3 -> Seq((10L, 60L), (40L, 60L), (40L, 75L), (25L, 75L),
+             (25L, 90L), (10L, 90L)),        // concave L
+    4 -> Seq((70L, 60L), (85L, 75L), (70L, 90L), (55L, 75L)),
+    5 -> Seq((0L, 0L), (99L, 1L), (99L, 3L), (0L, 2L)), // thin sliver
+    6 -> Seq((20L, 40L), (60L, 35L), (90L, 50L), (55L, 95L), (15L, 80L)))
+
+  def polygonZonal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val polyDf = polys.map { case (id, vs) =>
+      (id, vs, vs.map(_._1).min, vs.map(_._1).max,
+       vs.map(_._2).min, vs.map(_._2).max) }
+      .toDF("poly_id", "vs0", "x_lo", "x_hi", "y_lo", "y_hi")
+      .select(col("poly_id"),
+        expr("transform(vs0, p -> struct(p._1 AS x, p._2 AS y))").as("vs"),
+        col("x_lo"), col("x_hi"), col("y_lo"), col("y_hi"))
+    val cells = perCell(spark, dir)
+      .select((col("cell_id") % GridW).as("px"),
+        expr("cell_id div 100").as("py"),
+        (col("quantity").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val crossings = expr("""
+      aggregate(sequence(1, size(vs)), 0, (acc, i) -> acc + (
+        CASE WHEN (element_at(vs, i).y > py) !=
+                  (element_at(vs, 1 + i % size(vs)).y > py)
+             THEN CASE WHEN element_at(vs, 1 + i % size(vs)).y >
+                            element_at(vs, i).y
+               THEN CASE WHEN (px - element_at(vs, i).x) *
+                  (element_at(vs, 1 + i % size(vs)).y - element_at(vs, i).y)
+                  < (py - element_at(vs, i).y) *
+                  (element_at(vs, 1 + i % size(vs)).x - element_at(vs, i).x)
+                  THEN 1 ELSE 0 END
+               ELSE CASE WHEN (px - element_at(vs, i).x) *
+                  (element_at(vs, 1 + i % size(vs)).y - element_at(vs, i).y)
+                  > (py - element_at(vs, i).y) *
+                  (element_at(vs, 1 + i % size(vs)).x - element_at(vs, i).x)
+                  THEN 1 ELSE 0 END END
+             ELSE 0 END))""")
+    cells.join(broadcast(polyDf),
+        col("px").between(col("x_lo"), col("x_hi")) &&
+        col("py").between(col("y_lo"), col("y_hi")))
+      .withColumn("k", crossings)
+      .filter(col("k") % 2 === 1)
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n_cells"), sum(col("cents")).as("sum_cents"))
+  }
+
   /** GIS5 — CLASS-BOUNDARY detection over the classified raster (the
     * Esri Boundary-Clean/Contour family's core predicate, and the
     * classed-surface operation the reference's no-interpolation rule
@@ -547,6 +615,7 @@ object WroQueries {
     "wro_slope" -> slope,
     "wro_class_boundaries" -> classBoundaries,
     "wro_aspect" -> aspect,
+    "wro_polygon_zonal" -> polygonZonal,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -573,6 +642,41 @@ object WroQueries {
         |       count(*) AS n_nbr
         |FROM n WHERE r BETWEEN 0 AND 99 AND c BETWEEN 0 AND 99
         |GROUP BY 1, 2""".stripMargin,
+    // same integer even-odd ray cast; the edge list is pre-expanded
+    // from the SAME shared polygon literal into plain integer VALUES
+    // (DuckDB 1.0's LATERAL-over-struct-list path hits an internal
+    // assertion). The oracle omits the bbox prefilter (pure pruning —
+    // outside-bbox cells have even parity by construction), an
+    // independent check that the prefilter drops nothing it shouldn't
+    "wro_polygon_zonal" ->
+      s"""WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |pts AS (SELECT cell_id % 100 AS px, cell_id // 100 AS py, cents
+        |        FROM pc),
+        |edges(poly_id, ax, ay, bx, by) AS (VALUES
+        |  ${polys.flatMap { case (id, vs) =>
+             vs.indices.map { i =>
+               val a = vs(i); val b = vs((i + 1) % vs.size)
+               s"($id, ${a._1}, ${a._2}, ${b._1}, ${b._2})" } }
+             .mkString(",\n  ")}),
+        |cr AS (
+        |  SELECT poly_id, px, py, cents,
+        |    sum(CASE WHEN (ay > py) <> (by > py) THEN
+        |      CASE WHEN by > ay THEN
+        |        CASE WHEN (px - ax) * (by - ay)
+        |                 < (py - ay) * (bx - ax) THEN 1 ELSE 0 END
+        |      ELSE
+        |        CASE WHEN (px - ax) * (by - ay)
+        |                 > (py - ay) * (bx - ax) THEN 1 ELSE 0 END
+        |      END ELSE 0 END) AS k
+        |  FROM pts, edges
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT poly_id, count(*) AS n_cells,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM cr WHERE k % 2 = 1 GROUP BY 1""".stripMargin,
     // the slope CTE + the same 29/70 cross-multiplied sector CASE
     "wro_aspect" ->
       """WITH pc AS (

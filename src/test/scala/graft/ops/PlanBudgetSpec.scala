@@ -292,7 +292,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "wro_class_boundaries" -> 2,
     // pure projection over the slope frame: no exchange beyond
     // slope's own two
-    "wro_aspect" -> 2)
+    "wro_aspect" -> 2,
+    // per-cell agg + the per-polygon agg; the 6-feature dim broadcasts
+    // and the ray cast folds in-row (no edge explode)
+    "wro_polygon_zonal" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
