@@ -331,6 +331,59 @@ object WroQueries {
         .otherwise(diag).as("octant"))
   }
 
+  /** GIS8 — D8 FLOW DIRECTION (Esri/Jenson-Domingue 1988, the
+    * hydrology raster classic): each complete-neighborhood cell points
+    * at the neighbor with the steepest distance-weighted drop, encoded
+    * in Esri's power-of-two compass codes (E=1 SE=2 S=4 SW=8 W=16
+    * NW=32 N=64 NE=128). Steepness = drop/distance with diagonal
+    * distance √2 — approximated 7/5 (1.4, a documented 1% deviation)
+    * so the argmax key is the BIGINT drop·(7 cardinal / 5 diagonal)
+    * and no sqrt enters the gate; ties take the smallest code
+    * (deterministic where Esri's tie rule is lookup-table-internal);
+    * all-uphill cells (pits) still point at their least-bad neighbor —
+    * pit handling is the fill algorithm's job, documented not hidden.
+    * Shape: the cached cell grid C fans out codes to its 8 neighbors
+    * (raster-domain bounded), joins back to C for the center
+    * elevation, and one min(struct(−key, code)) aggregate picks the
+    * receiver — argmax as a partially-aggregable min, no window. */
+  /** (dr, dc) = target − source; code/weight are the TARGET's view of
+    * the source (its neighbor at (−dr, −dc)). Shared with the oracle's
+    * generated VALUES. */
+  private val d8Offs: Seq[(Long, Long, Long, Long)] = for {
+    dr <- -1L to 1L; dc <- -1L to 1L; if dr != 0 || dc != 0
+  } yield {
+    val (nr, nc) = (-dr, -dc)
+    val code = (nr, nc) match {
+      case (0L, 1L) => 1L; case (1L, 1L) => 2L; case (1L, 0L) => 4L
+      case (1L, -1L) => 8L; case (0L, -1L) => 16L; case (-1L, -1L) => 32L
+      case (-1L, 0L) => 64L; case (-1L, 1L) => 128L
+      case _ => sys.error("unreachable")
+    }
+    (dr, dc, code, if (nr == 0L || nc == 0L) 7L else 5L)
+  }
+
+  def flowDirection(spark: SparkSession, dir: String): DataFrame = {
+    val cells = perCell(spark, dir)
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % GridW).as("c"),
+        (col("quantity").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .cache()
+    val offs = d8Offs
+    val nbr = cells.select(col("r"), col("c"), col("cents"),
+        explode(typedLit(offs)).as("o"))
+      .select((col("r") + col("o._1")).as("r"), (col("c") + col("o._2")).as("c"),
+        col("cents").as("nb_cents"), col("o._3").as("code"),
+        col("o._4").as("w"))
+      .filter(col("r").between(0, GridW - 1) && col("c").between(0, GridW - 1))
+    nbr.join(cells.withColumnRenamed("cents", "own"), Seq("r", "c"))
+      .select(col("r"), col("c"), col("code"),
+        ((col("own") - col("nb_cents")) * col("w")).as("key"))
+      .groupBy("r", "c")
+      .agg(count(lit(1)).as("n"),
+           min(struct((-col("key")).as("nk"), col("code"))).as("b"))
+      .filter(col("n") === 8)
+      .select(col("r"), col("c"), col("b.code").as("d8"))
+  }
+
   /** GIS7 — POLYGON zonal statistics (Esri Zonal Statistics with
     * FEATURE zones — GIS2's zones were raster classes; real zone data
     * is vector polygons): per polygon, the count and exact-cents sum
@@ -616,6 +669,7 @@ object WroQueries {
     "wro_class_boundaries" -> classBoundaries,
     "wro_aspect" -> aspect,
     "wro_polygon_zonal" -> polygonZonal,
+    "wro_flow_direction" -> flowDirection,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -642,6 +696,31 @@ object WroQueries {
         |       count(*) AS n_nbr
         |FROM n WHERE r BETWEEN 0 AND 99 AND c BETWEEN 0 AND 99
         |GROUP BY 1, 2""".stripMargin,
+    // independent formulation: window-rank argmax (ORDER BY key DESC,
+    // code ASC) instead of the min(struct) aggregate; same generated
+    // offset/code/weight VALUES
+    "wro_flow_direction" ->
+      s"""WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, cents FROM pc),
+        |o(dr, dc, code, w) AS (VALUES
+        |  ${d8Offs.map { case (dr, dc, code, wt) =>
+             s"($dr, $dc, $code, $wt)" }.mkString(",\n  ")}),
+        |n AS (SELECT g.r + o.dr AS r, g.c + o.dc AS c, g.cents AS nb,
+        |        o.code, o.w
+        |      FROM g, o),
+        |j AS (SELECT n.r, n.c, n.code, (g2.cents - n.nb) * n.w AS key
+        |      FROM n JOIN g g2 ON g2.r = n.r AND g2.c = n.c),
+        |rk AS (SELECT r, c, code,
+        |         count(*) OVER (PARTITION BY r, c) AS nn,
+        |         row_number() OVER (PARTITION BY r, c
+        |           ORDER BY key DESC, code ASC) AS rn
+        |       FROM j)
+        |SELECT r, c, CAST(code AS BIGINT) AS d8
+        |FROM rk WHERE rn = 1 AND nn = 8""".stripMargin,
     // same integer even-odd ray cast; the edge list is pre-expanded
     // from the SAME shared polygon literal into plain integer VALUES
     // (DuckDB 1.0's LATERAL-over-struct-list path hits an internal

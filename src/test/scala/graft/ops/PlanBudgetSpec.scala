@@ -295,7 +295,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "wro_aspect" -> 2,
     // per-cell agg + the per-polygon agg; the 6-feature dim broadcasts
     // and the ray cast folds in-row (no edge explode)
-    "wro_polygon_zonal" -> 2)
+    "wro_polygon_zonal" -> 2,
+    // cached grid: the 8x fan-out joins back on (r,c) + the argmin
+    // aggregate; all raster-domain bounded
+    "wro_flow_direction" -> 3)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
