@@ -1305,6 +1305,41 @@ object RelQueries {
         col("n_inter_exact"))
   }
 
+  /** J20: TEMPORAL dimension lookup — the SCD-2 AS-OF join (`FROM fact
+    * JOIN dim FOR SYSTEM_TIME AS OF fact.ts`, the form every warehouse
+    * resolves a versioned dimension with): each event joins the ONE
+    * dimension version whose validity window [vstart, vend) contains
+    * its timestamp (equi on the dimension key + the half-open range
+    * residual; the current version is open-ended NULL). The dimension
+    * is version-grain tiny and BROADCASTS — the fact side never
+    * shuffles for the lookup, only for the final accounting; windows
+    * tile the key's timeline disjointly so each event matches exactly
+    * once (no dedup stage). 8-day windows over the fixture's Jan-2024
+    * span exercise all four versions at every SF. At 100 TB this is
+    * THE pattern for point-in-time-correct feature/label joins:
+    * broadcast the versioned dim, never range-shuffle the fact. */
+  private val Scd2T0 = 1704067200000000L           // 2024-01-01 UTC, us
+  private val Scd2Step = 691200000000L             // 8 days in us
+  private val scd2Dim: Seq[(Long, Long, Long, java.lang.Long, String)] =
+    for { k <- 0L to 9L; v <- 0L to 3L } yield
+      (k, v, Scd2T0 + v * Scd2Step,
+       if (v == 3) null
+       else java.lang.Long.valueOf(Scd2T0 + (v + 1) * Scd2Step),
+       "t" + ((k + v) % 3))
+
+  def j20TemporalLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = scd2Dim.toDF("dk", "ver", "vstart", "vend", "tier")
+    val e = table(s, dir, "events").filter(col("value").isNotNull)
+      .select((col("user_id") % 10).as("k"), unix_micros(col("ts")).as("t"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    e.join(broadcast(dim),
+        col("k") === col("dk") && col("t") >= col("vstart") &&
+        (col("vend").isNull || col("t") < col("vend")))
+      .groupBy("tier", "ver")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+  }
+
   /** V6: ONE-PASS data-quality profile (the Deequ/Great-Expectations
     * shape): per audited column — null count, exact distinct count,
     * and an approx-distinct within-tolerance flag — computed for ALL
@@ -2225,6 +2260,7 @@ object RelQueries {
     "a21_bitmap_distinct" -> a21BitmapDistinct,
     "a23_theta_overlap" -> a23ThetaOverlap,
     "v6_dq_profile" -> v6DqProfile,
+    "j20_temporal_lookup" -> j20TemporalLookup,
     "a17_grouping_sets" -> a17GroupingSets,
     "o3_union" -> o3Union,
     "o4_setops" -> o4SetOps,
@@ -2451,6 +2487,22 @@ object RelQueries {
         |FROM orders GROUP BY 1
         |UNION ALL
         |SELECT '<all>', count(DISTINCT o_custkey) FROM orders""".stripMargin,
+    // same generated version table as VALUES; half-open windows tile
+    // each key's timeline, so the join is exactly-once by construction
+    "j20_temporal_lookup" ->
+      s"""WITH dim(dk, ver, vstart, vend, tier) AS (VALUES
+        |  ${scd2Dim.map { case (k, v, s0, e0, tr) =>
+             val end = if (e0 == null) "CAST(NULL AS BIGINT)" else e0.toString
+             s"($k, $v, $s0, $end, '$tr')" }.mkString(",\n  ")}),
+        |e AS (
+        |  SELECT user_id % 10 AS k, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT tier, CAST(ver AS BIGINT) AS ver, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e JOIN dim ON e.k = dim.dk AND t >= vstart
+        |  AND (vend IS NULL OR t < vend)
+        |GROUP BY 1, 2""".stripMargin,
     // per-column metrics replayed as independent scalar subqueries; the
     // within_tol flag is Spark-side-attested (a18 contract), literal 1
     "v6_dq_profile" ->

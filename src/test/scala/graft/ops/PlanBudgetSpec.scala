@@ -298,7 +298,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "wro_polygon_zonal" -> 2,
     // cached grid: the 8x fan-out joins back on (r,c) + the argmin
     // aggregate; all raster-domain bounded
-    "wro_flow_direction" -> 3)
+    "wro_flow_direction" -> 3,
+    // the versioned dim broadcasts; the one exchange is the final
+    // accounting aggregate — the fact never shuffles for the lookup
+    "j20_temporal_lookup" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
