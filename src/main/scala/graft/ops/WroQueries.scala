@@ -384,6 +384,48 @@ object WroQueries {
       .select(col("r"), col("c"), col("b.code").as("d8"))
   }
 
+  /** GIS9 — FLOW ACCUMULATION over the D8 pointers (the second half of
+    * the Jenson-Domingue pair: how many upstream cells drain through
+    * each cell), bounded at `K` hops — the bounded-iteration posture
+    * (q23's recursion cap, d2_dedup_clusters' round discipline): each
+    * round extends every path by one hop via a keyed equi-join of the
+    * current frontier against the 1-hop edge table, so round cost is
+    * frontier-sized and rounds are K, not terrain-diameter. Upstream
+    * count = count(DISTINCT origin) per receiving cell — DISTINCT, not
+    * count(*), because the pit-pair 2-cycles [[flowDirection]]'s
+    * least-bad-neighbor rule admits would otherwise count an origin
+    * once per lap (cells encode as r·100+c, exact on the 100-wide
+    * grid). Boundary cells have no D8 code and simply terminate paths.
+    * At 100 TB the edge table is raster-domain bounded and
+    * checkpointed once; each round is one partition-local join when
+    * both sides hash on the cell key. */
+  def flowAccumulation(spark: SparkSession, dir: String, k: Int = 10)
+      : DataFrame = {
+    val code2dr = expr("""CASE d8 WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1
+      WHEN 8 THEN 1 WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1
+      ELSE -1 END""")
+    val code2dc = expr("""CASE d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0
+      WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0
+      ELSE 1 END""")
+    val edges = flowDirection(spark, dir)
+      .select((col("r") * 100 + col("c")).as("u"),
+        ((col("r") + code2dr) * 100 + (col("c") + code2dc)).as("v"))
+      .localCheckpoint()
+    val step = edges.select(col("u").as("su"), col("v").as("sv"))
+    var cur = edges
+    var all = edges
+    for (_ <- 2 to k) {
+      cur = cur.join(step, col("v") === col("su"))
+        .select(col("u"), col("sv").as("v"))
+        .localCheckpoint()
+      all = all.unionByName(cur)
+    }
+    all.groupBy("v")
+      .agg(countDistinct(col("u")).as("n_upstream"))
+      .select(expr("v div 100").as("r"), (col("v") % 100).as("c"),
+        col("n_upstream"))
+  }
+
   /** GIS7 — POLYGON zonal statistics (Esri Zonal Statistics with
     * FEATURE zones — GIS2's zones were raster classes; real zone data
     * is vector polygons): per polygon, the count and exact-cents sum
@@ -670,6 +712,8 @@ object WroQueries {
     "wro_aspect" -> aspect,
     "wro_polygon_zonal" -> polygonZonal,
     "wro_flow_direction" -> flowDirection,
+    "wro_flow_accumulation" -> ((s: SparkSession, d: String) =>
+      flowAccumulation(s, d)),
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -678,6 +722,29 @@ object WroQueries {
     "wro_classify_labeljoin" -> classifyLabelJoin,
     "wro_classify_locale" -> classifyLocale
   )
+
+  /** The D8 steepest-descent CTE blocks (pc→rk), shared by the
+    * flow-direction oracle and the accumulation oracle's edge base. */
+  private val d8OracleCtes: String =
+    s"""pc AS (
+       |  SELECT l_orderkey % 10000 AS cell_id,
+       |    CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2)) * 100
+       |         AS BIGINT) AS cents
+       |  FROM lineitem GROUP BY 1),
+       |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, cents FROM pc),
+       |o(dr, dc, code, w) AS (VALUES
+       |  ${d8Offs.map { case (dr, dc, code, wt) =>
+            s"($dr, $dc, $code, $wt)" }.mkString(",\n  ")}),
+       |n AS (SELECT g.r + o.dr AS r, g.c + o.dc AS c, g.cents AS nb,
+       |        o.code, o.w
+       |      FROM g, o),
+       |j AS (SELECT n.r, n.c, n.code, (g2.cents - n.nb) * n.w AS key
+       |      FROM n JOIN g g2 ON g2.r = n.r AND g2.c = n.c),
+       |rk AS (SELECT r, c, code,
+       |         count(*) OVER (PARTITION BY r, c) AS nn,
+       |         row_number() OVER (PARTITION BY r, c
+       |           ORDER BY key DESC, code ASC) AS rn
+       |       FROM j)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // contribute-to-neighbors replayed as a 3×3 offset cross join over
@@ -700,27 +767,26 @@ object WroQueries {
     // code ASC) instead of the min(struct) aggregate; same generated
     // offset/code/weight VALUES
     "wro_flow_direction" ->
-      s"""WITH pc AS (
-        |  SELECT l_orderkey % 10000 AS cell_id,
-        |    CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2)) * 100
-        |         AS BIGINT) AS cents
-        |  FROM lineitem GROUP BY 1),
-        |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, cents FROM pc),
-        |o(dr, dc, code, w) AS (VALUES
-        |  ${d8Offs.map { case (dr, dc, code, wt) =>
-             s"($dr, $dc, $code, $wt)" }.mkString(",\n  ")}),
-        |n AS (SELECT g.r + o.dr AS r, g.c + o.dc AS c, g.cents AS nb,
-        |        o.code, o.w
-        |      FROM g, o),
-        |j AS (SELECT n.r, n.c, n.code, (g2.cents - n.nb) * n.w AS key
-        |      FROM n JOIN g g2 ON g2.r = n.r AND g2.c = n.c),
-        |rk AS (SELECT r, c, code,
-        |         count(*) OVER (PARTITION BY r, c) AS nn,
-        |         row_number() OVER (PARTITION BY r, c
-        |           ORDER BY key DESC, code ASC) AS rn
-        |       FROM j)
+      s"""WITH $d8OracleCtes
         |SELECT r, c, CAST(code AS BIGINT) AS d8
         |FROM rk WHERE rn = 1 AND nn = 8""".stripMargin,
+    // the D8 CTEs + a depth-capped recursive path walk; DISTINCT
+    // origins per receiver (pit-pair 2-cycles would re-count per lap)
+    "wro_flow_accumulation" ->
+      s"""WITH RECURSIVE $d8OracleCtes,
+        |fd AS (SELECT r, c, code AS d8 FROM rk WHERE rn = 1 AND nn = 8),
+        |off(code, dr, dc) AS (VALUES (1,0,1),(2,1,1),(4,1,0),(8,1,-1),
+        |  (16,0,-1),(32,-1,-1),(64,-1,0),(128,-1,1)),
+        |e AS (SELECT fd.r * 100 + fd.c AS u,
+        |        (fd.r + off.dr) * 100 + (fd.c + off.dc) AS v
+        |      FROM fd JOIN off ON fd.d8 = off.code),
+        |p(u, v, d) AS (
+        |  SELECT u, v, 1 FROM e
+        |  UNION ALL
+        |  SELECT p.u, e.v, d + 1 FROM p JOIN e ON e.u = p.v WHERE d < 10)
+        |SELECT v // 100 AS r, v % 100 AS c,
+        |  count(DISTINCT u) AS n_upstream
+        |FROM p GROUP BY 1, 2""".stripMargin,
     // same integer even-odd ray cast; the edge list is pre-expanded
     // from the SAME shared polygon literal into plain integer VALUES
     // (DuckDB 1.0's LATERAL-over-struct-list path hits an internal

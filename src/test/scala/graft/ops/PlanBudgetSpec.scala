@@ -301,7 +301,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "wro_flow_direction" -> 3,
     // the versioned dim broadcasts; the one exchange is the final
     // accounting aggregate — the fact never shuffles for the lookup
-    "j20_temporal_lookup" -> 1)
+    "j20_temporal_lookup" -> 1,
+    // visible past the checkpointed per-round frontiers: the distinct
+    // origin count's two-phase aggregate; per-round joins hide behind
+    // their own checkpoints
+    "wro_flow_accumulation" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
