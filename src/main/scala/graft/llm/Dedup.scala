@@ -670,10 +670,13 @@ object Dedup {
     * partially aggregate map-side. */
   def sourceOverlap(docs: DataFrame, source: Column, text: Column,
                     n: Int = 8): DataFrame = {
+    // materialized once: both join legs read the deduplicated index
+    // (the d16 double-derivation lesson — the distinct dominates cost)
     val sh = docs
       .select(source.as("src"), explode(shingleArray(text, n)).as("s"))
       .select(col("src"), md5(col("s")).as("h"))
       .distinct()
+      .localCheckpoint()
     sh.select(col("src").as("src_a"), col("h"))
       .join(sh.select(col("src").as("src_b"), col("h")), "h")
       .filter(col("src_a") < col("src_b"))

@@ -160,7 +160,9 @@ object TextAnalysis {
       size(split(col("text"), " ")).cast("long").as("n_words"),
       (length(col("text")) - size(split(col("text"), " ")) + 1)
         .cast("long").as("sum_wlen"),
-      size(array_intersect(array_distinct(split(col("text"), " ")),
+      // array_intersect returns DISTINCT matches — the dedup the ≥2-
+      // distinct-stopwords rule relies on is the intersect's own
+      size(array_intersect(split(col("text"), " "),
         typedLit(stopwords))).cast("long").as("n_stop"))
     val topChars = d
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))

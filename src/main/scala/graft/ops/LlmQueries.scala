@@ -292,7 +292,7 @@ object LlmQueries {
     * this round's [[TextAnalysis.gopherRules]] composite keep, the
     * stage FineWeb adds on top of C4's filters; (5) per (lang, source)
     * accounting. Funnel at gate SF: 500 → 358 (blocklist) → 179
-    * (canonical dedup) → 41 (langid ∩ gopher) — every stage
+    * (canonical dedup) → 40 (langid ∩ gopher) — every stage
     * load-bearing with no planted rows. `kept` feeds the lexicon, the
     * gopher stats, and the final join — localCheckpointed (multi-leg
     * policy). All gates are doc_id-keyed joins; the only fact-grain
@@ -2092,7 +2092,7 @@ object LlmQueries {
         |gp AS (SELECT doc_id,
         |    CAST(len(w) AS BIGINT) AS n_words,
         |    CAST(strlen(text) - len(w) + 1 AS BIGINT) AS sum_wlen,
-        |    CAST(len(list_intersect(list_distinct(w),
+        |    CAST(len(list_intersect(w,
         |      ['the','a','of','to','and','in','is','be'])) AS BIGINT) AS n_stop
         |  FROM gw),
         |gt AS (
@@ -2713,7 +2713,7 @@ object LlmQueries {
         |p AS (SELECT doc_id,
         |    CAST(len(w) AS BIGINT) AS n_words,
         |    CAST(strlen(text) - len(w) + 1 AS BIGINT) AS sum_wlen,
-        |    CAST(len(list_intersect(list_distinct(w),
+        |    CAST(len(list_intersect(w,
         |      ['the','a','of','to','and','in','is','be'])) AS BIGINT) AS n_stop
         |  FROM d),
         |t AS (

@@ -1213,7 +1213,12 @@ object RelQueries {
     * verbatim in both engines — the subquery-family policy (q17–q22)
     * extended to recursion. Each level is a keyed equi-join of the
     * frontier against the bounded edge table; at 100 TB the frontier
-    * is the only growing side and it shuffles on anc_id per level. */
+    * is the only growing side and it shuffles on anc_id per level.
+    * SCALE CAVEAT: Spark 4 also bounds the ACCUMULATED result at
+    * spark.sql.cteRecursionRowLimit (default 1M rows) — this query
+    * emits ~cap rows per document, so beyond ~1M/cap documents the
+    * deployment must raise that limit (or lower the cap) explicitly;
+    * the level cap alone does not make recursion scale-free. */
   private val q23Sql = """
     WITH RECURSIVE edges AS (
       SELECT doc_id AS child, doc_id - (doc_id % 7 + 3) AS parent
@@ -1268,19 +1273,18 @@ object RelQueries {
       .localCheckpoint() // (type, user) grain — feeds totals AND the gate
     val totals = counts.agg(sum(col("n")).as("total"),
       count(lit(1)).as("npairs"))
-    val ev = counts.crossJoin(broadcast(totals))
+    val engaged = counts.crossJoin(broadcast(totals))
       .filter(col("n") * col("npairs") > col("total"))
-      .select(col("t"),
-        substring(md5(col("user_id").cast("string")), 1, 15).as("h"))
+      .select(col("t"), col("user_id"))
+    val ev = engaged.select(col("t"),
+      substring(md5(col("user_id").cast("string")), 1, 15).as("h"))
     val w = Window.partitionBy("t").orderBy("h")
     val sk = ev.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("t", "h")
       .localCheckpoint()
     val theta = sk.groupBy("t").agg(max(col("h")).as("theta"))
-    val du = counts.crossJoin(broadcast(totals))
-      .filter(col("n") * col("npairs") > col("total"))
-      .select(col("t"), col("user_id"))
+    val du = engaged
     val exactInter = du.select(col("t").as("ta"), col("user_id"))
       .join(du.select(col("t").as("tb"), col("user_id")), "user_id")
       .filter(col("ta") < col("tb"))

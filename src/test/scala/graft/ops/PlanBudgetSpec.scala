@@ -284,9 +284,9 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // past the checkpointed kept corpus: lexicon build + votes + the
     // gopher token aggregates + the final accounting; all doc-keyed
     "pipe_fineweb_corpus" -> 7,
-    // (source, hash) distinct + the inverted-index pair join + the pair
-    // count; fan-out bounded by the source domain, never docs^2
-    "d35_source_overlap" -> 3,
+    // the checkpointed (source, hash) index hides its own distinct;
+    // visible: the pair count (one leg broadcasts at gate SF)
+    "d35_source_overlap" -> 1,
     // per-cell agg + the 5-point stencil target agg (classes broadcast
     // their 1-row stats); the focal/Horn exchange shape
     "wro_class_boundaries" -> 2,
