@@ -303,4 +303,49 @@ object Similarity {
               round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** D36: int8 SCALAR quantization top-k — the FAISS SQ8 / Milvus
+    * IVF_SQ8 storage tier (4 B/dim float → 1 B/dim code; the
+    * compression step between raw vectors and PQ's m bytes/VECTOR,
+    * and unlike PQ it needs no trained codebook — quantization is
+    * per-vector local, so ingest never waits on a training job).
+    * Each vector snaps to the 2^20 integer grid, takes its own
+    * max-abs scale m, and quantizes per component to
+    * round(127·|g|/m), computed as the BIGINT round-half-up
+    * (254·|g| + m) div (2·m) — no float division, so codes are
+    * bit-identical in any engine. Scoring is descaled per candidate:
+    * the int8 dot q·q′ times the CANDIDATE's m ranks exactly (the
+    * query's m and the 127² are constant factors across candidates),
+    * so the rank key is the exact BIGINT qdot·m. All-zero vectors
+    * (m = 0) carry no direction and are excluded, documented. At
+    * 100 TB the codes array (dim bytes/vector) replaces the float
+    * column in the store scan; m rides along as one BIGINT. */
+  def sq8TopK(corpus: DataFrame, id: Column, emb: Column,
+              query: DataFrame, queryEmb: Column, k: Int): DataFrame = {
+    def quantize(df: DataFrame, idCols: Seq[Column], e: Column): DataFrame =
+      df.select(idCols :+ transform(e,
+          x => round(x.cast("double") * KMeans.Scale).cast("long")).as("g"): _*)
+        .withColumn("m", array_max(transform(col("g"), x => abs(x))))
+        .filter(col("m") > 0)
+        .withColumn("q", expr(
+          "transform(g, x -> CASE WHEN x >= 0 " +
+          "THEN (254 * x + m) div (2 * m) " +
+          "ELSE -((254 * (-x) + m) div (2 * m)) END)"))
+    val corp = quantize(corpus, Seq(id.as("vec_id")), emb)
+      .select("vec_id", "q", "m")
+    // limit(1): the documented single-query contract (see topK)
+    val qv = quantize(query.limit(1), Seq(), queryEmb)
+      .select(col("q").as("qq"))
+    corp.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, " +
+          "(acc, x) -> acc + x)").as("qdot"),
+        col("m"))
+      .select(col("vec_id"), col("qdot"),
+        (col("qdot") * col("m")).as("score_key"))
+      .orderBy(col("score_key").desc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_key").desc, col("vec_id").asc)))
+  }
 }

@@ -771,6 +771,13 @@ object LlmQueries {
   /** D16: product quantization + ADC probe ([[Pq.pqTopK]]) — the
     * memory half of IVF-PQ: m codes per vector, query scored by m
     * table lookups, integer-exact on the 2^20 grid. */
+  def d36Sq8TopK(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    Similarity.sq8TopK(e.filter(col("vec_id") =!= 0), col("vec_id"),
+      col("embedding"), e.filter(col("vec_id") === 0), col("embedding"),
+      k = 10)
+  }
+
   def d16PqTopK(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "embeddings")
     Pq.pqTopK(e.filter(col("vec_id") =!= 0), col("vec_id"),
@@ -1096,6 +1103,7 @@ object LlmQueries {
     "d3_ivf_trained" -> d3IvfTrained,
     "d3_ivfpq_topk" -> d3IvfpqTopK,
     "d16_pq_topk" -> d16PqTopK,
+    "d36_sq8_topk" -> d36Sq8TopK,
     "a15_heavy_hitters" -> a15HeavyHitters,
     "d4_top_tokens" -> d4TopTokens,
     "d4_tfidf" -> d4TfIdf,
@@ -2447,6 +2455,35 @@ object LlmQueries {
     // codebook, per-(vector, subspace) argmin code, query distance
     // table, approximate distance = sum of table lookups — all exact
     // integers on the 2^20 grid, dim-agnostic (subdim = len // 8)
+    // the same grid-snap → per-vector max-abs scale → BIGINT
+    // round-half-up codes → int dot × candidate scale; every integer
+    // op written once, identically, in both engines
+    "d36_sq8_topk" ->
+      """WITH g0 AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS g
+        |  FROM embeddings),
+        |m0 AS (SELECT vec_id, g,
+        |        list_max(list_transform(g, x -> abs(x))) AS m
+        |       FROM g0),
+        |c0 AS (SELECT vec_id,
+        |        list_transform(g, x -> CASE WHEN x >= 0
+        |          THEN (254 * x + m) // (2 * m)
+        |          ELSE -((254 * (-x) + m) // (2 * m)) END) AS q, m
+        |       FROM m0 WHERE m > 0),
+        |qq AS (SELECT q FROM c0 WHERE vec_id = 0),
+        |d AS (
+        |  SELECT c.vec_id,
+        |    CAST(sum(c.q[i.x] * q0.q[i.x]) AS BIGINT) AS qdot, c.m
+        |  FROM c0 c, qq q0,
+        |    LATERAL (SELECT unnest(range(1, len(c.q) + 1)) AS x) i
+        |  WHERE c.vec_id != 0
+        |  GROUP BY c.vec_id, c.m)
+        |SELECT vec_id, qdot, score_key, CAST(rank AS INT) AS rank FROM (
+        |  SELECT vec_id, qdot, qdot * m AS score_key,
+        |    row_number() OVER (ORDER BY qdot * m DESC, vec_id) AS rank
+        |  FROM d)
+        |WHERE rank <= 10""".stripMargin,
     "d16_pq_topk" ->
       """WITH corp AS (
         |  SELECT vec_id, list_transform(embedding,

@@ -2010,6 +2010,32 @@ object RelQueries {
     s.sql(q20Sql)
   }
 
+  /** J19 — LATERAL correlated derived table with ORDER BY + LIMIT: the
+    * top-k-per-group join written the way SQL:2016 / Postgres / DuckDB
+    * write it. W1's window covers the semantics; the LATERAL form
+    * exercises the DECORRELATION of a correlated LIMIT — Catalyst's
+    * DecorrelateInnerQuery rewrites the per-nation LIMIT 2 into a
+    * partition-ranked join (row_number ≤ 2 over a window partitioned
+    * by the correlation key), so per-outer-row re-execution never
+    * exists at any scale — the same SQL text runs verbatim in both
+    * engines. Ties at the boundary are impossible: s_name is unique
+    * and rides the sort key. */
+  private[ops] val j19Sql: String =
+    """SELECT n_name, s_name, acctbal_cents
+      |FROM nation, LATERAL (
+      |  SELECT s_name,
+      |    CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+      |  FROM supplier
+      |  WHERE s_nationkey = n_nationkey
+      |  ORDER BY acctbal_cents DESC, s_name
+      |  LIMIT 2) t
+      |ORDER BY n_name, acctbal_cents DESC, s_name""".stripMargin
+
+  def j19LateralTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(s, dir)
+    s.sql(j19Sql)
+  }
+
   /** TPC-H Q8 shape: national market share — the EIGHT-way join (all
     * seven relational tables, nation twice: customer side restricts the
     * market region, supplier side names the nation whose share is
@@ -2301,6 +2327,7 @@ object RelQueries {
     "q18_large_orders" -> q18LargeOrders,
     "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q20_dominant_share" -> q20DominantShare,
+    "j19_lateral_topk" -> j19LateralTopK,
     "q4_order_priority" -> q4OrderPriority,
     "q15_top_supplier" -> q15TopSupplier,
     "q7_nation_volume" -> q7NationVolume,
@@ -2945,6 +2972,7 @@ object RelQueries {
     "q18_large_orders" -> q18Sql,
     "q2_min_cost_supplier" -> q2Sql,
     "q20_dominant_share" -> q20Sql,
+    "j19_lateral_topk" -> j19Sql,
     "q4_order_priority" -> q4Sql,
     "q15_top_supplier" -> q15Sql,
     "q7_nation_volume" -> q7Sql,

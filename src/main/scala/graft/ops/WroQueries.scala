@@ -426,6 +426,111 @@ object WroQueries {
         col("n_upstream"))
   }
 
+  /** The classified raster shared by GIS10/GIS11: each present cell's
+    * equal-interval class of the quantity layer (the a9/GIS2 break
+    * formula — identical float arithmetic in both engines, gate-proven
+    * by wro_zonal_stats). One broadcast of the 1-row stats. */
+  private def classedGrid(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the stats leg and the classing leg both read it (the
+    // flagship's multi-leg policy; bounded by the ≤10k cell domain)
+    val pc = perCell(spark, dir).cache()
+    val stats = pc.agg(min("quantity").as("mn"), max("quantity").as("mx"))
+    pc.crossJoin(broadcast(stats))
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % GridW).as("c"),
+        least(floor((col("quantity") - col("mn")) /
+                    ((col("mx") - col("mn")) / lit(5.0))), lit(4))
+          .cast("int").as("cls"))
+  }
+
+  /** GIS10 — MAJORITY filter (Esri Majority Filter, the classed-raster
+    * smoothing tool; GIS5 detected class boundaries, this cleans them):
+    * each present cell's class is replaced by the most frequent class
+    * among its ≤8 PRESENT neighbors iff that class holds a STRICT
+    * majority (count·2 > n present neighbors, Esri's MAJORITY
+    * threshold); otherwise the cell keeps its own class. Ties in the
+    * frequency count take the smallest class — a22's
+    * min(struct(−count, value)) mode, partially aggregable, no window.
+    * Shape: one contribute-to-neighbors fan-out over the 3×3 offsets
+    * with the (0,0) leg tagged SELF, then a two-level hash aggregate —
+    * (r, c, cls) counts, then per (r, c) the mode-over-neighbors and
+    * the self class in the SAME pass (the self tag rides the count
+    * rows, so the cell's own class needs no join back). NoData cells
+    * neither vote nor emit. Exchanges: perCell's one + two raster-
+    * domain-bounded aggregates. */
+  def majorityFilter(spark: SparkSession, dir: String): DataFrame =
+    majorityFrom(classedGrid(spark, dir))
+
+  /** Majority-filter core over a classed sparse grid (r, c, cls),
+    * exposed for the hand-computed neighborhood spec. */
+  private[ops] def majorityFrom(classed: DataFrame): DataFrame = {
+    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L }
+      yield (dr, dc, if (dr == 0L && dc == 0L) 1 else 0)
+    classed
+      .select(col("r"), col("c"), col("cls"), explode(typedLit(offs)).as("o"))
+      .select((col("r") + col("o._1")).as("r"), (col("c") + col("o._2")).as("c"),
+        col("cls"), col("o._3").as("self"))
+      .filter(col("r").between(0, GridW - 1) && col("c").between(0, GridW - 1))
+      .groupBy("r", "c", "cls")
+      .agg(sum(lit(1) - col("self")).as("nbr_n"), max("self").as("has_self"))
+      .groupBy("r", "c")
+      .agg(
+        max(when(col("has_self") === 1, col("cls"))).as("own_cls"),
+        sum("nbr_n").as("n_nbr"),
+        min(when(col("nbr_n") > 0,
+          struct((-col("nbr_n")).as("neg"), col("cls")))).as("m"),
+        max("has_self").as("present"))
+      .filter(col("present") === 1)
+      .select(col("r"), col("c"), col("own_cls"), col("n_nbr"),
+        when(col("m.neg") * -2 > col("n_nbr"), col("m.cls"))
+          .otherwise(col("own_cls")).as("out_cls"))
+  }
+
+  /** GIS11 — COST DISTANCE (Esri Cost Distance, the Spatial Analyst
+    * accumulated-travel-cost tool) from the class-4 source cells over
+    * a unit-cost surface, chamfer 3-4 metric (Borgefors 1986: cardinal
+    * step 3, diagonal 4 — the classic integer approximation of
+    * Euclidean distance, max error ~8%; the 1/3·cellsize factor is a
+    * monotone post-scale kept out of the gate), bounded at `k`
+    * relaxation rounds — the GIS9 bounded-iteration posture. NoData
+    * cells are BARRIERS (Esri's cost-distance contract): travel only
+    * crosses present cells, so the result is the geodesic distance on
+    * the populated grid, not straight-line. Each round is one
+    * Bellman-Ford relaxation — extend every current estimate by one
+    * edge (8-offset generator — no join), keep in-grid PRESENT targets
+    * (broadcast semi of the ≤10k-cell domain), fold min per cell —
+    * so after k rounds each cell holds the min cost over ≤k-edge
+    * paths, frontier cost per round, k rounds not grid-diameter.
+    * Cells a source cannot reach in k hops stay NoData (absent). */
+  def costDistance(spark: SparkSession, dir: String, k: Int = 10)
+      : DataFrame =
+    costDistanceFrom(classedGrid(spark, dir), k)
+
+  /** Cost-distance core over a classed sparse grid (r, c, cls) with
+    * class-4 sources, exposed for the barrier/metric spec. */
+  private[ops] def costDistanceFrom(classed: DataFrame, k: Int)
+      : DataFrame = {
+    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L; if dr != 0 || dc != 0 }
+      yield (dr, dc, if (dr == 0L || dc == 0L) 3L else 4L)
+    val cells = classed.localCheckpoint()
+    val present = cells.select("r", "c")
+    var best = cells.filter(col("cls") === 4)
+      .select(col("r"), col("c"), lit(0L).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to k) {
+      val ext = best
+        .select(col("r"), col("c"), col("d"), explode(typedLit(offs)).as("o"))
+        .select((col("r") + col("o._1")).as("r"),
+          (col("c") + col("o._2")).as("c"), (col("d") + col("o._3")).as("d"))
+        .filter(col("r").between(0, GridW - 1) &&
+          col("c").between(0, GridW - 1))
+        .join(broadcast(present), Seq("r", "c"), "left_semi")
+      best = best.unionByName(ext)
+        .groupBy("r", "c").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    best.withColumnRenamed("d", "cost34")
+  }
+
   /** GIS7 — POLYGON zonal statistics (Esri Zonal Statistics with
     * FEATURE zones — GIS2's zones were raster classes; real zone data
     * is vector polygons): per polygon, the count and exact-cents sum
@@ -688,6 +793,20 @@ object WroQueries {
     "SELECT cell_id, layer, max(value) AS value FROM (", " UNION ALL ",
     ") GROUP BY cell_id, layer")
 
+  /** The GIS10/GIS11 classed grid as oracle CTEs (pc → s → g): the
+    * same equal-interval break formula as [[classedGrid]], float
+    * arithmetic written once, identically, in both engines. */
+  private val classedGridSql: String =
+    """pc AS (
+      |  SELECT l_orderkey % 10000 AS cell_id,
+      |    max(CAST(l_quantity AS DOUBLE)) AS q
+      |  FROM lineitem GROUP BY 1),
+      |s AS (SELECT min(q) AS mn, max(q) AS mx FROM pc),
+      |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c,
+      |        CAST(least(floor((q - mn) / ((mx - mn) / 5.0)), 4) AS INT)
+      |          AS cls
+      |      FROM pc, s)""".stripMargin
+
   private[ops] val rangesSql: String =
     s"""WITH cells AS ($cellsSql),
        |stats AS (SELECT layer, min(value) AS mn, max(value) AS mx FROM cells GROUP BY layer),
@@ -714,6 +833,9 @@ object WroQueries {
     "wro_flow_direction" -> flowDirection,
     "wro_flow_accumulation" -> ((s: SparkSession, d: String) =>
       flowAccumulation(s, d)),
+    "wro_majority_filter" -> majorityFilter,
+    "wro_cost_distance" -> ((s: SparkSession, d: String) =>
+      costDistance(s, d)),
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -787,6 +909,49 @@ object WroQueries {
         |SELECT v // 100 AS r, v % 100 AS c,
         |  count(DISTINCT u) AS n_upstream
         |FROM p GROUP BY 1, 2""".stripMargin,
+    // contribute-to-neighbors with a self tag; the struct-min mode is
+    // replayed as a packed-integer min ((8−cnt)·16+cls — cnt ≤ 8,
+    // cls ≤ 4, both non-negative, so min picks max count then min
+    // class, the identical total order)
+    "wro_majority_filter" ->
+      s"""WITH $classedGridSql,
+        |o AS (SELECT unnest([-1, 0, 1]) AS d),
+        |n AS (SELECT g.r + o1.d AS r, g.c + o2.d AS c, g.cls,
+        |        CASE WHEN o1.d = 0 AND o2.d = 0 THEN 1 ELSE 0 END AS self
+        |      FROM g, o o1, o o2
+        |      WHERE g.r + o1.d BETWEEN 0 AND 99
+        |        AND g.c + o2.d BETWEEN 0 AND 99),
+        |pcl AS (SELECT r, c, cls, sum(1 - self) AS nbr_n,
+        |          max(self) AS has_self
+        |        FROM n GROUP BY 1, 2, 3),
+        |agg AS (SELECT r, c,
+        |          max(CASE WHEN has_self = 1 THEN cls END) AS own_cls,
+        |          CAST(sum(nbr_n) AS BIGINT) AS n_nbr,
+        |          min(CASE WHEN nbr_n > 0
+        |              THEN (8 - nbr_n) * 16 + cls END) AS mkey,
+        |          max(has_self) AS present
+        |        FROM pcl GROUP BY 1, 2)
+        |SELECT r, c, own_cls, n_nbr,
+        |  CAST(CASE WHEN (8 - mkey // 16) * 2 > n_nbr THEN mkey % 16
+        |       ELSE own_cls END AS INT) AS out_cls
+        |FROM agg WHERE present = 1""".stripMargin,
+    // the k-round Bellman-Ford replayed as a depth-counted recursive
+    // walk: the recursive set holds every (≤10-edge path cost, cell)
+    // state, so min(d) per cell = min over ≤10-edge paths — exactly
+    // what k relaxation rounds compute; the g join enforces both
+    // in-grid and PRESENT (NoData barrier)
+    "wro_cost_distance" ->
+      s"""WITH RECURSIVE $classedGridSql,
+        |o(dr, dc, w) AS (VALUES (-1,-1,4),(-1,0,3),(-1,1,4),(0,-1,3),
+        |  (0,1,3),(1,-1,4),(1,0,3),(1,1,4)),
+        |walk(i, r, c, d) AS (
+        |  SELECT 0, r, c, CAST(0 AS BIGINT) FROM g WHERE cls = 4
+        |  UNION
+        |  SELECT w.i + 1, g.r, g.c, w.d + o.w
+        |  FROM walk w, o, g
+        |  WHERE w.i < 10 AND g.r = w.r + o.dr AND g.c = w.c + o.dc)
+        |SELECT r, c, CAST(min(d) AS BIGINT) AS cost34
+        |FROM walk GROUP BY 1, 2""".stripMargin,
     // same integer even-odd ray cast; the edge list is pre-expanded
     // from the SAME shared polygon literal into plain integer VALUES
     // (DuckDB 1.0's LATERAL-over-struct-list path hits an internal

@@ -594,4 +594,32 @@ class LlmSpec extends SparkSpec {
       "a vector is dropped at most once")
     assert(dropped.length < n, "dedup must keep at least the keepers")
   }
+
+  test("sq8TopK: codes bounded to ±127, max component saturates, " +
+       "exact on axis-aligned vectors, zero vectors excluded") {
+    import spark.implicits._
+    // axis-aligned corpus: vector i points along axis i with length
+    // varying; the query points along axis 1, so the int8 dot picks
+    // exactly the axis-1 vectors, ranked by their true magnitude
+    val corpus = Seq(
+      (1L, Array(0.5f, 0f, 0f, 0f)),     // axis 1, mid
+      (2L, Array(1.0f, 0f, 0f, 0f)),     // axis 1, long
+      (3L, Array(0f, 1.0f, 0f, 0f)),     // orthogonal
+      (4L, Array(-1.0f, 0f, 0f, 0f)),    // anti-parallel
+      (5L, Array(0f, 0f, 0f, 0f))        // zero vector -> excluded
+    ).toDF("vec_id", "embedding")
+    val query = Seq((0L, Array(1.0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopK(corpus, col("vec_id"), col("embedding"),
+        query, col("embedding"), k = 4).collect()
+    // ranked: both axis-1 vectors saturate to code 127 (per-vector
+    // scale), so qdot ties at 127·127 and the CANDIDATE scale m breaks
+    // the tie: id 2 (m = 2^20) over id 1 (m = 2^19); then orthogonal
+    // (dot 0), then anti-parallel (negative). Zero vector never appears.
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 1L, 3L, 4L))
+    val byId = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(2L) == 127L * 127L && byId(1L) == 127L * 127L)
+    assert(byId(3L) == 0L && byId(4L) == -127L * 127L)
+    assert(got.map(_.getInt(3)).toSeq == Seq(1, 2, 3, 4))
+  }
 }

@@ -58,4 +58,45 @@ class GisQueriesSpec extends SparkSpec {
       .map(r => ((r.getLong(0) / 4, r.getLong(1) / 4), r.getLong(2))).toMap
     assert(out == exp && out.nonEmpty)
   }
+
+  test("majority: strict-majority replaces, ties and isolation keep own") {
+    import spark.implicits._
+    val g = Seq((0L, 0L, 1), (0L, 1L, 1), (0L, 2L, 2), (1L, 1L, 2),
+      (5L, 5L, 3)).toDF("r", "c", "cls")
+    val got = WroQueries.majorityFrom(g).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getInt(2), x.getLong(3), x.getInt(4)))).toMap
+    // (0,0): 2 nbrs {1,2} tie at count 1 — no strict majority, keeps 1
+    assert(got((0L, 0L)) == ((1, 2L, 1)))
+    // (0,1): 3 nbrs {1,2,2} — class 2 holds 2·2 > 3, replaced
+    assert(got((0L, 1L)) == ((1, 3L, 2)))
+    // (0,2): 2 nbrs {1,2} tie — keeps 2
+    assert(got((0L, 2L)) == ((2, 2L, 2)))
+    // (1,1): 3 nbrs {1,1,2} — class 1 majority, replaced
+    assert(got((1L, 1L)) == ((2, 3L, 1)))
+    // isolated cell: zero neighbors, keeps own class
+    assert(got((5L, 5L)) == ((3, 0L, 3)))
+    assert(got.size == 5)
+  }
+
+  test("cost distance: chamfer 3/4 metric, NoData barrier, cap") {
+    import spark.implicits._
+    // source at (0,0); (3,3) is present but disconnected — NoData
+    // cells are barriers, so it must NOT appear in the result
+    val g = Seq((0L, 0L, 4), (0L, 1L, 0), (1L, 1L, 0), (0L, 2L, 0),
+      (1L, 2L, 0), (3L, 3L, 0)).toDF("r", "c", "cls")
+    val got = WroQueries.costDistanceFrom(g, k = 10).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(got((0L, 0L)) == 0L)            // source
+    assert(got((0L, 1L)) == 3L)            // one cardinal step
+    assert(got((1L, 1L)) == 4L)            // one diagonal step
+    assert(got((0L, 2L)) == 6L)            // two cardinal steps
+    assert(got((1L, 2L)) == 7L)            // cardinal + diagonal
+    assert(!got.contains((3L, 3L)) && got.size == 5)
+    // a 1-round cap reaches only the source's immediate neighbors
+    val capped = WroQueries.costDistanceFrom(g, k = 1).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(capped ==
+      Map((0L, 0L) -> 0L, (0L, 1L) -> 3L, (1L, 1L) -> 4L))
+  }
 }

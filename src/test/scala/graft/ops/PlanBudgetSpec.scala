@@ -305,7 +305,20 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // visible past the checkpointed per-round frontiers: the distinct
     // origin count's two-phase aggregate; per-round joins hide behind
     // their own checkpoints
-    "wro_flow_accumulation" -> 2)
+    "wro_flow_accumulation" -> 2,
+    // cached per-cell grid + 1-row stats agg + the two-level mode
+    // aggregate ((r,c,cls) counts then (r,c) fold) — all raster-bounded
+    "wro_majority_filter" -> 4,
+    // the relaxation rounds hide behind their per-round checkpoints;
+    // the visible plan reads the final checkpointed frame
+    "wro_cost_distance" -> 0,
+    // the decorrelated ranked window's s_nationkey exchange + the
+    // outer ORDER BY's range partitioning; nation broadcasts
+    "j19_lateral_topk" -> 2,
+    // quantization is map-side, the 1-row query broadcasts, the cut is
+    // TakeOrdered; the one exchange is the post-limit rank window
+    // carrying ≤ k rows
+    "d36_sq8_topk" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {

@@ -197,4 +197,33 @@ class SubquerySpec extends SparkSpec
     assert(sortedRows(RelQueries.q22InSubquery(spark, dir)) ==
            sortedRows(manual))
   }
+
+  test("j19: correlated LATERAL LIMIT decorrelates to a ranked join") {
+    val df = RelQueries.j19LateralTopK(spark, dir)
+    val plan = optimized(df)
+    // no lateral/subquery artifact survives optimization — the
+    // per-nation LIMIT 2 became a window-ranked join
+    assert(!plan.contains("LateralJoin") && !plan.contains("lateral-subquery"),
+      s"lateral join survived optimization:\n$plan")
+    assert(plan.contains("Join"), s"no join in decorrelated plan:\n$plan")
+    assert(plan.contains("Window") || plan.contains("row_number"),
+      s"no ranked-window rewrite of the correlated LIMIT:\n$plan")
+  }
+
+  test("j19: SQL form matches the window DataFrame form") {
+    import org.apache.spark.sql.expressions.Window
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("acctbal_cents").desc, col("s_name"))
+    val manual = supp
+      .select(col("s_nationkey"), col("s_name"),
+        round(col("s_acctbal") * 100).cast("long").as("acctbal_cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .select("n_name", "s_name", "acctbal_cents")
+    assert(sortedRows(RelQueries.j19LateralTopK(spark, dir)) ==
+           sortedRows(manual))
+  }
 }
