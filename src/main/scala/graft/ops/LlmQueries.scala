@@ -379,6 +379,68 @@ object LlmQueries {
       ctx = 1024)
   }
 
+  /** PIPE10: the DCLM-Baseline-shaped corpus-prep capstone (Li et al.
+    * 2024, arXiv:2406.11794) — the published pipeline whose
+    * DISTINCTIVE stage vs C4/CCNet/FineWeb is model-based TOP-SLICE
+    * selection: heuristic rules → dedup → classifier keeping the top
+    * score quartile. Composed the way the paper chains them:
+    * (1) Gopher rule gate over the raw corpus (DCLM adopts
+    * RefinedWeb's heuristic stage, which carries the Gopher rules —
+    * d33's predicates verbatim), (2) EXACT dedup of the survivors
+    * (content-keyed min-id keep — DCLM's Bloom dedup at document
+    * granularity; text shuffles as (xxhash64, md5), never as text),
+    * (3) the hashed-feature linear classifier scores the DEDUPED
+    * survivors (d28's inference: model-as-table → one broadcast array
+    * → per-doc codegen fold), (4) keep docs AT OR ABOVE the surviving
+    * corpus's 75th score percentile — the threshold derives from the
+    * score HISTOGRAM (groupBy score → running-count window over
+    * |distinct scores| rows, bounded by the score domain, never a
+    * doc-grain global sort) with the percentile test as the BIGINT
+    * cross-multiply cum·4 ≥ total·3 (percentile_disc semantics: min
+    * score with cume ≥ ¾; score ties keep all, documented), (5)
+    * per-(lang, source) accounting of the selected slice. The dedup
+    * stage is made provably LOAD-BEARING the established planted-twin
+    * way (pipe_semdedup's below-the-id-space trick): every 9th
+    * surviving doc gains a `mirror` fetch copy at doc_id − 10⁶ — the
+    * mirror is the keep-first keeper, so the REAL doc drops and its
+    * accounting row moves to the mirror source; delete the stage and
+    * both copies double-count. Funnel at gate SF: 500 → 233 (rules) →
+    * 259 planted → 233 deduped → top-quartile slice. */
+  def pipeDclmCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val gk = TextAnalysis.gopherRules(d, col("doc_id"), col("text"),
+        GopherStops)
+      .filter(col("keep") === 1).select("doc_id")
+    val surv0 = d.join(gk, Seq("doc_id"), "left_semi")
+    val surv = surv0
+      .unionByName(surv0.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") - 1000000L).as("doc_id"), col("lang"),
+          lit("mirror").as("source"), col("text"), col("n_chars")))
+      .localCheckpoint()
+    val keepIds = surv
+      .groupBy(xxhash64(col("text")).as("h"), md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val dd = surv.join(keepIds, Seq("doc_id"), "left_semi")
+    val weights = s.range(256).select(col("id").cast("int").as("bucket"),
+      ((col("id") * 37) % 101 - 50).as("wt"))
+    val scored = TextAnalysis.hashedLinearScore(dd, col("doc_id"),
+        col("text"), weights, nBuckets = 256)
+      .select("doc_id", "n_tok", "score").localCheckpoint()
+    val hist = scored.groupBy("score").agg(count(lit(1)).as("n"))
+    val total = hist.agg(sum("n").as("total"))
+    val thr = hist
+      .withColumn("cum", sum("n").over(
+        org.apache.spark.sql.expressions.Window.orderBy("score")))
+      .crossJoin(broadcast(total))
+      .filter(col("cum") * 4 >= col("total") * 3)
+      .agg(min("score").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("score") >= col("thr"))
+      .join(dd.select("doc_id", "lang", "source"), "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+  }
+
   /** D28: hashed-feature linear classifier over every document
     * ([[TextAnalysis.hashedLinearScore]], 256 buckets). The weight
     * table is generated arithmetically ((b·37) mod 101 − 50 — integer,
@@ -1139,7 +1201,8 @@ object LlmQueries {
     "d31_line_dedup" -> d31LineDedup,
     "pipe_ccnet_corpus" -> pipeCcnetCorpus,
     "pipe_c4_corpus" -> pipeC4Corpus,
-    "pipe_fineweb_corpus" -> pipeFinewebCorpus
+    "pipe_fineweb_corpus" -> pipeFinewebCorpus,
+    "pipe_dclm_corpus" -> pipeDclmCorpus
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -2070,6 +2133,64 @@ object LlmQueries {
     // to doc_id arithmetic (host class and path are functions of
     // doc_id % 250), so the oracle never parses a URL; langid and
     // gopher stages replay their own oracles over the kept corpus
+    // gopher gate (d33's CTEs) → min-id exact dedup → d28's classifier
+    // → histogram-derived 75th-percentile threshold (cum·4 ≥ total·3,
+    // the same BIGINT cross-multiply) → per-(lang, source) accounting
+    "pipe_dclm_corpus" ->
+      """WITH gw AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w
+        |  FROM documents),
+        |gp AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(strlen(text) - len(w) + 1 AS BIGINT) AS sum_wlen,
+        |    CAST(len(list_intersect(w,
+        |      ['the','a','of','to','and','in','is','be'])) AS BIGINT)
+        |      AS n_stop
+        |  FROM gw),
+        |gt AS (
+        |  SELECT doc_id, CAST(max(c * strlen(tok)) AS BIGINT) AS top_chars
+        |  FROM (SELECT doc_id, tok, count(*) AS c FROM (
+        |          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |          FROM documents) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |gk AS (
+        |  SELECT gp.doc_id FROM gp JOIN gt USING (doc_id)
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+        |    AND n_stop >= 2 AND 5 * top_chars <= sum_wlen),
+        |surv0 AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.text
+        |  FROM documents d JOIN gk USING (doc_id)),
+        |surv AS (
+        |  SELECT * FROM surv0
+        |  UNION ALL
+        |  SELECT doc_id - 1000000, lang, 'mirror', text
+        |  FROM surv0 WHERE doc_id % 9 = 0),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM surv GROUP BY text),
+        |dd AS (SELECT s.* FROM surv s JOIN keep USING (doc_id)),
+        |wt AS (SELECT b, (b * 37) % 101 - 50 AS wt
+        |       FROM (SELECT unnest(range(0, 256)) AS b)),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM dd),
+        |tb AS (SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b
+        |  FROM t),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |         CAST(sum(wt.wt) AS BIGINT) AS score
+        |       FROM tb JOIN wt USING (b) GROUP BY doc_id),
+        |hist AS (SELECT score, count(*) AS n FROM sc GROUP BY 1),
+        |cums AS (SELECT score, sum(n) OVER (ORDER BY score) AS cum,
+        |           sum(n) OVER () AS total FROM hist),
+        |thr AS (SELECT min(score) AS thr FROM cums
+        |        WHERE cum * 4 >= total * 3)
+        |SELECT d.lang, d.source, count(*) AS n_docs,
+        |  CAST(sum(s.n_tok) AS BIGINT) AS sum_tok
+        |FROM sc s
+        |JOIN dd d ON d.doc_id = s.doc_id
+        |CROSS JOIN thr
+        |WHERE s.score >= thr.thr
+        |GROUP BY 1, 2""".stripMargin,
     "pipe_fineweb_corpus" ->
       """WITH k0 AS (
         |  SELECT doc_id, lang, source, text FROM documents

@@ -1490,6 +1490,63 @@ object RelQueries {
     * never collects a per-group value buffer the way Spark's exact
     * `percentile` ObjectHashAggregate does. l_quantity is discrete, so
     * the picked values are actual data points — no interpolation float. */
+  /** A24 — MERGEABLE bottom-k quantile sketch (the KMV sampling idea
+    * a23 uses for cardinality, turned on QUANTILES): a group's sketch
+    * is its k = 64 rows with the smallest md5(o_orderkey) — bottom-k
+    * hashing is a deterministic uniform sample without replacement, so
+    * the sketch is MERGEABLE with a provably lossless rule: bottom-k
+    * of a union of per-group bottom-k's equals bottom-k of the raw
+    * union (any global bottom-k member is bottom-k within its own
+    * group — its group discarded only larger hashes). The global
+    * (`ALL`) row is built exactly that way: from the ≤5·64 per-group
+    * sketch rows, never from the fact table — the a18 rollup pattern
+    * with the error bar made DETERMINISTIC (the sample is
+    * hash-determined, so the estimate is bit-reproducible and the
+    * whole query gates exact, not within-tolerance). Median estimate =
+    * percentile_disc(0.5) over the sample, computed positionally on
+    * the ≤64-element sorted array (with ties the positional pick
+    * equals min-value-with-cume_dist≥½ — the a14 identity). The exact
+    * per-group + global medians ride along as the audit columns; the
+    * global exact leg is a single-partition cume_dist window —
+    * affordable at gate SF, and exactly the cost the sketch exists to
+    * DELETE at 100 TB (production keeps the estimate column only). */
+  def a24SampleQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders").select(
+      col("o_orderpriority").as("grp"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      md5(col("o_orderkey").cast("string")).as("h"),
+      col("o_orderkey"))
+    val w = Window.partitionBy("grp").orderBy(col("h"), col("o_orderkey"))
+    // the per-group sketches; cached — the global merge re-reads them
+    val samp = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 64)
+      .select("grp", "h", "o_orderkey", "cents")
+      .cache()
+    val wg = Window.orderBy(col("h"), col("o_orderkey"))
+    val global = samp.withColumn("rn", row_number().over(wg))
+      .filter(col("rn") <= 64)
+      .select(lit("ALL").as("grp"), col("cents"))
+    val est = samp.select(col("grp"), col("cents")).unionByName(global)
+      .groupBy("grp")
+      .agg(sort_array(collect_list("cents")).as("sv"))
+      .select(col("grp"), size(col("sv")).cast("long").as("n_sample"),
+        element_at(col("sv"),
+          floor((size(col("sv")) + 1) / 2).cast("int"))
+          .as("est_median_cents"))
+    val wcd = Window.partitionBy("grp").orderBy("cents")
+    val exact = o.select(col("grp"), col("cents"))
+      .unionByName(o.select(lit("ALL").as("grp"), col("cents")))
+      .withColumn("cd", cume_dist().over(wcd))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"),
+        min(when(col("cd") >= 0.5, col("cents"))).as("exact_median_cents"))
+    est.join(exact, Seq("grp"))
+      .select(col("grp"), col("n_rows"), col("n_sample"),
+        col("est_median_cents"), col("exact_median_cents"),
+        abs(col("est_median_cents") - col("exact_median_cents"))
+          .as("err_cents"))
+  }
+
   def a14ExactPercentile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.95 -> "p95")
@@ -2273,6 +2330,7 @@ object RelQueries {
     "a6_collect" -> a6Collect,
     "a8_argmax" -> a8ArgMax,
     "a22_mode" -> a22Mode,
+    "a24_sample_quantiles" -> a24SampleQuantiles,
     "a10_range_merge" -> a10RangeMerge,
     "w1_rank" -> w1Rank,
     "w2_lag" -> w2Lag,
@@ -2579,6 +2637,45 @@ object RelQueries {
         |FROM m JOIN ex USING (ta, tb)""".stripMargin,
     // window-rank formulation — independent of the Spark side's
     // double-aggregate argmax shape
+    // same bottom-64-by-md5 sample, positional percentile_disc on the
+    // sorted sample array, cume_dist exact audit — all deterministic,
+    // so the sketch estimate itself gates exact
+    "a24_sample_quantiles" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    md5(CAST(o_orderkey AS VARCHAR)) AS h, o_orderkey
+        |  FROM orders),
+        |samp AS (
+        |  SELECT grp, h, o_orderkey, cents FROM (
+        |    SELECT grp, h, o_orderkey, cents, row_number() OVER (
+        |      PARTITION BY grp ORDER BY h, o_orderkey) AS rn
+        |    FROM o) WHERE rn <= 64),
+        |gmerge AS (
+        |  SELECT 'ALL' AS grp, cents FROM (
+        |    SELECT cents, row_number() OVER (ORDER BY h, o_orderkey) AS rn
+        |    FROM samp) WHERE rn <= 64),
+        |su AS (SELECT grp, cents FROM samp
+        |       UNION ALL SELECT grp, cents FROM gmerge),
+        |est AS (
+        |  SELECT grp, list_sort(list(cents)) AS sv FROM su GROUP BY grp),
+        |est2 AS (
+        |  SELECT grp, CAST(len(sv) AS BIGINT) AS n_sample,
+        |    sv[(len(sv) + 1) // 2] AS est_median_cents
+        |  FROM est),
+        |f AS (SELECT grp, cents FROM o
+        |      UNION ALL SELECT 'ALL', cents FROM o),
+        |cd AS (SELECT grp, cents,
+        |         cume_dist() OVER (PARTITION BY grp ORDER BY cents) AS cd
+        |       FROM f),
+        |ex AS (SELECT grp, count(*) AS n_rows,
+        |         min(CASE WHEN cd >= 0.5 THEN cents END)
+        |           AS exact_median_cents
+        |       FROM cd GROUP BY grp)
+        |SELECT e.grp, CAST(x.n_rows AS BIGINT) AS n_rows, e.n_sample,
+        |  e.est_median_cents, x.exact_median_cents,
+        |  abs(e.est_median_cents - x.exact_median_cents) AS err_cents
+        |FROM est2 e JOIN ex x ON e.grp = x.grp""".stripMargin,
     "a22_mode" ->
       """WITH t AS (
         |  SELECT c_mktsegment AS segment, o_orderpriority AS pri,

@@ -531,6 +531,47 @@ object WroQueries {
     best.withColumnRenamed("d", "cost34")
   }
 
+  /** GIS12 — EUCLIDEAN ALLOCATION (Esri Euclidean Allocation, the
+    * nearest-source Voronoi labeling that pairs with GIS11's
+    * distance): every reachable cell is labeled with the SOURCE CELL
+    * it is cheapest to reach, chamfer 3-4 metric, same 10-round
+    * bounded relaxation and NoData-barrier contract. The per-cell
+    * state is ONE BIGINT — the packed key d·10⁴ + src (src =
+    * r·100 + c < 10⁴, d ≤ 40 at the cap), so "min distance, ties to
+    * the smallest source id" is a plain min() — partially aggregable,
+    * engine-exact, and the same total order in the oracle's packed
+    * min. Emits the distance AND the allocated source, unpacked. */
+  def allocation(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    allocationFrom(classedGrid(spark, dir), k)
+
+  private[ops] def allocationFrom(classed: DataFrame, k: Int): DataFrame = {
+    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L; if dr != 0 || dc != 0 }
+      yield (dr, dc, if (dr == 0L || dc == 0L) 3L else 4L)
+    val cells = classed.localCheckpoint()
+    val present = cells.select("r", "c")
+    var best = cells.filter(col("cls") === 4)
+      .select(col("r"), col("c"),
+        (col("r") * 100 + col("c")).as("key"))   // d = 0, packed = src
+      .localCheckpoint()
+    for (_ <- 1 to k) {
+      val ext = best
+        .select(col("r"), col("c"), col("key"),
+          explode(typedLit(offs)).as("o"))
+        .select((col("r") + col("o._1")).as("r"),
+          (col("c") + col("o._2")).as("c"),
+          (col("key") + col("o._3") * 10000L).as("key"))
+        .filter(col("r").between(0, GridW - 1) &&
+          col("c").between(0, GridW - 1))
+        .join(broadcast(present), Seq("r", "c"), "left_semi")
+      best = best.unionByName(ext)
+        .groupBy("r", "c").agg(min("key").as("key"))
+        .localCheckpoint()
+    }
+    best.select(col("r"), col("c"), expr("key div 10000").as("cost34"),
+      expr("(key % 10000) div 100").as("src_r"),
+      (col("key") % 100).as("src_c"))
+  }
+
   /** GIS7 — POLYGON zonal statistics (Esri Zonal Statistics with
     * FEATURE zones — GIS2's zones were raster classes; real zone data
     * is vector polygons): per polygon, the count and exact-cents sum
@@ -836,6 +877,8 @@ object WroQueries {
     "wro_majority_filter" -> majorityFilter,
     "wro_cost_distance" -> ((s: SparkSession, d: String) =>
       costDistance(s, d)),
+    "wro_allocation" -> ((s: SparkSession, d: String) =>
+      allocation(s, d)),
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -952,6 +995,23 @@ object WroQueries {
         |  WHERE w.i < 10 AND g.r = w.r + o.dr AND g.c = w.c + o.dc)
         |SELECT r, c, CAST(min(d) AS BIGINT) AS cost34
         |FROM walk GROUP BY 1, 2""".stripMargin,
+    // the same depth-counted walk carrying the packed d·10^4+src key;
+    // min(key) = min distance, ties to the smallest source id — the
+    // identical total order the Spark side folds
+    "wro_allocation" ->
+      s"""WITH RECURSIVE $classedGridSql,
+        |o(dr, dc, w) AS (VALUES (-1,-1,4),(-1,0,3),(-1,1,4),(0,-1,3),
+        |  (0,1,3),(1,-1,4),(1,0,3),(1,1,4)),
+        |walk(i, r, c, key) AS (
+        |  SELECT 0, r, c, CAST(r * 100 + c AS BIGINT) FROM g WHERE cls = 4
+        |  UNION
+        |  SELECT w.i + 1, g.r, g.c, w.key + o.w * 10000
+        |  FROM walk w, o, g
+        |  WHERE w.i < 10 AND g.r = w.r + o.dr AND g.c = w.c + o.dc),
+        |m AS (SELECT r, c, min(key) AS key FROM walk GROUP BY 1, 2)
+        |SELECT r, c, key // 10000 AS cost34,
+        |  (key % 10000) // 100 AS src_r, key % 100 AS src_c
+        |FROM m""".stripMargin,
     // same integer even-odd ray cast; the edge list is pre-expanded
     // from the SAME shared polygon literal into plain integer VALUES
     // (DuckDB 1.0's LATERAL-over-struct-list path hits an internal

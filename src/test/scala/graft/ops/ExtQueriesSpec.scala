@@ -696,4 +696,33 @@ class ExtQueriesSpec extends SparkSpec {
     val revs = q10.map(_.getLong(3))
     assert(revs.sameElements(revs.sortBy(-_: Long)))
   }
+
+  test("a24 sketch merge is LOSSLESS: bottom-k of unioned per-group " +
+       "bottom-k's equals bottom-k over all rows (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 700L).map(i =>
+      (s"g${rnd.nextInt(5)}", i, rnd.nextInt(100000)))
+    val df = rows.toDF("grp", "id", "v")
+      .withColumn("h", md5(col("id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("h"), col("id"))
+    val perGroup = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 64).drop("rn")
+    def bottomK(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(col("h"), col("id")).limit(64)
+        .select("id").collect().map(_.getLong(0)).toSet
+    // merging the 5 sketches loses nothing vs sampling the raw union
+    assert(bottomK(perGroup) == bottomK(df))
+    // and the declared query's global row estimates from exactly that
+    // merged sample (deterministic end to end)
+    val out = RelQueries.a24SampleQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.contains("ALL") && out.size == 6)
+    val (nAll, sAll, _, _) = out("ALL")
+    assert(nAll == out.filterKeys(_ != "ALL").values.map(_._1).sum)
+    assert(sAll == 64L)
+    spark.catalog.clearCache()
+  }
 }

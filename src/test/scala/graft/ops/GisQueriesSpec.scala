@@ -99,4 +99,21 @@ class GisQueriesSpec extends SparkSpec {
     assert(capped ==
       Map((0L, 0L) -> 0L, (0L, 1L) -> 3L, (1L, 1L) -> 4L))
   }
+
+  test("allocation: nearest source wins, distance ties to smaller src id") {
+    import spark.implicits._
+    // two sources at (0,0) and (0,4); the midpoint (0,2) is 6 from
+    // both — the packed-key min must hand it to the SMALLER source id
+    val g = Seq((0L, 0L, 4), (0L, 1L, 0), (0L, 2L, 0), (0L, 3L, 0),
+      (0L, 4L, 4)).toDF("r", "c", "cls")
+    val got = WroQueries.allocationFrom(g, k = 10).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(got((0L, 0L)) == ((0L, 0L, 0L)))
+    assert(got((0L, 4L)) == ((0L, 0L, 4L)))
+    assert(got((0L, 1L)) == ((3L, 0L, 0L)))
+    assert(got((0L, 3L)) == ((3L, 0L, 4L)))
+    assert(got((0L, 2L)) == ((6L, 0L, 0L)), "tie goes to source (0,0)")
+    assert(got.size == 5)
+  }
 }

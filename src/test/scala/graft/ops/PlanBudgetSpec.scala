@@ -318,7 +318,16 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // quantization is map-side, the 1-row query broadcasts, the cut is
     // TakeOrdered; the one exchange is the post-limit rank window
     // carrying ≤ k rows
-    "d36_sq8_topk" -> 1)
+    "d36_sq8_topk" -> 1,
+    // same checkpointed-rounds shape as cost distance
+    "wro_allocation" -> 0,
+    // visible past the cached sketch: the exact-audit window exchange
+    // + its aggregate — the audit leg exists to GATE the sketch and
+    // disappears at scale
+    "a24_sample_quantiles" -> 2,
+    // gopher gate + content-hash dedup + classifier fold + histogram
+    // threshold + accounting; checkpoints bound the visible plan
+    "pipe_dclm_corpus" -> 6)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
