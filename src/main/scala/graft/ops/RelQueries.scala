@@ -1993,6 +1993,46 @@ object RelQueries {
            sum(col("k")).cast("long").as("sum_k"))
   }
 
+  /** F23 — Spark 4 native XML (`from_xml`, the SPARK-44265 surface):
+    * machine-shaped XML order records — element text, an ATTRIBUTE
+    * (`id`, surfacing as `_id` under the default attributePrefix), and
+    * integer cents so the round trip never touches float rendering —
+    * parsed back under PERMISSIVE tolerance: every 97th record is
+    * TRUNCATED mid-document and must land as a null struct field, not
+    * kill the scan (src5's corrupt-record contract at the function
+    * level). The oracle never parses XML: because the documents are
+    * generated from the base columns in-plan, parse(generate(row)) ≡
+    * row is the checkable contract, and corrupt rows are exactly the
+    * planted ones. Corrupt rows group under 'CORRUPT' with zeroed
+    * measures (their parsed fields are NULL, summed via coalesce). */
+  def f23Xml(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val whole = concat(
+      lit("<order id=\""), col("o_orderkey"), lit("\"><priority>"),
+      col("o_orderpriority"), lit("</priority><total_cents>"),
+      cents, lit("</total_cents></order>"))
+    val xml = when(col("o_orderkey") % 97 === 0,
+      substring(whole, 1, 30)).otherwise(whole)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("priority",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("total_cents",
+        org.apache.spark.sql.types.LongType)))
+    table(s, dir, "orders")
+      .select(from_xml(xml, schema,
+        new java.util.HashMap[String, String]()).as("x"))
+      .select(
+        coalesce(col("x.priority"), lit("CORRUPT")).as("priority"),
+        coalesce(col("x.total_cents"), lit(0L)).as("tc"),
+        when(col("x.priority").isNull, lit(0L))
+          .otherwise(coalesce(col("x._id"), lit(0L))).as("oid"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"), sum("tc").as("sum_cents"),
+           sum("oid").as("sum_id"))
+  }
+
   /** O7: UNPIVOT/melt — wide metric columns to long (metric, value)
     * rows, the inverse of o5_pivot; re-aggregated per metric so the
     * gate stays scalar. Money-class values snap to cents per row. */
@@ -2386,6 +2426,7 @@ object RelQueries {
     "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q20_dominant_share" -> q20DominantShare,
     "j19_lateral_topk" -> j19LateralTopK,
+    "f23_xml" -> f23Xml,
     "q4_order_priority" -> q4OrderPriority,
     "q15_top_supplier" -> q15TopSupplier,
     "q7_nation_volume" -> q7NationVolume,
@@ -3070,6 +3111,20 @@ object RelQueries {
     "q2_min_cost_supplier" -> q2Sql,
     "q20_dominant_share" -> q20Sql,
     "j19_lateral_topk" -> j19Sql,
+    // the oracle never parses XML: the documents are generated in-plan
+    // from base columns, so parse(generate(row)) == row is the
+    // contract, and the corrupt rows are exactly the planted ones
+    "f23_xml" ->
+      """SELECT
+        |  CASE WHEN o_orderkey % 97 = 0 THEN 'CORRUPT'
+        |       ELSE o_orderpriority END AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 0
+        |           ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+        |       AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 0
+        |           ELSE o_orderkey END) AS BIGINT) AS sum_id
+        |FROM orders GROUP BY 1""".stripMargin,
     "q4_order_priority" -> q4Sql,
     "q15_top_supplier" -> q15Sql,
     "q7_nation_volume" -> q7Sql,

@@ -301,6 +301,38 @@ object WroQueries {
       .select("r", "c", "gx", "gy")
   }
 
+  /** GIS13 — HILLSHADE, classed (Esri Hillshade, default NW light —
+    * azimuth 315°, altitude 45° — emitted as brightness CLASSES: the
+    * no-interpolation rule protects classed output, and classing is
+    * exactly what removes IEEE sqrt/trig from the gate): illumination
+    * is the dot of the surface normal with the light vector. With
+    * [[slope]]'s exact integer gradients (gx east+, gy south+), the
+    * unnormalized z-up normal is n = (−gx, gy, 8·C) — C = 100 cents
+    * of elevation per cell width, the documented fixture constant —
+    * and the unit NW light (−½, ½, √2/2), scaled by 10/√2 under the
+    * GIS8 rational √2 ≈ 7/5, becomes L = (−7, 7, 10) (|L|² = 198,
+    * ~1% deviation, documented):
+    *   dot = 7·gx + 7·gy + 80·C.
+    * Brightness class = the largest k ∈ {0..3} with shade ≥ k/4 —
+    * i.e. 16·dot² ≥ 198·k²·|n|² while dot ≥ 0 — and −1
+    * (self-shadowed) when dot < 0: squared BIGINT cross-multiplies,
+    * no sqrt, the identical arithmetic replayed in the oracle. Pure
+    * projection over the slope frame — no exchange beyond slope's
+    * own two. */
+  def hillshade(spark: SparkSession, dir: String): DataFrame = {
+    val C = 100L
+    val dot = col("gx") * 7 + col("gy") * 7 + lit(80L * C)
+    val n2 = col("gx") * col("gx") + col("gy") * col("gy") +
+      lit(64L * C * C)
+    val d2x16 = dot * dot * 16
+    slope(spark, dir).select(col("r"), col("c"),
+      when(dot < 0, lit(-1))
+        .when(d2x16 >= n2 * (198L * 9), lit(3))
+        .when(d2x16 >= n2 * (198L * 4), lit(2))
+        .when(d2x16 >= n2 * 198L, lit(1))
+        .otherwise(lit(0)).as("shade_class"))
+  }
+
   /** GIS6 — ASPECT classing (Esri Aspect with classed output — the
     * no-interpolation rule pyt:25/606/823 demands CLASSES, and Esri's
     * own Aspect tool bins to the 8 compass sectors + flat): each
@@ -879,6 +911,7 @@ object WroQueries {
       costDistance(s, d)),
     "wro_allocation" -> ((s: SparkSession, d: String) =>
       allocation(s, d)),
+    "wro_hillshade" -> hillshade,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -1076,6 +1109,34 @@ object WroQueries {
         |    ELSE CASE WHEN gy > 0 THEN 5 ELSE 3 END
         |  END AS octant
         |FROM sl""".stripMargin,
+    // the slope CTE + the same squared cross-multiplied class CASE
+    "wro_hillshade" ->
+      """WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, cents FROM pc),
+        |o AS (SELECT unnest([-1, 0, 1]) AS d),
+        |n AS (SELECT g.r + o1.d AS r, g.c + o2.d AS c,
+        |        g.cents * (-o2.d * (2 - abs(o1.d))) AS xc,
+        |        g.cents * (-o1.d * (2 - abs(o2.d))) AS yc
+        |      FROM g, o o1, o o2),
+        |sl AS (
+        |  SELECT r, c, CAST(sum(xc) AS BIGINT) AS gx,
+        |         CAST(sum(yc) AS BIGINT) AS gy
+        |  FROM n WHERE r BETWEEN 0 AND 99 AND c BETWEEN 0 AND 99
+        |  GROUP BY 1, 2 HAVING count(*) = 9),
+        |d AS (SELECT r, c, 7 * gx + 7 * gy + 8000 AS dot,
+        |        gx * gx + gy * gy + 640000 AS n2
+        |      FROM sl)
+        |SELECT r, c,
+        |  CASE WHEN dot < 0 THEN -1
+        |       WHEN 16 * dot * dot >= 198 * 9 * n2 THEN 3
+        |       WHEN 16 * dot * dot >= 198 * 4 * n2 THEN 2
+        |       WHEN 16 * dot * dot >= 198 * n2 THEN 1
+        |       ELSE 0 END AS shade_class
+        |FROM d""".stripMargin,
     // 5-point stencil replayed with a VALUES offset join; min/max over
     // contributed classes is the any-different predicate on both sides
     "wro_class_boundaries" ->

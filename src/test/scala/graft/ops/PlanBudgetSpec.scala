@@ -327,7 +327,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "a24_sample_quantiles" -> 2,
     // gopher gate + content-hash dedup + classifier fold + histogram
     // threshold + accounting; checkpoints bound the visible plan
-    "pipe_dclm_corpus" -> 6)
+    "pipe_dclm_corpus" -> 6,
+    // generate + parse + one keyed aggregate
+    "f23_xml" -> 1,
+    // pure projection over the slope frame: slope's own two exchanges
+    "wro_hillshade" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
