@@ -413,4 +413,55 @@ object Streams {
       .transformWithState(new RunningMaxProcessor, TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** S18 input/output: a timestamped event (watermark needs a real
+    * timestamp column) and the timer-closed session it rolls into. */
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp,
+                        value: Double)
+  case class ClosedSession(user_id: Long, n: Long, closed_at_ms: Long)
+
+  /** S18: EVENT-TIME TIMERS — the idle-session finalizer, the pattern
+    * timers exist for (emit a key's result when its events STOP, which
+    * no input row can trigger): each batch re-arms the key's single
+    * timer at (max event time + gap); when the WATERMARK passes it,
+    * [[IdleCloseProcessor.handleExpiredTimer]] emits the closed
+    * session and CLEARS the key's state — state size is O(active
+    * keys), and an idle key's state provably leaves the store (the
+    * session_window operator does this internally; this is the same
+    * contract surfaced through the arbitrary-state API). One armed
+    * timer per key at all times (prior timers deleted on re-arm). */
+  class IdleCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, ClosedSession] {
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        tv: TimerValues): Iterator[ClosedSession] = {
+      var cnt = 0L
+      var maxTs = Long.MinValue
+      rows.foreach { e => cnt += 1; maxTs = math.max(maxTs, e.ts.getTime) }
+      n.update((if (n.exists()) n.get() else 0L) + cnt)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(maxTs + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSession] = {
+      val cnt = if (n.exists()) n.get() else 0L
+      n.clear()
+      Iterator.single(ClosedSession(key, cnt,
+        info.getExpiryTimeInMs()))
+    }
+  }
+
+  def idleCloseTws(spark: SparkSession, events: Dataset[TimedEvent],
+                   gapMs: Long): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events.withWatermark("ts", "0 seconds").as[TimedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

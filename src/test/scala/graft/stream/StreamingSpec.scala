@@ -257,6 +257,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S18 event-time timers close idle sessions and clear state") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.TimedEvent](spark)
+      val q = Streams.idleCloseTws(spark, input.toDS(), gapMs = 5000L)
+        .writeStream.format("memory").queryName("s18timer")
+        .outputMode("append").start()
+      try {
+        // user 1 is active at 1-2 s, user 2 at 3 s; gap = 5 s
+        input.addData(Streams.TimedEvent(1L, ts(1), 1.0),
+          Streams.TimedEvent(1L, ts(2), 2.0),
+          Streams.TimedEvent(2L, ts(3), 3.0))
+        q.processAllAvailable()
+        // batch 2 moves only user 2; its max ts drives the watermark
+        input.addData(Streams.TimedEvent(2L, ts(20), 4.0))
+        q.processAllAvailable()
+        // batch 3: watermark is now 20 s > user 1's 2+5 s timer — it
+        // fires, emits the closed session, clears user 1's state
+        input.addData(Streams.TimedEvent(2L, ts(30), 5.0))
+        q.processAllAvailable()
+        val got = spark.table("s18timer").as[Streams.ClosedSession]
+          .collect().sortBy(_.user_id)
+        assert(got.exists(s => s.user_id == 1L && s.n == 2L &&
+          s.closed_at_ms == 7000L),
+          s"user 1's idle session must close by timer, got " +
+            got.mkString(", "))
+        // user 2 kept re-arming while active: at most its 8 s timer
+        // (3+5) fired before its 20 s event re-opened a session
+        assert(!got.exists(s => s.user_id == 2L && s.closed_at_ms > 8000L))
+        // a fresh user-1 event after the close starts a NEW session:
+        // state was cleared, so the count restarts from this event
+        input.addData(Streams.TimedEvent(1L, ts(31), 6.0),
+          Streams.TimedEvent(2L, ts(40), 7.0))
+        q.processAllAvailable()
+        input.addData(Streams.TimedEvent(2L, ts(50), 8.0))
+        q.processAllAvailable()
+        val reopened = spark.table("s18timer").as[Streams.ClosedSession]
+          .collect().filter(s => s.user_id == 1L && s.closed_at_ms > 7000L)
+        assert(reopened.map(_.n).toSeq == Seq(1L),
+          s"the reopened session counts only post-close events, got " +
+            reopened.mkString(", "))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("S12 stream-static enrichment join equals the batch join") {
     import spark.implicits._
     val dim = Seq(("click", 1), ("purchase", 10), ("error", -1))
