@@ -1993,6 +1993,59 @@ object RelQueries {
            sum(col("k")).cast("long").as("sum_k"))
   }
 
+  /** J22 — NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): the
+    * join where NULL is a MATCHABLE value, not an always-false
+    * comparison — the semantics MERGE keys and SCD attribute joins
+    * need. Spark hash-partitions null-safe keys like any equi key
+    * (nulls all land in one bucket — a documented skew hazard when the
+    * null population is large; here it is dimension-sized), so the
+    * plan is an ordinary shuffled/broadcast hash join, never a
+    * nested-loop fallback. Customers and suppliers pair on nationkey
+    * with nation 3 masked to NULL on BOTH sides: under plain `=` those
+    * rows silently vanish; under `<=>` they form the NULL bucket —
+    * visible as the `-1` output group, which the oracle reproduces
+    * with IS NOT DISTINCT FROM. */
+  def j22NullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer")
+      .select(nullif(col("c_nationkey"), lit(3)).as("ck"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val sup = table(s, dir, "supplier")
+      .select(nullif(col("s_nationkey"), lit(3)).as("sk"))
+    c.join(sup, col("ck") <=> col("sk"))
+      .groupBy(coalesce(col("ck"), lit(-1)).as("nk"))
+      .agg(count(lit(1)).as("n_pairs"), sum("cents").as("sum_cents"))
+  }
+
+  /** A25 — exact linear REGRESSION moments (the regr_slope /
+    * regr_intercept family, integer-exact): per (returnflag, ship
+    * year), quantity explains spend. No engine's regr_* is
+    * cross-engine bit-stable (each divides in its own accumulation
+    * order), so the gate carries the EXACT BIGINT moments and the
+    * assembled cross-multiplied numerators instead:
+    *   slope = slope_num / slope_den,
+    *   intercept = icpt_num / slope_den  (same denominator),
+    * with slope_num = n·Σxy − Σx·Σy, slope_den = n·Σx² − (Σx)²,
+    * icpt_num = Σy·Σx² − Σx·Σxy — the division is the caller's
+    * monotone post-step (w13's discipline). Everything is one
+    * map-side-combined aggregate; the year split keeps every product
+    * within BIGINT at bench SF (n ≈ 28k per group at sf0.1 →
+    * icpt_num ≈ 10¹⁷). */
+  def a25Regression(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = round(col("l_extendedprice") * 100).cast("long")
+    table(s, dir, "lineitem")
+      .select(col("l_returnflag"), year(col("l_shipdate")).as("yr"),
+        x.as("x"), y.as("y"))
+      .groupBy("l_returnflag", "yr")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("l_returnflag"), col("yr"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("icpt_num"))
+  }
+
   /** F23 — Spark 4 native XML (`from_xml`, the SPARK-44265 surface):
     * machine-shaped XML order records — element text, an ATTRIBUTE
     * (`id`, surfacing as `_id` under the default attributePrefix), and
@@ -2427,6 +2480,8 @@ object RelQueries {
     "q20_dominant_share" -> q20DominantShare,
     "j19_lateral_topk" -> j19LateralTopK,
     "f23_xml" -> f23Xml,
+    "j22_nullsafe_join" -> j22NullsafeJoin,
+    "a25_regression" -> a25Regression,
     "q4_order_priority" -> q4OrderPriority,
     "q15_top_supplier" -> q15TopSupplier,
     "q7_nation_volume" -> q7NationVolume,
@@ -3111,6 +3166,29 @@ object RelQueries {
     "q2_min_cost_supplier" -> q2Sql,
     "q20_dominant_share" -> q20Sql,
     "j19_lateral_topk" -> j19Sql,
+    "j22_nullsafe_join" ->
+      """SELECT coalesce(ck, -1) AS nk, count(*) AS n_pairs,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM (SELECT nullif(c_nationkey, 3) AS ck,
+        |        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |      FROM customer) c
+        |JOIN (SELECT nullif(s_nationkey, 3) AS sk FROM supplier) s
+        |  ON c.ck IS NOT DISTINCT FROM s.sk
+        |GROUP BY 1""".stripMargin,
+    "a25_regression" ->
+      """SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS yr,
+        |  count(*) AS n,
+        |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+        |    AS slope_num,
+        |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+        |    AS slope_den,
+        |  CAST(sum(y) * sum(x * x) - sum(x) * sum(x * y) AS BIGINT)
+        |    AS icpt_num
+        |FROM (SELECT l_returnflag, l_shipdate,
+        |        CAST(l_quantity AS BIGINT) AS x,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |      FROM lineitem)
+        |GROUP BY 1, 2""".stripMargin,
     // the oracle never parses XML: the documents are generated in-plan
     // from base columns, so parse(generate(row)) == row is the
     // contract, and the corrupt rows are exactly the planted ones

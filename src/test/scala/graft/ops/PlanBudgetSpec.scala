@@ -331,7 +331,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // generate + parse + one keyed aggregate
     "f23_xml" -> 1,
     // pure projection over the slope frame: slope's own two exchanges
-    "wro_hillshade" -> 2)
+    "wro_hillshade" -> 2,
+    // AQE broadcasts the dim side; one exchange for the aggregate
+    "j22_nullsafe_join" -> 1,
+    // one map-side-combined moments aggregate
+    "a25_regression" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {

@@ -198,6 +198,17 @@ class SubquerySpec extends SparkSpec
            sortedRows(manual))
   }
 
+  test("j22: null-safe equality plans as a HASH join, never nested-loop") {
+    val df = RelQueries.j22NullsafeJoin(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin"),
+      s"null-safe join did not hash:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"null-safe join fell back to nested-loop:\n$plan")
+  }
+
   test("j19: correlated LATERAL LIMIT decorrelates to a ranked join") {
     val df = RelQueries.j19LateralTopK(spark, dir)
     val plan = optimized(df)
