@@ -356,7 +356,44 @@ object TsQueries {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")))
 
+  /** W18 — MANN-KENDALL trend statistic over each user's trailing 21
+    * events (the nonparametric monotone-trend test; w13 flags POINT
+    * anomalies, this detects sustained DRIFT): S = Σ_{i<j}
+    * sign(v_j − v_i) over the time-ordered window — n·(n−1)/2 sign
+    * comparisons, pure integers; the variance/normal approximation
+    * (and its sqrt) is the caller's post-step, w13's discipline.
+    * Shape: one rank window cuts the trailing 21, one collect into a
+    * time-sorted ≤21-element array, and the quadratic pair fold runs
+    * INSIDE codegen over array indices — ≤210 comparisons per user,
+    * zero explode, zero exchange beyond the user_id window (the w15
+    * lesson applied to an O(frame²) statistic: bound the frame, fold
+    * in-row; the oracle replays the pairs as a self-join, a deliberate
+    * second formulation). Users with fewer than 10 events are below
+    * the test's meaningful n and are filtered BEFORE the fold. */
+  def w18MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t").desc, col("event_id").desc)
+    table(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 21)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("event_id"), col("cents")))).as("v"))
+      .filter(size(col("v")) >= 10)
+      .select(col("user_id"), size(col("v")).cast("long").as("n"),
+        expr("""aggregate(flatten(transform(sequence(2, size(v)), j ->
+            transform(sequence(1, j - 1), i ->
+              CASE WHEN v[j - 1].cents > v[i - 1].cents THEN 1L
+                   WHEN v[j - 1].cents < v[i - 1].cents THEN -1L
+                   ELSE 0L END))), 0L, (acc, x) -> acc + x)""")
+          .as("s_stat"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w18_mann_kendall" -> w18MannKendall,
     "w6_sessionize" -> w6Sessionize,
     "w7_gapfill" -> w7Gapfill,
     "w7_interpolate" -> w7Interpolate,
@@ -369,6 +406,28 @@ object TsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the in-row pair fold replayed as an explicit position self-join
+    // (a < b on the time rank) — an independent second formulation
+    "w18_mann_kendall" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY t DESC, event_id DESC) AS rn FROM e),
+        |k AS (SELECT user_id, t, event_id, cents FROM r WHERE rn <= 21),
+        |o AS (SELECT user_id, cents, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY t, event_id) AS p FROM k),
+        |nn AS (SELECT user_id, count(*) AS n FROM o GROUP BY 1),
+        |sp AS (SELECT a.user_id,
+        |        CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+        |                 WHEN b.cents < a.cents THEN -1
+        |                 ELSE 0 END) AS BIGINT) AS s_stat
+        |      FROM o a JOIN o b ON a.user_id = b.user_id AND a.p < b.p
+        |      GROUP BY 1)
+        |SELECT nn.user_id, CAST(nn.n AS BIGINT) AS n,
+        |  coalesce(sp.s_stat, 0) AS s_stat
+        |FROM nn LEFT JOIN sp USING (user_id) WHERE nn.n >= 10""".stripMargin,
     // quantile_cont over the same 9-row frame: with an odd count the
     // 0.5 quantile is the middle element — integer cents, interpolation
     // never fires, the BIGINT cast is exact in both engines

@@ -335,7 +335,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // AQE broadcasts the dim side; one exchange for the aggregate
     "j22_nullsafe_join" -> 1,
     // one map-side-combined moments aggregate
-    "a25_regression" -> 1)
+    "a25_regression" -> 1,
+    // the rank window's user_id exchange; the collect aggregate and
+    // the in-row pair fold reuse its layout
+    "w18_mann_kendall" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
