@@ -604,6 +604,53 @@ object WroQueries {
       (col("key") % 100).as("src_c"))
   }
 
+  /** GIS14 — WATERSHED labeling (Esri Watershed: which outlet does
+    * each cell drain to?) by POINTER DOUBLING over the D8 flow
+    * pointers — the log-rounds functional-graph primitive GIS9's
+    * linear frontier walk doesn't exercise: p₀ = next (with SINKS —
+    * cells with no D8 code, i.e. the grid/NoData boundary — made
+    * SELF-LOOPS), then k squarings give next^(2^k); after 4 rounds
+    * every cell ≤16 hops from its outlet holds that outlet, in FOUR
+    * raster-domain joins instead of sixteen (at 100 TB the doubling
+    * count is the log of the longest drainage path — 40 rounds cover
+    * 2^40 cells of relief). Cells whose 16-hop target is NOT a sink
+    * stay unlabeled (absent): mid-path cells on longer drains and the
+    * pit-pair 2-cycles [[flowDirection]]'s least-bad-neighbor rule
+    * admits (fill's job, GIS9's documented stance). The oracle walks
+    * the SAME 16 steps linearly — next^16 computed two different
+    * ways must agree cell-for-cell. */
+  def watershed(spark: SparkSession, dir: String, doublings: Int = 4)
+      : DataFrame = {
+    val code2dr = expr("""CASE d8 WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1
+      WHEN 8 THEN 1 WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1
+      ELSE -1 END""")
+    val code2dc = expr("""CASE d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0
+      WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0
+      ELSE 1 END""")
+    val e = flowDirection(spark, dir)
+      .select((col("r") * 100 + col("c")).as("u"),
+        ((col("r") + code2dr) * 100 + (col("c") + code2dc)).as("v"))
+    val cells = perCell(spark, dir)
+      .select((expr("cell_id div 100") * 100 + col("cell_id") % 100)
+        .as("u"))
+    var p = cells.join(e, Seq("u"), "left")
+      .select(col("u"), coalesce(col("v"), col("u")).as("v"))
+      .localCheckpoint()
+    val sinks = p.filter(col("u") === col("v")).select(col("u").as("s"))
+      .localCheckpoint()
+    for (_ <- 1 to doublings) {
+      p = p.join(p.select(col("u").as("m"), col("v").as("w")),
+          col("v") === col("m"))
+        .select(col("u"), col("w").as("v"))
+        .localCheckpoint()
+    }
+    // the sink set is boundary-sized (≤ the raster frontier) —
+    // broadcast it so the final label filter never exchanges
+    p.join(broadcast(sinks), col("v") === col("s"), "left_semi")
+      .select(expr("u div 100").as("r"), (col("u") % 100).as("c"),
+        expr("v div 100").as("ws_r"), (col("v") % 100).as("ws_c"))
+  }
+
   /** GIS7 — POLYGON zonal statistics (Esri Zonal Statistics with
     * FEATURE zones — GIS2's zones were raster classes; real zone data
     * is vector polygons): per polygon, the count and exact-cents sum
@@ -912,6 +959,7 @@ object WroQueries {
     "wro_allocation" -> ((s: SparkSession, d: String) =>
       allocation(s, d)),
     "wro_hillshade" -> hillshade,
+    "wro_watershed" -> ((s: SparkSession, d: String) => watershed(s, d)),
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -1109,6 +1157,29 @@ object WroQueries {
         |    ELSE CASE WHEN gy > 0 THEN 5 ELSE 3 END
         |  END AS octant
         |FROM sl""".stripMargin,
+    // the 4-round doubling replayed as a LINEAR 16-step walk over the
+    // same self-looped pointer table — next^16 two different ways
+    "wro_watershed" ->
+      s"""WITH RECURSIVE $d8OracleCtes,
+        |fd AS (SELECT r, c, code AS d8 FROM rk WHERE rn = 1 AND nn = 8),
+        |off(code, dr, dc) AS (VALUES (1,0,1),(2,1,1),(4,1,0),(8,1,-1),
+        |  (16,0,-1),(32,-1,-1),(64,-1,0),(128,-1,1)),
+        |e AS (SELECT fd.r * 100 + fd.c AS u,
+        |        (fd.r + off.dr) * 100 + (fd.c + off.dc) AS v
+        |      FROM fd JOIN off ON fd.d8 = off.code),
+        |cells AS (SELECT r * 100 + c AS u FROM g),
+        |p0 AS (SELECT cells.u, coalesce(e.v, cells.u) AS v
+        |       FROM cells LEFT JOIN e USING (u)),
+        |sinks AS (SELECT u AS s FROM p0 WHERE u = v),
+        |walk(i, u, cur) AS (
+        |  SELECT 0, u, u FROM cells
+        |  UNION ALL
+        |  SELECT w.i + 1, w.u, p0.v
+        |  FROM walk w JOIN p0 ON p0.u = w.cur WHERE w.i < 16),
+        |f AS (SELECT u, cur FROM walk WHERE i = 16)
+        |SELECT u // 100 AS r, u % 100 AS c,
+        |  cur // 100 AS ws_r, cur % 100 AS ws_c
+        |FROM f JOIN sinks ON sinks.s = f.cur""".stripMargin,
     // the slope CTE + the same squared cross-multiplied class CASE
     "wro_hillshade" ->
       """WITH pc AS (

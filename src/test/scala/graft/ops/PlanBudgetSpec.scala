@@ -338,7 +338,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "a25_regression" -> 1,
     // the rank window's user_id exchange; the collect aggregate and
     // the in-row pair fold reuse its layout
-    "w18_mann_kendall" -> 1)
+    "w18_mann_kendall" -> 1,
+    // doubling rounds hide behind checkpoints; the visible plan is the
+    // final sink semi-join
+    "wro_watershed" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
