@@ -441,6 +441,62 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
   }
 
+  /** PIPE11: the RedPajama-v2 SIGNALS architecture (Together AI 2023,
+    * arXiv:2411.12372 — the published counter-design to C4/CCNet-style
+    * destructive filtering: compute the quality SIGNALS once, store
+    * them WITH the corpus, and let every downstream consumer choose
+    * its own thresholds): one wide row per document carrying the
+    * gate-proven signal families side by side — the Gopher measures
+    * (word count, summed word length, distinct stopwords, top-token
+    * char mass, composite keep), the hashed-linear classifier score,
+    * the lexicon-vote language prediction + agreement flag, and the
+    * corpus-wide duplicate-line census (4-word lines, n_dup = lines
+    * occurring ≥2× anywhere — symmetric, no keep-first asymmetry).
+    * Every signal is integer/flag-exact; nothing is filtered — the
+    * capstone's contract is that the TABLE is the product. Shape: four
+    * independent signal subplans (each its own keyed aggregate over
+    * tokens/lines — token rows shuffle as hashes, never text) joined
+    * back on doc_id; at 100 TB each family is a map-side-combined
+    * aggregate and the final join co-partitions on doc_id. */
+  def pipeRpv2Signals(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val gop = TextAnalysis.gopherRules(d, col("doc_id"), col("text"),
+        GopherStops)
+      .select(col("doc_id"), col("n_words"), col("sum_wlen"),
+        col("n_stop"), col("top_chars"), col("keep").as("gopher_keep"))
+    val weights = s.range(256).select(col("id").cast("int").as("bucket"),
+      ((col("id") * 37) % 101 - 50).as("wt"))
+    val cls = TextAnalysis.hashedLinearScore(d, col("doc_id"), col("text"),
+        weights, nBuckets = 256)
+      .select(col("doc_id"), col("n_tok"), col("score"))
+    val pred = TextAnalysis.langId(d, col("doc_id"), col("text"),
+      col("lang"))
+    val ex = d.select(col("doc_id"),
+        explode(expr("transform(sequence(1, (size(split(text, ' ')) + 3)" +
+          " div 4), i -> array_join(slice(split(text, ' ')," +
+          " (i - 1) * 4 + 1, 4), ' '))")).as("line"))
+      .select(col("doc_id"), xxhash64(col("line")).as("lh"),
+        md5(col("line")).as("lf"))
+    val occ = ex.groupBy("lh", "lf").agg(count(lit(1)).as("n_occ"))
+    val lineSig = ex.join(occ, Seq("lh", "lf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("n_occ") >= 2).cast("long")).as("n_dup_lines"))
+    d.select("doc_id", "lang", "source")
+      .join(gop, "doc_id").join(cls, "doc_id")
+      // LEFT: a doc with zero lexicon votes has no prediction — it
+      // surfaces as 'und' (signals tables carry every doc)
+      .join(pred, Seq("doc_id"), "left")
+      .join(lineSig, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+        col("sum_wlen"), col("n_stop"), col("top_chars"),
+        col("gopher_keep"), col("n_tok"), col("score"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        (coalesce(col("pred_lang"), lit("und")) === col("lang"))
+          .cast("int").as("lang_agree"),
+        col("n_lines"), col("n_dup_lines"))
+  }
+
   /** D28: hashed-feature linear classifier over every document
     * ([[TextAnalysis.hashedLinearScore]], 256 buckets). The weight
     * table is generated arithmetically ((b·37) mod 101 − 50 — integer,
@@ -1202,7 +1258,8 @@ object LlmQueries {
     "pipe_ccnet_corpus" -> pipeCcnetCorpus,
     "pipe_c4_corpus" -> pipeC4Corpus,
     "pipe_fineweb_corpus" -> pipeFinewebCorpus,
-    "pipe_dclm_corpus" -> pipeDclmCorpus
+    "pipe_dclm_corpus" -> pipeDclmCorpus,
+    "pipe_rpv2_signals" -> pipeRpv2Signals
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -2133,6 +2190,84 @@ object LlmQueries {
     // to doc_id arithmetic (host class and path are functions of
     // doc_id % 250), so the oracle never parses a URL; langid and
     // gopher stages replay their own oracles over the kept corpus
+    // the four signal families' gate-proven CTEs joined wide: gopher
+    // measures + flags, d28 classifier, lexicon-vote langid (LEFT,
+    // 'und' default), corpus-wide duplicate-line census
+    "pipe_rpv2_signals" ->
+      """WITH gw AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w
+        |  FROM documents),
+        |gp AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(strlen(text) - len(w) + 1 AS BIGINT) AS sum_wlen,
+        |    CAST(len(list_intersect(w,
+        |      ['the','a','of','to','and','in','is','be'])) AS BIGINT)
+        |      AS n_stop
+        |  FROM gw),
+        |gt AS (
+        |  SELECT doc_id, CAST(max(c * strlen(tok)) AS BIGINT) AS top_chars
+        |  FROM (SELECT doc_id, tok, count(*) AS c FROM (
+        |          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |          FROM documents) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |gop AS (
+        |  SELECT gp.doc_id, n_words, sum_wlen, n_stop, top_chars,
+        |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |      AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+        |      AND n_stop >= 2 AND 5 * top_chars <= sum_wlen
+        |      THEN 1 ELSE 0 END AS INT) AS gopher_keep
+        |  FROM gp JOIN gt USING (doc_id)),
+        |wt AS (SELECT b, (b * 37) % 101 - 50 AS wt
+        |       FROM (SELECT unnest(range(0, 256)) AS b)),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents),
+        |tb AS (SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b
+        |  FROM t),
+        |cls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |         CAST(sum(wt.wt) AS BIGINT) AS score
+        |       FROM tb JOIN wt USING (b) GROUP BY doc_id),
+        |toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT lang AS lex_lang, tok FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |               ORDER BY n DESC, tok ASC) AS rk FROM freq)
+        |  WHERE rk <= 10),
+        |votes AS (
+        |  SELECT t2.doc_id, l.lex_lang, count(*) AS votes
+        |  FROM toks t2 JOIN lex l ON t2.tok = l.tok
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, lex_lang AS pred_lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY votes DESC, lex_lang ASC) AS rk FROM votes)
+        |  WHERE rk = 1),
+        |lines AS (
+        |  SELECT doc_id, i.x AS pos,
+        |    array_to_string(w[(i.x-1)*4 + 1 : (i.x-1)*4 + 4], ' ') AS line
+        |  FROM gw,
+        |    LATERAL (SELECT unnest(range(1, (len(w) + 3) // 4 + 1)) AS x) i),
+        |occ AS (SELECT line, count(*) AS n_occ FROM lines GROUP BY 1),
+        |ls AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_lines
+        |  FROM lines JOIN occ USING (line) GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.source, g.n_words, g.sum_wlen,
+        |  g.n_stop, g.top_chars, g.gopher_keep, c.n_tok, c.score,
+        |  coalesce(p.pred_lang, 'und') AS pred_lang,
+        |  CAST(CASE WHEN coalesce(p.pred_lang, 'und') = d.lang
+        |       THEN 1 ELSE 0 END AS INT) AS lang_agree,
+        |  ls.n_lines, ls.n_dup_lines
+        |FROM documents d
+        |JOIN gop g USING (doc_id)
+        |JOIN cls c USING (doc_id)
+        |LEFT JOIN pred p USING (doc_id)
+        |JOIN ls USING (doc_id)""".stripMargin,
     // gopher gate (d33's CTEs) → min-id exact dedup → d28's classifier
     // → histogram-derived 75th-percentile threshold (cum·4 ≥ total·3,
     // the same BIGINT cross-multiply) → per-(lang, source) accounting

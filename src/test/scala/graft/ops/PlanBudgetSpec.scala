@@ -341,7 +341,12 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "w18_mann_kendall" -> 1,
     // doubling rounds hide behind checkpoints; the visible plan is the
     // final sink semi-join
-    "wro_watershed" -> 1)
+    "wro_watershed" -> 1,
+    // four independent signal families (gopher tokens, classifier
+    // buckets, langid lexicon+votes, line census) each pay their keyed
+    // aggregates, then the wide doc_id join — 10 total, each bounded
+    // by token/line hashes or doc-grain rows, never raw text twice
+    "pipe_rpv2_signals" -> 10)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
