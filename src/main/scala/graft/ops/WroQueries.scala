@@ -604,6 +604,50 @@ object WroQueries {
       (col("key") % 100).as("src_c"))
   }
 
+  /** GIS15 — CURVATURE (Esri Curvature / Zevenbergen-Thorne 1987 —
+    * the second-derivative Surface op; slope is the first): per
+    * complete-neighborhood cell the three second differences of the
+    * quantity surface,
+    *   d2x  = z_W − 2·z_C + z_E            (east-west concavity),
+    *   d2y  = z_N − 2·z_C + z_S            (north-south),
+    *   dxy4 = −z_NW + z_NE + z_SW − z_SE   (4× the cross term),
+    * emitted UNDIVIDED in cents (the 1/cellsize² factors are monotone
+    * post-scales; dividing would put floats in the gate), plus the
+    * Laplacian concavity class sign(d2x + d2y) ∈ {−1, 0, 1} — Esri's
+    * convex/flat/concave classing. Same contribute-to-neighbors shape
+    * as GIS1/GIS4 with per-offset weight TRIPLES; one map-side-
+    * combined aggregate, raster-domain bounded. */
+  def curvature(spark: SparkSession, dir: String): DataFrame = {
+    // weights the TARGET sees from a source at offset (−dr, −dc):
+    // wx: E/W neighbors +1, center −2 | wy: N/S +1, center −2
+    // wxy: corners −(−1)^... : NW/SE −1, NE/SW +1
+    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L } yield {
+      val (nr, nc) = (-dr, -dc)
+      val wx = if (nr == 0L && nc != 0L) 1L
+               else if (nr == 0L && nc == 0L) -2L else 0L
+      val wy = if (nc == 0L && nr != 0L) 1L
+               else if (nr == 0L && nc == 0L) -2L else 0L
+      val wxy = if (nr != 0L && nc != 0L) -nr * nc else 0L
+      (dr, dc, wx, wy, wxy)
+    }
+    perCell(spark, dir)
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % GridW).as("c"),
+        (col("quantity").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .select(col("r"), col("c"), col("cents"),
+        explode(typedLit(offs)).as("o"))
+      .select((col("r") + col("o._1")).as("r"), (col("c") + col("o._2")).as("c"),
+        (col("cents") * col("o._3")).as("xc"),
+        (col("cents") * col("o._4")).as("yc"),
+        (col("cents") * col("o._5")).as("xyc"))
+      .filter(col("r").between(0, GridW - 1) && col("c").between(0, GridW - 1))
+      .groupBy("r", "c")
+      .agg(sum("xc").as("d2x"), sum("yc").as("d2y"),
+        sum("xyc").as("dxy4"), count(lit(1)).as("n"))
+      .filter(col("n") === 9)
+      .select(col("r"), col("c"), col("d2x"), col("d2y"), col("dxy4"),
+        signum(col("d2x") + col("d2y")).cast("int").as("concavity"))
+  }
+
   /** GIS14 — WATERSHED labeling (Esri Watershed: which outlet does
     * each cell drain to?) by POINTER DOUBLING over the D8 flow
     * pointers — the log-rounds functional-graph primitive GIS9's
@@ -960,6 +1004,7 @@ object WroQueries {
       allocation(s, d)),
     "wro_hillshade" -> hillshade,
     "wro_watershed" -> ((s: SparkSession, d: String) => watershed(s, d)),
+    "wro_curvature" -> curvature,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -1157,6 +1202,35 @@ object WroQueries {
         |    ELSE CASE WHEN gy > 0 THEN 5 ELSE 3 END
         |  END AS octant
         |FROM sl""".stripMargin,
+    // the same per-offset weight triples over the 3x3 stencil
+    "wro_curvature" ->
+      """WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, cents FROM pc),
+        |o AS (SELECT unnest([-1, 0, 1]) AS d),
+        |n AS (SELECT g.r + o1.d AS r, g.c + o2.d AS c,
+        |        g.cents * (CASE WHEN o1.d = 0 AND o2.d != 0 THEN 1
+        |                   WHEN o1.d = 0 AND o2.d = 0 THEN -2
+        |                   ELSE 0 END) AS xc,
+        |        g.cents * (CASE WHEN o2.d = 0 AND o1.d != 0 THEN 1
+        |                   WHEN o1.d = 0 AND o2.d = 0 THEN -2
+        |                   ELSE 0 END) AS yc,
+        |        g.cents * (CASE WHEN o1.d != 0 AND o2.d != 0
+        |                   THEN -(-o1.d) * (-o2.d) ELSE 0 END) AS xyc
+        |      FROM g, o o1, o o2),
+        |cv AS (
+        |  SELECT r, c, CAST(sum(xc) AS BIGINT) AS d2x,
+        |    CAST(sum(yc) AS BIGINT) AS d2y,
+        |    CAST(sum(xyc) AS BIGINT) AS dxy4
+        |  FROM n WHERE r BETWEEN 0 AND 99 AND c BETWEEN 0 AND 99
+        |  GROUP BY 1, 2 HAVING count(*) = 9)
+        |SELECT r, c, d2x, d2y, dxy4,
+        |  CAST(CASE WHEN d2x + d2y > 0 THEN 1
+        |       WHEN d2x + d2y < 0 THEN -1 ELSE 0 END AS INT) AS concavity
+        |FROM cv""".stripMargin,
     // the 4-round doubling replayed as a LINEAR 16-step walk over the
     // same self-looped pointer table — next^16 two different ways
     "wro_watershed" ->

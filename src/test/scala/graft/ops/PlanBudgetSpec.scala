@@ -346,7 +346,9 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // buckets, langid lexicon+votes, line census) each pay their keyed
     // aggregates, then the wide doc_id join — 10 total, each bounded
     // by token/line hashes or doc-grain rows, never raw text twice
-    "pipe_rpv2_signals" -> 10)
+    "pipe_rpv2_signals" -> 10,
+    // slope's shape with weight triples: perCell + the stencil fold
+    "wro_curvature" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
