@@ -304,6 +304,56 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** D37: two-stage RETRIEVE-then-RERANK — the production serving
+    * pattern every vector store ships (coarse cheap scorer cuts a
+    * candidate pool, exact scorer reranks the pool): stage 1 is the
+    * SQ8 integer dot ([[sq8TopK]]'s scoring) cutting `pool`
+    * candidates, stage 2 computes EXACT cosine only on those ≤pool
+    * rows and cuts k. At 100 TB stage 1 reads 1-byte codes (the only
+    * corpus-wide pass) and stage 2 fetches `pool` raw vectors — the
+    * float column is read at pool grain, never corpus grain. The
+    * pool is a broadcast-sized id set, so the fetch join broadcasts;
+    * ranking ties break by id in BOTH stages. */
+  def rerankTopK(corpus: DataFrame, id: Column, emb: Column,
+                 query: DataFrame, queryEmb: Column,
+                 k: Int, pool: Int): DataFrame = {
+    val poolIds = sq8TopK(corpus, id, emb, query, queryEmb, pool)
+      .select(col("vec_id"))
+    val cand = corpus.select(id.as("vec_id"), asDouble(emb).as("v"))
+      .join(broadcast(poolIds), "vec_id")
+    val scored = cand
+      .crossJoin(broadcast(query.select(asDouble(queryEmb).as("q")).limit(1)))
+      .select(col("vec_id"),
+        round(cosine(col("v"), col("q")), 6).as("cos_sim"))
+    scored.orderBy(col("cos_sim").desc, col("vec_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+  }
+
+  /** D38: BATCHED multi-query top-k — the retrieval shape production
+    * actually runs (a query BATCH against the corpus, not one vector):
+    * the query set broadcasts (queries are request-sized), every
+    * (candidate, query) pair scores in one codegen pass over the fan-
+    * out, and a rank window PARTITIONED BY query cuts k per query —
+    * one corpus scan serves the whole batch. The per-query window
+    * sorts only that query's candidate scores; at 100 TB the corpus
+    * side stays partition-parallel and the exchange carries
+    * (corpus × |batch|) score rows — the documented cost knob is the
+    * batch size, never the corpus. */
+  def batchTopK(corpus: DataFrame, id: Column, emb: Column,
+                queries: DataFrame, qid: Column, queryEmb: Column,
+                k: Int): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), asDouble(emb).as("v"))
+    val q = queries.select(qid.as("q_id"), asDouble(queryEmb).as("q"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("v"), col("q")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** D36: int8 SCALAR quantization top-k — the FAISS SQ8 / Milvus
     * IVF_SQ8 storage tier (4 B/dim float → 1 B/dim code; the
     * compression step between raw vectors and PQ's m bytes/VECTOR,

@@ -889,6 +889,23 @@ object LlmQueries {
   /** D16: product quantization + ADC probe ([[Pq.pqTopK]]) — the
     * memory half of IVF-PQ: m codes per vector, query scored by m
     * table lookups, integer-exact on the 2^20 grid. */
+  def d37RerankTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    Similarity.rerankTopK(e.filter(col("vec_id") =!= 0), col("vec_id"),
+      col("embedding"), e.filter(col("vec_id") === 0), col("embedding"),
+      k = 5, pool = 50)
+  }
+
+  /** D38: the query batch = every 50th vector (10 at gate SF);
+    * corpus = the rest. Per query: exact top-3 by cosine. */
+  def d38BatchTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    Similarity.batchTopK(
+      e.filter(col("vec_id") % 50 =!= 0), col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") % 50 === 0), col("vec_id"), col("embedding"),
+      k = 3)
+  }
+
   def d36Sq8TopK(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "embeddings")
     Similarity.sq8TopK(e.filter(col("vec_id") =!= 0), col("vec_id"),
@@ -1222,6 +1239,8 @@ object LlmQueries {
     "d3_ivfpq_topk" -> d3IvfpqTopK,
     "d16_pq_topk" -> d16PqTopK,
     "d36_sq8_topk" -> d36Sq8TopK,
+    "d37_rerank_topk" -> d37RerankTopK,
+    "d38_batch_topk" -> d38BatchTopK,
     "a15_heavy_hitters" -> a15HeavyHitters,
     "d4_top_tokens" -> d4TopTokens,
     "d4_tfidf" -> d4TfIdf,
@@ -2711,6 +2730,78 @@ object LlmQueries {
     // codebook, per-(vector, subspace) argmin code, query distance
     // table, approximate distance = sum of table lookups — all exact
     // integers on the 2^20 grid, dim-agnostic (subdim = len // 8)
+    // stage 1 replays the SQ8 integer pool cut, stage 2 the exact
+    // cosine rerank — both stages' tie-breaks by id
+    "d37_rerank_topk" ->
+      """WITH g0 AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS g
+        |  FROM embeddings),
+        |m0 AS (SELECT vec_id, g,
+        |        list_max(list_transform(g, x -> abs(x))) AS m
+        |       FROM g0),
+        |c0 AS (SELECT vec_id,
+        |        list_transform(g, x -> CASE WHEN x >= 0
+        |          THEN (254 * x + m) // (2 * m)
+        |          ELSE -((254 * (-x) + m) // (2 * m)) END) AS q, m
+        |       FROM m0 WHERE m > 0),
+        |qq AS (SELECT q FROM c0 WHERE vec_id = 0),
+        |d AS (
+        |  SELECT c.vec_id,
+        |    CAST(sum(c.q[i.x] * q0.q[i.x]) AS BIGINT) AS qdot, c.m
+        |  FROM c0 c, qq q0,
+        |    LATERAL (SELECT unnest(range(1, len(c.q) + 1)) AS x) i
+        |  WHERE c.vec_id != 0
+        |  GROUP BY c.vec_id, c.m),
+        |pool AS (SELECT vec_id FROM (
+        |  SELECT vec_id,
+        |    row_number() OVER (ORDER BY qdot * m DESC, vec_id) AS rank
+        |  FROM d) WHERE rank <= 50),
+        |pairs AS (
+        |  SELECT e.vec_id AS a_id,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS va,
+        |    list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS vb
+        |  FROM embeddings e JOIN pool p ON e.vec_id = p.vec_id,
+        |    embeddings q
+        |  WHERE q.vec_id = 0),
+        |dots AS (
+        |  SELECT a_id,
+        |    sum(va[i.x] * vb[i.x]) AS dot,
+        |    sqrt(sum(va[i.x] * va[i.x])) AS na,
+        |    sqrt(sum(vb[i.x] * vb[i.x])) AS nb
+        |  FROM pairs, LATERAL (SELECT unnest(range(1, len(va) + 1)) AS x) i
+        |  GROUP BY 1)
+        |SELECT vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT a_id AS vec_id, round(dot / (na * nb), 6) AS cos_sim,
+        |    row_number() OVER (ORDER BY round(dot / (na * nb), 6) DESC,
+        |      a_id ASC) AS rank
+        |  FROM dots)
+        |WHERE rank <= 5""".stripMargin,
+    // one corpus pass scores the whole broadcast query batch; the
+    // per-query rank window partitions by q_id
+    "d38_batch_topk" ->
+      """WITH corp AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 50 != 0),
+        |qs AS (
+        |  SELECT vec_id AS q_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)) AS q
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |dots AS (
+        |  SELECT c.vec_id, qs.q_id,
+        |    sum(c.v[i.x] * qs.q[i.x]) AS dot,
+        |    sqrt(sum(c.v[i.x] * c.v[i.x])) AS na,
+        |    sqrt(sum(qs.q[i.x] * qs.q[i.x])) AS nb
+        |  FROM corp c, qs,
+        |    LATERAL (SELECT unnest(range(1, len(c.v) + 1)) AS x) i
+        |  GROUP BY 1, 2)
+        |SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT q_id, vec_id, round(dot / (na * nb), 6) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(dot / (na * nb), 6) DESC, vec_id ASC) AS rank
+        |  FROM dots)
+        |WHERE rank <= 3""".stripMargin,
     // the same grid-snap → per-vector max-abs scale → BIGINT
     // round-half-up codes → int dot × candidate scale; every integer
     // op written once, identically, in both engines

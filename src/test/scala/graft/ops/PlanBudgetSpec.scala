@@ -348,7 +348,13 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // by token/line hashes or doc-grain rows, never raw text twice
     "pipe_rpv2_signals" -> 10,
     // slope's shape with weight triples: perCell + the stencil fold
-    "wro_curvature" -> 2)
+    "wro_curvature" -> 2,
+    // stage 1's post-limit rank rows + stage 2's — both ≤pool-sized;
+    // the pool fetch and query side broadcast
+    "d37_rerank_topk" -> 2,
+    // the per-query rank window's q_id exchange — the batch's only
+    // shuffle; queries broadcast
+    "d38_batch_topk" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
