@@ -325,9 +325,7 @@ object Similarity {
       .crossJoin(broadcast(query.select(asDouble(queryEmb).as("q")).limit(1)))
       .select(col("vec_id"),
         round(cosine(col("v"), col("q")), 6).as("cos_sim"))
-    scored.orderBy(col("cos_sim").desc, col("vec_id").asc).limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+    rankedTopK(scored, k)
   }
 
   /** D38: BATCHED multi-query top-k — the retrieval shape production
@@ -373,8 +371,7 @@ object Similarity {
   def sq8TopK(corpus: DataFrame, id: Column, emb: Column,
               query: DataFrame, queryEmb: Column, k: Int): DataFrame = {
     def quantize(df: DataFrame, idCols: Seq[Column], e: Column): DataFrame =
-      df.select(idCols :+ transform(e,
-          x => round(x.cast("double") * KMeans.Scale).cast("long")).as("g"): _*)
+      df.select(idCols :+ KMeans.quantize(e).as("g"): _*)
         .withColumn("m", array_max(transform(col("g"), x => abs(x))))
         .filter(col("m") > 0)
         .withColumn("q", expr(

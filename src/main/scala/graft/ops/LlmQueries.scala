@@ -886,9 +886,8 @@ object LlmQueries {
       k = 5, nprobe = 2)
   }
 
-  /** D16: product quantization + ADC probe ([[Pq.pqTopK]]) — the
-    * memory half of IVF-PQ: m codes per vector, query scored by m
-    * table lookups, integer-exact on the 2^20 grid. */
+  /** D37: two-stage retrieve-then-rerank ([[Similarity.rerankTopK]]):
+    * SQ8 integer pool cut, exact cosine rerank of the pool. */
   def d37RerankTopK(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "embeddings")
     Similarity.rerankTopK(e.filter(col("vec_id") =!= 0), col("vec_id"),
@@ -913,6 +912,9 @@ object LlmQueries {
       k = 10)
   }
 
+  /** D16: product quantization + ADC probe ([[Pq.pqTopK]]) — the
+    * memory half of IVF-PQ: m codes per vector, query scored by m
+    * table lookups, integer-exact on the 2^20 grid. */
   def d16PqTopK(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "embeddings")
     Pq.pqTopK(e.filter(col("vec_id") =!= 0), col("vec_id"),

@@ -432,25 +432,29 @@ object Streams {
     * timer per key at all times (prior timers deleted on re-arm). */
   class IdleCloseProcessor(gapMs: Long)
       extends StatefulProcessor[Long, TimedEvent, ClosedSession] {
-    @transient private var n: ValueState[Long] = _
+    // (count, session-max event time ms): the max must be STATE, not a
+    // batch-local fold — with a nonzero watermark delay a late-but-
+    // admitted event would otherwise re-arm the timer BACKWARD and
+    // close the session early
+    @transient private var st: ValueState[(Long, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      n = getHandle.getValueState[Long]("n",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      st = getHandle.getValueState[(Long, Long)]("session",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
         tv: TimerValues): Iterator[ClosedSession] = {
-      var cnt = 0L
-      var maxTs = Long.MinValue
-      rows.foreach { e => cnt += 1; maxTs = math.max(maxTs, e.ts.getTime) }
-      n.update((if (n.exists()) n.get() else 0L) + cnt)
+      val prev = if (st.exists()) st.get() else (0L, Long.MinValue)
+      val agg = rows.foldLeft(prev) { case ((n, mx), e) =>
+        (n + 1, math.max(mx, e.ts.getTime)) }
+      st.update(agg)
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer(maxTs + gapMs)
+      getHandle.registerTimer(agg._2 + gapMs)
       Iterator.empty
     }
     override def handleExpiredTimer(key: Long, tv: TimerValues,
         info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[ClosedSession] = {
-      val cnt = if (n.exists()) n.get() else 0L
-      n.clear()
+      val cnt = if (st.exists()) st.get()._1 else 0L
+      st.clear()
       Iterator.single(ClosedSession(key, cnt,
         info.getExpiryTimeInMs()))
     }
