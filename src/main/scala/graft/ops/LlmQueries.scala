@@ -497,6 +497,54 @@ object LlmQueries {
         col("n_lines"), col("n_dup_lines"))
   }
 
+  /** PIPE12: DEDUP-AWARE train/val/test SPLIT assignment — the
+    * leakage guard the dedup literature warns about (Lee et al. 2022
+    * §6: near-duplicate train/test crossover inflates eval):
+    * documents are assigned to splits BY NEAR-DUP FAMILY, never by
+    * doc — the family key is the d2/d25 transitive-closure component
+    * minimum (singletons: the doc itself) and the split is a
+    * deterministic hash of the FAMILY (80/10/10 via the 16-bit md5
+    * prefix, d26's quantized-hash idiom), so every variant of a
+    * document lands in the SAME split by construction. The output
+    * carries the audit the guarantee implies — families_straddling
+    * (families seen in >1 split), structurally zero — and the spec
+    * pins the CONTRAST: on the planted chain corpus, doc-hash
+    * assignment DOES straddle. At 100 TB the closure is the d2
+    * machinery (banded LSH + pointer jumping) and the assignment is
+    * one hash projection — the split column costs nothing beyond the
+    * dedup pass a corpus already runs. */
+  def pipeSplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithNearDupChains(s, dir)
+    val clusters = Dedup.dedupClusters(
+      Dedup.ngramJaccard(corpus, col("doc_id"), col("text")),
+      col("a_id"), col("b_id"))
+    val fam = corpus.select("doc_id")
+      .join(clusters.select(col("doc_id"),
+        least(col("doc_id"), col("cluster_id")).as("fam0")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("fam0"), col("doc_id")).as("family"))
+      .localCheckpoint()
+    val asg = fam.select(col("doc_id"), col("family"),
+      splitOf(col("family")).as("split"))
+    val audit = asg.groupBy("family")
+      .agg(countDistinct("split").as("ns"))
+      .agg(count(when(col("ns") > 1, 1)).as("families_straddling"))
+    asg.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("family").as("n_families"))
+      .crossJoin(broadcast(audit))
+  }
+
+  /** 80/10/10 split of a BIGINT key by its 16-bit md5 prefix. */
+  private[graft] def splitOf(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val hv = conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10
+    when(hv <= 7, lit("train")).when(hv === 8, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** D28: hashed-feature linear classifier over every document
     * ([[TextAnalysis.hashedLinearScore]], 256 buckets). The weight
     * table is generated arithmetically ((b·37) mod 101 − 50 — integer,
@@ -1280,7 +1328,8 @@ object LlmQueries {
     "pipe_c4_corpus" -> pipeC4Corpus,
     "pipe_fineweb_corpus" -> pipeFinewebCorpus,
     "pipe_dclm_corpus" -> pipeDclmCorpus,
-    "pipe_rpv2_signals" -> pipeRpv2Signals
+    "pipe_rpv2_signals" -> pipeRpv2Signals,
+    "pipe_split_assign" -> pipeSplitAssign
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1952,6 +2001,40 @@ object LlmQueries {
       s"""$closureCtes
          |SELECT src AS doc_id, min(dst) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+    // the same closure; family = component min (singleton: self), split
+    // = 16-bit md5 prefix of the FAMILY mod 10 — per-family by
+    // construction, so the straddle audit is structurally zero
+    "pipe_split_assign" ->
+      s"""$closureCtes,
+         |fam AS (
+         |  SELECT c.doc_id,
+         |    coalesce(least(c.doc_id, r.mn), c.doc_id) AS family
+         |  FROM corpus c LEFT JOIN
+         |    (SELECT src, min(dst) AS mn FROM reach GROUP BY 1) r
+         |    ON r.src = c.doc_id),
+         |hv AS (
+         |  SELECT doc_id, family,
+         |    ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+         |     (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+         |     (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+         |     (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 10 AS h
+         |  FROM (SELECT doc_id, family,
+         |          substr(md5(CAST(family AS VARCHAR)), 1, 4) AS hx
+         |        FROM fam)),
+         |asg AS (
+         |  SELECT doc_id, family,
+         |    CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM hv),
+         |aud AS (
+         |  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS families_straddling
+         |  FROM (SELECT family, count(DISTINCT split) AS ns
+         |        FROM asg GROUP BY 1))
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT family) AS n_families, a.families_straddling
+         |FROM asg CROSS JOIN aud a
+         |GROUP BY 1, 4""".stripMargin,
     // same recursive closure; family = least(self, min-reachable) = the
     // component minimum, then the longest-text (ties: lowest id) pick
     "d25_dedup_keepbest" ->

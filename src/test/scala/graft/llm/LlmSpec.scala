@@ -595,6 +595,31 @@ class LlmSpec extends SparkSpec {
     assert(dropped.length < n, "dedup must keep at least the keepers")
   }
 
+  test("split assignment: family-hash never straddles where doc-hash " +
+       "provably would, and splits partition the corpus") {
+    import org.apache.spark.sql.functions.{col, countDistinct, count => cnt}
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ops.LlmQueries.pipeSplitAssign(spark, dir).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(3) == 0L),
+      "family-keyed assignment must have zero straddling families")
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // the contrast: assigning by DOC hash on the same corpus straddles
+    // at least one planted near-dup family across splits
+    val corpus = graft.ops.LlmQueries.docsWithNearDupChains(spark, dir)
+    val clusters = Dedup.dedupClusters(
+      Dedup.ngramJaccard(corpus, col("doc_id"), col("text")),
+      col("a_id"), col("b_id"))
+    val byDoc = clusters.select(col("doc_id"),
+        org.apache.spark.sql.functions.least(col("doc_id"),
+          col("cluster_id")).as("family"),
+        graft.ops.LlmQueries.splitOf(col("doc_id")).as("split"))
+      .groupBy("family").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(byDoc > 0,
+      "doc-hash assignment must straddle on the planted chain corpus")
+    spark.catalog.clearCache()
+  }
+
   test("sq8TopK: codes bounded to ±127, max component saturates, " +
        "exact on axis-aligned vectors, zero vectors excluded") {
     import spark.implicits._

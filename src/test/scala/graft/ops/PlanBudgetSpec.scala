@@ -354,7 +354,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d37_rerank_topk" -> 2,
     // the per-query rank window's q_id exchange — the batch's only
     // shuffle; queries broadcast
-    "d38_batch_topk" -> 1)
+    "d38_batch_topk" -> 1,
+    // visible past the checkpointed family table: the split/audit
+    // aggregates; the closure's rounds hide behind their checkpoints
+    "pipe_split_assign" -> 5)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
