@@ -762,6 +762,47 @@ object RelQueries {
       .unionByName(c.intersect(p).withColumn("op", lit("intersect")))
   }
 
+  /** O8 — BAG-semantics set ops (EXCEPT ALL / INTERSECT ALL — o4's
+    * forms are the DISTINCT ones; the ALL forms subtract/keep
+    * MULTIPLICITIES, the semantics multiset reconciliation and
+    * change-data comparison actually need): customer vs supplier
+    * nation keys as bags — a nation with 40 customers and 3 suppliers
+    * keeps 37 rows under EXCEPT ALL (one under EXCEPT) and 3 under
+    * INTERSECT ALL. Re-aggregated per key so the gate is scalar;
+    * Spark plans both as multiplicity arithmetic over ONE hash
+    * aggregate per side (no join explosion). */
+  def o8SetopsAll(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+    val p = table(s, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey"))
+    c.exceptAll(p).groupBy("nationkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      .unionByName(
+        c.intersectAll(p).groupBy("nationkey")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all")))
+  }
+
+  /** O9 — explicit NULL-ordering discipline (NULLS FIRST / NULLS
+    * LAST): engines DISAGREE on default null placement (Spark: nulls
+    * first ascending; DuckDB: nulls last) — the ONLY portable ordered
+    * query over a nullable key spells the placement out. Ranking over
+    * a planted-null key (every acctbal in [0, 100) cents nulls out)
+    * with BOTH disciplines side by side; rank columns make the
+    * placement semantic, not cosmetic, and the tie-break key keeps
+    * the gate exact. */
+  def o9NullOrdering(s: SparkSession, dir: String): DataFrame = {
+    val cents = when(round(col("s_acctbal") * 100).cast("long")
+        .between(0L, 99L), lit(null).cast("long"))
+      .otherwise(round(col("s_acctbal") * 100).cast("long"))
+    val wf = Window.orderBy(cents.asc_nulls_first, col("s_suppkey"))
+    val wl = Window.orderBy(cents.asc_nulls_last, col("s_suppkey"))
+    table(s, dir, "supplier")
+      .select(col("s_suppkey"), cents.as("cents"),
+        row_number().over(wf).as("rk_nulls_first"),
+        row_number().over(wl).as("rk_nulls_last"))
+  }
+
   // ---------- F: scalar function families ----------
 
   /** F1: string family over part names. */
@@ -2482,6 +2523,8 @@ object RelQueries {
     "f23_xml" -> f23Xml,
     "j22_nullsafe_join" -> j22NullsafeJoin,
     "a25_regression" -> a25Regression,
+    "o8_setops_all" -> o8SetopsAll,
+    "o9_null_ordering" -> o9NullOrdering,
     "q4_order_priority" -> q4OrderPriority,
     "q15_top_supplier" -> q15TopSupplier,
     "q7_nation_volume" -> q7NationVolume,
@@ -3166,6 +3209,34 @@ object RelQueries {
     "q2_min_cost_supplier" -> q2Sql,
     "q20_dominant_share" -> q20Sql,
     "j19_lateral_topk" -> j19Sql,
+    "o8_setops_all" ->
+      """SELECT nationkey, count(*) AS n, 'except_all' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT nationkey, count(*) AS n, 'intersect_all' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY 1""".stripMargin,
+    // both engines spell the null placement out — the ranks are the
+    // semantic payload (defaults DISAGREE: Spark nulls-first asc,
+    // DuckDB nulls-last)
+    "o9_null_ordering" ->
+      """WITH s AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN CAST(round(s_acctbal * 100) AS BIGINT)
+        |              BETWEEN 0 AND 99 THEN NULL
+        |         ELSE CAST(round(s_acctbal * 100) AS BIGINT) END AS cents
+        |  FROM supplier)
+        |SELECT s_suppkey, cents,
+        |  CAST(row_number() OVER (ORDER BY cents ASC NULLS FIRST,
+        |    s_suppkey) AS INT) AS rk_nulls_first,
+        |  CAST(row_number() OVER (ORDER BY cents ASC NULLS LAST,
+        |    s_suppkey) AS INT) AS rk_nulls_last
+        |FROM s""".stripMargin,
     "j22_nullsafe_join" ->
       """SELECT coalesce(ck, -1) AS nk, count(*) AS n_pairs,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents

@@ -357,7 +357,12 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d38_batch_topk" -> 1,
     // visible past the checkpointed family table: the split/audit
     // aggregates; the closure's rounds hide behind their checkpoints
-    "pipe_split_assign" -> 5)
+    "pipe_split_assign" -> 5,
+    // two bag set-ops (multiplicity aggregates both sides) + regroups
+    "o8_setops_all" -> 6,
+    // two global rank windows over the 1k-row dim — single-partition
+    // sorts the dim's size makes trivial
+    "o9_null_ordering" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
