@@ -762,6 +762,42 @@ object RelQueries {
       .unionByName(c.intersect(p).withColumn("op", lit("intersect")))
   }
 
+  /** V7 — REFERENTIAL-INTEGRITY audit (the dbt-test / Deequ
+    * `references` check; v6 profiled columns, this audits RELATIONS):
+    * per foreign-key edge, child row count and ORPHAN count (children
+    * whose parent key has no match) — each relation is one left-anti
+    * join, planned broadcast where the parent is a dim. Orphans are
+    * PLANTED (every 500th order re-keyed to customer + 10⁹ — a
+    * corrupted ingest batch unioned in) so the audit is non-vacuous:
+    * the planted edge reports exactly its plant count, the clean
+    * edges report zero, and at 100 TB each audit costs one keyed
+    * anti-join over the child table — no child joins more than its
+    * own parents. */
+  def v7ReferentialAudit(s: SparkSession, dir: String): DataFrame = {
+    val o0 = table(s, dir, "orders")
+    // the corrupted batch: every 500th order RE-KEYED to a customer
+    // that does not exist
+    val orders = o0.withColumn("o_custkey",
+      when(col("o_orderkey") % 500 === 0, col("o_custkey") + 1000000000L)
+        .otherwise(col("o_custkey")))
+    val li = table(s, dir, "lineitem")
+    def audit(rel: String, child: DataFrame, key: Column,
+              parent: DataFrame, pkey: Column): DataFrame = {
+      val orphans = child.select(key.as("k"))
+        .join(parent.select(pkey.as("pk")), col("k") === col("pk"),
+          "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+        .select(lit(rel).as("relation"), col("n_child"), col("n_orphan"))
+    }
+    audit("orders->customer", orders, col("o_custkey"),
+        table(s, dir, "customer"), col("c_custkey"))
+      .unionByName(audit("lineitem->orders", li, col("l_orderkey"),
+        o0, col("o_orderkey")))
+      .unionByName(audit("lineitem->part", li, col("l_partkey"),
+        table(s, dir, "part"), col("p_partkey")))
+  }
+
   /** O8 — BAG-semantics set ops (EXCEPT ALL / INTERSECT ALL — o4's
     * forms are the DISTINCT ones; the ALL forms subtract/keep
     * MULTIPLICITIES, the semantics multiset reconciliation and
@@ -2524,6 +2560,7 @@ object RelQueries {
     "j22_nullsafe_join" -> j22NullsafeJoin,
     "a25_regression" -> a25Regression,
     "o8_setops_all" -> o8SetopsAll,
+    "v7_referential_audit" -> v7ReferentialAudit,
     "o9_null_ordering" -> o9NullOrdering,
     "q4_order_priority" -> q4OrderPriority,
     "q15_top_supplier" -> q15TopSupplier,
@@ -3209,6 +3246,26 @@ object RelQueries {
     "q2_min_cost_supplier" -> q2Sql,
     "q20_dominant_share" -> q20Sql,
     "j19_lateral_topk" -> j19Sql,
+    "v7_referential_audit" ->
+      """WITH o2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 500 = 0
+        |         THEN o_custkey + 1000000000 ELSE o_custkey END AS o_custkey
+        |  FROM orders)
+        |SELECT 'orders->customer' AS relation,
+        |  (SELECT count(*) FROM o2) AS n_child,
+        |  (SELECT count(*) FROM o2 LEFT JOIN customer
+        |     ON o_custkey = c_custkey WHERE c_custkey IS NULL) AS n_orphan
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem LEFT JOIN orders
+        |     ON l_orderkey = o_orderkey WHERE o_orderkey IS NULL)
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem LEFT JOIN part
+        |     ON l_partkey = p_partkey WHERE p_partkey IS NULL)""".stripMargin,
     "o8_setops_all" ->
       """SELECT nationkey, count(*) AS n, 'except_all' AS op FROM (
         |  SELECT c_nationkey AS nationkey FROM customer

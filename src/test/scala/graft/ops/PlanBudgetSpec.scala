@@ -362,7 +362,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "o8_setops_all" -> 6,
     // two global rank windows over the 1k-row dim — single-partition
     // sorts the dim's size makes trivial
-    "o9_null_ordering" -> 2)
+    "o9_null_ordering" -> 2,
+    // three FK edges × (child count + orphan count) single-row aggs;
+    // every anti-join broadcasts its parent
+    "v7_referential_audit" -> 6)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
