@@ -762,6 +762,50 @@ object RelQueries {
       .unionByName(c.intersect(p).withColumn("op", lit("intersect")))
   }
 
+  /** F24 — explicit-format TIMESTAMP parsing under tolerance (the
+    * classic cross-engine minefield: implicit casts guess formats,
+    * engines guess differently — the portable form is an EXPLICIT
+    * pattern + UTC session + try_-tolerance): event times render to
+    * strings with a pinned pattern, every 89th record is CORRUPTED
+    * (truncated to the date half), and `try_to_timestamp` parses
+    * back — corrupt rows land as NULL, not a dead scan (the
+    * f12/f23/src5 discipline applied to time). The gate checks
+    * parse∘format ≡ identity on clean rows (micros compared as
+    * BIGINT) and counts the planted corruption per event_type. */
+  def f24TimestampParse(s: SparkSession, dir: String): DataFrame = {
+    val rendered = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val raw = when(col("event_id") % 89 === 0, substring(rendered, 1, 10))
+      .otherwise(rendered)
+    table(s, dir, "events")
+      .select(col("event_type"), col("ts"),
+        try_to_timestamp(raw, lit("yyyy-MM-dd HH:mm:ss.SSSSSS")).as("back"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("back")).as("n_parsed"),
+        sum((unix_micros(col("back")) === unix_micros(col("ts")))
+          .cast("long")).as("n_roundtrip"),
+        min(unix_micros(col("back"))).as("min_us"),
+        max(unix_micros(col("back"))).as("max_us"))
+  }
+
+  /** A26 — ordered string aggregation (LISTAGG / string_agg WITHIN
+    * GROUP — the report-formatting aggregate): per nation the
+    * lexicographically ordered, comma-joined supplier names. The
+    * ORDER BY inside the aggregate is the semantic payload — an
+    * unordered listagg is nondeterministic under parallel merge, so
+    * the portable form always pins the order. Composed as
+    * array_join∘sort_array∘collect_list: partial collect_lists merge
+    * associatively and the sort happens ONCE per group at finish —
+    * same single-exchange shape as any hash aggregate. */
+  def a26Listagg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "supplier")
+      .join(table(s, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        array_join(sort_array(collect_list(col("s_name"))), ",")
+          .as("names"))
+
   /** V7 — REFERENTIAL-INTEGRITY audit (the dbt-test / Deequ
     * `references` check; v6 profiled columns, this audits RELATIONS):
     * per foreign-key edge, child row count and ORPHAN count (children
@@ -2561,6 +2605,8 @@ object RelQueries {
     "a25_regression" -> a25Regression,
     "o8_setops_all" -> o8SetopsAll,
     "v7_referential_audit" -> v7ReferentialAudit,
+    "f24_timestamp_parse" -> f24TimestampParse,
+    "a26_listagg" -> a26Listagg,
     "o9_null_ordering" -> o9NullOrdering,
     "q4_order_priority" -> q4OrderPriority,
     "q15_top_supplier" -> q15TopSupplier,
@@ -3246,6 +3292,31 @@ object RelQueries {
     "q2_min_cost_supplier" -> q2Sql,
     "q20_dominant_share" -> q20Sql,
     "j19_lateral_topk" -> j19Sql,
+    // strftime/strptime are DuckDB's explicit-pattern pair; the same
+    // render→corrupt→parse→roundtrip pipeline, micros as BIGINT
+    "f24_timestamp_parse" ->
+      """WITH r AS (
+        |  SELECT event_type, ts, event_id,
+        |    strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS rendered
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, ts,
+        |    try_strptime(CASE WHEN event_id % 89 = 0
+        |                 THEN substr(rendered, 1, 10) ELSE rendered END,
+        |                 '%Y-%m-%d %H:%M:%S.%f') AS back
+        |  FROM r)
+        |SELECT event_type, count(*) AS n,
+        |  count(back) AS n_parsed,
+        |  CAST(sum(CASE WHEN epoch_us(back) = epoch_us(ts)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
+        |  min(epoch_us(back)) AS min_us,
+        |  max(epoch_us(back)) AS max_us
+        |FROM c GROUP BY 1""".stripMargin,
+    "a26_listagg" ->
+      """SELECT n_name, count(*) AS n,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
     "v7_referential_audit" ->
       """WITH o2 AS (
         |  SELECT o_orderkey,

@@ -365,7 +365,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "o9_null_ordering" -> 2,
     // three FK edges × (child count + orphan count) single-row aggs;
     // every anti-join broadcasts its parent
-    "v7_referential_audit" -> 6)
+    "v7_referential_audit" -> 6,
+    // render+parse are per-row; one keyed aggregate
+    "f24_timestamp_parse" -> 1,
+    // nation broadcasts; one collect aggregate, sort at finish
+    "a26_listagg" -> 1)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
