@@ -100,6 +100,60 @@ class GisQueriesSpec extends SparkSpec {
       Map((0L, 0L) -> 0L, (0L, 1L) -> 3L, (1L, 1L) -> 4L))
   }
 
+  test("cost distance equals brute-force Bellman-Ford on random sparse " +
+       "grids (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      // ~60 present cells on a 12x12 grid, ~1/6 of them sources
+      val cells = (0 until 144).filter(_ => rnd.nextDouble() < 0.42)
+        .map(i => (i / 12L, i % 12L, if (rnd.nextInt(6) == 0) 4 else 0))
+      if (cells.exists(_._3 == 4)) {
+        val k = 10
+        // reference: k rounds of relaxation over a Scala map
+        val present = cells.map(c => (c._1, c._2)).toSet
+        var ref = cells.filter(_._3 == 4)
+          .map(c => (c._1, c._2) -> 0L).toMap
+        val offs = for { dr <- -1L to 1L; dc <- -1L to 1L
+                         if dr != 0 || dc != 0 }
+          yield (dr, dc, if (dr == 0 || dc == 0) 3L else 4L)
+        for (_ <- 1 to k) {
+          val ext = ref.toSeq.flatMap { case ((r, c), d) =>
+            offs.map { case (dr, dc, w) => ((r + dr, c + dc), d + w) } }
+            .filter { case (p, _) => present(p) }
+          ref = (ref.toSeq ++ ext).groupBy(_._1)
+            .map { case (p, ds) => p -> ds.map(_._2).min }
+        }
+        val got = WroQueries
+          .costDistanceFrom(cells.toDF("r", "c", "cls"), k)
+          .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2)))
+          .toMap
+        assert(got == ref, s"trial $trial: mismatch")
+      }
+    }
+  }
+
+  test("watershed doubling equals linear pointer-following on random " +
+       "functional graphs (property)") {
+    // the doubling identity next^(2^k) is independent of the D8
+    // derivation — check it on random self-loop-terminated pointer maps
+    val rnd = new scala.util.Random(13)
+    val n = 200
+    val next = Array.tabulate(n) { i =>
+      if (rnd.nextInt(5) == 0) i else rnd.nextInt(n) } // ~1/5 sinks
+    // linear: follow 16 steps
+    val linear = Array.tabulate(n) { i =>
+      var cur = i; for (_ <- 1 to 16) cur = next(cur); cur }
+    // doubling: 4 squarings
+    var p = next.clone()
+    for (_ <- 1 to 4) { val q = p.clone(); p = q.map(v => q(v)) }
+    assert(p.sameElements(linear))
+    // labels only where the 16-hop target is a sink (self-loop)
+    val labeled = (0 until n).filter(i => next(p(i)) == p(i) &&
+      p(i) == next(p(i)))
+    assert(labeled.forall(i => linear(i) == p(i)))
+  }
+
   test("allocation: nearest source wins, distance ties to smaller src id") {
     import spark.implicits._
     // two sources at (0,0) and (0,4); the midpoint (0,2) is 6 from
