@@ -133,6 +133,32 @@ class GisQueriesSpec extends SparkSpec {
     }
   }
 
+  test("majority filter equals brute-force neighborhood mode on random " +
+       "classed grids (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val cells = (0 until 144).filter(_ => rnd.nextDouble() < 0.5)
+      .map(i => (i / 12L, i % 12L, rnd.nextInt(5)))
+    val byPos = cells.map(c => (c._1, c._2) -> c._3).toMap
+    val ref = cells.map { case (r, c, cls) =>
+      val nbrs = for { dr <- -1 to 1; dc <- -1 to 1
+                       if dr != 0 || dc != 0
+                       v <- byPos.get((r + dr, c + dc)) } yield v
+      val out = if (nbrs.isEmpty) cls else {
+        val (mode, cnt) = nbrs.groupBy(identity)
+          .map { case (v, vs) => (v, vs.size) }
+          .minBy { case (v, n) => (-n, v) }
+        if (cnt * 2 > nbrs.size) mode else cls
+      }
+      (r, c) -> ((cls, nbrs.size.toLong, out))
+    }.toMap
+    val got = WroQueries.majorityFrom(cells.toDF("r", "c", "cls"))
+      .collect()
+      .map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getInt(2), x.getLong(3), x.getInt(4)))).toMap
+    assert(got == ref)
+  }
+
   test("watershed doubling equals linear pointer-following on random " +
        "functional graphs (property)") {
     // the doubling identity next^(2^k) is independent of the D8
