@@ -648,6 +648,51 @@ object WroQueries {
         signum(col("d2x") + col("d2y")).cast("int").as("concavity"))
   }
 
+  /** GIS16 — VIEWSHED (Esri Viewshed, single observer at grid center
+    * (50,50)): a cell is visible iff its elevation angle from the
+    * observer exceeds every NEARER cell's angle on the SAME ray.
+    * Spark-first decomposition: cells group into rays by their
+    * PRIMITIVE direction vector (dr, dc)/g — g = gcd via a bounded
+    * sequence-filter expression (no UDF; divisors ≤ 99), written
+    * IDENTICALLY in both engines — and along a ray the true distance
+    * is g·|unit|, so |unit| cancels and the angle order is exactly
+    * p/g (p = cents − observer cents): ONE division per cell, and
+    * identical int64 inputs give the identical binary64 quotient in
+    * every IEEE engine — the comparison is deterministic without any
+    * accumulation-order hazard (the float-policy exception the d3
+    * cosine rounding established, but exact here). Visibility = one
+    * running-max window per ray (order by g, strict >: ties block the
+    * farther cell). NoData cells neither block nor appear — the
+    * documented sparse-raster contract (Esri interpolates; classes
+    * must not be, pyt:25/606/823). One exchange: the ray window. */
+  def viewshed(spark: SparkSession, dir: String): DataFrame = {
+    val cells = perCell(spark, dir)
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % GridW).as("c"),
+        (col("quantity").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .cache()
+    val obs = cells.filter(col("r") === 50 && col("c") === 50)
+      .select(col("cents").as("z0"))
+    val gExpr = expr("""array_max(filter(sequence(1, 99),
+      k -> abs(r - 50) % k = 0 AND abs(c - 50) % k = 0))""")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("udr", "udc").orderBy("g")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    cells.filter(col("r") =!= 50 || col("c") =!= 50)
+      .crossJoin(broadcast(obs))
+      .withColumn("g", gExpr)
+      .select(col("r"), col("c"),
+        expr("(r - 50) div g").as("udr"),
+        expr("(c - 50) div g").as("udc"),
+        col("g"),
+        ((col("cents") - col("z0")).cast("double") / col("g")).as("ang"))
+      .withColumn("vis",
+        (col("ang") > coalesce(max("ang").over(w),
+          lit(Double.NegativeInfinity))).cast("int"))
+      .select(col("r"), col("c"), col("g").cast("long").as("m"),
+        col("vis"))
+  }
+
   /** GIS14 — WATERSHED labeling (Esri Watershed: which outlet does
     * each cell drain to?) by POINTER DOUBLING over the D8 flow
     * pointers — the log-rounds functional-graph primitive GIS9's
@@ -1005,6 +1050,7 @@ object WroQueries {
     "wro_hillshade" -> hillshade,
     "wro_watershed" -> ((s: SparkSession, d: String) => watershed(s, d)),
     "wro_curvature" -> curvature,
+    "wro_viewshed" -> viewshed,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -1202,6 +1248,32 @@ object WroQueries {
         |    ELSE CASE WHEN gy > 0 THEN 5 ELSE 3 END
         |  END AS octant
         |FROM sl""".stripMargin,
+    // the same ray decomposition: gcd by bounded divisor filter,
+    // primitive-vector ray key, p/g angle (identical int64 inputs →
+    // identical binary64 quotient), per-ray running-max window
+    "wro_viewshed" ->
+      """WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, cents FROM pc),
+        |z AS (SELECT cents AS z0 FROM g WHERE r = 50 AND c = 50),
+        |q AS (
+        |  SELECT r, c, cents,
+        |    list_max(list_filter(range(1, 100),
+        |      k -> abs(r - 50) % k = 0 AND abs(c - 50) % k = 0)) AS gd
+        |  FROM g WHERE NOT (r = 50 AND c = 50)),
+        |a AS (
+        |  SELECT r, c, (r - 50) // gd AS udr, (c - 50) // gd AS udc, gd,
+        |    CAST(cents - z.z0 AS DOUBLE) / gd AS ang
+        |  FROM q, z)
+        |SELECT r, c, CAST(gd AS BIGINT) AS m,
+        |  CAST(CASE WHEN ang > coalesce(max(ang) OVER (
+        |    PARTITION BY udr, udc ORDER BY gd
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1e308)
+        |    THEN 1 ELSE 0 END AS INT) AS vis
+        |FROM a""".stripMargin,
     // the same per-offset weight triples over the 3x3 stencil
     "wro_curvature" ->
       """WITH pc AS (

@@ -368,6 +368,9 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "v7_referential_audit" -> 6,
     // render+parse are per-row; one keyed aggregate
     "f24_timestamp_parse" -> 1,
+    // cached per-cell grid + the per-ray running-max window; the gcd
+    // is a bounded in-row filter, the observer row broadcasts
+    "wro_viewshed" -> 2,
     // nation broadcasts; one collect aggregate, sort at finish
     "a26_listagg" -> 1)
 
