@@ -852,6 +852,205 @@ object WroQueries {
         (col("mn_cls") =!= col("mx_cls")).cast("int").as("is_boundary"))
   }
 
+  /** The exact-units grid shared by the spatial-statistics gates
+    * (GIS17–GIS19): quantity is integral 1..50 in every fixture
+    * generation (verified at all SFs), so the per-cell max casts to
+    * BIGINT losslessly and every downstream moment/deviation product
+    * stays in exact int64 range (bounds documented per operator). */
+  private def unitsGrid(spark: SparkSession, dir: String): DataFrame =
+    perCell(spark, dir)
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % GridW).as("c"),
+        col("quantity").cast("long").as("u"))
+
+  /** GIS18 — global MORAN'S I components (the spatial-autocorrelation
+    * statistic; Esri Spatial Autocorrelation / Global Moran's I tool):
+    * with rook (4-neighbor) binary weights over PRESENT cells,
+    *   I = (N / W) · Σ_ij w_ij·dev_i·dev_j / Σ_i dev_i²,
+    * dev_i = x_i − x̄. Emitted UNDIVIDED as the four exact integers
+    * (n_cells, w_pairs, num, den) with deviations at the N-scale —
+    * dev_i := N·x_i − Σx, an integer, which multiplies I's numerator
+    * and denominator by the same N² and cancels — so no division or
+    * float mean ever enters the gate. Bounds: units ≤ 50, N ≤ 10⁴ ⇒
+    * |dev| ≤ 5·10⁵, |dev_i·dev_j| ≤ 2.5·10¹¹, summed over ≤ 4·10⁴
+    * directed rook pairs ≤ 10¹⁶ — int64-safe. Shape: one broadcast of
+    * the 1-row moment table, one 4-offset fan-out joined back to the
+    * deviation grid (raster-domain bounded), three scalar aggregates.
+    * At 100 TB the pair join is a tiled halo exchange; nothing is
+    * all-pairs — W is linear in cells, not quadratic. */
+  def moran(spark: SparkSession, dir: String): DataFrame = {
+    val g = unitsGrid(spark, dir).cache()
+    val t = g.agg(count(lit(1)).as("n"), sum("u").as("s"))
+    val d = g.crossJoin(broadcast(t))
+      .select(col("r"), col("c"),
+        (col("n") * col("u") - col("s")).as("dev"), col("n"))
+      .localCheckpoint()
+    val offs = Seq((0L, 1L), (0L, -1L), (1L, 0L), (-1L, 0L))
+    val pairs = d
+      .select(col("r"), col("c"), col("dev").as("da"),
+        explode(typedLit(offs)).as("o"))
+      .select((col("r") + col("o._1")).as("r"),
+        (col("c") + col("o._2")).as("c"), col("da"))
+      .join(d.select(col("r"), col("c"), col("dev").as("db")), Seq("r", "c"))
+      .agg(count(lit(1)).as("w_pairs"), sum(col("da") * col("db")).as("num"))
+    val den = d.agg(sum(col("dev") * col("dev")).as("den"))
+    d.select(col("n")).limit(1)
+      .crossJoin(broadcast(pairs)).crossJoin(broadcast(den))
+      .select(col("n").as("n_cells"), col("w_pairs"), col("num"), col("den"))
+  }
+
+  /** GIS19 — GETIS-ORD Gi* hot-spot classing (Esri Hot Spot Analysis):
+    * per present cell, the z-score of its 3×3 focal sum (self included
+    * — the * in Gi*) against the global distribution,
+    *   z = (Σ_j x_j − x̄·n_k) / (S·√[(N·n_k − n_k²)/(N−1)]),
+    * classed into integer sigma bands: gi_class = sign(num)·k, k = the
+    * largest of {1,2,3} with z² ≥ k² (0 when |z| < 1). The entire
+    * decision is division- and sqrt-free by cross-multiplying:
+    *   num = N·local − n_k·Σx   (the N-scaled numerator),
+    *   den = N·Σx² − (Σx)²     (N²·S² up to the same scale),
+    *   z² ≥ k²  ⟺  num²·(N−1) ≥ k²·den·(N·n_k − n_k²),
+    * all BIGINT (num² ≤ 2.1·10¹³, ×(N−1) ≤ 2.1·10¹⁷; rhs ≤ 2·10¹⁷ at
+    * k=3 — int64-safe), identical arithmetic in the oracle. Shape: the
+    * GIS1 contribute-to-neighbors fan-out for the focal sum (3×3, self
+    * included), one broadcast 1-row moment table, one projection. At
+    * 100 TB: tiled halo exchange, raster-domain bounded. */
+  def giStar(spark: SparkSession, dir: String): DataFrame = {
+    val g = unitsGrid(spark, dir).cache()
+    val t = g.agg(count(lit(1)).as("n"), sum("u").as("s"),
+      sum(col("u") * col("u")).as("ss"))
+    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L } yield (dr, dc)
+    val focal = g
+      .select(col("r"), col("c"), col("u"), explode(typedLit(offs)).as("o"))
+      .select((col("r") + col("o._1")).as("r"),
+        (col("c") + col("o._2")).as("c"), col("u"))
+      .filter(col("r").between(0, GridW - 1) && col("c").between(0, GridW - 1))
+      .groupBy("r", "c")
+      .agg(sum("u").as("local"), count(lit(1)).as("nk"))
+      // only PRESENT cells get a Gi* (semi join against the cached grid)
+      .join(g.select("r", "c"), Seq("r", "c"), "left_semi")
+    val num = col("n") * col("local") - col("nk") * col("s")
+    val den = col("n") * col("ss") - col("s") * col("s")
+    val lhs = num * num * (col("n") - 1)
+    val rhs = den * (col("n") * col("nk") - col("nk") * col("nk"))
+    focal.crossJoin(broadcast(t))
+      .select(col("r"), col("c"),
+        (signum(num).cast("long") *
+          when(lhs >= rhs * 9L, 3L).when(lhs >= rhs * 4L, 2L)
+            .when(lhs >= rhs, 1L).otherwise(0L)).cast("int").as("gi_class"))
+  }
+
+  /** GIS20 — IDW interpolation (Esri IDW, Spatial Analyst's
+    * inverse-distance-weighted surface tool) at the grid's ABSENT
+    * cells — the one Surface op whose output domain is the NoData
+    * complement: each absent in-grid cell takes the weighted mean of
+    * the present cells within Chebyshev radius 2, weight 1/d². The
+    * classic IDW division is kept OUT of the gate by two exact moves:
+    * (a) d² over the 24-offset neighborhood only takes values
+    * {1,2,4,5,8}, whose lcm-scaled weights 40/d² = {40,20,10,8,5} are
+    * integers; (b) the result is emitted as the exact pair
+    * (num40 = Σ cents·40/d², den40 = Σ 40/d²) — num40/den40 is the
+    * IDW value, a monotone post-divide. Cells with NO present
+    * neighbor in radius 2 stay NoData (absent), Esri's search-radius
+    * contract. Shape: present cells fan out to their 24 targets
+    * (raster-domain bounded), one anti-join against the present set
+    * keeps interpolation strictly on NoData ground, one aggregate. */
+  def idw(spark: SparkSession, dir: String): DataFrame = {
+    val g = perCell(spark, dir)
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % GridW).as("c"),
+        (col("quantity").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .cache()
+    val offs = for {
+      dr <- -2L to 2L; dc <- -2L to 2L; if dr != 0 || dc != 0
+    } yield (dr, dc, 40L / (dr * dr + dc * dc))
+    g.select(col("r"), col("c"), col("cents"),
+        explode(typedLit(offs)).as("o"))
+      .select((col("r") + col("o._1")).as("r"),
+        (col("c") + col("o._2")).as("c"),
+        (col("cents") * col("o._3")).as("wc"), col("o._3").as("w"))
+      .filter(col("r").between(0, GridW - 1) && col("c").between(0, GridW - 1))
+      .join(g.select("r", "c"), Seq("r", "c"), "left_anti")
+      .groupBy("r", "c")
+      .agg(sum("wc").as("num40"), sum("w").as("den40"))
+  }
+
+  /** GIS21 — BILINEAR resampling (Esri Resample BILINEAR — the
+    * continuous-data sibling of GIS3's nearest-neighbor; the reference
+    * forbids it for classed rasters pyt:25/606/823, which is exactly
+    * why it must exist for VALUE rasters): the 25×25 output grid
+    * samples the input at (4R+1.25, 4C+1.25) — deliberately off the
+    * cell lattice so all four corner weights are non-trivial — from
+    * corners (4R+1..2, 4C+1..2) with per-axis weights (¾, ¼). In
+    * 16ths the 2-D weights are the integers {9,3,3,1} and the output
+    * is the exact BIGINT v16 = Σ corner_cents·w16. Only complete
+    * 4-corner neighborhoods emit (the GIS4 NoData discipline —
+    * interpolating past NoData is implementation-defined). Shape:
+    * each input cell plays ≤4 corner ROLES, each mapping it to at
+    * most one output cell by integer divisibility — a 4-row fan-out,
+    * one aggregate, no join at all. */
+  def resampleBilinear(spark: SparkSession, dir: String): DataFrame = {
+    // role (i, j): the cell acts as corner (4R+1+i, 4C+1+j); weight
+    // (3−2i)·(3−2j) sixteenths
+    val roles = for { i <- 0L to 1L; j <- 0L to 1L }
+      yield (i, j, (3 - 2 * i) * (3 - 2 * j))
+    perCell(spark, dir)
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % GridW).as("c"),
+        (col("quantity").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .select(col("r"), col("c"), col("cents"),
+        explode(typedLit(roles)).as("o"))
+      .filter((col("r") - 1 - col("o._1")) % 4 === 0 &&
+              (col("c") - 1 - col("o._2")) % 4 === 0)
+      .select(expr("(r - 1 - o._1) div 4").as("out_r"),
+        expr("(c - 1 - o._2) div 4").as("out_c"),
+        (col("cents") * col("o._3")).as("wc"))
+      .filter(col("out_r").between(0, 24) && col("out_c").between(0, 24))
+      .groupBy("out_r", "out_c")
+      .agg(sum("wc").as("v16"), count(lit(1)).as("n"))
+      .filter(col("n") === 4)
+      .select("out_r", "out_c", "v16")
+  }
+
+  /** GIS17 — REGION GROUP (Esri Region Group: label each cell with its
+    * connected region of same-class cells, rook connectivity) — the
+    * raster face of connected components, run to TRUE CONVERGENCE via
+    * [[graft.llm.Dedup.dedupClusters]]'s pointer-jumping min-label
+    * loop (O(log diameter) rounds — the d2 closure machinery reused on
+    * the grid graph, which is the point: one CC primitive serves both
+    * the dedup pipeline and the raster toolbox). Classes are u mod 7 —
+    * a balanced 7-way labeling whose per-class density ~0.14 sits far
+    * below the square-lattice site-percolation threshold (~0.59), so
+    * regions stay small and the oracle's full reachability closure is
+    * tractable; the operator itself is density-independent. Region id
+    * = min packed key (r·100+c) in the component, Esri's
+    * smallest-cell-id labeling made deterministic. Isolated cells
+    * (no same-class rook neighbor) are their own region via the
+    * left-join coalesce — they never enter the edge set at all.
+    * Shape: one rook fan-out join builds the (undirected-once) edge
+    * set; the CC loop is per-round one keyed join+aggregate; one
+    * final left join attaches labels. All raster-domain bounded. */
+  def regionGroup(spark: SparkSession, dir: String): DataFrame = {
+    val g = unitsGrid(spark, dir)
+      .select(col("r"), col("c"), (col("u") % 7).as("cls"),
+        (col("r") * 100 + col("c")).as("k"))
+      .localCheckpoint()
+    // undirected-once edges: each cell pairs with its E and S same-class
+    // neighbors (covers all rook adjacencies exactly once)
+    val offs = Seq((0L, 1L), (1L, 0L))
+    val edges = g
+      .select(col("r"), col("c"), col("cls").as("cls_a"), col("k").as("ka"),
+        explode(typedLit(offs)).as("o"))
+      .select((col("r") + col("o._1")).as("r"),
+        (col("c") + col("o._2")).as("c"), col("cls_a"), col("ka"))
+      .join(g.select(col("r"), col("c"), col("cls").as("cls_b"),
+        col("k").as("kb")), Seq("r", "c"))
+      .filter(col("cls_a") === col("cls_b"))
+      .select("ka", "kb")
+    val labels = graft.llm.Dedup.dedupClusters(edges, col("ka"), col("kb"))
+    g.join(labels.withColumnRenamed("doc_id", "k"), Seq("k"), "left")
+      .select(col("r"), col("c"), col("cls"),
+        coalesce(col("cluster_id"), col("k")).as("reg"))
+      .select(col("r"), col("c"), col("cls"),
+        expr("reg div 100").as("reg_r"), (col("reg") % 100).as("reg_c"))
+  }
+
   /** R2 (pyt:710-745): the layer-filter chain — keep rasters, optionally
     * visible only, never mosaic/web/datasource-less layers, skip names
     * containing \\Boundary / \\Footprint / \\Image, first-wins dedup by
@@ -1051,6 +1250,11 @@ object WroQueries {
     "wro_watershed" -> ((s: SparkSession, d: String) => watershed(s, d)),
     "wro_curvature" -> curvature,
     "wro_viewshed" -> viewshed,
+    "wro_moran" -> moran,
+    "wro_gi_star" -> giStar,
+    "wro_idw" -> idw,
+    "wro_resample_bilinear" -> resampleBilinear,
+    "wro_region_group" -> regionGroup,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -1083,7 +1287,120 @@ object WroQueries {
        |           ORDER BY key DESC, code ASC) AS rn
        |       FROM j)""".stripMargin
 
+  /** The exact-units grid CTE shared by the spatial-statistics oracles
+    * (quantity integral 1..50 — CAST DOUBLE→BIGINT is lossless). */
+  private val unitsGridSql: String =
+    """pc AS (
+      |  SELECT l_orderkey % 10000 AS cell_id,
+      |    CAST(max(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS u
+      |  FROM lineitem GROUP BY 1),
+      |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, u FROM pc)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the same N-scaled deviations (dev = N·u − Σu) over the same rook
+    // fan-out; sums CAST from DuckDB's HUGEINT back to BIGINT
+    "wro_moran" ->
+      s"""WITH $unitsGridSql,
+        |t AS (SELECT count(*) AS n, CAST(sum(u) AS BIGINT) AS s FROM g),
+        |d AS (SELECT r, c, t.n * g.u - t.s AS dev FROM g, t),
+        |o(dr, dc) AS (VALUES (0, 1), (0, -1), (1, 0), (-1, 0)),
+        |pr AS (SELECT d2.dev AS da, d1.dev AS db
+        |       FROM d d1 CROSS JOIN o JOIN d d2
+        |         ON d2.r = d1.r + o.dr AND d2.c = d1.c + o.dc)
+        |SELECT t.n AS n_cells, p.w_pairs, p.num, q.den
+        |FROM t,
+        |  (SELECT count(*) AS w_pairs,
+        |     CAST(sum(da * db) AS BIGINT) AS num FROM pr) p,
+        |  (SELECT CAST(sum(dev * dev) AS BIGINT) AS den FROM d) q"""
+        .stripMargin,
+    // identical cross-multiplied sigma-band CASE over the same 3×3
+    // focal sum (self included) and 1-row moment table
+    "wro_gi_star" ->
+      s"""WITH $unitsGridSql,
+        |t AS (SELECT count(*) AS n, CAST(sum(u) AS BIGINT) AS s,
+        |        CAST(sum(u * u) AS BIGINT) AS ss FROM g),
+        |o AS (SELECT unnest([-1, 0, 1]) AS d),
+        |f AS (SELECT g.r + o1.d AS r, g.c + o2.d AS c, g.u
+        |      FROM g, o o1, o o2
+        |      WHERE g.r + o1.d BETWEEN 0 AND 99
+        |        AND g.c + o2.d BETWEEN 0 AND 99),
+        |fs AS (SELECT f.r, f.c, CAST(sum(f.u) AS BIGINT) AS local,
+        |         count(*) AS nk
+        |       FROM f JOIN g ON g.r = f.r AND g.c = f.c
+        |       GROUP BY 1, 2),
+        |z AS (SELECT r, c, t.n * local - nk * t.s AS num,
+        |        t.n * t.ss - t.s * t.s AS den,
+        |        t.n * nk - nk * nk AS vk, t.n AS n
+        |      FROM fs, t)
+        |SELECT r, c, CAST(
+        |  (CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END) *
+        |  (CASE WHEN num * num * (n - 1) >= den * vk * 9 THEN 3
+        |        WHEN num * num * (n - 1) >= den * vk * 4 THEN 2
+        |        WHEN num * num * (n - 1) >= den * vk THEN 1
+        |        ELSE 0 END) AS INT) AS gi_class
+        |FROM z""".stripMargin,
+    // the same 24-offset lcm-40 integer weights; interpolation domain
+    // restricted to absent in-grid cells by the same anti-join
+    "wro_idw" ->
+      """WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, cents FROM pc),
+        |o AS (SELECT o1.d AS dr, o2.d AS dc,
+        |        40 // (o1.d * o1.d + o2.d * o2.d) AS w
+        |      FROM (SELECT unnest([-2, -1, 0, 1, 2]) AS d) o1,
+        |           (SELECT unnest([-2, -1, 0, 1, 2]) AS d) o2
+        |      WHERE NOT (o1.d = 0 AND o2.d = 0)),
+        |n AS (SELECT g.r + o.dr AS r, g.c + o.dc AS c,
+        |        g.cents * o.w AS wc, o.w
+        |      FROM g, o
+        |      WHERE g.r + o.dr BETWEEN 0 AND 99
+        |        AND g.c + o.dc BETWEEN 0 AND 99)
+        |SELECT n.r, n.c, CAST(sum(wc) AS BIGINT) AS num40,
+        |       CAST(sum(w) AS BIGINT) AS den40
+        |FROM n ANTI JOIN g ON g.r = n.r AND g.c = n.c
+        |GROUP BY 1, 2""".stripMargin,
+    // the same 4-corner role fan-out: divisibility picks each cell's
+    // output target per role, 16th-weights {9,3,3,1}, complete corners
+    "wro_resample_bilinear" ->
+      """WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    CAST(CAST(max(CAST(l_quantity AS DOUBLE)) AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, cents FROM pc),
+        |ro(i, j, w) AS (VALUES (0, 0, 9), (0, 1, 3), (1, 0, 3), (1, 1, 1)),
+        |f AS (SELECT (r - 1 - i) // 4 AS out_r, (c - 1 - j) // 4 AS out_c,
+        |        cents * w AS wc
+        |      FROM g, ro
+        |      WHERE (r - 1 - i) % 4 = 0 AND (c - 1 - j) % 4 = 0
+        |        AND (r - 1 - i) // 4 BETWEEN 0 AND 24
+        |        AND (c - 1 - j) // 4 BETWEEN 0 AND 24)
+        |SELECT out_r, out_c, CAST(sum(wc) AS BIGINT) AS v16
+        |FROM f GROUP BY 1, 2 HAVING count(*) = 4""".stripMargin,
+    // independent formulation: instead of replaying the min-label
+    // rounds, the FULL reachability closure (recursive UNION dedups to
+    // the fixpoint) — min reachable key per cell must equal the
+    // converged pointer-jumping label exactly
+    "wro_region_group" ->
+      s"""WITH RECURSIVE $unitsGridSql,
+        |cl AS (SELECT r, c, u % 7 AS cls, r * 100 + c AS k FROM g),
+        |e AS (SELECT a.k AS u, b.k AS v
+        |      FROM cl a JOIN cl b
+        |        ON a.cls = b.cls AND
+        |           ((abs(a.r - b.r) = 1 AND a.c = b.c) OR
+        |            (a.r = b.r AND abs(a.c - b.c) = 1))),
+        |reach(o, v) AS (
+        |  SELECT k, k FROM cl
+        |  UNION
+        |  SELECT reach.o, e.v FROM reach JOIN e ON e.u = reach.v),
+        |lbl AS (SELECT o, min(v) AS reg FROM reach GROUP BY o)
+        |SELECT cl.r, cl.c, CAST(cl.cls AS BIGINT) AS cls,
+        |  reg // 100 AS reg_r, reg % 100 AS reg_c
+        |FROM cl JOIN lbl ON lbl.o = cl.k""".stripMargin,
     // contribute-to-neighbors replayed as a 3×3 offset cross join over
     // the same per-cell cents; sum(BIGINT) is HUGEINT in DuckDB → CAST
     "wro_focal_stats" ->
