@@ -349,6 +349,55 @@ object TextAnalysis {
                 .as("oov_rate"))
   }
 
+  /** D39: DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169
+    * — the published alternative to binary quality gates: estimate per-
+    * document importance weights w(x) ≈ p_target(x)/p_raw(x) from
+    * hashed n-gram features of a TARGET corpus vs the RAW pool, then
+    * resample the pool toward the target distribution). Features are
+    * hashed word unigrams in a fixed 256-bucket space (the d28 hashing
+    * trick — vocabulary-free, model size constant; md5-prefix bucket =
+    * the cross-engine-hash policy). The log-likelihood ratio is kept
+    * EXACT with the d13 integer-log discipline: per token,
+    *   llr += ⌊log2(N_r·(c_t(b)+1))⌋ − ⌊log2(N_t·(c_r(b)+1))⌋,
+    * the order-of-magnitude form of log[(c_t+1)/N_t] − log[(c_r+1)/N_r]
+    * (Laplace-smoothed), computed as binary-string lengths of BIGINT
+    * products — no floating logs, order-independent, engine-portable.
+    * Positive llr ⇒ the document looks more like the target than the
+    * pool; the resampling draw itself is the caller's post-step (it
+    * needs randomness the gate forbids).
+    *
+    * Plan shape — BOTH distributions in one pass: the token stream is
+    * exploded once, bucket counts for raw and target come out of the
+    * SAME keyed aggregate (count + conditional count — no second scan
+    * of the corpus), the ≤256-row model and 1-row totals broadcast, and
+    * the per-doc fold is a map-side-combined aggregate over rows that
+    * never left their document's partition. Corpus text is never
+    * shuffled; at 100 TB the model stays KBs regardless of corpus or
+    * vocabulary size — the hashing trick's point. */
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+                  isTarget: Column): DataFrame = {
+    val t = docs
+      .select(id.as("doc_id"), isTarget.as("tgt"),
+        explode(split(text, " ")).as("tok"))
+      .withColumn("b",
+        conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
+    val model = t.groupBy("b").agg(count(lit(1)).as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val tot = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val scored = t.join(broadcast(model), "b")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum((length(bin(col("nr") * (col("ct") + 1))) - 1).cast("long") -
+            (length(bin(col("nt") * (col("cr") + 1))) - 1).cast("long"))
+          .as("llr"))
+    docs.select(id.as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("llr"), lit(0L)).cast("long").as("llr"))
+  }
+
   /** D6: per-source quality statistics. Counts/sums are exact; the one
     * order-dependent float (mean of per-doc stopword ratios) is rounded. */
   def qualityBySource(docs: DataFrame, stopwords: Seq[String]): DataFrame = {

@@ -1166,6 +1166,12 @@ object LlmQueries {
   def d13LmSurprise(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramSurprise(docs(s, dir), col("doc_id"), col("text"))
 
+  /** D39: DSIR importance weights with the English documents as the
+    * target corpus — see [[TextAnalysis.dsirWeights]]. */
+  def d39Dsir(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(docs(s, dir), col("doc_id"), col("text"),
+      col("lang") === "en")
+
   /** D12: one distributed Lloyd iteration over the embeddings fixture —
     * K=8 seeds, fixed-point-exact assignment + centroid accumulators
     * (see [[graft.llm.KMeans]]). */
@@ -1307,6 +1313,7 @@ object LlmQueries {
     "d12_kmeans" -> d12Kmeans,
     "d12_kmeans2" -> d12Kmeans2,
     "d13_lm_surprise" -> d13LmSurprise,
+    "d39_dsir" -> d39Dsir,
     "d14_chunk_overlap" -> d14ChunkOverlap,
     "d15_bpe_pairs" -> d15BpePairs,
     "d15_bpe_encode" -> d15BpeEncode,
@@ -3448,6 +3455,39 @@ object LlmQueries {
     "d15_bpe_encode" -> bpeEncodeOracle(bpeEncodeMerges),
     "d15_bpe_tokens" -> bpeTokensOracle(bpeEncodeMerges),
     "pipe_tokenized_pack" -> pipeTokenizedPackOracle(bpeEncodeMerges),
+    // DSIR: both distributions from ONE token stream (count + filtered
+    // count per bucket); the integer-log LLR replayed via binary-string
+    // lengths of the same BIGINT products — the d13 no-floating-logs
+    // policy, the d28 md5-prefix bucket
+    "d39_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b,
+        |    tgt
+        |  FROM t),
+        |model AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+        |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM tb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |               CAST(sum(ct) AS BIGINT) AS nt FROM model),
+        |s AS (
+        |  SELECT tb.doc_id, count(*) AS n_tok,
+        |    sum(CAST(length(printf('%b', tot.nr * (model.ct + 1))) - 1
+        |             AS BIGINT) -
+        |        CAST(length(printf('%b', tot.nt * (model.cr + 1))) - 1
+        |             AS BIGINT)) AS llr
+        |  FROM tb JOIN model USING (b), tot
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_tok, 0) AS BIGINT) AS n_tok,
+        |  CAST(coalesce(s.llr, 0) AS BIGINT) AS llr
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     // integer LM surprise: floor(log2(N/c)) per bigram via binary-string
     // length — exact integers end to end, no floating logs to drift.
     "d13_lm_surprise" ->

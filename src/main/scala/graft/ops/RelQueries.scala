@@ -1668,6 +1668,43 @@ object RelQueries {
           .as("err_cents"))
   }
 
+  /** A27 — exact interpolated PERCENTILE_CONT in fixed point. a14 gave
+    * percentile_disc (a value FROM the group); the CONT form
+    * interpolates BETWEEN order statistics — v_lo + frac·(v_hi−v_lo)
+    * at pos = p·(n−1) — and every engine's builtin divides in its own
+    * order, so the gate carries the result ×4: for p ∈ {¼,½,¾},
+    * 4·pos = p4·(n−1) is an INTEGER, frac4 = (p4·(n−1)) mod 4, and
+    *   p_x4 = v[k]·(4−frac4) + v[k+1]·frac4,  k = (p4·(n−1)) div 4 + 1,
+    * exact BIGINT quarter-units (quantity is integral — the GIS18
+    * verified domain). The division by 4 is the caller's monotone
+    * post-step. Ties need no tiebreak: rank positions among equal
+    * values hold equal values, so v[k] is determined by the sorted
+    * MULTISET alone. Shape: ONE rank window per group (n rides the
+    * same partition as an unbounded count — no second exchange), then
+    * one aggregate selecting the ≤2 contributing rows per percentile
+    * via rn predicates — no per-group value buffer materializes (the
+    * a14 anti-ObjectHashAggregate stance, extended to interpolation). */
+  def a27PercentileCont(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("v")
+    val wn = Window.partitionBy("l_returnflag")
+    val base = table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    def px4(p4: Int) = {
+      val pos4 = lit(p4.toLong) * (col("n") - 1)
+      // exact: pos4 − pos4%4 is divisible by 4, the double division is
+      // of integers ≪ 2^53
+      val k = ((pos4 - pos4 % 4) / 4).cast("long") + 1
+      val frac4 = pos4 % 4
+      sum(when(col("rn") === k, col("v") * (lit(4) - frac4))
+            .when(col("rn") === k + 1 && frac4 > 0, col("v") * frac4))
+    }
+    base.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), px4(1).as("p25_x4"),
+           px4(2).as("p50_x4"), px4(3).as("p75_x4"))
+  }
+
   def a14ExactPercentile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.95 -> "p95")
@@ -2539,6 +2576,7 @@ object RelQueries {
     "a4_approx_distinct" -> a4ApproxDistinct,
     "a11_approx_percentile" -> a11ApproxPercentile,
     "a14_exact_percentile" -> a14ExactPercentile,
+    "a27_percentile_cont" -> a27PercentileCont,
     "a20_weighted_percentile" -> a20WeightedPercentile,
     "a5_rollup" -> a5Rollup,
     "a6_collect" -> a6Collect,
@@ -2944,6 +2982,19 @@ object RelQueries {
         |  quantile_disc(l_quantity, 0.5) AS p50,
         |  quantile_disc(l_quantity, 0.95) AS p95,
         |  count(*) AS n, 1 AS within_tol
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // INDEPENDENT formulation: DuckDB's native quantile_cont ×4 — the
+    // interpolation fractions are quarters, so the double result is
+    // exact and ×4 is integral; the window-free builtin must agree with
+    // the rank-window fixed-point decomposition
+    "a27_percentile_cont" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(round(quantile_cont(l_quantity, 0.25) * 4) AS BIGINT)
+        |    AS p25_x4,
+        |  CAST(round(quantile_cont(l_quantity, 0.5) * 4) AS BIGINT)
+        |    AS p50_x4,
+        |  CAST(round(quantile_cont(l_quantity, 0.75) * 4) AS BIGINT)
+        |    AS p75_x4
         |FROM lineitem GROUP BY 1""".stripMargin,
     // DuckDB has no weighted quantile either — same running-weight
     // decomposition, same BIGINT cross-multiplied thresholds

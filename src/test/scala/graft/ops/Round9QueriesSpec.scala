@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.llm.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Differential tests for the round-9 relational/LLM gates: each is
+  * checked against an INDEPENDENT second computation — Spark's native
+  * interpolated percentile for a27, a driver-side brute-force md5
+  * recount for d39. */
+class Round9QueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("a27: quarter-unit decomposition equals Spark's native " +
+       "interpolated percentile x4") {
+    val got = RelQueries.a27PercentileCont(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // native percentile: interpolation fractions are quarters, so the
+    // double result ×4 is exactly integral
+    val exp = graft.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        (percentile(col("l_quantity"), lit(0.25)) * 4).cast("long").as("a"),
+        (percentile(col("l_quantity"), lit(0.5)) * 4).cast("long").as("b"),
+        (percentile(col("l_quantity"), lit(0.75)) * 4).cast("long").as("c"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == exp && got.size == 3)
+  }
+
+  test("d39: integer-log LLR equals brute-force md5 recount, target " +
+       "docs score above pool average") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog ran to the cat", "en"),
+      (3L, "le chien et le chat", "fr"),
+      (4L, "el perro y el gato", "es"),
+      (5L, "the cat and the dog sat", "en"),
+      (6L, "le chat sat on le mat", "fr")).toDF("doc_id", "text", "lang")
+    def bucket(tok: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      ((d(0) & 0xff))
+    }
+    def l2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val toks = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1).split(" ").toSeq, r.getString(2)))
+    val all = toks.flatMap { case (_, ts, lg) => ts.map(t => (bucket(t), lg)) }
+    val cr = all.groupBy(_._1).map { case (b, xs) => b -> xs.size.toLong }
+    val ct = all.filter(_._2 == "en").groupBy(_._1)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val (nr, nt) = (all.size.toLong, all.count(_._2 == "en").toLong)
+    val exp = toks.map { case (id, ts, _) =>
+      id -> (ts.size.toLong, ts.map { t =>
+        val b = bucket(t)
+        l2(nr * (ct.getOrElse(b, 0L) + 1)) - l2(nt * (cr(b) + 1))
+      }.sum)
+    }.toMap
+    val got = TextAnalysis.dsirWeights(docs, col("doc_id"), col("text"),
+        col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp)
+    // the statistic discriminates: mean llr of target docs exceeds mean
+    // llr of non-target docs on this planted corpus
+    val en = toks.filter(_._3 == "en").map(x => got(x._1)._2)
+    val non = toks.filter(_._3 != "en").map(x => got(x._1)._2)
+    assert(en.sum.toDouble / en.size > non.sum.toDouble / non.size)
+  }
+}
