@@ -379,6 +379,81 @@ object LlmQueries {
       ctx = 1024)
   }
 
+  /** PIPE13: the Dolma-shaped corpus-prep capstone (Soldaini et al.
+    * 2024, arXiv:2402.00159 — AI2's open pipeline, whose DISTINCTIVE
+    * stages vs C4/CCNet/FineWeb/DCLM are in-flight PII MASKING and
+    * PARAGRAPH-granular dedup), composed in the published order:
+    * (1) language gate first (Dolma runs fastText langid before
+    * everything; re-expressed as lexicon-vote agreement, the
+    * established fixture form) — the lexicon trains on the full
+    * arriving corpus, pre-gate, unlike C4's post-dedup placement;
+    * (2) PII masking (d10's email/phone/IP sentinel chain — Dolma
+    * masks rather than drops; no other capstone exercises redaction
+    * in-pipeline), with PII planted on every 17th doc exactly as the
+    * d10 gate plants it, so the stage is non-vacuous; (3) PARAGRAPH
+    * dedup — 8-word paragraphs (vs C4's 4-word lines: coarser
+    * granularity is the Dolma paper's choice), corpus-wide keep-first
+    * via [[Dedup.lineDedup]], then a ≥3-paragraph floor; (4) EXACT
+    * document dedup AFTER the rewrite — Dolma's doc-level Bloom pass;
+    * rewriting first means docs that became identical BY paragraph
+    * removal also collapse; made provably load-bearing the
+    * pipe_dclm/semdedup planted-twin way (every 13th surviving doc
+    * mirrors at doc_id − 2·10⁶ with source='mirror'; the mirror wins
+    * keep-first, moving the accounting row — delete the stage and
+    * both copies double-count); (5) per-(lang, source) accounting
+    * carrying the two Dolma-specific measures: paragraphs removed and
+    * redactions made. Text shuffles only at the paragraph-hash and
+    * doc-hash grains ((xxhash64, md5) pairs, never raw text); the
+    * lexicon/votes are the langid aggregates; the mirror union is
+    * fact-local. Funnel at gate SF: 500 → langid-agreeing survivors →
+    * paragraph-floored → mirrors planted → deduped. */
+  def pipeDolmaCorpus(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" contact bob@example.org or " +
+            "555-123-4567 from 10.0.0.1")))
+          .otherwise(col("text")).as("text"))
+      .localCheckpoint()
+    val pred = TextAnalysis.langId(planted, col("doc_id"), col("text"),
+      col("lang"))
+    val (red, nred) = TextAnalysis.redactionOf(col("text"))
+    val masked = planted.join(pred, "doc_id")
+      .filter(col("pred_lang") === col("lang"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        red.as("text"), nred.as("n_red"))
+    val para = masked.select(col("doc_id"), col("lang"), col("source"),
+        col("n_red"),
+        expr("array_join(transform(sequence(1, (size(split(text, ' ')) + 7)" +
+          " div 8), i -> array_join(slice(split(text, ' '), (i - 1) * 8 + 1," +
+          " 8), ' ')), chr(10))").as("text"))
+      .localCheckpoint()
+    val rewritten = Dedup.lineDedup(para, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_removed"), col("new_text"))
+    val flo = para.join(rewritten, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_red"),
+        coalesce(col("new_text"), col("text")).as("text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .filter(size(split(col("text"), "\n")) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_red"),
+        col("n_removed"), translate(col("text"), "\n", " ").as("text"))
+    val withMirror = flo.unionByName(
+        flo.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") - 2000000L).as("doc_id"), col("lang"),
+            lit("mirror").as("source"), col("n_red"), col("n_removed"),
+            col("text")))
+      .localCheckpoint()
+    val keepIds = withMirror
+      .groupBy(xxhash64(col("text")).as("h"), md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    withMirror.join(keepIds, Seq("doc_id"), "left_semi")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_words"),
+        sum("n_removed").as("paras_removed"),
+        sum("n_red").as("sum_redactions"))
+  }
+
   /** PIPE10: the DCLM-Baseline-shaped corpus-prep capstone (Li et al.
     * 2024, arXiv:2406.11794) — the published pipeline whose
     * DISTINCTIVE stage vs C4/CCNet/FineWeb is model-based TOP-SLICE
@@ -1333,6 +1408,7 @@ object LlmQueries {
     "d31_line_dedup" -> d31LineDedup,
     "pipe_ccnet_corpus" -> pipeCcnetCorpus,
     "pipe_c4_corpus" -> pipeC4Corpus,
+    "pipe_dolma_corpus" -> pipeDolmaCorpus,
     "pipe_fineweb_corpus" -> pipeFinewebCorpus,
     "pipe_dclm_corpus" -> pipeDclmCorpus,
     "pipe_rpv2_signals" -> pipeRpv2Signals,
@@ -2535,6 +2611,91 @@ object LlmQueries {
         |FROM floored f JOIN pred p
         |  ON f.doc_id = p.doc_id AND f.lang = p.pred_lang
         |GROUP BY 1, 2""".stripMargin,
+    // the Dolma chain replayed stage for stage: plant → lexicon-vote
+    // langid → the d10 redaction chain → 8-word paragraph rank-dedup →
+    // ≥3-paragraph floor → mirror union → md5-keyed exact dedup
+    "pipe_dolma_corpus" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN text || ' contact bob@example.org or 555-123-4567 from 10.0.0.1'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |toks0 AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |          FROM corpus),
+        |freq AS (SELECT lang, tok, count(*) AS n FROM toks0 GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT lang AS lex_lang, tok FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |               ORDER BY n DESC, tok ASC) AS rk FROM freq)
+        |  WHERE rk <= 10),
+        |votes AS (
+        |  SELECT t.doc_id, l.lex_lang, count(*) AS votes
+        |  FROM toks0 t JOIN lex l ON t.tok = l.tok
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, lex_lang AS pred_lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY votes DESC, lex_lang ASC) AS rk FROM votes)
+        |  WHERE rk = 1),
+        |gated AS (
+        |  SELECT c.doc_id, c.lang, c.source, c.text
+        |  FROM corpus c JOIN pred p
+        |    ON p.doc_id = c.doc_id AND p.pred_lang = c.lang),
+        |r1 AS (
+        |  SELECT doc_id, lang, source,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c
+        |  FROM gated),
+        |r2 AS (
+        |  SELECT doc_id, lang, source,
+        |    regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t,
+        |    c + len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS c
+        |  FROM r1),
+        |r3 AS (
+        |  SELECT doc_id, lang, source,
+        |    regexp_replace(t,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text,
+        |    c + len(regexp_extract_all(t,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_red
+        |  FROM r2),
+        |w AS (SELECT doc_id, lang, source, n_red,
+        |        string_split(text, ' ') AS ws FROM r3),
+        |paras AS (
+        |  SELECT doc_id, i.x AS pos,
+        |    array_to_string(ws[(i.x-1)*8 + 1 : (i.x-1)*8 + 8], ' ') AS para
+        |  FROM w, LATERAL (SELECT unnest(range(1, (len(ws) + 7) // 8 + 1)) AS x) i),
+        |ranked AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY para) AS n_occ
+        |  FROM paras),
+        |doc2 AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(para ORDER BY pos), ' ') AS text,
+        |    count(*) AS n_kept
+        |  FROM ranked WHERE n_occ = 1 OR rn = 1 GROUP BY 1),
+        |nl AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY 1),
+        |flo AS (
+        |  SELECT w.doc_id, w.lang, w.source, w.n_red, d2.text,
+        |    nl.n_paras - d2.n_kept AS n_removed
+        |  FROM w JOIN nl USING (doc_id) JOIN doc2 d2 ON d2.doc_id = w.doc_id
+        |  WHERE d2.n_kept >= 3),
+        |wm AS (
+        |  SELECT * FROM flo
+        |  UNION ALL
+        |  SELECT doc_id - 2000000, lang, 'mirror', n_red, text, n_removed
+        |  FROM flo WHERE doc_id % 13 = 0),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM wm GROUP BY md5(text)),
+        |dd AS (SELECT wm.* FROM wm SEMI JOIN keep USING (doc_id))
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+        |  CAST(sum(n_removed) AS BIGINT) AS paras_removed,
+        |  CAST(sum(n_red) AS BIGINT) AS sum_redactions
+        |FROM dd GROUP BY 1, 2""".stripMargin,
     // C4 line dedup replayed by window rank over the same 4-word
     // chunking; new_text rebuilt positionally (empty-list
     // array_to_string is NULL in DuckDB where Spark's array_join is

@@ -372,7 +372,31 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // is a bounded in-row filter, the observer row broadcasts
     "wro_viewshed" -> 2,
     // nation broadcasts; one collect aggregate, sort at finish
-    "a26_listagg" -> 1)
+    "a26_listagg" -> 1,
+    // per-cell agg + the rook pair join's fan-out leg + the scalar
+    // folds (the checkpointed deviation grid hides its own build)
+    "wro_moran" -> 3,
+    // the 3x3 focal fan-out aggregate + the cached grid's semi join;
+    // the moment row broadcasts
+    "wro_gi_star" -> 2,
+    // one target aggregate past the cached grid; the anti-join
+    // broadcasts the present set
+    "wro_idw" -> 1,
+    // per-cell agg + the corner-role target aggregate — no join at all
+    "wro_resample_bilinear" -> 2,
+    // visible past the checkpointed CC labels: the edge fan-out join +
+    // the final label attach
+    "wro_region_group" -> 2,
+    // ONE returnflag exchange serves the rank window, the partition
+    // count, and the final group-by — the a14 reuse discipline extended
+    // to interpolation
+    "a27_percentile_cont" -> 1,
+    // token bucket model agg + the per-doc fold + the doc left join;
+    // model and totals broadcast
+    "d39_dsir" -> 4,
+    // langid lexicon/votes + paragraph-hash dedup + the final
+    // accounting; checkpoints bound the visible plan
+    "pipe_dolma_corpus" -> 4)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
