@@ -360,20 +360,31 @@ object Dedup {
     * pipeline that drops `b` for every (a,b) pair over-deletes chains;
     * the component view keeps exactly one doc per cluster.
     *
-    * Pregel-style iterative min-label propagation: each round is one
-    * fully-distributed join+groupBy (labels flow over edges, every node
-    * takes the min of its neighborhood), repeated until a fixpoint. The
-    * driver-side loop is the standard shape for iterative graph algs on
-    * DataFrames (cf. GraphX Pregel): per-round work is distributed, the
-    * driver only counts changed labels, and `localCheckpoint` truncates
-    * the growing lineage each round. Each round also pointer-jumps —
-    * follows the freshly-propagated label one more hop through the label
-    * table itself — so label distance doubles per round and convergence
-    * is O(log diameter), not O(diameter) (the shortcutting step of
-    * Kiveris et al., "Connected Components in MapReduce"): maxIter = 25
-    * covers components of diameter ~2^25. If a pathological input still
-    * fails to converge the call FAILS LOUDLY rather than returning
-    * silently-wrong intermediate labels. */
+    * Algorithm: QUOTIENT-GRAPH HOOKING with path compression (the
+    * alternating-star family — Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"). Per round: (1) lift the edge set to label
+    * space ((lbl(u), lbl(v)) for each edge, self-edges dropped) and let
+    * every SUPERNODE adopt its minimum neighboring supernode — hooking
+    * merges whole current components per round, where per-NODE min-label
+    * propagation advances one grid step; (2) compress twice
+    * (lbl ← lbl(lbl)). Labels only decrease, so no cycles form and the
+    * fixpoint is the per-component minimum. Empirically a 7k-node grid
+    * component of diameter ~150 converges in 5 rounds where plain
+    * per-node propagation + one jump was still moving at round 25 (the
+    * wro_region_group sf0.1 stressor that motivated this form).
+    *
+    * SCALE PITFALL, learned the hard way: Spark 4's `localCheckpoint`
+    * materializes the DATA but carries the child plan's ESTIMATED
+    * statistics into the LogicalRDD. An iterative loop whose round plan
+    * joins k times multiplies sizeInBytes estimates, so the estimate
+    * grows as size^(k^round) — a BigInteger whose DIGIT COUNT doubles
+    * per round. By round ~20 the driver spends minutes per round inside
+    * BigInteger math in SizeInBytesOnlyStatsPlanVisitor (observed:
+    * 10s → 30s → 86s → 245s → 646s per round). The fix is the RDD
+    * round-trip below, which rebuilds the frame from the materialized
+    * rows and RESETS the statistics each round. If a pathological input
+    * still fails to converge in maxIter rounds the call FAILS LOUDLY
+    * rather than returning silently-wrong intermediate labels. */
   def dedupClusters(pairs: DataFrame, aId: Column, bId: Column,
                     maxIter: Int = 25): DataFrame = {
     // materialize the (small) pair set once: nodes/edges reference it
@@ -382,66 +393,63 @@ object Dedup {
     val und = pairs.select(aId.cast("long").as("src"),
                            bId.cast("long").as("dst"))
       .localCheckpoint()
+    val spark = und.sparkSession
     // data-driven loop parallelism: the pair graph is orders of magnitude
     // smaller than the corpus (pairs ARE the near-dups), so running the
     // iteration at corpus parallelism pays ~full shuffle overhead per
     // round for near-empty partitions. Size partitions from the measured
-    // edge count (~100k edges/partition), clamped to the session default —
-    // a thousand-edge graph iterates on 1 partition, a billion-edge graph
-    // still fans out. Pre-partitioning edges on the join key also lets
-    // every round reuse that layout (localCheckpoint preserves
-    // outputPartitioning): only the label side reshuffles per round.
+    // edge count (~100k edges/partition), clamped to the session default.
     val p = math.max(1L, math.min(
-      und.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      spark.sessionState.conf.numShufflePartitions.toLong,
       und.count() / 100000L + 1L)).toInt
     val nodes = und.select(col("src").as("id"))
       .union(und.select(col("dst").as("id"))).distinct()
-    // symmetric closure + self-loops, so one join+min covers "my label
-    // vs all my neighbours' labels" without a second left join
-    val edges = und
+    val sym = und
       .union(und.select(col("dst").as("src"), col("src").as("dst")))
-      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
       .repartition(p, col("src"))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("cluster_id"))
+    // stats reset (see scaladoc): rebuild from materialized rows so the
+    // LogicalRDD does not inherit the round plan's multiplied estimates
+    def fresh(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
       .repartition(p, col("id"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // the self-loop row carries the node's own (previous) label, so
-      // one groupBy yields both the new label and the convergence
-      // signal — no second join to diff against the prior round
-      val prop = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst").as("nid"))
-        .agg(min(col("cluster_id")).as("lbl"),
-             min(when(col("src") === col("dst"), col("cluster_id")))
-               .as("prev"))
-      // pointer-jumping: every label value is itself a node id, so follow
-      // it one more hop through the label table (label(label(x))) — this
-      // doubles the propagated distance each round, making round count
-      // O(log diameter) instead of O(diameter)
-      val next = prop
-        .join(labels.select(col("id").as("jid"),
-                            col("cluster_id").as("jlbl")),
-              col("lbl") === col("jid"), "left")
-        .select(col("nid"),
-                least(col("lbl"), coalesce(col("jlbl"), col("lbl")))
-                  .as("cluster_id"),
-                col("prev"))
-        // keep the label table partitioned on the node id at the loop's
-        // parallelism, so next round's edges-side join needs no exchange
-        .repartition(p, col("nid"))
-        .localCheckpoint()
-      changed = next.filter(col("cluster_id") =!= col("prev")).count()
-      labels = next.select(col("nid").as("id"), col("cluster_id"))
+      // (1) hook: edges in label space; every supernode adopts its
+      // minimum neighboring supernode — one keyed aggregate over the
+      // lifted edges, merging whole components per round
+      val le = sym
+        .join(labels.select(col("id").as("src"), col("lbl").as("ls")), "src")
+        .join(labels.select(col("id").as("dst"), col("lbl").as("ld")), "dst")
+        .filter(col("ls") =!= col("ld"))
+      val upd = le.groupBy(col("ls")).agg(min(col("ld")).as("cand"))
+      val hooked = fresh(labels
+        .join(upd, col("lbl") === col("ls"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
+        .repartition(p, col("id")))
+      // (2) compress twice: lbl <- lbl(lbl); hooked is checkpointed so
+      // the double self-reference re-reads rows, not the hook plan
+      def jump(df: DataFrame): DataFrame = df
+        .join(df.select(col("id").as("jid"), col("lbl").as("jl")),
+          col("lbl") === col("jid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("jl"), col("lbl"))).as("lbl"),
+          col("prev"))
+      val next = fresh(jump(jump(hooked)).repartition(p, col("id")))
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
     require(changed == 0,
-      s"dedupClusters did not converge in $maxIter rounds — component " +
-      "diameter exceeds 2^maxIter, which indicates a pathological (non-" +
-      "near-dup) edge set; raise maxIter or pre-partition the graph")
-    labels.select(col("id").as("doc_id"), col("cluster_id"))
+      s"dedupClusters did not converge in $maxIter rounds of quotient " +
+      "hooking + compression, which indicates a pathological edge set; " +
+      "raise maxIter or pre-partition the graph")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /** D30: CONTAINMENT near-dup pairs — the ASYMMETRIC overlap measure

@@ -883,6 +883,38 @@ object RelQueries {
         row_number().over(wl).as("rk_nulls_last"))
   }
 
+  /** O10 — 2-D SKYLINE / Pareto front (the multi-criteria dominance
+    * query — "no other point is ≥ on both dims and > on one"):
+    * maximize (quantity, extendedprice) over lineitem. The scalable
+    * decomposition exploits the dominance-preserving reduction: any
+    * pair (u, c) with c < max-cents-at-u is dominated WITHIN its u
+    * slice, so per-u argmax (one hash aggregate, map-side combined)
+    * shrinks the fact table to the u-domain (≤50 rows) before the
+    * front test runs — the front itself is then the classic 2-D
+    * sort-scan: survive iff cents STRICTLY exceeds the running max
+    * over all higher u (equal cents at higher u dominates). The
+    * unpartitioned window is bounded by the u domain, never the fact
+    * table — at any SF the frame is ≤50 rows (a wider value domain
+    * buckets first; the reduction is the same). Each front pair
+    * carries n_rows, the fact multiplicity of the exact (u, cents)
+    * point, folded through the two-level aggregate — no join back.
+    * The oracle recomputes the front by NOT-EXISTS dominance — the
+    * definitional independent formulation. */
+  def o10Skyline(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("u").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    table(s, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("u"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy("u", "cents").agg(count(lit(1)).as("n"))
+      .groupBy("u")
+      .agg(max(struct(col("cents"), col("n"))).as("m"))
+      .select(col("u"), col("m.cents").as("cents"), col("m.n").as("n_rows"))
+      .withColumn("hi", max("cents").over(w))
+      .filter(col("hi").isNull || col("cents") > col("hi"))
+      .select("u", "cents", "n_rows")
+  }
+
   // ---------- F: scalar function families ----------
 
   /** F1: string family over part names. */
@@ -2594,6 +2626,7 @@ object RelQueries {
     "o1_sort" -> o1Sort,
     "o2_topk" -> o2TopK,
     "o6_pagination" -> o6Pagination,
+    "o10_skyline" -> o10Skyline,
     "a16_conditional_agg" -> a16ConditionalAgg,
     "a18_sketch_rollup" -> a18SketchRollup,
     "a19_incremental_mv" -> a19IncrementalMv,
@@ -3016,6 +3049,24 @@ object RelQueries {
         |  min(CASE WHEN cumw * 4 >= totw * 3 THEN cents END) AS wp75,
         |  CAST(sum(wq) AS BIGINT) AS total_weight
         |FROM r GROUP BY 1""".stripMargin,
+    // the definitional NOT-EXISTS dominance over the per-u maxima (the
+    // dominance-preserving reduction is shared; the FRONT test is the
+    // independent formulation), multiplicities joined back from p
+    "o10_skyline" ->
+      """WITH p AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS u,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT u, max(cents) AS cents FROM p GROUP BY 1),
+        |f AS (
+        |  SELECT a.u, a.cents FROM m a
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM m b
+        |    WHERE b.u >= a.u AND b.cents >= a.cents
+        |      AND (b.u > a.u OR b.cents > a.cents)))
+        |SELECT f.u, f.cents, CAST(p.n AS BIGINT) AS n_rows
+        |FROM f JOIN p ON p.u = f.u AND p.cents = f.cents""".stripMargin,
     "a5_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -852,6 +852,34 @@ object WroQueries {
         (col("mn_cls") =!= col("mx_cls")).cast("int").as("is_boundary"))
   }
 
+  /** GIS22 — TOPOGRAPHIC WETNESS INDEX (Beven-Kirkby 1979 — the
+    * hydrology composite Esri documents as Ln(flow-accumulation /
+    * tan(slope)); the capstone of the D8 trio: direction → accumulation
+    * → wetness): per complete-neighborhood cell, the specific
+    * catchment proxy a = 1 + n_upstream (GIS9's ≤10-hop distinct
+    * origin count; cells off the drainage graph get a = 1) over the
+    * gradient magnitude (GIS4's exact integers). TWI is monotone in
+    * a²/|∇z|², so the CLASS — wet = #{t ∈ {10⁴,10⁵,10⁶} :
+    * a²·10⁶ ≥ t·g2}, g2 = gx²+gy² — needs neither ln, sqrt, nor
+    * division: BIGINT cross-multiplies only (a ≤ 10⁴, a²·10⁶ ≤ 10¹⁴;
+    * g2 ≤ 3.4·10⁹, ·10⁶ ≤ 3.4·10¹⁵ — int64-safe). Flat complete
+    * neighborhoods (g2 = 0) class maximally wet, the standard TWI
+    * convention. Emitted: (r, c, a, g2, wet_class) — a and g2 exact,
+    * the class the only derived value. Shape: the two proven subplans
+    * joined once on (r, c), both raster-domain bounded; at 100 TB the
+    * join co-partitions on the cell key both sides already carry. */
+  def twi(spark: SparkSession, dir: String): DataFrame = {
+    val a = coalesce(col("n_upstream"), lit(0L)) + 1
+    val g2 = col("gx") * col("gx") + col("gy") * col("gy")
+    val wet = (a * a * 1000000L >= g2 * 10000L).cast("int") +
+      (a * a * 1000000L >= g2 * 100000L).cast("int") +
+      (a * a * 1000000L >= g2 * 1000000L).cast("int")
+    slope(spark, dir)
+      .join(flowAccumulation(spark, dir), Seq("r", "c"), "left")
+      .select(col("r"), col("c"), a.as("a"), g2.as("g2"),
+        wet.as("wet_class"))
+  }
+
   /** The exact-units grid shared by the spatial-statistics gates
     * (GIS17–GIS19): quantity is integral 1..50 in every fixture
     * generation (verified at all SFs), so the per-cell max casts to
@@ -1255,6 +1283,7 @@ object WroQueries {
     "wro_idw" -> idw,
     "wro_resample_bilinear" -> resampleBilinear,
     "wro_region_group" -> regionGroup,
+    "wro_twi" -> twi,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -1467,6 +1496,41 @@ object WroQueries {
         |  CAST(CASE WHEN (8 - mkey // 16) * 2 > n_nbr THEN mkey % 16
         |       ELSE own_cls END AS INT) AS out_cls
         |FROM agg WHERE present = 1""".stripMargin,
+    // the flow-accumulation recursive walk + the slope stencil composed
+    // from the SAME shared cents grid, identical cross-multiplied class
+    "wro_twi" ->
+      s"""WITH RECURSIVE $d8OracleCtes,
+        |fd AS (SELECT r, c, code AS d8 FROM rk WHERE rn = 1 AND nn = 8),
+        |off(code, dr, dc) AS (VALUES (1,0,1),(2,1,1),(4,1,0),(8,1,-1),
+        |  (16,0,-1),(32,-1,-1),(64,-1,0),(128,-1,1)),
+        |e AS (SELECT fd.r * 100 + fd.c AS u,
+        |        (fd.r + off.dr) * 100 + (fd.c + off.dc) AS v
+        |      FROM fd JOIN off ON fd.d8 = off.code),
+        |p(u, v, d) AS (
+        |  SELECT u, v, 1 FROM e
+        |  UNION ALL
+        |  SELECT p.u, e.v, d + 1 FROM p JOIN e ON e.u = p.v WHERE d < 10),
+        |acc AS (SELECT v // 100 AS r, v % 100 AS c,
+        |          count(DISTINCT u) AS n_upstream FROM p GROUP BY 1, 2),
+        |so AS (SELECT unnest([-1, 0, 1]) AS d),
+        |sn AS (SELECT g.r + o1.d AS r, g.c + o2.d AS c,
+        |         g.cents * (-o2.d * (2 - abs(o1.d))) AS xc,
+        |         g.cents * (-o1.d * (2 - abs(o2.d))) AS yc
+        |       FROM g, so o1, so o2),
+        |sl AS (SELECT r, c, CAST(sum(xc) AS BIGINT) AS gx,
+        |         CAST(sum(yc) AS BIGINT) AS gy
+        |       FROM sn WHERE r BETWEEN 0 AND 99 AND c BETWEEN 0 AND 99
+        |       GROUP BY 1, 2 HAVING count(*) = 9),
+        |t AS (SELECT sl.r, sl.c,
+        |        coalesce(acc.n_upstream, 0) + 1 AS a,
+        |        sl.gx * sl.gx + sl.gy * sl.gy AS g2
+        |      FROM sl LEFT JOIN acc ON acc.r = sl.r AND acc.c = sl.c)
+        |SELECT r, c, CAST(a AS BIGINT) AS a, CAST(g2 AS BIGINT) AS g2,
+        |  CAST((CASE WHEN a * a * 1000000 >= g2 * 10000 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN a * a * 1000000 >= g2 * 100000 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN a * a * 1000000 >= g2 * 1000000 THEN 1 ELSE 0 END)
+        |       AS INT) AS wet_class
+        |FROM t""".stripMargin,
     // the k-round Bellman-Ford replayed as a depth-counted recursive
     // walk: the recursive set holds every (≤10-edge path cost, cell)
     // state, so min(d) per cell = min over ≤10-edge paths — exactly

@@ -31,6 +31,45 @@ class Round9QueriesSpec extends SparkSpec {
     assert(got == exp && got.size == 3)
   }
 
+  test("o10: front equals brute-force NOT-EXISTS dominance over all " +
+       "distinct pairs") {
+    val pairs = graft.table(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("u"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .groupBy("u", "c").count().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // definitional skyline over ALL distinct pairs, not the per-u maxima
+    val front = pairs.keySet.filter { case (u, c) =>
+      !pairs.keySet.exists { case (u2, c2) =>
+        u2 >= u && c2 >= c && (u2 > u || c2 > c) }
+    }
+    val got = RelQueries.o10Skyline(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.keySet == front && front.nonEmpty)
+    assert(got.forall { case (k, n) => pairs(k) == n })
+    // front is a strict antichain: sorted by u desc, cents strictly rises
+    val sorted = got.keySet.toSeq.sortBy(-_._1)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => b._2 > a._2 })
+  }
+
+  test("twi: wetness class recomputed from the exact (a, g2) pair; " +
+       "flat ground is maximally wet") {
+    val rows = WroQueries.twi(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getInt(4))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, (a, g2, wet)) =>
+      assert(a >= 1 && g2 >= 0)
+      val exp = Seq(10000L, 100000L, 1000000L)
+        .count(t => a * a * 1000000L >= g2 * t)
+      assert(wet == exp)
+      if (g2 == 0) assert(wet == 3)
+    }
+    // the class is discriminating at fixture scale
+    assert(rows.map(_._2._3).distinct.size >= 2)
+    spark.catalog.clearCache()
+  }
+
   test("d39: integer-log LLR equals brute-force md5 recount, target " +
        "docs score above pool average") {
     import spark.implicits._
