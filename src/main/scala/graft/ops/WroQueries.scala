@@ -563,6 +563,59 @@ object WroQueries {
     best.withColumnRenamed("d", "cost34")
   }
 
+  /** GIS23 — LEAST-COST PATH (Esri Cost Path, the backtrace companion
+    * to GIS11's accumulated-cost field): from the hardest-to-reach
+    * cell (max cost34, ties to the smallest packed key — a
+    * deterministic in-plan choice, no parameter), walk the optimal
+    * route back to a source by repeatedly stepping to THE predecessor
+    * — the neighbor y with d(y) + w(y→x) = d(x) (w = chamfer 3/4),
+    * ties to the minimum packed d·10⁴ + key. The predecessor FUNCTION
+    * is built once as a table (one 8-offset fan-out + equality filter
+    * + min-packed aggregate over the cost field — raster-domain
+    * bounded, the relaxation invariant guarantees every non-source
+    * reachable cell has one); the walk is then ≤k joins of a ONE-ROW
+    * frontier against it, terminating at the source (d = 0 has no
+    * valid predecessor). Emits (seq, r, c, cost34) from destination
+    * (seq 0) down to the source. Stats note: each walk round joins
+    * the frontier against the FIXED pred table, so checkpoint-
+    * inherited size estimates grow geometrically (linear digit
+    * count), not by squaring — the dedupClusters pathology does not
+    * arise. */
+  def leastCostPath(spark: SparkSession, dir: String, k: Int = 10)
+      : DataFrame = {
+    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L; if dr != 0 || dc != 0 }
+      yield (dr, dc, if (dr == 0L || dc == 0L) 3L else 4L)
+    val cost = costDistanceFrom(classedGrid(spark, dir), k)
+      .localCheckpoint()
+    val pred = cost
+      .select(col("r").as("yr"), col("c").as("yc"),
+        col("cost34").as("yd"), explode(typedLit(offs)).as("o"))
+      .select((col("yr") + col("o._1")).as("r"),
+        (col("yc") + col("o._2")).as("c"),
+        col("yr"), col("yc"), col("yd"), col("o._3").as("w"))
+      .join(cost, Seq("r", "c"))
+      .filter(col("yd") + col("w") === col("cost34"))
+      .groupBy("r", "c")
+      .agg(min(col("yd") * 10000 + col("yr") * 100 + col("yc")).as("pk"))
+      .select(col("r"), col("c"), expr("(pk % 10000) div 100").as("pr"),
+        (col("pk") % 100).as("pc"))
+      .localCheckpoint()
+    var frontier = cost
+      .orderBy(col("cost34").desc, (col("r") * 100 + col("c")).asc)
+      .limit(1)
+      .select(lit(0L).as("seq"), col("r"), col("c"))
+      .localCheckpoint()
+    var path = frontier
+    for (_ <- 1 to k) {
+      frontier = frontier.join(pred, Seq("r", "c"))
+        .select((col("seq") + 1).as("seq"), col("pr").as("r"),
+          col("pc").as("c"))
+        .localCheckpoint()
+      path = path.unionByName(frontier)
+    }
+    path.join(cost, Seq("r", "c")).select("seq", "r", "c", "cost34")
+  }
+
   /** GIS12 — EUCLIDEAN ALLOCATION (Esri Euclidean Allocation, the
     * nearest-source Voronoi labeling that pairs with GIS11's
     * distance): every reachable cell is labeled with the SOURCE CELL
@@ -1284,6 +1337,8 @@ object WroQueries {
     "wro_resample_bilinear" -> resampleBilinear,
     "wro_region_group" -> regionGroup,
     "wro_twi" -> twi,
+    "wro_least_cost_path" -> ((s: SparkSession, d: String) =>
+      leastCostPath(s, d)),
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -1548,6 +1603,40 @@ object WroQueries {
         |  WHERE w.i < 10 AND g.r = w.r + o.dr AND g.c = w.c + o.dc)
         |SELECT r, c, CAST(min(d) AS BIGINT) AS cost34
         |FROM walk GROUP BY 1, 2""".stripMargin,
+    // the cost field from the same depth-counted walk; the predecessor
+    // function as a rank-1 window over valid (y, x) steps (independent
+    // of Spark's min-packed aggregate — same total order), then a
+    // linear recursive backtrace from the same argmax destination
+    "wro_least_cost_path" ->
+      s"""WITH RECURSIVE $classedGridSql,
+        |o(dr, dc, w) AS (VALUES (-1,-1,4),(-1,0,3),(-1,1,4),(0,-1,3),
+        |  (0,1,3),(1,-1,4),(1,0,3),(1,1,4)),
+        |walk(i, r, c, d) AS (
+        |  SELECT 0, r, c, CAST(0 AS BIGINT) FROM g WHERE cls = 4
+        |  UNION
+        |  SELECT w.i + 1, g.r, g.c, w.d + o.w
+        |  FROM walk w, o, g
+        |  WHERE w.i < 10 AND g.r = w.r + o.dr AND g.c = w.c + o.dc),
+        |cost AS (SELECT r, c, CAST(min(d) AS BIGINT) AS d
+        |         FROM walk GROUP BY 1, 2),
+        |dest AS (SELECT r, c FROM cost
+        |         ORDER BY d DESC, r * 100 + c ASC LIMIT 1),
+        |pr AS (
+        |  SELECT x.r, x.c, y.r AS yr, y.c AS yc,
+        |    row_number() OVER (PARTITION BY x.r, x.c
+        |      ORDER BY y.d * 10000 + y.r * 100 + y.c) AS rn
+        |  FROM cost x CROSS JOIN o JOIN cost y
+        |    ON y.r = x.r + o.dr AND y.c = x.c + o.dc AND y.d + o.w = x.d),
+        |p1 AS (SELECT r, c, yr, yc FROM pr WHERE rn = 1),
+        |pth(seq, r, c) AS (
+        |  SELECT CAST(0 AS BIGINT), r, c FROM dest
+        |  UNION ALL
+        |  SELECT pth.seq + 1, p1.yr, p1.yc
+        |  FROM pth JOIN p1 ON p1.r = pth.r AND p1.c = pth.c
+        |  WHERE pth.seq < 10)
+        |SELECT pth.seq, pth.r, pth.c, cost.d AS cost34
+        |FROM pth JOIN cost ON cost.r = pth.r AND cost.c = pth.c"""
+        .stripMargin,
     // the same depth-counted walk carrying the packed d·10^4+src key;
     // min(key) = min distance, ties to the smallest source id — the
     // identical total order the Spark side folds

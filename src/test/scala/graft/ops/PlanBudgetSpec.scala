@@ -396,7 +396,16 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d39_dsir" -> 4,
     // langid lexicon/votes + paragraph-hash dedup + the final
     // accounting; checkpoints bound the visible plan
-    "pipe_dolma_corpus" -> 4)
+    "pipe_dolma_corpus" -> 4,
+    // the (u, cents) pair aggregate + the per-u argmax + the value-
+    // domain-bounded front window
+    "o10_skyline" -> 3,
+    // slope's two exchanges + the accumulation aggregate + the (r,c)
+    // join; per-round walk joins hide behind their checkpoints
+    "wro_twi" -> 4,
+    // the final path-cost attach joins; pred table and walk rounds
+    // hide behind their checkpoints
+    "wro_least_cost_path" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {

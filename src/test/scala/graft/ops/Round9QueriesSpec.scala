@@ -70,6 +70,30 @@ class Round9QueriesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("least-cost path: starts at the argmax cell, steps are adjacent " +
+       "with cost dropping by exactly the chamfer weight, ends at a source") {
+    val path = WroQueries.leastCostPath(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(path.nonEmpty && path.head._1 == 0)
+    val cost = WroQueries.costDistance(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // seq 0 is the max-cost cell (ties to smallest packed key)
+    val maxD = cost.values.max
+    val dest = cost.filter(_._2 == maxD).keys.minBy { case (r, c) => r * 100 + c }
+    assert((path.head._2, path.head._3) == dest && path.head._4 == maxD)
+    // each step moves to an adjacent cell and drops cost by its weight
+    path.zip(path.tail).foreach { case ((_, r1, c1, d1), (_, r2, c2, d2)) =>
+      val (dr, dc) = (math.abs(r1 - r2), math.abs(c1 - c2))
+      assert(dr <= 1 && dc <= 1 && (dr, dc) != ((0, 0)))
+      val w = if (dr == 0 || dc == 0) 3 else 4
+      assert(d1 - d2 == w)
+    }
+    // the walk terminates at a source
+    assert(path.last._4 == 0L)
+    spark.catalog.clearCache()
+  }
+
   test("d39: integer-log LLR equals brute-force md5 recount, target " +
        "docs score above pool average") {
     import spark.implicits._
