@@ -933,6 +933,86 @@ object WroQueries {
         wet.as("wet_class"))
   }
 
+  /** GIS24 — COMBINE (Esri Combine, the Local toolset's multi-raster
+    * tool: assign a unique id to every distinct COMBINATION of input
+    * class values and emit the combination raster + its attribute
+    * table): all three layers classed equal-interval (the a9/GIS2
+    * gate-proven break formula, per-layer stats from the same cached
+    * per-cell aggregate), then each distinct (cq, cp, cd) triple gets
+    * a dense id — Esri ids by first-scan order, which is
+    * nondeterministic under parallel scan, so the deterministic twin
+    * ids by the triple's sort order (dense_rank over the DISTINCT
+    * combination set: ≤125 rows, window cost bounded by the class
+    * domain, never the raster). The id table broadcasts back onto the
+    * cells. Emits (r, c, cq, cp, cd, combo_id, combo_n) — raster and
+    * attribute-table join in one frame. */
+  def combine(spark: SparkSession, dir: String): DataFrame = {
+    val pc = perCell(spark, dir).cache()
+    val aggs = layers.flatMap { case (name, _, _) =>
+      Seq(min(col(name)).as(s"mn_$name"), max(col(name)).as(s"mx_$name")) }
+    val stats = pc.agg(aggs.head, aggs.tail: _*)
+    def cls(name: String) =
+      least(floor((col(name) - col(s"mn_$name")) /
+        ((col(s"mx_$name") - col(s"mn_$name")) / lit(5.0))), lit(4))
+        .cast("int")
+    val classed = pc.crossJoin(broadcast(stats))
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % GridW).as("c"),
+        cls("quantity").as("cq"), cls("extendedprice").as("cp"),
+        cls("discount").as("cd"))
+    val combos = classed.groupBy("cq", "cp", "cd")
+      .agg(count(lit(1)).as("combo_n"))
+      .withColumn("combo_id", dense_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy("cq", "cp", "cd")).cast("long"))
+    classed.join(broadcast(combos), Seq("cq", "cp", "cd"))
+      .select("r", "c", "cq", "cp", "cd", "combo_id", "combo_n")
+  }
+
+  /** GIS25 — EXPAND (Esri Expand, the Generalization toolset's
+    * morphological dilation: the chosen zone grows into its
+    * neighbors): class-4 cells (the GIS11 source class) expand by one
+    * cell — a present cell's out class is 4 iff ANY cell in its 3×3
+    * neighborhood carries class 4, else its own class. NoData cells
+    * neither receive nor transmit (absent cells stay absent — Esri's
+    * contract). One contribute-to-neighbors fan-out with the self tag
+    * riding the same rows (the GIS10 shape): max(is4) over
+    * contributions is the any-predicate, no pairwise comparison
+    * materializes. */
+  def expand(spark: SparkSession, dir: String): DataFrame = {
+    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L }
+      yield (dr, dc, if (dr == 0L && dc == 0L) 1 else 0)
+    classedGrid(spark, dir)
+      .select(col("r"), col("c"), col("cls"), explode(typedLit(offs)).as("o"))
+      .select((col("r") + col("o._1")).as("r"), (col("c") + col("o._2")).as("c"),
+        col("cls"), col("o._3").as("self"))
+      .filter(col("r").between(0, GridW - 1) && col("c").between(0, GridW - 1))
+      .groupBy("r", "c")
+      .agg(max(when(col("self") === 1, col("cls"))).as("own_cls"),
+        max(when(col("cls") === 4, 1).otherwise(0)).as("any4"),
+        max("self").as("present"))
+      .filter(col("present") === 1)
+      .select(col("r"), col("c"), col("own_cls"),
+        when(col("any4") === 1, lit(4)).otherwise(col("own_cls"))
+          .as("out_cls"))
+  }
+
+  /** GIS26 — ZONAL GEOMETRY (Esri Zonal Geometry: area, centroid,
+    * extent per zone) over GIS17's converged regions — the proof that
+    * region labels are USEFUL downstream, not just correct: per
+    * region, the cell count (area in cells), the EXACT centroid
+    * numerators (sum_r, sum_c — centroid = sums/n is the caller's
+    * monotone post-divide, the no-division-in-gate policy), and the
+    * bounding extent. One keyed aggregate over the labeled grid; at
+    * 100 TB it co-partitions on the region key the labeling already
+    * produced. */
+  def zonalGeometry(spark: SparkSession, dir: String): DataFrame =
+    regionGroup(spark, dir)
+      .groupBy("cls", "reg_r", "reg_c")
+      .agg(count(lit(1)).as("n_cells"),
+        sum("r").as("sum_r"), sum("c").as("sum_c"),
+        min("r").as("min_r"), max("r").as("max_r"),
+        min("c").as("min_c"), max("c").as("max_c"))
+
   /** The exact-units grid shared by the spatial-statistics gates
     * (GIS17–GIS19): quantity is integral 1..50 in every fixture
     * generation (verified at all SFs), so the per-cell max casts to
@@ -1339,6 +1419,9 @@ object WroQueries {
     "wro_twi" -> twi,
     "wro_least_cost_path" -> ((s: SparkSession, d: String) =>
       leastCostPath(s, d)),
+    "wro_combine" -> combine,
+    "wro_expand" -> expand,
+    "wro_zonal_geometry" -> zonalGeometry,
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -1551,6 +1634,72 @@ object WroQueries {
         |  CAST(CASE WHEN (8 - mkey // 16) * 2 > n_nbr THEN mkey % 16
         |       ELSE own_cls END AS INT) AS out_cls
         |FROM agg WHERE present = 1""".stripMargin,
+    // per-layer equal-interval classes from one stats row; combo ids by
+    // the same dense_rank-over-sorted-triples rule
+    "wro_combine" ->
+      """WITH pc AS (
+        |  SELECT l_orderkey % 10000 AS cell_id,
+        |    max(CAST(l_quantity AS DOUBLE)) AS q,
+        |    max(CAST(l_extendedprice AS DOUBLE)) AS p,
+        |    max(CAST(l_discount AS DOUBLE)) AS d
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT min(q) AS mnq, max(q) AS mxq, min(p) AS mnp,
+        |        max(p) AS mxp, min(d) AS mnd, max(d) AS mxd FROM pc),
+        |cl AS (
+        |  SELECT cell_id // 100 AS r, cell_id % 100 AS c,
+        |    CAST(least(floor((q - mnq) / ((mxq - mnq) / 5.0)), 4) AS INT)
+        |      AS cq,
+        |    CAST(least(floor((p - mnp) / ((mxp - mnp) / 5.0)), 4) AS INT)
+        |      AS cp,
+        |    CAST(least(floor((d - mnd) / ((mxd - mnd) / 5.0)), 4) AS INT)
+        |      AS cd
+        |  FROM pc, s),
+        |combos AS (
+        |  SELECT cq, cp, cd, count(*) AS combo_n,
+        |    CAST(dense_rank() OVER (ORDER BY cq, cp, cd) AS BIGINT)
+        |      AS combo_id
+        |  FROM cl GROUP BY 1, 2, 3)
+        |SELECT cl.r, cl.c, cl.cq, cl.cp, cl.cd,
+        |  combos.combo_id, combos.combo_n
+        |FROM cl JOIN combos USING (cq, cp, cd)""".stripMargin,
+    // the GIS10 fan-out shape; max-of-indicator is the any-4 predicate
+    "wro_expand" ->
+      s"""WITH $classedGridSql,
+        |o AS (SELECT unnest([-1, 0, 1]) AS d),
+        |n AS (SELECT g.r + o1.d AS r, g.c + o2.d AS c, g.cls,
+        |        CASE WHEN o1.d = 0 AND o2.d = 0 THEN 1 ELSE 0 END AS self
+        |      FROM g, o o1, o o2
+        |      WHERE g.r + o1.d BETWEEN 0 AND 99
+        |        AND g.c + o2.d BETWEEN 0 AND 99)
+        |SELECT r, c,
+        |  max(CASE WHEN self = 1 THEN cls END) AS own_cls,
+        |  CAST(CASE WHEN max(CASE WHEN cls = 4 THEN 1 ELSE 0 END) = 1
+        |       THEN 4 ELSE max(CASE WHEN self = 1 THEN cls END) END AS INT)
+        |    AS out_cls
+        |FROM n GROUP BY 1, 2 HAVING max(self) = 1""".stripMargin,
+    // the region-group closure + one aggregate per converged label
+    "wro_zonal_geometry" ->
+      s"""WITH RECURSIVE $unitsGridSql,
+        |cl AS (SELECT r, c, u % 7 AS cls, r * 100 + c AS k FROM g),
+        |e AS (SELECT a.k AS u, b.k AS v
+        |      FROM cl a JOIN cl b
+        |        ON a.cls = b.cls AND
+        |           ((abs(a.r - b.r) = 1 AND a.c = b.c) OR
+        |            (a.r = b.r AND abs(a.c - b.c) = 1))),
+        |reach(o, v) AS (
+        |  SELECT k, k FROM cl
+        |  UNION
+        |  SELECT reach.o, e.v FROM reach JOIN e ON e.u = reach.v),
+        |lbl AS (SELECT o, min(v) AS reg FROM reach GROUP BY o)
+        |SELECT CAST(cl.cls AS BIGINT) AS cls,
+        |  reg // 100 AS reg_r, reg % 100 AS reg_c,
+        |  count(*) AS n_cells,
+        |  CAST(sum(cl.r) AS BIGINT) AS sum_r,
+        |  CAST(sum(cl.c) AS BIGINT) AS sum_c,
+        |  min(cl.r) AS min_r, max(cl.r) AS max_r,
+        |  min(cl.c) AS min_c, max(cl.c) AS max_c
+        |FROM cl JOIN lbl ON lbl.o = cl.k
+        |GROUP BY 1, 2, 3""".stripMargin,
     // the flow-accumulation recursive walk + the slope stencil composed
     // from the SAME shared cents grid, identical cross-multiplied class
     "wro_twi" ->

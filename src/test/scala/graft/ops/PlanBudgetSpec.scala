@@ -405,7 +405,15 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "wro_twi" -> 4,
     // the final path-cost attach joins; pred table and walk rounds
     // hide behind their checkpoints
-    "wro_least_cost_path" -> 2)
+    "wro_least_cost_path" -> 2,
+    // per-cell agg + the distinct-triple agg + its bounded window +
+    // the broadcast attach
+    "wro_combine" -> 4,
+    // cached classed grid + the 3x3 target aggregate
+    "wro_expand" -> 2,
+    // past the checkpointed CC labels: edge fan-out, label attach,
+    // and the per-region aggregate
+    "wro_zonal_geometry" -> 3)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {

@@ -105,6 +105,67 @@ class SpatialStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("combine: dense ids follow triple sort order, attribute counts " +
+       "partition the raster") {
+    val rows = WroQueries.combine(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6))))
+    assert(rows.length == cents.size)
+    // id k = rank of the triple among distinct triples sorted ascending
+    val triples = rows.map { case (_, (q, p, d, _, _)) => (q, p, d) }
+      .distinct.sorted
+    val idOf = triples.zipWithIndex.map { case (t, i) => t -> (i + 1L) }.toMap
+    rows.foreach { case (_, (q, p, d, id, _)) => assert(id == idOf((q, p, d))) }
+    // combo_n is the count of cells carrying that triple
+    val byTriple = rows.groupBy { case (_, (q, p, d, _, _)) => (q, p, d) }
+    byTriple.foreach { case (t, cells) =>
+      assert(cells.forall(_._2._5 == cells.length.toLong)) }
+    spark.catalog.clearCache()
+  }
+
+  test("expand: any class-4 neighbor converts the cell, brute-force " +
+       "recount") {
+    // the classed grid replayed: equal-interval quantity classes
+    val qs = WroQueries.perCell(spark, dir)
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % 100).as("c"),
+        col("quantity").cast("double").as("q")).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    val (mn, mx) = (qs.values.min, qs.values.max)
+    val cls = qs.map { case (k, q) =>
+      k -> math.min(math.floor((q - mn) / ((mx - mn) / 5.0)), 4).toInt }
+    val exp = cls.map { case ((r, c), own) =>
+      val any4 = (for { dr <- -1L to 1L; dc <- -1L to 1L }
+        yield cls.get((r + dr, c + dc))).flatten.contains(4)
+      (r, c) -> (own, if (any4) 4 else own)
+    }
+    val got = WroQueries.expand(spark, dir).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), (x.getInt(2), x.getInt(3))))
+      .toMap
+    assert(got == exp)
+    // the dilation is non-trivial: some cell actually converted
+    assert(got.exists { case (k, (own, out)) => own != 4 && out == 4 })
+    spark.catalog.clearCache()
+  }
+
+  test("zonal geometry: aggregates recompute from the region labels") {
+    val labeled = WroQueries.regionGroup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+        (r.getLong(3), r.getLong(4)))))
+    val exp = labeled.groupBy { case (_, (cl, reg)) => (cl, reg) }
+      .map { case ((cl, reg), cells) =>
+        val rs = cells.map(_._1._1); val cs = cells.map(_._1._2)
+        (cl, reg._1, reg._2) ->
+          (cells.length.toLong, rs.sum, cs.sum, rs.min, rs.max, cs.min, cs.max)
+      }
+    val got = WroQueries.zonalGeometry(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+         r.getLong(7), r.getLong(8), r.getLong(9))).toMap
+    assert(got == exp && got.nonEmpty)
+    assert(got.values.map(_._1).sum == labeled.length)
+    spark.catalog.clearCache()
+  }
+
   test("region group: labels equal brute-force union-find components") {
     // brute-force: flood fill per cell over same-class rook adjacency
     val cls = grid.map { case (k, u) => k -> u % 7 }
