@@ -1201,6 +1201,25 @@ object LlmQueries {
     Bpe.encode(corpus, col("doc_id"), col("text"), merges)
   }
 
+  /** D40: tokenizer FERTILITY / compression by language — the metric
+    * every tokenizer paper reports (tokens-per-word and
+    * chars-per-token; high fertility on a language means the vocab
+    * under-serves it — the multilingual-equity measure): the trained
+    * BPE's per-doc encode counts ([[Bpe.encode]] — the gate-proven
+    * kernel) aggregated per language as EXACT sums; the two ratios are
+    * the caller's monotone post-divides. One doc-keyed join + one
+    * keyed aggregate past the proven encode plan. */
+  def d40Fertility(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+    val merges = Bpe.trainBatched(
+      Bpe.wordHistogram(corpus, col("text")), bpeEncodeMerges)
+    Bpe.encode(corpus, col("doc_id"), col("text"), merges)
+      .join(corpus.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("sum_words"),
+        sum("n_sym0").as("sum_chars"), sum("n_tok").as("sum_tok"))
+  }
+
   /** D15d: the tokenizer's OUTPUT side — per-document token-ID
     * sequences under the trained merge table and its induced vocabulary
     * ([[Bpe.vocab]] + [[Bpe.encodeIds]] / the [[graft.functions.BpeDocIds]]
@@ -1392,6 +1411,7 @@ object LlmQueries {
     "d14_chunk_overlap" -> d14ChunkOverlap,
     "d15_bpe_pairs" -> d15BpePairs,
     "d15_bpe_encode" -> d15BpeEncode,
+    "d40_fertility" -> d40Fertility,
     "d15_bpe_tokens" -> d15BpeTokens,
     "d10_redact_pii" -> d10RedactPii,
     "pipe_training_mix" -> pipeTrainingMix,
@@ -1536,6 +1556,23 @@ object LlmQueries {
   /** The WITH-clause prefix shared by [[bpeTokensOracle]] and the
     * tokenized-pack oracle: training replay + vocabulary + per-(doc,
     * word-ordinality, position) token ids (the `ids` CTE). */
+  /** D40 oracle: the d15 encode oracle's per-doc counts wrapped as a
+    * CTE and aggregated per language — the identical replay one
+    * aggregate deeper. */
+  private def bpeFertilityOracle(k: Int): String = {
+    val base = bpeEncodeOracle(k)
+    val i = base.lastIndexOf("SELECT doc_id, CAST(count(*) AS BIGINT)")
+    require(i > 0, "encode oracle shape changed")
+    base.substring(0, i).stripSuffix("\n").stripSuffix(",") + ",\n" +
+      "enc AS (\n" + base.substring(i) + ")\n" +
+      """SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(enc.n_words) AS BIGINT) AS sum_words,
+        |  CAST(sum(enc.n_sym0) AS BIGINT) AS sum_chars,
+        |  CAST(sum(enc.n_tok) AS BIGINT) AS sum_tok
+        |FROM enc JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin
+  }
+
   private def bpeIdsCtes(k: Int): String = {
     val (d, d2) = (bpeD, bpeD2)
     val rounds = bpeRounds(k)
@@ -3614,6 +3651,7 @@ object LlmQueries {
         |ORDER BY weight DESC, a ASC, b ASC
         |LIMIT 10""".stripMargin,
     "d15_bpe_encode" -> bpeEncodeOracle(bpeEncodeMerges),
+    "d40_fertility" -> bpeFertilityOracle(bpeEncodeMerges),
     "d15_bpe_tokens" -> bpeTokensOracle(bpeEncodeMerges),
     "pipe_tokenized_pack" -> pipeTokenizedPackOracle(bpeEncodeMerges),
     // DSIR: both distributions from ONE token stream (count + filtered

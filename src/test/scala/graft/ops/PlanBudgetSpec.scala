@@ -413,7 +413,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "wro_expand" -> 2,
     // past the checkpointed CC labels: edge fan-out, label attach,
     // and the per-region aggregate
-    "wro_zonal_geometry" -> 3)
+    "wro_zonal_geometry" -> 3,
+    // the encode fold's doc aggregate + the per-language aggregate;
+    // training rounds hide behind their own jobs
+    "d40_fertility" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
