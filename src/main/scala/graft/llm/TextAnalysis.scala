@@ -367,14 +367,24 @@ object TextAnalysis {
     * pool; the resampling draw itself is the caller's post-step (it
     * needs randomness the gate forbids).
     *
-    * Plan shape — BOTH distributions in one pass: the token stream is
-    * exploded once, bucket counts for raw and target come out of the
-    * SAME keyed aggregate (count + conditional count — no second scan
-    * of the corpus), the ≤256-row model and 1-row totals broadcast, and
-    * the per-doc fold is a map-side-combined aggregate over rows that
-    * never left their document's partition. Corpus text is never
-    * shuffled; at 100 TB the model stays KBs regardless of corpus or
-    * vocabulary size — the hashing trick's point. */
+    * Plan shape: BOTH distributions come out of ONE keyed aggregate
+    * over the token stream (count + conditional count), and the
+    * per-bucket WEIGHT is computed once in that ≤256-row model frame
+    * (the bin() log runs 256 times, not per token) before
+    * broadcasting; the per-doc fold is then a map-side-combined sum of
+    * broadcast-looked-up weights. The token derivation (split +
+    * explode + md5) is deliberately evaluated by both the model leg
+    * and the scoring leg rather than materialized: exploded tokens
+    * are ~10× corpus size, and the d2-shingle policy applies —
+    * recompute beats materializing at 100 TB. Corpus text is never
+    * shuffled; the model stays KBs at any corpus size.
+    *
+    * Domain bound: the products N_r·(c_t+1) and N_t·(c_r+1) are
+    * int64-exact up to ~3·10⁹ total tokens (N_r·c_t ≤ N_r² < 2^63).
+    * Beyond that, compute the 256 per-bucket weights at DECIMAL(38,0)
+    * — a 256-row change that leaves the corpus-side plan untouched;
+    * the declared gate stays int64 (fixture ≤ ~10⁵ tokens, headroom
+    * ~10⁴×). */
   def dsirWeights(docs: DataFrame, id: Column, text: Column,
                   isTarget: Column): DataFrame = {
     val t = docs
@@ -385,13 +395,14 @@ object TextAnalysis {
     val model = t.groupBy("b").agg(count(lit(1)).as("cr"),
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
     val tot = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
-    val scored = t.join(broadcast(model), "b")
-      .crossJoin(broadcast(tot))
+    val weights = model.crossJoin(broadcast(tot))
+      .select(col("b"),
+        ((length(bin(col("nr") * (col("ct") + 1))) - 1).cast("long") -
+         (length(bin(col("nt") * (col("cr") + 1))) - 1).cast("long"))
+          .as("w"))
+    val scored = t.join(broadcast(weights), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"),
-        sum((length(bin(col("nr") * (col("ct") + 1))) - 1).cast("long") -
-            (length(bin(col("nt") * (col("cr") + 1))) - 1).cast("long"))
-          .as("llr"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("llr"))
     docs.select(id.as("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tok"), lit(0L)).as("n_tok"),

@@ -1553,9 +1553,6 @@ object LlmQueries {
          |  FROM hosts h LEFT JOIN c$i c ON h.host = c.dst)""".stripMargin
     }.mkString(",\n")
 
-  /** The WITH-clause prefix shared by [[bpeTokensOracle]] and the
-    * tokenized-pack oracle: training replay + vocabulary + per-(doc,
-    * word-ordinality, position) token ids (the `ids` CTE). */
   /** D40 oracle: the d15 encode oracle's per-doc counts wrapped as a
     * CTE and aggregated per language — the identical replay one
     * aggregate deeper. */
@@ -1573,6 +1570,9 @@ object LlmQueries {
         |GROUP BY 1""".stripMargin
   }
 
+  /** The WITH-clause prefix shared by [[bpeTokensOracle]] and the
+    * tokenized-pack oracle: training replay + vocabulary + per-(doc,
+    * word-ordinality, position) token ids (the `ids` CTE). */
   private def bpeIdsCtes(k: Int): String = {
     val (d, d2) = (bpeD, bpeD2)
     val rounds = bpeRounds(k)

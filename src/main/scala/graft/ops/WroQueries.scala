@@ -576,17 +576,21 @@ object WroQueries {
     * reachable cell has one); the walk is then ≤k joins of a ONE-ROW
     * frontier against it, terminating at the source (d = 0 has no
     * valid predecessor). Emits (seq, r, c, cost34) from destination
-    * (seq 0) down to the source. Stats note: each walk round joins
-    * the frontier against the FIXED pred table, so checkpoint-
-    * inherited size estimates grow geometrically (linear digit
-    * count), not by squaring — the dedupClusters pathology does not
-    * arise. */
+    * (seq 0) down to the source. The relaxation invariant (every
+    * non-source cell has a predecessor) holds only at CONVERGENCE of
+    * the k-round cost field — under truncation a cell can hold a
+    * ≤k-edge cost whose predecessor's own recorded cost is cheaper
+    * still, leaving no valid step; the walk then FAILS LOUDLY (the
+    * dedupClusters discipline) rather than emitting a truncated route
+    * as if complete. Stats note: each walk round joins the frontier
+    * against the FIXED pred table, so checkpoint-inherited size
+    * estimates grow geometrically (linear digit count), not by
+    * squaring — the dedupClusters pathology does not arise. */
   def leastCostPath(spark: SparkSession, dir: String, k: Int = 10)
       : DataFrame = {
     val offs = for { dr <- -1L to 1L; dc <- -1L to 1L; if dr != 0 || dc != 0 }
       yield (dr, dc, if (dr == 0L || dc == 0L) 3L else 4L)
-    val cost = costDistanceFrom(classedGrid(spark, dir), k)
-      .localCheckpoint()
+    val cost = costDistance(spark, dir, k).localCheckpoint()
     val pred = cost
       .select(col("r").as("yr"), col("c").as("yc"),
         col("cost34").as("yd"), explode(typedLit(offs)).as("o"))
@@ -613,7 +617,16 @@ object WroQueries {
         .localCheckpoint()
       path = path.unionByName(frontier)
     }
-    path.join(cost, Seq("r", "c")).select("seq", "r", "c", "cost34")
+    val out = path.join(cost, Seq("r", "c"))
+      .select("seq", "r", "c", "cost34")
+      .localCheckpoint()
+    // loud truncation guard (≤ k+1 rows — bounded driver check): a
+    // non-converged cost field can strand the walk mid-path
+    require(out.agg(min("cost34")).head.getLong(0) == 0L,
+      s"least-cost path did not reach a source in $k steps — the " +
+      "k-round cost field is not converged for this destination; " +
+      "raise k")
+    out
   }
 
   /** GIS12 — EUCLIDEAN ALLOCATION (Esri Euclidean Allocation, the
@@ -1176,10 +1189,14 @@ object WroQueries {
     * loop (O(log diameter) rounds — the d2 closure machinery reused on
     * the grid graph, which is the point: one CC primitive serves both
     * the dedup pipeline and the raster toolbox). Classes are u mod 7 —
-    * a balanced 7-way labeling whose per-class density ~0.14 sits far
-    * below the square-lattice site-percolation threshold (~0.59), so
-    * regions stay small and the oracle's full reachability closure is
-    * tractable; the operator itself is density-independent. Region id
+    * balanced at GATE SF (~6 draws/cell keeps the max-quantity spread
+    * wide, regions small, and the oracle's full reachability closure
+    * tractable), but NOT at larger SFs: max-of-60 concentrates u at
+    * 50, one class reaches ~70% density — above the ~0.59 site-
+    * percolation threshold — and a 7k-cell diameter-~150 giant
+    * component forms at sf0.1. That component is exactly the stressor
+    * that forced [[Dedup.dedupClusters]] onto quotient hooking (see
+    * its scaladoc); the operator handles it in 5 rounds. Region id
     * = min packed key (r·100+c) in the component, Esri's
     * smallest-cell-id labeling made deterministic. Isolated cells
     * (no same-class rook neighbor) are their own region via the
