@@ -538,14 +538,14 @@ object WroQueries {
     costDistanceFrom(classedGrid(spark, dir), k)
 
   /** Cost-distance core over a classed sparse grid (r, c, cls) with
-    * class-4 sources, exposed for the barrier/metric spec. */
-  private[ops] def costDistanceFrom(classed: DataFrame, k: Int)
-      : DataFrame = {
+    * class-`seedCls` sources, exposed for the barrier/metric spec. */
+  private[ops] def costDistanceFrom(classed: DataFrame, k: Int,
+                                    seedCls: Int = 4): DataFrame = {
     val offs = for { dr <- -1L to 1L; dc <- -1L to 1L; if dr != 0 || dc != 0 }
       yield (dr, dc, if (dr == 0L || dc == 0L) 3L else 4L)
     val cells = classed.localCheckpoint()
     val present = cells.select("r", "c")
-    var best = cells.filter(col("cls") === 4)
+    var best = cells.filter(col("cls") === seedCls)
       .select(col("r"), col("c"), lit(0L).as("d"))
       .localCheckpoint()
     for (_ <- 1 to k) {
@@ -668,6 +668,27 @@ object WroQueries {
     best.select(col("r"), col("c"), expr("key div 10000").as("cost34"),
       expr("(key % 10000) div 100").as("src_r"),
       (col("key") % 100).as("src_c"))
+  }
+
+  /** GIS27 — CORRIDOR (Esri Corridor, Distance toolset: the SUM of two
+    * accumulated-cost surfaces — every cell's value is the total cost
+    * of the best A→cell→B route through it; thresholding the sum picks
+    * the movement corridor between the two source sets): the class-4
+    * and class-0 cost fields (GIS11's k-round chamfer relaxation,
+    * seed class parameterized) joined on the cell key and summed.
+    * Only cells reachable from BOTH source sets within k rounds emit
+    * (the inner join IS the reachability intersection — Esri's NoData
+    * propagation for corridor); the threshold cut is the caller's
+    * post-filter, so the full sum surface ships. Two proven subplans
+    * + one co-partitioned join; at 100 TB each field is the GIS11
+    * frontier relaxation and the join inherits their layout. */
+  def corridor(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val classed = classedGrid(spark, dir).localCheckpoint()
+    costDistanceFrom(classed, k).withColumnRenamed("cost34", "cost_a")
+      .join(costDistanceFrom(classed, k, seedCls = 0)
+        .withColumnRenamed("cost34", "cost_b"), Seq("r", "c"))
+      .select(col("r"), col("c"), col("cost_a"), col("cost_b"),
+        (col("cost_a") + col("cost_b")).as("total34"))
   }
 
   /** GIS15 — CURVATURE (Esri Curvature / Zevenbergen-Thorne 1987 —
@@ -1439,6 +1460,7 @@ object WroQueries {
     "wro_combine" -> combine,
     "wro_expand" -> expand,
     "wro_zonal_geometry" -> zonalGeometry,
+    "wro_corridor" -> ((s: SparkSession, d: String) => corridor(s, d)),
     "wro_layer_filter" -> layerFilterGolden,
     "f9_remap_expr" -> remapExpr,
     "wro_classify_equal_interval" -> classifyEqualInterval,
@@ -1752,6 +1774,30 @@ object WroQueries {
         |       (CASE WHEN a * a * 1000000 >= g2 * 1000000 THEN 1 ELSE 0 END)
         |       AS INT) AS wet_class
         |FROM t""".stripMargin,
+    // both depth-counted walks in one WITH RECURSIVE; the inner join
+    // is the both-reachable intersection
+    "wro_corridor" ->
+      s"""WITH RECURSIVE $classedGridSql,
+        |o(dr, dc, w) AS (VALUES (-1,-1,4),(-1,0,3),(-1,1,4),(0,-1,3),
+        |  (0,1,3),(1,-1,4),(1,0,3),(1,1,4)),
+        |wa(i, r, c, d) AS (
+        |  SELECT 0, r, c, CAST(0 AS BIGINT) FROM g WHERE cls = 4
+        |  UNION
+        |  SELECT w.i + 1, g.r, g.c, w.d + o.w
+        |  FROM wa w, o, g
+        |  WHERE w.i < 10 AND g.r = w.r + o.dr AND g.c = w.c + o.dc),
+        |wb(i, r, c, d) AS (
+        |  SELECT 0, r, c, CAST(0 AS BIGINT) FROM g WHERE cls = 0
+        |  UNION
+        |  SELECT w.i + 1, g.r, g.c, w.d + o.w
+        |  FROM wb w, o, g
+        |  WHERE w.i < 10 AND g.r = w.r + o.dr AND g.c = w.c + o.dc),
+        |ca AS (SELECT r, c, CAST(min(d) AS BIGINT) AS cost_a
+        |       FROM wa GROUP BY 1, 2),
+        |cb AS (SELECT r, c, CAST(min(d) AS BIGINT) AS cost_b
+        |       FROM wb GROUP BY 1, 2)
+        |SELECT ca.r, ca.c, cost_a, cost_b, cost_a + cost_b AS total34
+        |FROM ca JOIN cb ON cb.r = ca.r AND cb.c = ca.c""".stripMargin,
     // the k-round Bellman-Ford replayed as a depth-counted recursive
     // walk: the recursive set holds every (≤10-edge path cost, cell)
     // state, so min(d) per cell = min over ≤10-edge paths — exactly

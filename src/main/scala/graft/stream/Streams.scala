@@ -468,4 +468,44 @@ object Streams {
       .transformWithState(new IdleCloseProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** S19 input/output: a keyed token and the sketch row stream. */
+  case class TokEvent(key: Long, tok: String)
+  case class SketchRow(key: Long, tok: String, cnt: Long)
+
+  /** S19: STREAMING heavy hitters — the a15 Misra-Gries sketch run as
+    * transformWithState state (the batch sketch composed into the
+    * arbitrary-state API): per key, a ≤k-counter map folds each
+    * micro-batch's tokens through the SAME [[graft.llm.MisraGries]]
+    * reduce step the batch aggregator uses — one primitive, two
+    * execution regimes — and the key's current candidate set streams
+    * out each batch. State is O(k) per key at ANY stream length (the
+    * sketch never grows past k counters), which is the entire point:
+    * an unbounded-token stream gets a bounded-memory head-of-
+    * distribution monitor, carrying the MG guarantee that any token
+    * with true count > n/(k+1) is present in the candidates. */
+  class MgProcessor(k: Int, enc: org.apache.spark.sql.Encoder[Map[String, Long]])
+      extends StatefulProcessor[Long, TokEvent, SketchRow] {
+    @transient private var st: ValueState[Map[String, Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Map[String, Long]]("mg", enc,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TokEvent],
+        tv: TimerValues): Iterator[SketchRow] = {
+      val mg = new graft.llm.MisraGries(k)(enc)
+      val next = rows.foldLeft(
+        if (st.exists()) st.get() else mg.zero)((m, e) => mg.reduce(m, e.tok))
+      st.update(next)
+      next.iterator.map { case (t, c) => SketchRow(key, t, c) }
+    }
+  }
+
+  def mgTws(spark: SparkSession, events: Dataset[TokEvent], k: Int)
+      : Dataset[SketchRow] = {
+    import spark.implicits._
+    val enc = implicitly[org.apache.spark.sql.Encoder[Map[String, Long]]]
+    events.groupByKey(_.key)
+      .transformWithState(new MgProcessor(k, enc), TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -416,7 +416,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "wro_zonal_geometry" -> 3,
     // the encode fold's doc aggregate + the per-language aggregate;
     // training rounds hide behind their own jobs
-    "d40_fertility" -> 2)
+    "d40_fertility" -> 2,
+    // the co-partitioned field join past the two checkpointed cost
+    // relaxations
+    "wro_corridor" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {

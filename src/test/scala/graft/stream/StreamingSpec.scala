@@ -614,4 +614,54 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 200, "each input row exactly once")
     assert(out.toSet == (0L until 200L).map(i => (i, i * 2)).toSet)
   }
+
+  test("S19 streaming Misra-Gries keeps O(k) state and never loses a " +
+       "true heavy hitter across micro-batches") {
+    import spark.implicits._
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 3
+      val input = MemoryStream[Streams.TokEvent](spark)
+      val q = Streams.mgTws(spark, input.toDS(), k)
+        .writeStream.format("memory").queryName("s19mg")
+        .outputMode("update").start()
+      try {
+        // key 1: 60 tokens across two batches — "hot" appears 24 times
+        // (> 60/(k+1) = 15), the rest is a spread of rare tokens that
+        // would blow past k counters if state were unbounded
+        val rare = (1 to 18).map(i => Streams.TokEvent(1L, s"r$i"))
+        val hot1 = Seq.fill(10)(Streams.TokEvent(1L, "hot"))
+        input.addData(scala.util.Random.shuffle(rare ++ hot1): _*)
+        q.processAllAvailable()
+        val rare2 = (19 to 36).map(i => Streams.TokEvent(1L, s"r$i"))
+        val hot2 = Seq.fill(14)(Streams.TokEvent(1L, "hot"))
+        input.addData(scala.util.Random.shuffle(rare2 ++ hot2): _*)
+        q.processAllAvailable()
+        val finalToks = spark.table("s19mg").as[Streams.SketchRow]
+          .collect().filter(_.key == 1L)
+        assert(finalToks.nonEmpty)
+        // memory sink in update mode appends per-batch snapshots; the
+        // final snapshot is the rows whose counts reflect batch 2
+        assert(finalToks.map(_.tok).distinct.length <= 2 * k + 1,
+          "snapshots stay sketch-sized")
+        assert(finalToks.exists(_.tok == "hot"),
+          "the >n/(k+1) token must survive in the sketch")
+        // and the batch-side aggregator agrees on the same stream: the
+        // one-primitive-two-regimes contract
+        val batchCand = graft.llm.HeavyHitters.heavyHitters(
+          (rare ++ hot1 ++ rare2 ++ hot2).toDF("key", "text")
+            .select(col("text")), col("text"), k)
+          .collect().map(_.getString(0))
+        assert(batchCand.contains("hot"))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
