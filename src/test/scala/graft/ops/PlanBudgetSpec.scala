@@ -391,9 +391,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // count, and the final group-by — the a14 reuse discipline extended
     // to interpolation
     "a27_percentile_cont" -> 1,
-    // token bucket model agg + the per-doc fold + the doc left join;
-    // model and totals broadcast
-    "d39_dsir" -> 4,
+    // token bucket model agg (read by both the totals and the weight
+    // projection — the 256-row frame pays one extra exchange so bin()
+    // runs 256x instead of per-token) + the per-doc fold + the doc
+    // left join; weights broadcast
+    "d39_dsir" -> 5,
     // langid lexicon/votes + paragraph-hash dedup + the final
     // accounting; checkpoints bound the visible plan
     "pipe_dolma_corpus" -> 4,
