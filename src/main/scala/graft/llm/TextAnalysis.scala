@@ -409,6 +409,55 @@ object TextAnalysis {
         coalesce(col("llr"), lit(0L)).cast("long").as("llr"))
   }
 
+  /** D41: BATCH PERCEPTRON training over hashed features — the
+    * TRAINING counterpart of [[hashedLinearScore]]'s inference (d28
+    * consumes a weight table a trainer exports; this IS that trainer,
+    * closing the classifier loop in-engine): learn integer weights
+    * separating target docs (y = +1) from the rest (y = −1) on the
+    * same 256-bucket md5-hashed unigram counts. Batch (not online)
+    * perceptron — the update per epoch is
+    *   w ← w + Σ_{misclassified d} y_d · x_d,
+    * a pure SUM over documents, so it is order-independent,
+    * parallelizes as one keyed aggregate, and stays integer-exact
+    * (online perceptron's per-row sequential update cannot run
+    * distributed without changing the result). Epochs are a driver
+    * loop of: broadcast w → per-doc score fold → misclassified filter
+    * → per-bucket gradient aggregate — the corpus shuffles only as
+    * (doc, bucket, cnt) triples built ONCE and checkpointed; the
+    * model never exceeds 256 rows. Emits the final weight table plus
+    * the per-epoch misclassification counts (the training curve) as
+    * (b, w, epoch_errs csv). Bounds: cnt ≤ doc tokens, |w| grows ≤
+    * epochs · Σcnt — int64-trivial at any SF with fixed epochs. */
+  def perceptron(docs: DataFrame, id: Column, text: Column,
+                 isTarget: Column, epochs: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val d = docs
+      .select(id.as("doc_id"),
+        when(isTarget, 1L).otherwise(-1L).as("y"),
+        explode(split(text, " ")).as("tok"))
+      .withColumn("b",
+        conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    var w = spark.range(256).select(col("id").as("b"), lit(0L).as("w"))
+      .localCheckpoint()
+    val errs = Seq.newBuilder[Long]
+    for (_ <- 1 to epochs) {
+      val mis = d.join(broadcast(w), Seq("b"))
+        .groupBy("doc_id", "y")
+        .agg(sum(col("cnt") * col("w")).as("score"))
+        .filter(col("y") * col("score") <= 0)
+        .select("doc_id", "y")
+      errs += mis.count()
+      val grad = d.join(mis.select("doc_id"), Seq("doc_id"))
+        .groupBy("b").agg(sum(col("y") * col("cnt")).as("g"))
+      w = w.join(grad, Seq("b"), "left")
+        .select(col("b"), (col("w") + coalesce(col("g"), lit(0L))).as("w"))
+        .localCheckpoint()
+    }
+    w.withColumn("epoch_errs", lit(errs.result().mkString(",")))
+  }
+
   /** D6: per-source quality statistics. Counts/sums are exact; the one
     * order-dependent float (mean of per-doc stopword ratios) is rounded. */
   def qualityBySource(docs: DataFrame, stopwords: Seq[String]): DataFrame = {

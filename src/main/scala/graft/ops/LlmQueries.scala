@@ -1260,6 +1260,13 @@ object LlmQueries {
   def d13LmSurprise(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramSurprise(docs(s, dir), col("doc_id"), col("text"))
 
+  /** D41: batch-perceptron training of the d28-style hashed linear
+    * classifier, target = English documents — the in-engine trainer
+    * whose exported weight table d28's inference consumes. */
+  def d41Perceptron(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perceptron(docs(s, dir), col("doc_id"), col("text"),
+      col("lang") === "en")
+
   /** D39: DSIR importance weights with the English documents as the
     * target corpus — see [[TextAnalysis.dsirWeights]]. */
   def d39Dsir(s: SparkSession, dir: String): DataFrame =
@@ -1408,6 +1415,7 @@ object LlmQueries {
     "d12_kmeans2" -> d12Kmeans2,
     "d13_lm_surprise" -> d13LmSurprise,
     "d39_dsir" -> d39Dsir,
+    "d41_perceptron" -> d41Perceptron,
     "d14_chunk_overlap" -> d14ChunkOverlap,
     "d15_bpe_pairs" -> d15BpePairs,
     "d15_bpe_encode" -> d15BpeEncode,
@@ -3654,6 +3662,55 @@ object LlmQueries {
     "d40_fertility" -> bpeFertilityOracle(bpeEncodeMerges),
     "d15_bpe_tokens" -> bpeTokensOracle(bpeEncodeMerges),
     "pipe_tokenized_pack" -> pipeTokenizedPackOracle(bpeEncodeMerges),
+    // the three batch epochs unrolled: each is score-fold ->
+    // misclassified filter -> gradient aggregate -> weight update,
+    // pure integer arithmetic from the all-zero start
+    "d41_perceptron" ->
+      """WITH tk AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, y,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tk GROUP BY 1, 2, 3),
+        |w0 AS (SELECT unnest(range(0, 256)) AS b, CAST(0 AS BIGINT) AS w),
+        |s1 AS (
+        |  SELECT d.doc_id, d.y, sum(d.cnt * w0.w) AS sc
+        |  FROM t d JOIN w0 USING (b) GROUP BY 1, 2),
+        |m1 AS (SELECT doc_id, y FROM s1 WHERE y * sc <= 0),
+        |g1 AS (SELECT d.b, sum(d.y * d.cnt) AS g
+        |       FROM t d JOIN (SELECT doc_id FROM m1) USING (doc_id)
+        |       GROUP BY 1),
+        |w1 AS (SELECT w0.b, w0.w + coalesce(g1.g, 0) AS w
+        |       FROM w0 LEFT JOIN g1 USING (b)),
+        |s2 AS (
+        |  SELECT d.doc_id, d.y, sum(d.cnt * w1.w) AS sc
+        |  FROM t d JOIN w1 USING (b) GROUP BY 1, 2),
+        |m2 AS (SELECT doc_id, y FROM s2 WHERE y * sc <= 0),
+        |g2 AS (SELECT d.b, sum(d.y * d.cnt) AS g
+        |       FROM t d JOIN (SELECT doc_id FROM m2) USING (doc_id)
+        |       GROUP BY 1),
+        |w2 AS (SELECT w1.b, w1.w + coalesce(g2.g, 0) AS w
+        |       FROM w1 LEFT JOIN g2 USING (b)),
+        |s3 AS (
+        |  SELECT d.doc_id, d.y, sum(d.cnt * w2.w) AS sc
+        |  FROM t d JOIN w2 USING (b) GROUP BY 1, 2),
+        |m3 AS (SELECT doc_id, y FROM s3 WHERE y * sc <= 0),
+        |g3 AS (SELECT d.b, sum(d.y * d.cnt) AS g
+        |       FROM t d JOIN (SELECT doc_id FROM m3) USING (doc_id)
+        |       GROUP BY 1),
+        |w3 AS (SELECT w2.b, w2.w + coalesce(g3.g, 0) AS w
+        |       FROM w2 LEFT JOIN g3 USING (b)),
+        |e AS (SELECT (SELECT count(*) FROM m1) AS e1,
+        |             (SELECT count(*) FROM m2) AS e2,
+        |             (SELECT count(*) FROM m3) AS e3)
+        |SELECT w3.b, CAST(w3.w AS BIGINT) AS w,
+        |  CAST(e1 AS VARCHAR) || ',' || CAST(e2 AS VARCHAR) || ',' ||
+        |  CAST(e3 AS VARCHAR) AS epoch_errs
+        |FROM w3, e""".stripMargin,
     // DSIR: both distributions from ONE token stream (count + filtered
     // count per bucket); the integer-log LLR replayed via binary-string
     // lengths of the same BIGINT products — the d13 no-floating-logs

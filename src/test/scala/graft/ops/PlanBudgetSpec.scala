@@ -421,7 +421,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d40_fertility" -> 2,
     // the co-partitioned field join past the two checkpointed cost
     // relaxations
-    "wro_corridor" -> 2)
+    "wro_corridor" -> 2,
+    // the visible plan reads the checkpointed final weight table;
+    // per-epoch joins/aggregates hide behind their checkpoints
+    "d41_perceptron" -> 0)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {

@@ -70,6 +70,47 @@ class Round9QueriesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("d41: batch perceptron equals brute-force epoch replay and " +
+       "separates a separable planted corpus") {
+    import spark.implicits._
+    // marker tokens make the classes linearly separable
+    val docs = (1L to 20L).map { i =>
+      if (i % 2 == 0) (i, s"good great fine w$i", "en")
+      else (i, s"bad awful poor w$i", "fr")
+    }.toDF("doc_id", "text", "lang")
+    def bucket(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      (h(0) & 0xff).toLong
+    }
+    // brute-force replay of the batch epochs
+    val rows = docs.collect().map(r => (r.getLong(0),
+      if (r.getString(2) == "en") 1L else -1L,
+      r.getString(1).split(" ").toSeq.groupBy(bucket)
+        .map { case (b, ts) => b -> ts.size.toLong }))
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    var errs = Seq.empty[Long]
+    for (_ <- 1 to 3) {
+      val mis = rows.filter { case (_, y, x) =>
+        y * x.map { case (b, c) => c * w(b) }.sum <= 0 }
+      errs :+= mis.length.toLong
+      val g = mis.flatMap { case (_, y, x) =>
+        x.map { case (b, c) => b -> y * c } }
+        .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      w = w ++ g.map { case (b, delta) => b -> (w(b) + delta) }
+    }
+    val got = graft.llm.TextAnalysis.perceptron(docs, col("doc_id"),
+        col("text"), col("lang") === "en").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.map(_._3).distinct.toSeq == Seq(errs.mkString(",")))
+    got.foreach { case (b, wv, _) => assert(wv == w(b)) }
+    // separable: the final weights classify every doc correctly
+    val finalErrs = rows.count { case (_, y, x) =>
+      y * x.map { case (b, c) => c * w(b) }.sum <= 0 }
+    assert(finalErrs == 0, s"planted corpus must separate, $finalErrs left")
+    spark.catalog.clearCache()
+  }
+
   test("least-cost path: starts at the argmax cell, steps are adjacent " +
        "with cost dropping by exactly the chamfer weight, ends at a source") {
     val path = WroQueries.leastCostPath(spark, dir).collect()
