@@ -385,13 +385,20 @@ object TextAnalysis {
     * — a 256-row change that leaves the corpus-side plan untouched;
     * the declared gate stays int64 (fixture ≤ ~10⁵ tokens, headroom
     * ~10⁴×). */
-  def dsirWeights(docs: DataFrame, id: Column, text: Column,
-                  isTarget: Column): DataFrame = {
-    val t = docs
-      .select(id.as("doc_id"), isTarget.as("tgt"),
+  /** The shared 256-bucket token hash (md5 2-hex prefix — the
+    * cross-engine contract d28/d39/d41 and their oracles all agree
+    * on): one exploded (doc_id, extra, b) row per token. */
+  private def tokenBuckets(docs: DataFrame, id: Column, text: Column,
+                           extra: Column, extraName: String): DataFrame =
+    docs
+      .select(id.as("doc_id"), extra.as(extraName),
         explode(split(text, " ")).as("tok"))
       .withColumn("b",
         conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
+
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+                  isTarget: Column): DataFrame = {
+    val t = tokenBuckets(docs, id, text, isTarget, "tgt")
     val model = t.groupBy("b").agg(count(lit(1)).as("cr"),
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
     val tot = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
@@ -431,23 +438,23 @@ object TextAnalysis {
   def perceptron(docs: DataFrame, id: Column, text: Column,
                  isTarget: Column, epochs: Int = 3): DataFrame = {
     val spark = docs.sparkSession
-    val d = docs
-      .select(id.as("doc_id"),
-        when(isTarget, 1L).otherwise(-1L).as("y"),
-        explode(split(text, " ")).as("tok"))
-      .withColumn("b",
-        conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long"))
+    val d = tokenBuckets(docs, id, text,
+        when(isTarget, 1L).otherwise(-1L), "y")
       .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     var w = spark.range(256).select(col("id").as("b"), lit(0L).as("w"))
       .localCheckpoint()
     val errs = Seq.newBuilder[Long]
     for (_ <- 1 to epochs) {
+      // checkpointed: the misclassified set feeds BOTH the error count
+      // and the gradient aggregate — without the barrier the per-doc
+      // score fold (the dominant per-epoch scan) would run twice
       val mis = d.join(broadcast(w), Seq("b"))
         .groupBy("doc_id", "y")
         .agg(sum(col("cnt") * col("w")).as("score"))
         .filter(col("y") * col("score") <= 0)
         .select("doc_id", "y")
+        .localCheckpoint()
       errs += mis.count()
       val grad = d.join(mis.select("doc_id"), Seq("doc_id"))
         .groupBy("b").agg(sum(col("y") * col("cnt")).as("g"))

@@ -683,7 +683,10 @@ object WroQueries {
     * + one co-partitioned join; at 100 TB each field is the GIS11
     * frontier relaxation and the join inherits their layout. */
   def corridor(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val classed = classedGrid(spark, dir).localCheckpoint()
+    // no checkpoint here: costDistanceFrom checkpoints its input per
+    // call, and classedGrid caches its per-cell aggregate internally —
+    // an outer checkpoint would materialize the same frame a third time
+    val classed = classedGrid(spark, dir)
     costDistanceFrom(classed, k).withColumnRenamed("cost34", "cost_a")
       .join(costDistanceFrom(classed, k, seedCls = 0)
         .withColumnRenamed("cost34", "cost_b"), Seq("r", "c"))
