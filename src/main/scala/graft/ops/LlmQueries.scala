@@ -1267,6 +1267,34 @@ object LlmQueries {
     TextAnalysis.perceptron(docs(s, dir), col("doc_id"), col("text"),
       col("lang") === "en")
 
+  /** D42: classifier CALIBRATION — the evaluate leg closing the d41 →
+    * d28 loop, composed EXACTLY as the two operators' contracts
+    * promise: [[TextAnalysis.perceptron]]'s exported weight table is
+    * fed verbatim into [[TextAnalysis.hashedLinearScore]]'s inference
+    * (the d28 kernel — trainer exports, inference consumes), and the
+    * scored corpus is cut into score deciles with the per-decile
+    * target fraction — the calibration/precision curve an ML pipeline
+    * reads before trusting a threshold. Decile assignment is a
+    * doc-grain ntile ordered by (score, doc_id) — deterministic, and
+    * at 100 TB the w5_quantile_buckets percentile-threshold path
+    * replaces the global window (documented, not hidden). */
+  def d42Calibration(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+    val w = TextAnalysis.perceptron(corpus, col("doc_id"), col("text"),
+        col("lang") === "en")
+      .select(col("b").cast("int").as("bucket"), col("w").as("wt"))
+    val scored = TextAnalysis.hashedLinearScore(corpus, col("doc_id"),
+      col("text"), w, nBuckets = 256)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy("score", "doc_id")
+    scored.join(corpus.select("doc_id", "lang"), "doc_id")
+      .withColumn("decile", ntile(10).over(win))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_target"),
+        min("score").as("lo_score"), max("score").as("hi_score"))
+  }
+
   /** D39: DSIR importance weights with the English documents as the
     * target corpus — see [[TextAnalysis.dsirWeights]]. */
   def d39Dsir(s: SparkSession, dir: String): DataFrame =
@@ -1416,6 +1444,7 @@ object LlmQueries {
     "d13_lm_surprise" -> d13LmSurprise,
     "d39_dsir" -> d39Dsir,
     "d41_perceptron" -> d41Perceptron,
+    "d42_calibration" -> d42Calibration,
     "d14_chunk_overlap" -> d14ChunkOverlap,
     "d15_bpe_pairs" -> d15BpePairs,
     "d15_bpe_encode" -> d15BpeEncode,
@@ -1850,6 +1879,49 @@ object LlmQueries {
        |JOIN sizes sa ON sa.doc_id = a_id
        |JOIN sizes sb ON sb.doc_id = b_id
        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin
+
+  /** The d41 batch-epoch replay CTE chain (tk/t/w0..w3), shared by
+    * the perceptron oracle and the d42 calibration oracle. */
+  private val perceptronCtes: String =
+    """WITH tk AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, y,
+        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tk GROUP BY 1, 2, 3),
+        |w0 AS (SELECT unnest(range(0, 256)) AS b, CAST(0 AS BIGINT) AS w),
+        |s1 AS (
+        |  SELECT d.doc_id, d.y, sum(d.cnt * w0.w) AS sc
+        |  FROM t d JOIN w0 USING (b) GROUP BY 1, 2),
+        |m1 AS (SELECT doc_id, y FROM s1 WHERE y * sc <= 0),
+        |g1 AS (SELECT d.b, sum(d.y * d.cnt) AS g
+        |       FROM t d JOIN (SELECT doc_id FROM m1) USING (doc_id)
+        |       GROUP BY 1),
+        |w1 AS (SELECT w0.b, w0.w + coalesce(g1.g, 0) AS w
+        |       FROM w0 LEFT JOIN g1 USING (b)),
+        |s2 AS (
+        |  SELECT d.doc_id, d.y, sum(d.cnt * w1.w) AS sc
+        |  FROM t d JOIN w1 USING (b) GROUP BY 1, 2),
+        |m2 AS (SELECT doc_id, y FROM s2 WHERE y * sc <= 0),
+        |g2 AS (SELECT d.b, sum(d.y * d.cnt) AS g
+        |       FROM t d JOIN (SELECT doc_id FROM m2) USING (doc_id)
+        |       GROUP BY 1),
+        |w2 AS (SELECT w1.b, w1.w + coalesce(g2.g, 0) AS w
+        |       FROM w1 LEFT JOIN g2 USING (b)),
+        |s3 AS (
+        |  SELECT d.doc_id, d.y, sum(d.cnt * w2.w) AS sc
+        |  FROM t d JOIN w2 USING (b) GROUP BY 1, 2),
+        |m3 AS (SELECT doc_id, y FROM s3 WHERE y * sc <= 0),
+        |g3 AS (SELECT d.b, sum(d.y * d.cnt) AS g
+        |       FROM t d JOIN (SELECT doc_id FROM m3) USING (doc_id)
+        |       GROUP BY 1),
+        |w3 AS (SELECT w2.b, w2.w + coalesce(g3.g, 0) AS w
+        |       FROM w2 LEFT JOIN g3 USING (b)),
+        """.stripMargin
 
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -3666,51 +3738,30 @@ object LlmQueries {
     // misclassified filter -> gradient aggregate -> weight update,
     // pure integer arithmetic from the all-zero start
     "d41_perceptron" ->
-      """WITH tk AS (
-        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-        |    unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |t AS (
-        |  SELECT doc_id, y,
-        |    (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
-        |    (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b,
-        |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM tk GROUP BY 1, 2, 3),
-        |w0 AS (SELECT unnest(range(0, 256)) AS b, CAST(0 AS BIGINT) AS w),
-        |s1 AS (
-        |  SELECT d.doc_id, d.y, sum(d.cnt * w0.w) AS sc
-        |  FROM t d JOIN w0 USING (b) GROUP BY 1, 2),
-        |m1 AS (SELECT doc_id, y FROM s1 WHERE y * sc <= 0),
-        |g1 AS (SELECT d.b, sum(d.y * d.cnt) AS g
-        |       FROM t d JOIN (SELECT doc_id FROM m1) USING (doc_id)
-        |       GROUP BY 1),
-        |w1 AS (SELECT w0.b, w0.w + coalesce(g1.g, 0) AS w
-        |       FROM w0 LEFT JOIN g1 USING (b)),
-        |s2 AS (
-        |  SELECT d.doc_id, d.y, sum(d.cnt * w1.w) AS sc
-        |  FROM t d JOIN w1 USING (b) GROUP BY 1, 2),
-        |m2 AS (SELECT doc_id, y FROM s2 WHERE y * sc <= 0),
-        |g2 AS (SELECT d.b, sum(d.y * d.cnt) AS g
-        |       FROM t d JOIN (SELECT doc_id FROM m2) USING (doc_id)
-        |       GROUP BY 1),
-        |w2 AS (SELECT w1.b, w1.w + coalesce(g2.g, 0) AS w
-        |       FROM w1 LEFT JOIN g2 USING (b)),
-        |s3 AS (
-        |  SELECT d.doc_id, d.y, sum(d.cnt * w2.w) AS sc
-        |  FROM t d JOIN w2 USING (b) GROUP BY 1, 2),
-        |m3 AS (SELECT doc_id, y FROM s3 WHERE y * sc <= 0),
-        |g3 AS (SELECT d.b, sum(d.y * d.cnt) AS g
-        |       FROM t d JOIN (SELECT doc_id FROM m3) USING (doc_id)
-        |       GROUP BY 1),
-        |w3 AS (SELECT w2.b, w2.w + coalesce(g3.g, 0) AS w
-        |       FROM w2 LEFT JOIN g3 USING (b)),
-        |e AS (SELECT (SELECT count(*) FROM m1) AS e1,
-        |             (SELECT count(*) FROM m2) AS e2,
-        |             (SELECT count(*) FROM m3) AS e3)
-        |SELECT w3.b, CAST(w3.w AS BIGINT) AS w,
-        |  CAST(e1 AS VARCHAR) || ',' || CAST(e2 AS VARCHAR) || ',' ||
-        |  CAST(e3 AS VARCHAR) AS epoch_errs
-        |FROM w3, e""".stripMargin,
+      (perceptronCtes +
+       """e AS (SELECT (SELECT count(*) FROM m1) AS e1,
+         |             (SELECT count(*) FROM m2) AS e2,
+         |             (SELECT count(*) FROM m3) AS e3)
+         |SELECT w3.b, CAST(w3.w AS BIGINT) AS w,
+         |  CAST(e1 AS VARCHAR) || ',' || CAST(e2 AS VARCHAR) || ',' ||
+         |  CAST(e3 AS VARCHAR) AS epoch_errs
+         |FROM w3, e""".stripMargin),
+    // the epoch replay CTEs + d28-style scoring under the final
+    // weights + the same (score, doc_id)-ordered ntile cut
+    "d42_calibration" ->
+      (perceptronCtes +
+       """sc AS (
+         |  SELECT t.doc_id, max(t.y) AS y,
+         |    CAST(sum(t.cnt * w3.w) AS BIGINT) AS score
+         |  FROM t JOIN w3 USING (b) GROUP BY 1),
+         |dk AS (SELECT doc_id, y, score,
+         |         ntile(10) OVER (ORDER BY score, doc_id) AS decile
+         |       FROM sc)
+         |SELECT CAST(decile AS INT) AS decile, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_target,
+         |  min(score) AS lo_score, max(score) AS hi_score
+         |FROM dk GROUP BY 1""".stripMargin),
     // DSIR: both distributions from ONE token stream (count + filtered
     // count per bucket); the integer-log LLR replayed via binary-string
     // lengths of the same BIGINT products — the d13 no-floating-logs

@@ -424,7 +424,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "wro_corridor" -> 2,
     // the visible plan reads the checkpointed final weight table;
     // per-epoch joins/aggregates hide behind their checkpoints
-    "d41_perceptron" -> 0)
+    "d41_perceptron" -> 0,
+    // the decile window's single-partition exchange + the decile agg;
+    // training hides behind its checkpoints, the weight pack broadcasts
+    "d42_calibration" -> 2)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
