@@ -830,6 +830,54 @@ object WroQueries {
         expr("v div 100").as("ws_r"), (col("v") % 100).as("ws_c"))
   }
 
+  /** GIS28 — FLOW LENGTH (Esri Flow Length, downstream: the
+    * chamfer-weighted distance each cell travels along its D8 path to
+    * its outlet) by POINTER DOUBLING WITH AN ADDITIVE PAYLOAD — the
+    * GIS14 machinery generalized from labels to aggregates: the
+    * pointer table carries (next, dist); squaring composes both,
+    *   p²(u) = (p(p(u).v).v, p(u).d + p(p(u).v).d),
+    * and sinks are 0-distance self-loops (absorbing, so the sum stops
+    * growing at the outlet). Four squarings give the ≤16-hop path
+    * distance in FOUR raster-domain joins — at 100 TB, log(longest
+    * drainage path) rounds, the same reason GIS14 scales, now proven
+    * for a non-idempotent (summing) composition. Step weights are the
+    * GIS11 chamfer 3/4; cells whose 16-hop target is NOT a sink stay
+    * honestly unlabeled (the GIS14 contract). The oracle walks the
+    * SAME 16 steps LINEARLY, accumulating — sum-over-path computed
+    * two structurally different ways must agree cell-for-cell. */
+  def flowLength(spark: SparkSession, dir: String, doublings: Int = 4)
+      : DataFrame = {
+    val code2dr = expr("""CASE d8 WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 1
+      WHEN 8 THEN 1 WHEN 16 THEN 0 WHEN 32 THEN -1 WHEN 64 THEN -1
+      ELSE -1 END""")
+    val code2dc = expr("""CASE d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 0
+      WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 WHEN 64 THEN 0
+      ELSE 1 END""")
+    val stepW = expr("""CASE WHEN d8 IN (1, 4, 16, 64) THEN 3 ELSE 4 END""")
+    val e = flowDirection(spark, dir)
+      .select((col("r") * 100 + col("c")).as("u"),
+        ((col("r") + code2dr) * 100 + (col("c") + code2dc)).as("v"),
+        stepW.cast("long").as("d"))
+    val cells = perCell(spark, dir)
+      .select((expr("cell_id div 100") * 100 + col("cell_id") % 100)
+        .as("u"))
+    var p = cells.join(e, Seq("u"), "left")
+      .select(col("u"), coalesce(col("v"), col("u")).as("v"),
+        coalesce(col("d"), lit(0L)).as("d"))
+      .localCheckpoint()
+    val sinks = p.filter(col("u") === col("v")).select(col("u").as("s"))
+      .localCheckpoint()
+    for (_ <- 1 to doublings) {
+      p = p.join(p.select(col("u").as("m"), col("v").as("w"),
+          col("d").as("d2")), col("v") === col("m"))
+        .select(col("u"), col("w").as("v"), (col("d") + col("d2")).as("d"))
+        .localCheckpoint()
+    }
+    p.join(broadcast(sinks), col("v") === col("s"), "left_semi")
+      .select(expr("u div 100").as("r"), (col("u") % 100).as("c"),
+        col("d").as("len34"))
+  }
+
   /** GIS7 — POLYGON zonal statistics (Esri Zonal Statistics with
     * FEATURE zones — GIS2's zones were raster classes; real zone data
     * is vector polygons): per polygon, the count and exact-cents sum
@@ -1450,6 +1498,7 @@ object WroQueries {
       allocation(s, d)),
     "wro_hillshade" -> hillshade,
     "wro_watershed" -> ((s: SparkSession, d: String) => watershed(s, d)),
+    "wro_flow_length" -> ((s: SparkSession, d: String) => flowLength(s, d)),
     "wro_curvature" -> curvature,
     "wro_viewshed" -> viewshed,
     "wro_moran" -> moran,
@@ -1988,6 +2037,30 @@ object WroQueries {
         |  CAST(CASE WHEN d2x + d2y > 0 THEN 1
         |       WHEN d2x + d2y < 0 THEN -1 ELSE 0 END AS INT) AS concavity
         |FROM cv""".stripMargin,
+    // the additive doubling replayed as a LINEAR 16-step accumulating
+    // walk over the same weighted self-looped pointer table
+    "wro_flow_length" ->
+      s"""WITH RECURSIVE $d8OracleCtes,
+        |fd AS (SELECT r, c, code AS d8 FROM rk WHERE rn = 1 AND nn = 8),
+        |off(code, dr, dc, w) AS (VALUES (1,0,1,3),(2,1,1,4),(4,1,0,3),
+        |  (8,1,-1,4),(16,0,-1,3),(32,-1,-1,4),(64,-1,0,3),(128,-1,1,4)),
+        |e AS (SELECT fd.r * 100 + fd.c AS u,
+        |        (fd.r + off.dr) * 100 + (fd.c + off.dc) AS v,
+        |        CAST(off.w AS BIGINT) AS d
+        |      FROM fd JOIN off ON fd.d8 = off.code),
+        |cells AS (SELECT r * 100 + c AS u FROM g),
+        |p0 AS (SELECT cells.u, coalesce(e.v, cells.u) AS v,
+        |         coalesce(e.d, 0) AS d
+        |       FROM cells LEFT JOIN e USING (u)),
+        |sinks AS (SELECT u AS s FROM p0 WHERE u = v),
+        |walk(i, u, cur, acc) AS (
+        |  SELECT 0, u, u, CAST(0 AS BIGINT) FROM cells
+        |  UNION ALL
+        |  SELECT w.i + 1, w.u, p0.v, w.acc + p0.d
+        |  FROM walk w JOIN p0 ON p0.u = w.cur WHERE w.i < 16),
+        |f AS (SELECT u, cur, acc FROM walk WHERE i = 16)
+        |SELECT u // 100 AS r, u % 100 AS c, CAST(acc AS BIGINT) AS len34
+        |FROM f JOIN sinks ON sinks.s = f.cur""".stripMargin,
     // the 4-round doubling replayed as a LINEAR 16-step walk over the
     // same self-looped pointer table — next^16 two different ways
     "wro_watershed" ->

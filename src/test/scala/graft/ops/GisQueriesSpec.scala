@@ -180,6 +180,34 @@ class GisQueriesSpec extends SparkSpec {
     assert(labeled.forall(i => linear(i) == p(i)))
   }
 
+  test("flow length: additive doubling equals brute-force linear walk") {
+    val code2off = Map(1 -> (0, 1), 2 -> (1, 1), 4 -> (1, 0), 8 -> (1, -1),
+      16 -> (0, -1), 32 -> (-1, -1), 64 -> (-1, 0), 128 -> (-1, 1))
+    val fd = WroQueries.flowDirection(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2).toInt)).toMap
+    val present = WroQueries.perCell(spark, dir)
+      .select(expr("cell_id div 100").as("r"), (col("cell_id") % 100).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: follow the D8 pointer 16 steps, summing chamfer
+    // weights; sinks (no pointer) absorb at distance 0
+    val exp = present.flatMap { start =>
+      var cur = start; var acc = 0L
+      for (_ <- 1 to 16) {
+        fd.get(cur).foreach { code =>
+          val (dr, dc) = code2off(code)
+          acc += (if (dr == 0 || dc == 0) 3 else 4)
+          cur = (cur._1 + dr, cur._2 + dc)
+        }
+      }
+      if (fd.contains(cur)) None // did not reach a sink in 16 hops
+      else Some(start -> acc)
+    }.toMap
+    val got = WroQueries.flowLength(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == exp && got.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("allocation: nearest source wins, distance ties to smaller src id") {
     import spark.implicits._
     // two sources at (0,0) and (0,4); the midpoint (0,2) is 6 from

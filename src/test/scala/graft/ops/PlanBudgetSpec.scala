@@ -427,7 +427,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d41_perceptron" -> 0,
     // the decile window's single-partition exchange + the decile agg;
     // training hides behind its checkpoints, the weight pack broadcasts
-    "d42_calibration" -> 2)
+    "d42_calibration" -> 2,
+    // the doubling rounds hide behind their checkpoints; the visible
+    // plan is the broadcast sink semi-join over the final frame
+    "wro_flow_length" -> 0)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
