@@ -110,6 +110,10 @@ object Mosaic {
         nul.as("NoDataRangeLabels"),
         col("output_values").as("OutputValues"),
         nul.as("Metadata"),
-        nul.as("dataset_id"))
+        nul.as("dataset_id"),
+        // every mosaic is pinned to web mercator (pyt:629 sets
+        // outputCoordinateSystem = SpatialReference(3857); pyt:801
+        // "web mercator for all mosaics") — a constant, not per-row data
+        lit("EPSG:3857").as("crs"))
   }
 }

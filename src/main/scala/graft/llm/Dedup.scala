@@ -409,9 +409,13 @@ object Dedup {
       .repartition(p, col("src"))
       .localCheckpoint()
     // stats reset (see scaladoc): rebuild from materialized rows so the
-    // LogicalRDD does not inherit the round plan's multiplied estimates
-    def fresh(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema).localCheckpoint()
+    // LogicalRDD does not inherit the round plan's multiplied estimates.
+    // The RDD round-trip also DROPS the argument's outputPartitioning,
+    // so callers must hash-repartition AFTER fresh() (not inside the
+    // argument) for the layout to survive into the next round's joins.
+    def freshById(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+        .repartition(p, col("id")).localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("lbl"))
       .repartition(p, col("id"))
       .localCheckpoint()
@@ -426,12 +430,11 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("lbl").as("ld")), "dst")
         .filter(col("ls") =!= col("ld"))
       val upd = le.groupBy(col("ls")).agg(min(col("ld")).as("cand"))
-      val hooked = fresh(labels
+      val hooked = freshById(labels
         .join(upd, col("lbl") === col("ls"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"),
-          col("lbl").as("prev"))
-        .repartition(p, col("id")))
+          col("lbl").as("prev")))
       // (2) compress twice: lbl <- lbl(lbl); hooked is checkpointed so
       // the double self-reference re-reads rows, not the hook plan
       def jump(df: DataFrame): DataFrame = df
@@ -440,7 +443,7 @@ object Dedup {
         .select(col("id"),
           least(col("lbl"), coalesce(col("jl"), col("lbl"))).as("lbl"),
           col("prev"))
-      val next = fresh(jump(jump(hooked)).repartition(p, col("id")))
+      val next = freshById(jump(jump(hooked)))
       changed = next.filter(col("lbl") =!= col("prev")).count()
       labels = next.select(col("id"), col("lbl"))
       iter += 1

@@ -398,6 +398,14 @@ object TextAnalysis {
 
   def dsirWeights(docs: DataFrame, id: Column, text: Column,
                   isTarget: Column): DataFrame = {
+    // fail loudly on an empty target corpus: with nt = 0 every llr term
+    // degenerates to a meaningless positive-leaning constant (log2(0)
+    // read as 0) and the "importance" ranking is noise. The check scans
+    // docs only until the first target row (limit-1 pushdown), never
+    // tokenizes.
+    require(docs.filter(isTarget).limit(1).count() == 1L,
+      "dsirWeights requires at least one target document — an empty " +
+      "target corpus makes every importance weight degenerate")
     val t = tokenBuckets(docs, id, text, isTarget, "tgt")
     val model = t.groupBy("b").agg(count(lit(1)).as("cr"),
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))

@@ -234,7 +234,7 @@ object CatalogQueries {
     s.read.parquet(path).select(
       "Name", "Title", "Description", "Url", "InputRanges", "NoDataRanges",
       "RangeLabels", "NoDataRangeLabels", "OutputValues", "Metadata",
-      "dataset_id")
+      "dataset_id", "crs")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -323,7 +323,7 @@ object CatalogQueries {
          |  ir AS InputRanges, CAST(NULL AS VARCHAR) AS NoDataRanges,
          |  rl AS RangeLabels, CAST(NULL AS VARCHAR) AS NoDataRangeLabels,
          |  ov AS OutputValues, CAST(NULL AS VARCHAR) AS Metadata,
-         |  CAST(NULL AS VARCHAR) AS dataset_id
+         |  CAST(NULL AS VARCHAR) AS dataset_id, 'EPSG:3857' AS crs
          |FROM rws""".stripMargin,
     "wro_catalog_encoded" ->
       s"""$encodedSql

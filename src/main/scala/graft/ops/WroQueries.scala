@@ -610,7 +610,14 @@ object WroQueries {
       .select(lit(0L).as("seq"), col("r"), col("c"))
       .localCheckpoint()
     var path = frontier
-    for (_ <- 1 to k) {
+    // a converged field bounds cost34 by 4k but each backtrace step
+    // drops it by only >=3 (orthogonal chamfer weight), so a valid
+    // path can need up to ceil(4k/3) steps — walking only k would
+    // trip the convergence guard below on a perfectly valid field.
+    // Extra rounds are free once the frontier empties (join on the
+    // exhausted one-row frontier yields zero rows).
+    val steps = math.ceil(4.0 * k / 3.0).toInt
+    for (_ <- 1 to steps) {
       frontier = frontier.join(pred, Seq("r", "c"))
         .select((col("seq") + 1).as("seq"), col("pr").as("r"),
           col("pc").as("c"))
@@ -620,10 +627,13 @@ object WroQueries {
     val out = path.join(cost, Seq("r", "c"))
       .select("seq", "r", "c", "cost34")
       .localCheckpoint()
-    // loud truncation guard (≤ k+1 rows — bounded driver check): a
+    // loud truncation guard (≤ steps+1 rows — bounded driver check): a
     // non-converged cost field can strand the walk mid-path
-    require(out.agg(min("cost34")).head.getLong(0) == 0L,
-      s"least-cost path did not reach a source in $k steps — the " +
+    val minCost = out.agg(min("cost34")).head
+    require(!minCost.isNullAt(0),
+      "least-cost path found no destination — the cost field is empty")
+    require(minCost.getLong(0) == 0L,
+      s"least-cost path did not reach a source in $steps steps — the " +
       "k-round cost field is not converged for this destination; " +
       "raise k")
     out

@@ -483,7 +483,16 @@ object Streams {
     * sketch never grows past k counters), which is the entire point:
     * an unbounded-token stream gets a bounded-memory head-of-
     * distribution monitor, carrying the MG guarantee that any token
-    * with true count > n/(k+1) is present in the candidates. */
+    * with true count > n/(k+1) is present in the candidates.
+    *
+    * NONDETERMINISM CONTRACT: each micro-batch's rows fold in iterator
+    * order, and MG's decrement step is order-sensitive, so the emitted
+    * CANDIDATE COUNTS can differ across runs (the candidate-SET
+    * guarantee above holds regardless of order). This is a monitor,
+    * not a gate query; for deterministic output, feed the candidate
+    * set to the batch [[graft.llm.HeavyHitters.heavyHitters]] second
+    * pass, which recounts candidates exactly — the composition the
+    * batch a15 query already uses. */
   class MgProcessor(k: Int, enc: org.apache.spark.sql.Encoder[Map[String, Long]])
       extends StatefulProcessor[Long, TokEvent, SketchRow] {
     @transient private var st: ValueState[Map[String, Long]] = _

@@ -92,4 +92,10 @@ class MosaicSpec extends SparkSpec {
     assert(row.getAs[String]("RangeLabels") ==
       "Very Low,Low,Medium,High,Very High")
   }
+
+  test("every mosaic row carries the constant web-mercator crs (pyt:629)") {
+    val meta = toMeta(Seq(metaRow(1, "n", "c:\\d\\n", "", "GENERIC")))
+    val row = Mosaic.createMosaic(meta, cellsDf()).collect().head
+    assert(row.getAs[String]("crs") == "EPSG:3857")
+  }
 }
