@@ -1387,6 +1387,15 @@ object RelQueries {
 
   def q23AncestorChains(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.register(s, dir)
+    // Pin BOTH recursion ceilings explicitly rather than inheriting
+    // whatever the session carries: the depth guard (< 20) must sit
+    // inside the level limit, and the accumulated-row ceiling is the
+    // real scale bound (~20 ancestor rows/doc → the default 1M rows is
+    // ~50k documents; a larger corpus must raise this CONSCIOUSLY —
+    // enforced, not just documented; boundary behavior spec-pinned in
+    // SubquerySpec).
+    s.conf.set("spark.sql.cteRecursionLevelLimit", 100)
+    s.conf.set("spark.sql.cteRecursionRowLimit", 1000000)
     s.sql(q23Sql)
   }
 

@@ -66,4 +66,56 @@ class MvSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         r.getLong(3), r.getLong(4))).toSet
     assert(got == full)
   }
+
+  private def canon5(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("A19 retractions: mergeDeletes + repairMax == recompute on survivors") {
+    val deletePreds = Seq[org.apache.spark.sql.Column](
+      col("l_orderkey") % 10 === 0,      // scattered rows, max mostly safe
+      col("l_returnflag") === "R",       // whole groups emptied
+      cents >= 9000000L)                 // deletes the extrema → max stale
+    deletePreds.foreach { p =>
+      val view = Mv.partials(li, keys, cents)
+      val merged = Mv.mergeDeletes(
+        view, Mv.deletePartials(li.filter(p), keys, cents), keys)
+      val survivors = li.filter(!p)
+      val repaired = Mv.repairMax(merged, survivors, keys, cents)
+      assert(canon5(repaired) == canon5(Mv.partials(survivors, keys, cents)),
+        s"incremental-with-deletes != recompute for delete predicate $p")
+    }
+  }
+
+  test("A19 retractions: max survives WITHOUT history read when the " +
+       "deleted max is strictly below the stored max") {
+    // delete only cheap rows: every group's stored max survives, so no
+    // row is flagged and repairMax's history leg has nothing to scan
+    val p = cents < 100000L
+    val merged = Mv.mergeDeletes(
+      Mv.partials(li, keys, cents),
+      Mv.deletePartials(li.filter(p), keys, cents), keys)
+    assert(merged.filter(col("max_stale")).isEmpty,
+      "a strictly-smaller deleted max must not invalidate the stored max")
+    assert(canon5(merged.drop("max_stale")) ==
+           canon5(Mv.partials(li.filter(!p), keys, cents)))
+  }
+
+  test("A19 retractions: over-delete and absent-group deletes fail loudly") {
+    import spark.implicits._
+    val view = Mv.partials(li, keys, cents)
+    val doubled = Mv.deletePartials(
+      li.filter(col("l_returnflag") === "R"), keys, cents)
+      .withColumn("n_rows", col("n_rows") * 2)
+    intercept[IllegalArgumentException] {
+      Mv.mergeDeletes(view, doubled, keys)
+    }
+    val phantom = Seq(("Z", "Z", -1L, -100L, 100L))
+      .toDF("l_returnflag", "l_linestatus", "n_rows", "sum_cents",
+        "del_max_cents")
+    intercept[IllegalArgumentException] {
+      Mv.mergeDeletes(view, phantom, keys)
+    }
+  }
 }

@@ -237,4 +237,42 @@ class SubquerySpec extends SparkSpec
     assert(sortedRows(RelQueries.j19LateralTopK(spark, dir)) ==
            sortedRows(manual))
   }
+
+  test("q23: accumulated-row recursion ceiling is enforced at the boundary") {
+    // A 2-chain: doc i derives from i-1 — n docs yield exactly
+    // n*(n+1)/2 - ... rows; simpler: each doc's full ancestor chain.
+    // With n docs in a single chain and no depth guard, the closure
+    // accumulates n + (n-1) + ... = n(n+1)/2 anchor+recursive rows.
+    // Pin a tiny row limit and place the corpus just under / just over.
+    def closure(n: Int, rowLimit: Int): Long = {
+      spark.conf.set("spark.sql.cteRecursionRowLimit", rowLimit)
+      try {
+        spark.range(n.toLong).createOrReplaceTempView("chain_docs")
+        spark.sql("""
+          WITH RECURSIVE anc AS (
+            SELECT id AS doc_id, id - 1 AS anc_id FROM chain_docs WHERE id > 0
+            UNION ALL
+            SELECT a.doc_id, a.anc_id - 1 FROM anc a WHERE a.anc_id > 0)
+          SELECT * FROM anc""").count()
+      } finally spark.conf.unset("spark.sql.cteRecursionRowLimit")
+    }
+    // n=10 single chain: rows = 9+8+...+1 = 45 total accumulated.
+    // Spark raises RECURSION_ROW_LIMIT_EXCEEDED the moment the limit is
+    // REACHED with the loop still live, so the limit must sit strictly
+    // above the accumulated count: 46 passes, 45 fails.
+    assert(closure(10, 46) == 45L)
+    val e = intercept[org.apache.spark.SparkException] { closure(10, 45) }
+    assert(e.getMessage.contains("RECURSION_ROW_LIMIT_EXCEEDED"),
+      s"expected a recursion-limit error, got: ${e.getMessage}")
+  }
+
+  test("q23: query function pins both recursion ceilings explicitly") {
+    // a hostile ambient session value must not leak into the gate query
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 10)
+    try {
+      val n = RelQueries.q23AncestorChains(spark, dir).count()
+      assert(n > 10L, s"q23 produced only $n rows")
+      assert(spark.conf.get("spark.sql.cteRecursionRowLimit") == "1000000")
+    } finally spark.conf.unset("spark.sql.cteRecursionRowLimit")
+  }
 }
