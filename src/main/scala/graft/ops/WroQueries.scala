@@ -152,6 +152,87 @@ object WroQueries {
               col("n_layers").as("n_obs"))
   }
 
+  /** The AQE-skew config set [[overlaySkewedAqe]] and its spec share:
+    * thresholds lowered so the planted hot partition (a few MB at test
+    * SF) clears the split gate — a 100-TB deployment keeps the defaults
+    * (256 MB threshold, 5× factor) and gets the same rewrite on a
+    * genuinely hot raster cell. forceOptimizeSkewedJoin: the join feeds
+    * an aggregate, and without force AQE declines splits that add a
+    * downstream exchange. */
+  private[ops] val aqeSkewConfs = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+    // without these two, coalescePartitions' parallelismFirst floor
+    // (minPartitionSize 1 MB) merges ALL test-SF partitions into one
+    // read before the skew rule can see the hot one
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4096")
+
+  /** The unsalted skewed join ARRANGED so OptimizeSkewedJoin can fire —
+    * two preconditions Spark's rule imposes that the naive plan of
+    * [[skewedJoined]] violates (both discovered empirically, both
+    * no-ops at production scale):
+    *  1. the rule's pattern is SMJ(Sort(ShuffleStage), Sort(ShuffleStage))
+    *     — the per-cell max AGGREGATE sitting between the build-side
+    *     sort and its shuffle masks the stage, so the build side
+    *     materializes first (at 100 TB a stats table is a separately
+    *     materialized artifact anyway);
+    *  2. AQE splits a skewed reduce partition along MAPPER boundaries —
+    *     a single-row-group parquet scan yields ONE mapper, making the
+    *     hot partition unsplittable — so the probe side pre-distributes
+    *     across 16 round-robin mappers (a real fact scan has thousands
+    *     of map tasks; this scaffold exists only because test SF fits
+    *     one row group). */
+  private[ops] def skewedJoinedAqe(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val obs = skewedObs(spark, dir)
+    val obsManyMappers = obs.repartition(16).localCheckpoint()
+    val cellMax = obs.groupBy("cell_id", "layer")
+      .agg(max("value").as("maxv")).localCheckpoint()
+    obsManyMappers.join(cellMax.hint("merge"), Seq("cell_id", "layer"))
+  }
+
+  /** Run `body` with `confs` applied, restoring the previous session
+    * values afterwards — safe only when `body` EXECUTES the plan it
+    * builds (lazy plans would otherwise run after the restore). */
+  private[ops] def withConfs[T](spark: SparkSession,
+                                confs: Map[String, String])(body: => T): T = {
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** J13 under ADAPTIVE skew handling — the same planted-skew overlay as
+    * [[overlaySkewed]] with the manual salt DISABLED: the hot cell is
+    * left in one shuffle partition and Spark's OptimizeSkewedJoin (what
+    * a 100-TB deployment reaches for first) splits it at runtime into
+    * advisory-sized sub-tasks, replicating the matching build rows — the
+    * engine-native version of [[Skew.saltedJoinOn]]'s 16-way salt. The
+    * fact×fact stage must EXECUTE under the lowered thresholds, so it
+    * materializes via localCheckpoint inside a config save/restore
+    * block; the flagship kernel (broadcast remap + weights) composes on
+    * top afterwards. Result-invariance vs the salted path is the gate
+    * (identical oracle as wro_overlay_skewed); SkewSpec asserts the
+    * final adaptive plan actually carries the skew=true sort-merge
+    * join. */
+  def overlaySkewedAqe(spark: SparkSession, dir: String): DataFrame = {
+    val joined = withConfs(spark, aqeSkewConfs) {
+      skewedJoinedAqe(spark, dir).localCheckpoint()
+    }
+    val rep = joined.filter(col("value") * 2 >= col("maxv"))
+    val ranges = WeightedOverlay.explodeRanges(catalog(spark, dir))
+    WeightedOverlay.score(WeightedOverlay.remap(rep, ranges), weights(spark))
+      .select(col("cell_id"), col("score10").cast("long").as("score10"),
+              col("n_layers").as("n_obs"))
+  }
+
   /** A9 as explicit bin COUNTS (pyt:903 grounding — the raster histogram
     * behind classification): per-layer equi-width 5-bin histogram via a
     * width_bucket-style expression. Stats ride a broadcast; the bin
@@ -1490,6 +1571,7 @@ object WroQueries {
     "wro_overlay_flagship" -> flagship,
     "wro_overlay_nodata" -> overlayNoData,
     "wro_overlay_skewed" -> overlaySkewed,
+    "wro_overlay_skewed_aqe" -> overlaySkewedAqe,
     "a9_histogram" -> a9Histogram,
     "wro_focal_stats" -> focalStats,
     "wro_zonal_stats" -> zonalStats,
@@ -1564,6 +1646,34 @@ object WroQueries {
       |  FROM lineitem GROUP BY 1),
       |g AS (SELECT cell_id // 100 AS r, cell_id % 100 AS c, u FROM pc)"""
       .stripMargin
+
+  /** Plain-join replay of the planted-skew overlay — the shared oracle
+    * of the salted (wro_overlay_skewed) and AQE-split
+    * (wro_overlay_skewed_aqe) executions: both must be result-invariant
+    * vs the naive join. */
+  private val skewedOracleSql =
+    s"""$rangesSql,
+       |weights AS (${layers.map { case (n, _, w) => s"SELECT '$n' AS layer, $w AS w10" }.mkString(" UNION ALL ")}),
+       |obs AS (
+       |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN l_orderkey % 10000
+       |              ELSE 0 END AS cell_id, layer, value
+       |  FROM (${layers.map { case (name, src, _) =>
+                s"SELECT l_orderkey, '$name' AS layer, CAST($src AS DOUBLE) AS value FROM lineitem"
+              }.mkString(" UNION ALL ")})),
+       |cellmax AS (
+       |  SELECT cell_id, layer, max(value) AS maxv FROM obs GROUP BY 1, 2),
+       |rep AS (
+       |  SELECT o.cell_id, o.layer, o.value FROM obs o
+       |  JOIN cellmax m ON o.cell_id = m.cell_id AND o.layer = m.layer
+       |  WHERE o.value * 2 >= m.maxv),
+       |remapped AS (
+       |  SELECT c.cell_id, c.layer, r.out
+       |  FROM rep c JOIN ranges r
+       |    ON c.layer = r.layer AND c.value >= r.lo AND c.value < r.hi)
+       |SELECT m.cell_id, CAST(sum(m.out * w.w10) AS BIGINT) AS score10,
+       |  count(*) AS n_obs
+       |FROM remapped m JOIN weights w ON m.layer = w.layer
+       |GROUP BY m.cell_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the same N-scaled deviations (dev = N·u − Σu) over the same rook
@@ -2217,29 +2327,10 @@ object WroQueries {
          |FROM remapped m JOIN weights w ON m.layer = w.layer
          |GROUP BY m.cell_id""".stripMargin,
     // plain-join replay of the salted plan — proves salt invariance
-    "wro_overlay_skewed" ->
-      s"""$rangesSql,
-         |weights AS (${layers.map { case (n, _, w) => s"SELECT '$n' AS layer, $w AS w10" }.mkString(" UNION ALL ")}),
-         |obs AS (
-         |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN l_orderkey % 10000
-         |              ELSE 0 END AS cell_id, layer, value
-         |  FROM (${layers.map { case (name, src, _) =>
-                  s"SELECT l_orderkey, '$name' AS layer, CAST($src AS DOUBLE) AS value FROM lineitem"
-                }.mkString(" UNION ALL ")})),
-         |cellmax AS (
-         |  SELECT cell_id, layer, max(value) AS maxv FROM obs GROUP BY 1, 2),
-         |rep AS (
-         |  SELECT o.cell_id, o.layer, o.value FROM obs o
-         |  JOIN cellmax m ON o.cell_id = m.cell_id AND o.layer = m.layer
-         |  WHERE o.value * 2 >= m.maxv),
-         |remapped AS (
-         |  SELECT c.cell_id, c.layer, r.out
-         |  FROM rep c JOIN ranges r
-         |    ON c.layer = r.layer AND c.value >= r.lo AND c.value < r.hi)
-         |SELECT m.cell_id, CAST(sum(m.out * w.w10) AS BIGINT) AS score10,
-         |  count(*) AS n_obs
-         |FROM remapped m JOIN weights w ON m.layer = w.layer
-         |GROUP BY m.cell_id""".stripMargin,
+    // (and, under the _aqe key, that the adaptive skew split is
+    // result-invariant too: both executions gate on the same replay)
+    "wro_overlay_skewed" -> skewedOracleSql,
+    "wro_overlay_skewed_aqe" -> skewedOracleSql,
     "wro_overlay_flagship" ->
       s"""$rangesSql,
          |weights AS (${layers.map { case (n, _, w) => s"SELECT '$n' AS layer, $w AS w10" }.mkString(" UNION ALL ")}),

@@ -3,7 +3,8 @@ package graft.ops
 import graft.SparkSpec
 import org.apache.spark.sql.Row
 
-class SkewSpec extends SparkSpec {
+class SkewSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   test("saltedJoin equals the plain equi-join, including hot keys") {
     import spark.implicits._
@@ -52,6 +53,43 @@ class SkewSpec extends SparkSpec {
       spark.conf.set(coalesceKey, prev)
       spark.conf.set(partsKey, prevParts)
     }
+  }
+
+  test("AQE path: OptimizeSkewedJoin splits the hot partition and the " +
+       "result matches the salted plan") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val dir = "/root/testdata/sf0.001"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    try {
+      spark.conf.set(partsKey, "8")
+      val (df, smjs) = WroQueries.withConfs(spark, WroQueries.aqeSkewConfs) {
+        val d = WroQueries.skewedJoinedAqe(spark, dir)
+        // finalize THIS df's adaptive plan (count() would plan a clone)
+        d.queryExecution.toRdd.count()
+        val joins = collectWithSubqueries(d.queryExecution.executedPlan) {
+          case j: SortMergeJoinExec => j
+        }
+        (d, joins)
+      }
+      assert(smjs.nonEmpty, "no sort-merge join in the AQE skew plan")
+      assert(smjs.exists(_.isSkewJoin),
+        s"OptimizeSkewedJoin did not mark the join skew=true:\n" +
+          df.queryExecution.executedPlan)
+      // result-invariance vs the manual salt on the same data
+      def sig(salted: Boolean, aqe: Boolean): Seq[String] = {
+        val d =
+          if (aqe) WroQueries.withConfs(spark, WroQueries.aqeSkewConfs) {
+            WroQueries.skewedJoinedAqe(spark, dir).localCheckpoint()
+          }
+          else WroQueries.skewedJoined(spark, dir, salted)
+        // exact row multiset — a float SUM would be order-sensitive
+        // across the different task decompositions
+        d.select("cell_id", "layer", "value", "maxv")
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(sig(salted = false, aqe = true) == sig(salted = true, aqe = false))
+    } finally spark.conf.set(partsKey, prevParts)
   }
 
   test("saltedJoin distributes a hot key across multiple salts") {
