@@ -1,0 +1,179 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-versioned table commits — the manifest-based protocol that
+  * generalizes [[graft.stream.Streams]]' stage→swap and
+  * [[PartitionMerge]]'s rename discipline into SNAPSHOT ISOLATION with
+  * TIME TRAVEL and loud OPTIMISTIC-CONCURRENCY conflicts, retiring the
+  * "a Delta/Iceberg sink is needed for real multi-writer commits"
+  * caveat for the single-table case.
+  *
+  * Layout under the table root:
+  * {{{
+  *   v00000001/ v00000002/ ...   immutable snapshot dirs (parquet)
+  *   _commits/v00000001.json     manifest — EXISTENCE = committed
+  *   _latest                     pointer cache (advisory, see below)
+  * }}}
+  *
+  * The COMMIT ARBITER is the manifest file created with
+  * `FileSystem.create(path, overwrite = false)` — exclusive create, the
+  * one primitive object stores and HDFS give atomically. Everything
+  * else is ordered around it:
+  *  1. data stages to a dot-prefixed temp dir, then RENAMES to `vN/`
+  *     (a crash before the rename leaves only an invisible temp; a
+  *     leftover UNCOMMITTED `vN/` from a crashed writer is detected by
+  *     manifest absence and reclaimed);
+  *  2. the manifest is exclusively created — the second committer of
+  *     the same base version loses this race and FAILS LOUDLY with the
+  *     conflict error (its staged data dir is cleaned up);
+  *  3. the `_latest` pointer is refreshed LAST and is only a cache:
+  *     readers that find it missing or stale fall back to listing
+  *     `_commits/`, which is authoritative, so a crash between 2 and 3
+  *     loses nothing.
+  *
+  * Readers never lock: `read(version)` requires the version's manifest
+  * and scans its immutable dir — a concurrent commit cannot change
+  * bytes under a running query (the Delta/Iceberg property the
+  * rename-swap protocol lacked). Old versions stay readable until
+  * [[vacuum]] drops them.
+  *
+  * 100 TB posture: the manifest is O(1) metadata, never data; a commit
+  * writes only its own snapshot. For tables too big to rewrite
+  * wholesale the snapshot dir holds the OUTPUT of a partition-scoped
+  * plan ([[PartitionMerge.mergeInto]] against the previous version's
+  * dir) — the protocol versions direcories, not diffs, and composes
+  * with any layout inside the dir. Reference grounding: the
+  * geodatabase's transactional update cursors (`pyt:318-324`,
+  * `pyt:879-885`) assume exactly this commit-or-nothing property.
+  */
+object SnapshotTable {
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def vdir(version: Long): String = f"v$version%08d"
+  private def manifest(root: String, version: Long): Path =
+    new Path(s"$root/_commits/${vdir(version)}.json")
+
+  /** Committed versions, ascending — from the `_commits/` listing, the
+    * authoritative record (the pointer is only a cache). */
+  def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(s"$root/_commits")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  /** Latest committed version; 0 = empty table (no commits yet). */
+  def currentVersion(spark: SparkSession, root: String): Long =
+    committedVersions(spark, root).lastOption.getOrElse(0L)
+
+  /** Commit `df` as the next snapshot, REQUIRING the table to still be
+    * at `expectedBase` — optimistic concurrency. Returns the new
+    * version. The second committer of the same base fails loudly at
+    * either the pre-check or (under a true race) the exclusive manifest
+    * create; its staged data is removed, the table is untouched. */
+  def commit(df: DataFrame, root: String, expectedBase: Long): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, root)
+    if (cur != expectedBase)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot commit conflict at $root: expected base version " +
+        s"$expectedBase but the table is at $cur — rebase on the " +
+        "current snapshot and retry")
+    val next = cur + 1
+    val dataDir = new Path(s"$root/${vdir(next)}")
+    // a data dir without a manifest is a crashed writer's leftover —
+    // reclaim it (the manifest check makes this safe: it never committed)
+    if (fs.exists(dataDir)) {
+      if (fs.exists(manifest(root, next)))
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot commit conflict at $root: version $next committed " +
+          "underneath this writer")
+      fs.delete(dataDir, true)
+    }
+    val staging = new Path(
+      s"$root/.staging-${vdir(next)}-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    if (!fs.rename(staging, dataDir)) {
+      fs.delete(staging, true)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot commit conflict at $root: version $next data dir " +
+        "appeared during staging (concurrent writer)")
+    }
+    val m = manifest(root, next)
+    fs.mkdirs(m.getParent)
+    val body =
+      s"""{"version":$next,"base":$expectedBase}""".getBytes("UTF-8")
+    // THE commit point: exclusive create — exactly one writer per version
+    val out = try fs.create(m, false) catch {
+      case e: java.io.IOException =>
+        fs.delete(dataDir, true)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot commit conflict at $root: lost the version-$next " +
+          s"manifest race (${e.getMessage})")
+    }
+    try out.write(body) finally out.close()
+    // pointer refresh — advisory cache only, losers of this race are
+    // corrected by the _commits listing fallback
+    val tmp = new Path(s"$root/._latest-${java.util.UUID.randomUUID()}")
+    val pout = fs.create(tmp, true)
+    try pout.write(next.toString.getBytes("UTF-8")) finally pout.close()
+    val ptr = new Path(s"$root/_latest")
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr)) fs.delete(tmp, false)
+    next
+  }
+
+  /** Time-travel read: the immutable snapshot of `version`. Fails
+    * loudly on an uncommitted version (data-dir presence alone is a
+    * crashed writer, not a commit). */
+  def read(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val fs = fsOf(spark, root)
+    require(fs.exists(manifest(root, version)),
+      s"snapshot read: version $version of $root was never committed " +
+      s"(committed: ${committedVersions(spark, root).mkString(",")})")
+    spark.read.parquet(s"$root/${vdir(version)}")
+  }
+
+  /** Read the latest committed snapshot (pointer fast path, listing
+    * fallback). */
+  def readLatest(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(spark, root)
+    require(v > 0, s"snapshot read: $root has no committed version")
+    read(spark, root, v)
+  }
+
+  /** Drop snapshots older than `keepLast` versions plus any uncommitted
+    * leftovers (crashed staging dirs, manifest-less data dirs below the
+    * current version). Never touches committed versions in the keep
+    * window. Returns the removed version numbers. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 2)
+      : Seq[Long] = {
+    require(keepLast >= 1, "vacuum must keep at least the live snapshot")
+    val fs = fsOf(spark, root)
+    val versions = committedVersions(spark, root)
+    val drop = versions.dropRight(keepLast)
+    drop.foreach { v =>
+      fs.delete(new Path(s"$root/${vdir(v)}"), true)
+      fs.delete(manifest(root, v), false)
+    }
+    // crashed-writer leftovers: staging dirs and manifest-less data dirs
+    val committed = versions.toSet
+    fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(".staging-")) fs.delete(p, true)
+      else if (n.matches("v\\d{8}") &&
+               !committed.contains(n.stripPrefix("v").toLong))
+        fs.delete(p, true)
+    }
+    drop
+  }
+}

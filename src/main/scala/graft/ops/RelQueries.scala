@@ -1162,6 +1162,39 @@ object RelQueries {
            (sum("v") * 100).cast("long").as("sum_value_cents"))
   }
 
+  /** SNK7: SNAPSHOT-VERSIONED commits + TIME TRAVEL
+    * ([[graft.catalog.SnapshotTable]]): commit the per-type event
+    * aggregate as version 1, commit a MERGED version 2 on top (purchase
+    * doubled, a synthetic 'refund' group inserted), then time-travel
+    * read version 1 AFTER the merge landed — the declared result must
+    * equal the pre-merge replay, proving the commit protocol left the
+    * old snapshot byte-untouched (the snapshot-isolation property the
+    * rename-swap sinks lack; concurrent-writer conflicts are
+    * spec-pinned in SnapshotTableSpec). */
+  def snk7TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    val root = ioDir(dir, "snk7snap")
+    // self-contained protocol demo: restart the table each run so the
+    // version numbers below are deterministic
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           (sum(col("value").cast(dec)) * 100).cast("long")
+             .as("sum_value_cents"))
+    val v1 = SnapshotTable.commit(base, root, expectedBase = 0L)
+    val merged = SnapshotTable.readLatest(s, root)
+      .withColumn("sum_value_cents",
+        when(col("event_type") === "purchase", col("sum_value_cents") * 2)
+          .otherwise(col("sum_value_cents")))
+      .unionByName(s.range(1).select(lit("refund").as("event_type"),
+        lit(1L).as("n"), lit(-100L).as("sum_value_cents")))
+    SnapshotTable.commit(merged, root, expectedBase = v1)
+    SnapshotTable.read(s, root, v1)
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -2659,6 +2692,7 @@ object RelQueries {
     "snk4_compaction" -> snk4Compaction,
     "snk5_partition_merge" -> snk5PartitionMerge,
     "snk6_gdpr_delete" -> snk6GdprDelete,
+    "snk7_time_travel" -> snk7TimeTravel,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -3222,6 +3256,12 @@ object RelQueries {
         |WHERE NOT (event_type = 'purchase' AND event_id % 13 = 0)
         |  AND NOT (event_type = 'error' AND event_id % 17 = 0)
         |GROUP BY 1""".stripMargin,
+    // time travel to version 1 AFTER the v2 merge = the PRE-merge replay
+    "snk7_time_travel" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_value_cents
+        |FROM events GROUP BY 1""".stripMargin,
     // the merge replay: matched rows take the batch payload (CASE on the
     // match, not coalesce — NULL payloads propagate), unmatched batch
     // rows insert, untouched partitions ride through unmodified

@@ -1,0 +1,129 @@
+package graft.catalog
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** [[SnapshotTable]] commit protocol: optimistic-concurrency conflicts
+  * fail loudly, crashed writers are reclaimed, old versions stay
+  * readable and immutable, the pointer is only a cache. */
+class SnapshotTableSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("snaptbl").toString + "/t"
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def df(vals: (String, Long)*) = {
+    import spark.implicits._
+    vals.toSeq.toDF("k", "v")
+  }
+
+  test("commit/read round trip and version accounting") {
+    val root = freshRoot()
+    assert(SnapshotTable.currentVersion(spark, root) == 0L)
+    val v1 = SnapshotTable.commit(df("a" -> 1L), root, 0L)
+    val v2 = SnapshotTable.commit(df("a" -> 2L, "b" -> 9L), root, v1)
+    assert((v1, v2) == (1L, 2L))
+    assert(SnapshotTable.committedVersions(spark, root) == Seq(1L, 2L))
+    assert(SnapshotTable.read(spark, root, 1L).collect().map(_.getLong(1))
+      .toSeq == Seq(1L))
+    assert(SnapshotTable.readLatest(spark, root).count() == 2L)
+  }
+
+  test("second committer of the same base version fails loudly and " +
+       "leaves the table untouched") {
+    val root = freshRoot()
+    SnapshotTable.commit(df("a" -> 1L), root, 0L)
+    // writers A and B both observed version 1
+    SnapshotTable.commit(df("a" -> 2L), root, 1L) // A wins
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commit(df("a" -> 99L), root, 1L) // B must lose
+    }
+    assert(e.getMessage.contains("conflict"))
+    assert(SnapshotTable.currentVersion(spark, root) == 2L)
+    assert(SnapshotTable.readLatest(spark, root)
+      .collect().head.getLong(1) == 2L, "loser's data leaked into the table")
+  }
+
+  test("true manifest race: a committed version appearing underneath a " +
+       "staged writer is a loud conflict, not an overwrite") {
+    val root = freshRoot()
+    SnapshotTable.commit(df("a" -> 1L), root, 0L)
+    // simulate the interleaving AFTER B's base pre-check passed: A's
+    // version-2 data dir AND manifest both land before B's rename
+    SnapshotTable.commit(df("a" -> 2L), root, 1L)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commit(df("a" -> 3L), root, 1L)
+    }
+    assert(e.getMessage.contains("conflict"))
+  }
+
+  test("crashed writer's manifest-less data dir is reclaimed by the " +
+       "next committer") {
+    val root = freshRoot()
+    SnapshotTable.commit(df("a" -> 1L), root, 0L)
+    // a writer that died after the rename but before the manifest
+    df("ghost" -> 0L).write.parquet(s"$root/v00000002")
+    assert(SnapshotTable.currentVersion(spark, root) == 1L,
+      "uncommitted data dir must not count as a version")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, root, 2L) // manifest absent: not readable
+    }
+    val v2 = SnapshotTable.commit(df("a" -> 2L), root, 1L)
+    assert(v2 == 2L)
+    assert(SnapshotTable.read(spark, root, 2L)
+      .collect().head.getString(0) == "a", "ghost data survived reclaim")
+  }
+
+  test("old version is byte-immutable under later commits, and the " +
+       "_latest pointer is only a cache") {
+    val root = freshRoot()
+    SnapshotTable.commit(df("a" -> 1L), root, 0L)
+    val before = fs(root).listStatus(new Path(s"$root/v00000001"))
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
+    SnapshotTable.commit(df("a" -> 2L), root, 1L)
+    SnapshotTable.commit(df("a" -> 3L), root, 2L)
+    val after = fs(root).listStatus(new Path(s"$root/v00000001"))
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
+    assert(after == before, "a later commit disturbed version 1's files")
+    // pointer loss: readers recover from the _commits listing
+    fs(root).delete(new Path(s"$root/_latest"), false)
+    assert(SnapshotTable.currentVersion(spark, root) == 3L)
+    assert(SnapshotTable.readLatest(spark, root)
+      .collect().head.getLong(1) == 3L)
+  }
+
+  test("vacuum drops only versions outside the keep window plus " +
+       "crashed-writer leftovers") {
+    val root = freshRoot()
+    (1 to 4).foldLeft(0L) { (base, i) =>
+      SnapshotTable.commit(df("a" -> i.toLong), root, base)
+    }
+    df("ghost" -> 0L).write.parquet(s"$root/v00000009") // manifest-less
+    val dropped = SnapshotTable.vacuum(spark, root, keepLast = 2)
+    assert(dropped == Seq(1L, 2L))
+    assert(SnapshotTable.committedVersions(spark, root) == Seq(3L, 4L))
+    assert(!fs(root).exists(new Path(s"$root/v00000009")),
+      "vacuum left a crashed writer's dir behind")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, root, 1L)
+    }
+    assert(SnapshotTable.read(spark, root, 3L).count() == 1L)
+  }
+
+  test("snk7 gate query: version 1 read after the merge equals the " +
+       "pre-merge aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.ops.RelQueries.snk7TimeTravel(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val want = graft.table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+             .as("sum_value_cents"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+}
