@@ -1,0 +1,254 @@
+package graft.llm
+
+/** Pure-JVM media codecs for the multimodal decode boundary (D5) —
+  * REAL formats, not simulations: 24-bit uncompressed BMP
+  * (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding), PCM-16 WAV
+  * (RIFF chunk walk), and uncompressed-DIB AVI (RIFF 'AVI ' with a
+  * movi LIST of 00db frames). The encoders emit spec-conformant files
+  * a stock viewer opens; the decoders parse the headers and byte
+  * layout for real — a decoder that forgot row padding, the bottom-up
+  * flip, or RIFF chunk sizes fails the arithmetic-replay oracles
+  * (d5_decode_bmp / d5_decode_wav / d5_frames_avi), because the gated
+  * statistics are position-weighted.
+  *
+  * This replaces the round-6 `Multimodal.decodeStub` simulation: the
+  * container still has no image/audio libraries, so the formats chosen
+  * are the ones a few hundred lines of header arithmetic decode
+  * exactly. Formats needing entropy coding (JPEG/PNG/MP3) remain out
+  * of scope and would slot in at the same [[Multimodal]] mapPartitions
+  * boundary.
+  */
+object MediaCodec {
+
+  // ---- little-endian byte helpers -----------------------------------
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def rd16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def rd32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+    ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  // ---- BMP (24 bpp, uncompressed) -----------------------------------
+
+  /** Decoded image; `bgr` is TOP-DOWN row-major, 3 bytes (B,G,R) per
+    * pixel — the decoder undoes BMP's bottom-up storage. */
+  final case class BmpImage(width: Int, height: Int, bgr: Array[Byte])
+
+  private def bmpRowSize(w: Int): Int = ((w * 3) + 3) / 4 * 4
+
+  /** Encode TOP-DOWN row-major BGR pixels as a real 24-bit BMP:
+    * 14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up padded
+    * pixel rows. */
+  def encodeBmp(w: Int, h: Int, bgr: Array[Byte]): Array[Byte] = {
+    require(bgr.length == w * h * 3,
+      s"encodeBmp: need ${w * h * 3} bytes for ${w}x$h, got ${bgr.length}")
+    val rowSize = bmpRowSize(w)
+    val dataSize = rowSize * h
+    val out = new java.io.ByteArrayOutputStream(54 + dataSize)
+    out.write('B'); out.write('M')
+    out.write(le32(54 + dataSize))           // file size
+    out.write(le32(0))                       // reserved
+    out.write(le32(54))                      // pixel data offset
+    out.write(le32(40))                      // BITMAPINFOHEADER size
+    out.write(le32(w)); out.write(le32(h))   // positive h = bottom-up
+    out.write(le16(1)); out.write(le16(24))  // planes, bpp
+    out.write(le32(0))                       // BI_RGB (uncompressed)
+    out.write(le32(dataSize))
+    out.write(le32(2835)); out.write(le32(2835)) // 72 dpi in px/metre
+    out.write(le32(0)); out.write(le32(0))   // palette counts
+    val pad = new Array[Byte](rowSize - w * 3)
+    // rows stored bottom-up: last image row first
+    var y = h - 1
+    while (y >= 0) {
+      out.write(bgr, y * w * 3, w * 3)
+      out.write(pad)
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a 24-bit uncompressed BMP — validates the magic, reads the
+    * pixel offset / dimensions / bpp from the headers, walks the padded
+    * bottom-up rows, and returns top-down pixels. Fails loudly on
+    * anything it does not actually parse (compressed, non-24-bpp,
+    * top-down negative-height files). */
+  def decodeBmp(bytes: Array[Byte]): BmpImage = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "decodeBmp: not a BMP (missing BM magic)")
+    val dataOffset = rd32(bytes, 10)
+    val dibSize = rd32(bytes, 14)
+    require(dibSize >= 40, s"decodeBmp: unsupported DIB header size $dibSize")
+    val w = rd32(bytes, 18)
+    val h = rd32(bytes, 22)
+    require(h > 0, "decodeBmp: top-down (negative-height) BMP unsupported")
+    val bpp = rd16(bytes, 28)
+    require(bpp == 24, s"decodeBmp: only 24 bpp supported, got $bpp")
+    require(rd32(bytes, 30) == 0, "decodeBmp: compressed BMP unsupported")
+    val rowSize = bmpRowSize(w)
+    require(bytes.length >= dataOffset + rowSize * h,
+      "decodeBmp: pixel data truncated")
+    val bgr = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      // stored row (h-1-y) is image row y
+      System.arraycopy(bytes, dataOffset + (h - 1 - y) * rowSize,
+        bgr, y * w * 3, w * 3)
+      y += 1
+    }
+    BmpImage(w, h, bgr)
+  }
+
+  // ---- WAV (PCM 16-bit mono) ----------------------------------------
+
+  final case class WavAudio(sampleRate: Int, samples: Array[Short])
+
+  /** Encode mono 16-bit PCM as a real RIFF/WAVE file. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+    out.write("RIFF".getBytes); out.write(le32(36 + dataSize))
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); out.write(le32(16))
+    out.write(le16(1))                        // PCM
+    out.write(le16(1))                        // mono
+    out.write(le32(sampleRate))
+    out.write(le32(sampleRate * 2))           // byte rate
+    out.write(le16(2))                        // block align
+    out.write(le16(16))                       // bits per sample
+    out.write("data".getBytes); out.write(le32(dataSize))
+    samples.foreach(s => out.write(le16(s & 0xffff)))
+    out.toByteArray
+  }
+
+  /** Decode a PCM-16 mono WAV by walking the RIFF chunks for real —
+    * fmt may be preceded or followed by chunks the encoder didn't
+    * write (LIST/INFO etc.); sizes are honored, odd chunks padded per
+    * the RIFF rule. */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" &&
+            tag(bytes, 8) == "WAVE", "decodeWav: not a RIFF/WAVE file")
+    var off = 12
+    var rate = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val size = rd32(bytes, off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"decodeWav: chunk $id overruns the file")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "decodeWav: fmt chunk too small")
+          require(rd16(bytes, off + 8) == 1, "decodeWav: not PCM")
+          require(rd16(bytes, off + 10) == 1, "decodeWav: not mono")
+          rate = rd32(bytes, off + 12)
+          require(rd16(bytes, off + 22) == 16, "decodeWav: not 16-bit")
+        case "data" =>
+          require(rate > 0, "decodeWav: data chunk before fmt")
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = rd16(bytes, off + 8 + i * 2).toShort
+            i += 1
+          }
+        case _ => () // skip unknown chunks — the point of a real walk
+      }
+      off += 8 + size + (size & 1) // RIFF pads odd chunks
+    }
+    require(samples != null, "decodeWav: no data chunk")
+    WavAudio(rate, samples)
+  }
+
+  // ---- AVI (uncompressed DIB frames) --------------------------------
+
+  /** Encode frames (each TOP-DOWN row-major BGR, all w×h) as a real
+    * uncompressed AVI: RIFF 'AVI ' → LIST hdrl (avih + LIST strl with
+    * strh/strf) → LIST movi with one 00db chunk per frame holding the
+    * bottom-up padded DIB rows (same row layout as BMP pixel data). */
+  def encodeAviDib(w: Int, h: Int, fps: Int,
+                   frames: Seq[Array[Byte]]): Array[Byte] = {
+    frames.foreach(f => require(f.length == w * h * 3,
+      s"encodeAviDib: frame must be ${w * h * 3} bytes"))
+    val rowSize = bmpRowSize(w)
+    val frameSize = rowSize * h
+    def dibOf(bgr: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(frameSize)
+      val pad = new Array[Byte](rowSize - w * 3)
+      var y = h - 1
+      while (y >= 0) { out.write(bgr, y * w * 3, w * 3); out.write(pad); y -= 1 }
+      out.toByteArray
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(8 + body.length + 1)
+      out.write(id.getBytes); out.write(le32(body.length)); out.write(body)
+      if ((body.length & 1) == 1) out.write(0) // RIFF odd-size pad
+      out.toByteArray
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes ++ body)
+    val avih = chunk("avih", le32(1000000 / fps) ++ le32(frameSize * fps) ++
+      le32(0) ++ le32(0x10) ++ le32(frames.length) ++ le32(0) ++ le32(1) ++
+      le32(frameSize) ++ le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0))
+    val strh = chunk("strh", "vids".getBytes ++ "DIB ".getBytes ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++
+      le32(0) ++ le32(frames.length) ++ le32(frameSize) ++ le32(-1) ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+      le16(24) ++ le32(0) ++ le32(frameSize) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      frames.map(f => chunk("00db", dibOf(f))).reduce(_ ++ _))
+    chunk("RIFF", "AVI ".getBytes ++ hdrl ++ movi)
+  }
+
+  /** Decode the frames of an uncompressed-DIB AVI: walk the RIFF tree
+    * to the movi LIST (reading dimensions from avih on the way), then
+    * decode each 00db chunk's bottom-up padded rows to top-down BGR.
+    * Returns (width, height, frames). */
+  def decodeAviFrames(bytes: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" &&
+            tag(bytes, 8) == "AVI ", "decodeAviFrames: not a RIFF AVI")
+    var w = -1; var h = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = tag(bytes, off)
+        val size = rd32(bytes, off + 4)
+        require(size >= 0 && off + 8 + size <= end,
+          s"decodeAviFrames: chunk $id overruns its parent")
+        if (id == "LIST") {
+          walk(off + 12, off + 8 + size) // recurse past the list kind tag
+        } else if (id == "avih") {
+          w = rd32(bytes, off + 8 + 32)
+          h = rd32(bytes, off + 8 + 36)
+        } else if (id == "00db") {
+          require(w > 0 && h > 0, "decodeAviFrames: frame before avih")
+          val rowSize = bmpRowSize(w)
+          require(size >= rowSize * h, "decodeAviFrames: short frame chunk")
+          val bgr = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            System.arraycopy(bytes, off + 8 + (h - 1 - y) * rowSize,
+              bgr, y * w * 3, w * 3)
+            y += 1
+          }
+          frames += bgr
+        }
+        off += 8 + size + (size & 1)
+      }
+    }
+    walk(12, bytes.length)
+    require(frames.nonEmpty, "decodeAviFrames: no 00db frame chunks")
+    (w, h, frames.toSeq)
+  }
+}

@@ -1116,6 +1116,26 @@ object LlmQueries {
               col("frame").cast("string").as("frame_str"))
   }
 
+  /** D5 REAL decode — BMP: per doc, synthesize the SQL-replayable
+    * pixel field, encode it as an actual 24-bpp BMP (bottom-up padded
+    * rows), decode with [[graft.llm.MediaCodec.decodeBmp]], and emit
+    * position-weighted channel statistics the oracle recomputes from
+    * the pixel rule alone — a decoder that misreads padding or the
+    * row flip fails the weighted sum. */
+  def d5DecodeBmp(s: SparkSession, dir: String): DataFrame =
+    Multimodal.bmpRoundtripStats(s, docs(s, dir)).toDF()
+
+  /** D5 REAL decode — WAV: PCM-16 mono through the RIFF chunk walk;
+    * samples span the full signed range so sign decoding is gated. */
+  def d5DecodeWav(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavRoundtripStats(s, docs(s, dir)).toDF()
+
+  /** D5 REAL frame fan-out — AVI: a 4-frame uncompressed-DIB AVI per
+    * doc, decoded by walking the RIFF tree to the movi LIST; one row
+    * per decoded frame with position-weighted stats. */
+  def d5FramesAvi(s: SparkSession, dir: String): DataFrame =
+    Multimodal.aviFrameStats(s, docs(s, dir)).toDF()
+
   def d6Quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityBySource(docs(s, dir), Seq("the", "data", "value"))
 
@@ -1436,6 +1456,9 @@ object LlmQueries {
     "d4_fingerprint" -> d4Fingerprint,
     "d5_multimodal" -> d5Multimodal,
     "d5_frames" -> d5Frames,
+    "d5_decode_bmp" -> d5DecodeBmp,
+    "d5_decode_wav" -> d5DecodeWav,
+    "d5_frames_avi" -> d5FramesAvi,
     "d6_quality" -> d6Quality,
     "d6_repetition" -> d6Repetition,
     "d11_vocab_oov" -> d11VocabOov,
@@ -3525,6 +3548,40 @@ object LlmQueries {
         |    AS frame_str
         |FROM m, LATERAL (SELECT unnest(range(0, 4)) AS x) i
         |WHERE i.x < least(4, len)""".stripMargin,
+    // arithmetic replay of the pixel rule — independent of the JVM
+    // encode/decode path; position weight i catches layout misreads
+    "d5_decode_bmp" ->
+      """SELECT d.doc_id, CAST(32 AS INT) AS n_px,
+        |  CAST(sum(((d.doc_id*31 + i.x*7) % 256) +
+        |           ((d.doc_id*17 + i.x*11) % 256) +
+        |           ((d.doc_id*13 + i.x*3) % 256)) AS BIGINT) AS sum_ch,
+        |  CAST(sum(i.x * (((d.doc_id*31 + i.x*7) % 256) +
+        |                  ((d.doc_id*17 + i.x*11) % 256) +
+        |                  ((d.doc_id*13 + i.x*3) % 256))) AS BIGINT)
+        |    AS wsum_ch
+        |FROM documents d, (SELECT unnest(range(0, 32)) AS x) i
+        |GROUP BY 1""".stripMargin,
+    "d5_decode_wav" ->
+      """SELECT d.doc_id, CAST(100 AS INT) AS n_samples,
+        |  CAST(sum(((d.doc_id*13 + i.x*5) % 65536) - 32768) AS BIGINT)
+        |    AS sum_amp,
+        |  CAST(sum(i.x * (((d.doc_id*13 + i.x*5) % 65536) - 32768))
+        |    AS BIGINT) AS wsum_amp
+        |FROM documents d, (SELECT unnest(range(0, 100)) AS x) i
+        |GROUP BY 1""".stripMargin,
+    "d5_frames_avi" ->
+      """SELECT d.doc_id, CAST(f.x AS INT) AS frame_idx,
+        |  CAST(sum(((d.doc_id*31 + f.x*19 + i.x*7) % 256) +
+        |           ((d.doc_id*17 + f.x*23 + i.x*11) % 256) +
+        |           ((d.doc_id*13 + f.x*29 + i.x*3) % 256)) AS BIGINT)
+        |    AS sum_ch,
+        |  CAST(sum(i.x * (((d.doc_id*31 + f.x*19 + i.x*7) % 256) +
+        |                  ((d.doc_id*17 + f.x*23 + i.x*11) % 256) +
+        |                  ((d.doc_id*13 + f.x*29 + i.x*3) % 256)))
+        |    AS BIGINT) AS wsum_ch
+        |FROM documents d, (SELECT unnest(range(0, 4)) AS x) f,
+        |     (SELECT unnest(range(0, 8)) AS x) i
+        |GROUP BY 1, 2""".stripMargin,
     "pipe_training_mix" ->
       """WITH corpus AS (
         |  SELECT doc_id, text, lang, source, n_chars FROM documents
