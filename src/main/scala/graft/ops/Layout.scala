@@ -54,4 +54,21 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Table MAINTENANCE: compaction × Z-order in ONE rewrite — the op a
+    * 100-TB deployment schedules nightly. Streaming/merge sinks leave N
+    * small fragments (the snk4 pathology: per-file overhead dominates
+    * scans); a plain compaction fixes file count but writes an
+    * arbitrary row layout. This reads the fragmented table once and
+    * rewrites it as `files` Z-ordered parquet files, so the SAME pass
+    * that pays the rewrite also buys two-dimensional min/max pruning
+    * on (x, y) — file count AND per-file Morton-rectangle tightness
+    * are spec-pinned (LayoutSpec); content invariance is the
+    * snk8_compact_zorder gate. One shuffle (the Z range partitioner);
+    * the sort is partition-local. */
+  def compactZorder(spark: org.apache.spark.sql.SparkSession,
+                    srcPath: String, dstPath: String,
+                    x: Column, y: Column, files: Int): Unit =
+    zorderBy(spark.read.parquet(srcPath), x, y, files)
+      .write.mode("overwrite").parquet(dstPath)
 }

@@ -1646,6 +1646,28 @@ object RelQueries {
            sum(col("user_id")).as("sum_uid"))
   }
 
+  /** SNK8: the combined maintenance op — [[graft.ops.Layout
+    * .compactZorder]] rewrites the 64-fragment events table as 4
+    * Z-ordered files on (user_id, event_id). The declared result
+    * re-reads the compacted table and must equal the source aggregate
+    * (content invariance); the file count and per-file Morton-rectangle
+    * tightness are pinned in LayoutSpec. */
+  def snk8CompactZorder(s: SparkSession, dir: String): DataFrame = {
+    val frag = ioDir(dir, "snk8frag")
+    val compact = ioDir(dir, "snk8zorder")
+    table(s, dir, "events")
+      .select("event_id", "user_id", "event_type")
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    graft.ops.Layout.compactZorder(s, frag, compact,
+      col("user_id") % 65536, col("event_id") % 65536, files = 4)
+    s.read.parquet(compact)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("event_id")).as("sum_id"),
+           sum(col("user_id")).as("sum_uid"))
+  }
+
   /** W9: the remaining rank-family functions in one declared query —
     * dense_rank, cume_dist, nth_value over a full frame. One user-keyed
     * window partition, full (price desc, key) tie-break. */
@@ -2693,6 +2715,7 @@ object RelQueries {
     "snk5_partition_merge" -> snk5PartitionMerge,
     "snk6_gdpr_delete" -> snk6GdprDelete,
     "snk7_time_travel" -> snk7TimeTravel,
+    "snk8_compact_zorder" -> snk8CompactZorder,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -3294,6 +3317,12 @@ object RelQueries {
     // content identity through fragment -> compact: the aggregate over
     // the compacted copy must equal the direct-source aggregate
     "snk4_compaction" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY 1""".stripMargin,
+    // compaction must not change content, whatever the row layout
+    "snk8_compact_zorder" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id,
         |  CAST(sum(user_id) AS BIGINT) AS sum_uid

@@ -79,4 +79,39 @@ class LayoutSpec extends SparkSpec {
           "two-dimensional pruning lost")
     } finally boxes.unpersist()
   }
+
+  test("compactZorder: 32 fragments become 8 z-ordered FILES whose " +
+       "on-disk min/max rectangles prune bands in both dimensions") {
+    val base = java.nio.file.Files.createTempDirectory("zmaint").toString
+    val src = s"$base/frag"
+    val dst = s"$base/zorder"
+    // 1024x256 grid, fragmented across 32 round-robin files
+    spark.range(1024L * 256L)
+      .select((col("id") % 1024).as("x"), expr("id div 1024").as("y"))
+      .repartition(32)
+      .write.parquet(src)
+    assert(new java.io.File(src).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 32)
+    Layout.compactZorder(spark, src, dst, col("x"), col("y"), files = 8)
+    val files = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 8, s"expected 8 compacted files, got " +
+      s"${files.length}")
+    // per-FILE rectangles (what parquet footer min/max pruning sees):
+    // read each file alone — the maintenance claim is about bytes on
+    // disk, not in-memory partitions
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("x"), max("x"), min("y"), max("y"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    assert(boxes.map(_._5).sum == 1024L * 256L, "compaction lost rows")
+    // band pruning: first-eighth band on x (<=127) and on y (<=31) must
+    // each intersect at most half the file rectangles
+    val hitX = boxes.count(_._1 <= 127)
+    val hitY = boxes.count(_._3 <= 31)
+    assert(hitX <= 4 && hitY <= 4,
+      s"band touches $hitX (x) / $hitY (y) of 8 files — the compacted " +
+        "layout lost two-dimensional tightness")
+  }
 }
