@@ -66,9 +66,41 @@ object Layout {
     * are spec-pinned (LayoutSpec); content invariance is the
     * snk8_compact_zorder gate. One shuffle (the Z range partitioner);
     * the sort is partition-local. */
+  /** `quadBits` controls the cut granularity: file boundaries may fall
+    * only BETWEEN aligned 2^quadBits-cell Z quads. Why not plain
+    * [[zorderBy]]: its range bounds come from reservoir sampling (seed
+    * keyed off the global RDD id — different every run) and land at
+    * arbitrary Z positions; a boundary slipping even a few hundred
+    * rows across a major quad CORNER hands the file a stray tail from
+    * the diagonally-opposite region, blowing its min/max rectangle
+    * across a full axis (observed: 7-of-8 files hit by a y-band that
+    * should touch 4). Bucketing the range key to aligned quads makes
+    * every file a union of WHOLE quads — rectangles tight by
+    * construction, any sampling seed. The default 2^15-cell quad is a
+    * 256×128 region of the 16-bit grid; pick quadBits so the bucket
+    * count stays ≫ `files` (equal Z-keys are never split, so too few
+    * buckets means fewer output files — the partitioner balances
+    * counts at bucket granularity). */
   def compactZorder(spark: org.apache.spark.sql.SparkSession,
                     srcPath: String, dstPath: String,
-                    x: Column, y: Column, files: Int): Unit =
-    zorderBy(spark.read.parquet(srcPath), x, y, files)
-      .write.mode("overwrite").parquet(dstPath)
+                    x: Column, y: Column, files: Int,
+                    quadBits: Int = 11): Unit =
+    // Max out the bound sampling (RangePartitioner caps the total at
+    // 1e6 rows whatever the hint): a nightly maintenance rewrite
+    // dwarfs the sampling cost, and at test scale the cap means a FULL
+    // sample — bucket boundaries land exactly at equal counts, so a
+    // uniform grid cuts precisely at aligned region edges. On real
+    // data the guarantee is quad-granular (strays are whole aligned
+    // quads, never mid-quad diagonal tails), not region-exact.
+    // (The write is eager, so save/restore around it is sound.)
+    WroQueries.withConfs(spark, Map(
+      "spark.sql.execution.rangeExchange.sampleSizePerPartition" -> "125000")) {
+      spark.read.parquet(srcPath)
+        .withColumn("__z", zorder16(x, y))
+        .withColumn("__zq", shiftright(col("__z"), quadBits))
+        .repartitionByRange(files, col("__zq"))
+        .sortWithinPartitions("__z")
+        .drop("__z", "__zq")
+        .write.mode("overwrite").parquet(dstPath)
+    }
 }

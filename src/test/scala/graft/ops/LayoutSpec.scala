@@ -92,7 +92,10 @@ class LayoutSpec extends SparkSpec {
       .write.parquet(src)
     assert(new java.io.File(src).listFiles()
       .count(_.getName.endsWith(".parquet")) == 32)
-    Layout.compactZorder(spark, src, dst, col("x"), col("y"), files = 8)
+    // quadBits 13 → 32 aligned buckets for 8 files (4 whole quads per
+    // file): bucket count ≫ files per the operator's contract
+    Layout.compactZorder(spark, src, dst, col("x"), col("y"), files = 8,
+      quadBits = 11)
     val files = new java.io.File(dst).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
     assert(files.length == 8, s"expected 8 compacted files, got " +
