@@ -74,12 +74,35 @@ object SnapshotTable {
   def currentVersion(spark: SparkSession, root: String): Long =
     committedVersions(spark, root).lastOption.getOrElse(0L)
 
+  /** Read each committed version's manifest `tag` (absent → no entry).
+    * Tags are the replay-idempotence hook: a streaming sink stamps
+    * each commit with its micro-batch id and skips batches whose tag
+    * is already committed. O(versions) small reads — vacuum bounds it. */
+  def committedTags(spark: SparkSession, root: String): Map[String, Long] = {
+    val fs = fsOf(spark, root)
+    val TagRe = """"tag":"([^"]*)"""".r
+    committedVersions(spark, root).flatMap { v =>
+      val in = fs.open(manifest(root, v))
+      val body = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        bytes.toString("UTF-8")
+      } finally in.close()
+      TagRe.findFirstMatchIn(body).map(m => m.group(1) -> v)
+    }.toMap
+  }
+
   /** Commit `df` as the next snapshot, REQUIRING the table to still be
     * at `expectedBase` — optimistic concurrency. Returns the new
     * version. The second committer of the same base fails loudly at
     * either the pre-check or (under a true race) the exclusive manifest
-    * create; its staged data is removed, the table is untouched. */
-  def commit(df: DataFrame, root: String, expectedBase: Long): Long = {
+    * create; its staged data is removed, the table is untouched.
+    * `tag`, if given, is recorded in the manifest for
+    * [[committedTags]]-based replay idempotence. */
+  def commit(df: DataFrame, root: String, expectedBase: Long,
+             tag: Option[String] = None): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     val cur = currentVersion(spark, root)
@@ -110,8 +133,10 @@ object SnapshotTable {
     }
     val m = manifest(root, next)
     fs.mkdirs(m.getParent)
+    val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
     val body =
-      s"""{"version":$next,"base":$expectedBase}""".getBytes("UTF-8")
+      s"""{"version":$next,"base":$expectedBase$tagField}"""
+        .getBytes("UTF-8")
     // THE commit point: exclusive create — exactly one writer per version
     val out = try fs.create(m, false) catch {
       case e: java.io.IOException =>

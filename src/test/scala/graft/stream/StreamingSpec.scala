@@ -664,4 +664,40 @@ class StreamingSpec extends SparkSpec {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("S20 snapshot-committing upsert: each batch is a committed " +
+       "version, stream history time-travels, replay is idempotent") {
+    import spark.implicits._
+    import graft.catalog.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_s20").toString
+    val root = s"$dir/tbl"
+    val input = MemoryStream[(String, Long)](spark)
+    val updates = input.toDF().toDF("k", "v")
+    val q = Streams.snapshotUpsert(updates, root, Seq("k"), s"$dir/ckpt")
+    try {
+      input.addData(("a", 1L), ("a", 3L), ("b", 5L)) // dup key a: max wins
+      q.processAllAvailable()
+      input.addData(("b", 7L), ("c", 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    def state(v: Long): Seq[(String, Long)] =
+      SnapshotTable.read(spark, root, v).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(SnapshotTable.committedVersions(spark, root) == Seq(1L, 2L))
+    // version 1 = state after batch 0, readable AFTER batch 1 landed
+    assert(state(1L) == Seq(("a", 3L), ("b", 5L)))
+    assert(state(2L) == Seq(("a", 3L), ("b", 7L), ("c", 9L)))
+    // replay batch 1 (checkpoint rolled back): the manifest tag makes
+    // it a no-op — no version 3, same state
+    val replayed = Streams.snapshotApply(
+      Seq(("b", 7L), ("c", 9L)).toDF("k", "v"), root, Seq("k"), batchId = 1L)
+    assert(replayed == 2L)
+    assert(SnapshotTable.currentVersion(spark, root) == 2L)
+    assert(state(2L) == Seq(("a", 3L), ("b", 7L), ("c", 9L)))
+    // a genuinely NEW batch still lands
+    val v3 = Streams.snapshotApply(
+      Seq(("a", 10L)).toDF("k", "v"), root, Seq("k"), batchId = 2L)
+    assert(v3 == 3L)
+    assert(state(3L) == Seq(("a", 10L), ("b", 7L), ("c", 9L)))
+  }
 }
