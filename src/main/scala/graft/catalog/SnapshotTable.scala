@@ -176,6 +176,63 @@ object SnapshotTable {
     read(spark, root, v)
   }
 
+  /** CHANGE FEED between two committed versions — the Delta/Iceberg
+    * CDF shape, derivable here because versions are immutable
+    * snapshots: one keyed full-outer join of the two version dirs
+    * emits `insert` (key only in `toV`, post-image), `delete` (key
+    * only in `fromV`, pre-image), and `update` (payload struct
+    * differs, post-image); unchanged rows are filtered in-plan, so
+    * the feed is diff-sized downstream of the join. This is what an
+    * incremental consumer (MV maintenance via [[Mv.deletePartials]] +
+    * [[Mv.partials]], cache invalidation, downstream sync) reads
+    * instead of re-scanning history — on a partition-keyed table the
+    * join prunes to partitions either side touched. Keys must be
+    * unique per version (the upsert contract).
+    *
+    * With `preimages = true` an update emits TWO rows —
+    * `update_preimage` (old payload) and `update_postimage` (new) —
+    * the Delta-CDF shape an incremental MV needs: retract every
+    * preimage/delete row, add every postimage/insert row (composition
+    * proven in MvSpec). */
+  def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
+              keys: Seq[String], preimages: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV < toV, s"changes: fromV $fromV must precede toV $toV")
+    val a = read(spark, root, fromV)
+    val b = read(spark, root, toV)
+    val payload = b.columns.filterNot(keys.contains).toSeq
+    val pa = a.select(keys.map(col) :+
+      struct(payload.map(col): _*).as("_pre"): _*)
+    val pb = b.select(keys.map(col) :+
+      struct(payload.map(col): _*).as("_post"): _*)
+    val joined = pa.join(pb, keys, "full_outer")
+    if (!preimages)
+      joined
+        .withColumn("change_type",
+          when(col("_pre").isNull, lit("insert"))
+            .when(col("_post").isNull, lit("delete"))
+            .when(!(col("_pre") <=> col("_post")), lit("update")))
+        .filter(col("change_type").isNotNull)
+        .select(keys.map(col) ++ Seq(col("change_type")) ++
+          payload.map(p =>
+            coalesce(col(s"_post.$p"), col(s"_pre.$p")).as(p)): _*)
+    else {
+      // unchanged rows yield a NULL event array — explode drops them
+      def ev(tpe: String, img: org.apache.spark.sql.Column) =
+        struct(lit(tpe).as("change_type"), img.as("img"))
+      val events =
+        when(col("_pre").isNull, array(ev("insert", col("_post"))))
+          .when(col("_post").isNull, array(ev("delete", col("_pre"))))
+          .when(!(col("_pre") <=> col("_post")),
+            array(ev("update_preimage", col("_pre")),
+                  ev("update_postimage", col("_post"))))
+      joined
+        .select(keys.map(col) :+ explode(events).as("_c"): _*)
+        .select(keys.map(col) ++ Seq(col("_c.change_type")) ++
+          payload.map(p => col(s"_c.img.$p").as(p)): _*)
+    }
+  }
+
   /** Drop snapshots older than `keepLast` versions plus any uncommitted
     * leftovers (crashed staging dirs, manifest-less data dirs below the
     * current version). Never touches committed versions in the keep

@@ -1195,6 +1195,36 @@ object RelQueries {
     SnapshotTable.read(s, root, v1)
   }
 
+  /** SNK9: CHANGE FEED between snapshot versions
+    * ([[graft.catalog.SnapshotTable.changes]], the Delta-CDF shape):
+    * v1 = the per-type aggregate over two thirds of the events plus a
+    * synthetic 'legacy' group (the planted DELETE), v2 = the full
+    * aggregate plus a synthetic 'refund' group (the planted INSERT);
+    * every real type's counts change between the versions, so they
+    * emit as UPDATEs with post-images. The oracle derives all three
+    * change classes arithmetically from the events table. */
+  def snk9ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    val root = ioDir(dir, "snk9cdf")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    def agg(df: DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           (sum(col("value").cast(dec)) * 100).cast("long")
+             .as("sum_value_cents"))
+    val ev = table(s, dir, "events")
+    val v1 = agg(ev.filter(col("event_id") % 3 =!= 0))
+      .unionByName(s.range(1).select(lit("legacy").as("event_type"),
+        lit(1L).as("n"), lit(-1L).as("sum_value_cents")))
+    val v2 = agg(ev)
+      .unionByName(s.range(1).select(lit("refund").as("event_type"),
+        lit(2L).as("n"), lit(-200L).as("sum_value_cents")))
+    SnapshotTable.commit(v1, root, 0L)
+    SnapshotTable.commit(v2, root, 1L)
+    SnapshotTable.changes(s, root, 1L, 2L, Seq("event_type"))
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -2716,6 +2746,7 @@ object RelQueries {
     "snk6_gdpr_delete" -> snk6GdprDelete,
     "snk7_time_travel" -> snk7TimeTravel,
     "snk8_compact_zorder" -> snk8CompactZorder,
+    "snk9_change_feed" -> snk9ChangeFeed,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -3285,6 +3316,21 @@ object RelQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
         |    AS sum_value_cents
         |FROM events GROUP BY 1""".stripMargin,
+    // the three change classes derived arithmetically: real types are
+    // updates (counts change), 'legacy' only in v1 (delete, pre-image),
+    // 'refund' only in v2 (insert, post-image)
+    "snk9_change_feed" ->
+      """WITH v2 AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS sum_value_cents
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, 'update' AS change_type, n, sum_value_cents
+        |FROM v2
+        |UNION ALL
+        |SELECT 'legacy', 'delete', 1, -1
+        |UNION ALL
+        |SELECT 'refund', 'insert', 2, -200""".stripMargin,
     // the merge replay: matched rows take the batch payload (CASE on the
     // match, not coalesce — NULL payloads propagate), unmatched batch
     // rows insert, untouched partitions ride through unmodified

@@ -102,6 +102,50 @@ class MvSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            canon5(Mv.partials(li.filter(!p), keys, cents)))
   }
 
+  test("A19 × SNK9 composition: a view maintained from the snapshot " +
+       "CHANGE FEED equals the recompute over the new version") {
+    // the full incremental loop: fact table versions v1 -> v2 (rows
+    // dropped, added, AND updated in place), row-level CDF with
+    // preimages, view maintained by retracting preimage+delete rows
+    // and adding postimage+insert rows — never re-reading v2 wholesale
+    val root = java.nio.file.Files.createTempDirectory("mvcdf")
+      .toString + "/facts"
+    val factKeys = Seq("l_orderkey", "l_linenumber")
+    // (orderkey, linenumber) is NOT unique in the fixture — reduce to
+    // that grain first, per changes()' unique-key contract
+    def facts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_returnflag")).as("l_returnflag"),
+             max(col("l_linestatus")).as("l_linestatus"),
+             sum(round(col("l_extendedprice") * 100).cast("long"))
+               .as("cents"))
+    val v1 = facts(li.filter(col("l_orderkey") % 5 =!= 0))
+    val v2 = facts(li.filter(col("l_orderkey") % 7 =!= 0))
+      // in-place updates: every 11th surviving row doubles its price
+      .withColumn("cents",
+        when(col("l_orderkey") % 11 === 0, col("cents") * 2)
+          .otherwise(col("cents")))
+    SnapshotTable.commit(v1, root, 0L)
+    SnapshotTable.commit(v2, root, 1L)
+    val feed = SnapshotTable.changes(spark, root, 1L, 2L, factKeys,
+      preimages = true).localCheckpoint()
+    val adds = feed.filter(
+      col("change_type").isin("insert", "update_postimage"))
+    val drops = feed.filter(
+      col("change_type").isin("delete", "update_preimage"))
+    val view1 = Mv.partials(v1, keys, col("cents"))
+    val afterAdds = Mv.merge(view1,
+      Mv.partials(adds, keys, col("cents")), keys)
+    val merged = Mv.mergeDeletes(afterAdds,
+      Mv.deletePartials(drops, keys, col("cents")), keys)
+    val repaired = Mv.repairMax(merged,
+      SnapshotTable.read(spark, root, 2L), keys, col("cents"))
+    assert(canon5(repaired) == canon5(Mv.partials(v2, keys, col("cents"))),
+      "incrementally-maintained view != recompute over version 2")
+  }
+
+  private def SnapshotTable = graft.catalog.SnapshotTable
+
   test("A19 retractions: over-delete and absent-group deletes fail loudly") {
     import spark.implicits._
     val view = Mv.partials(li, keys, cents)

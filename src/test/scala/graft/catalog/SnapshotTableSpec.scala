@@ -113,6 +113,28 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root, 3L).count() == 1L)
   }
 
+  test("changes(): insert/delete/update classes, unchanged rows absent, " +
+       "preimage mode emits both update images") {
+    val root = freshRoot()
+    SnapshotTable.commit(
+      df("keep" -> 1L, "upd" -> 2L, "gone" -> 3L), root, 0L)
+    SnapshotTable.commit(
+      df("keep" -> 1L, "upd" -> 20L, "new" -> 4L), root, 1L)
+    val feed = SnapshotTable.changes(spark, root, 1L, 2L, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(feed == Seq(("gone", "delete", 3L), ("new", "insert", 4L),
+      ("upd", "update", 20L)), s"unexpected feed: $feed")
+    val pre = SnapshotTable.changes(spark, root, 1L, 2L, Seq("k"),
+        preimages = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(pre == Seq(
+      ("gone", "delete", 3L), ("new", "insert", 4L),
+      ("upd", "update_postimage", 20L), ("upd", "update_preimage", 2L)),
+      s"unexpected preimage feed: $pre")
+  }
+
   test("snk7 gate query: version 1 read after the merge equals the " +
        "pre-merge aggregate") {
     val dir = "/root/testdata/sf0.001"
