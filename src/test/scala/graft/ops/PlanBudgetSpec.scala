@@ -430,7 +430,23 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d42_calibration" -> 2,
     // the doubling rounds hide behind their checkpoints; the visible
     // plan is the broadcast sink semi-join over the final frame
-    "wro_flow_length" -> 0)
+    "wro_flow_length" -> 0,
+    // round 10: snapshot reads are plain pruned scans over the version
+    // dir — both commits execute eagerly inside the function, the
+    // declared read plans shuffle-free
+    "snk7_time_travel" -> 0,
+    // the CDF full-outer join: one exchange per version side (version
+    // aggregates materialize inside the eager commits)
+    "snk9_change_feed" -> 2,
+    // codec roundtrips are pure mapPartitions over the id scan
+    "d5_decode_bmp" -> 0,
+    "d5_decode_wav" -> 0,
+    "d5_frames_avi" -> 0,
+    // visible plan: remap broadcast + score agg exchange + the ranges
+    // dim's stats legs; the skewed fact join hides behind its
+    // localCheckpoint (the AQE-split stage is spec-asserted in
+    // SkewSpec, not here)
+    "wro_overlay_skewed_aqe" -> 3)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans with <= $budget shuffle exchange(s)") {
