@@ -332,24 +332,35 @@ object Similarity {
     * actually runs (a query BATCH against the corpus, not one vector):
     * the query set broadcasts (queries are request-sized), every
     * (candidate, query) pair scores in one codegen pass over the fan-
-    * out, and a rank window PARTITIONED BY query cuts k per query —
-    * one corpus scan serves the whole batch. The per-query window
-    * sorts only that query's candidate scores; at 100 TB the corpus
-    * side stays partition-parallel and the exchange carries
-    * (corpus × |batch|) score rows — the documented cost knob is the
-    * batch size, never the corpus. */
+    * out, and TWO-STAGE ranking cuts k per query. Stage 1 ranks within
+    * (query, shard) — shard = hash(vec_id) mod `shards` — so the sort
+    * parallelism is |batch|·shards, not |batch| (a q_id-only window
+    * caps the whole cluster at the batch size: the sf1 soak measured
+    * 28× wall time for 10× corpus on that plan — the nq sort tasks
+    * became the serial bottleneck). Stage 2 re-ranks the surviving
+    * shards·k rows per query — a tiny exchange. The global top-k is a
+    * subset of the shard top-ks, and the (score desc, vec_id) total
+    * order makes both stages deterministic, so the result — ranks
+    * included — is IDENTICAL to the single-window form (spec-pinned
+    * equality in LlmSpec's d38 contract via the unchanged oracle). */
   def batchTopK(corpus: DataFrame, id: Column, emb: Column,
                 queries: DataFrame, qid: Column, queryEmb: Column,
-                k: Int): DataFrame = {
+                k: Int, shards: Int = 32): DataFrame = {
     val c = corpus.select(id.as("vec_id"), asDouble(emb).as("v"))
     val q = queries.select(qid.as("q_id"), asDouble(queryEmb).as("q"))
-    val w = Window.partitionBy("q_id")
+    val w1 = Window.partitionBy("q_id", "_shard")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val w2 = Window.partitionBy("q_id")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     c.crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("v"), col("q")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("_shard", pmod(xxhash64(col("vec_id")), lit(shards)))
+      .withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= k)
+      .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
+      .drop("_shard", "_r1")
   }
 
   /** D36: int8 SCALAR quantization top-k — the FAISS SQ8 / Milvus

@@ -165,7 +165,11 @@ object WroQueries {
     "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+    // advisory 2× the detection threshold: the split still fires at the
+    // smallest SF (hot ≈ 76 KB → 2+ chunks) without shattering larger
+    // SFs into thousands of tiny tasks (sf1 soak: 16 KB advisory cost
+    // ~7× in pure task overhead)
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
     // without these two, coalescePartitions' parallelismFirst floor
     // (minPartitionSize 1 MB) merges ALL test-SF partitions into one
     // read before the skew rule can see the hot one

@@ -354,7 +354,10 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d37_rerank_topk" -> 2,
     // the per-query rank window's q_id exchange — the batch's only
     // shuffle; queries broadcast
-    "d38_batch_topk" -> 1,
+    // two-stage top-k (round 10): the (q_id, shard) stage-1 exchange +
+    // the tiny stage-2 re-rank exchange — bought |batch|·shards sort
+    // parallelism (the q_id-only window measured 28x at the sf1 soak)
+    "d38_batch_topk" -> 2,
     // visible past the checkpointed family table: the split/audit
     // aggregates; the closure's rounds hide behind their checkpoints
     "pipe_split_assign" -> 5,
