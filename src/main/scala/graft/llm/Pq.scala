@@ -53,7 +53,15 @@ object Pq {
     // + quantize transform runs three times per probe
     val q0 = corpus.select(id.as("vec_id"), KMeans.quantize(emb).as("qv"))
       .localCheckpoint()
-    val sampled = q0.filter(col("vec_id") % stride === 0)
+    // `stride` is a FLOOR: the effective stride grows with the corpus
+    // so the codebook CAPS at ~256 centroids per subspace (the PQ
+    // standard). A fixed stride makes the codebook n/stride — code
+    // assignment then costs n²·m/stride, and the sf1 soak measured
+    // exactly that: 48× wall for 10× vectors. The cap restores the
+    // linear n·256·m assignment; the count is one cached-checkpoint
+    // action, and the oracle replays the same greatest(floor, n/256).
+    val effStride = math.max(stride, q0.count() / 256)
+    val sampled = q0.filter(col("vec_id") % effStride === 0)
     // an id space with no multiple of `stride` would yield an empty
     // codebook and a silent 0-row answer — fail loudly instead (the
     // same contract as subspaces' non-divisible-dimension raise_error)

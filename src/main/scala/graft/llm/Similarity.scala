@@ -115,10 +115,17 @@ object Similarity {
               stride: Long = 31, nprobe: Int = 2,
               coarseBits: Int = 4): DataFrame = {
     val c = corpus.select(id.as("vec_id"), asDouble(emb).as("v"))
-    val cents = c.filter(col("vec_id") % stride === 0)
+      .localCheckpoint()
+    // `stride` is a floor: a FIXED stride makes the codebook n/stride
+    // and the per-vector assignment candidate set grows with the
+    // corpus (the d16 quadratic the sf1 soak measured); capping the
+    // codebook at ~256 keeps assignment linear. Oracle replays
+    // greatest(floor, n/256).
+    val effStride = math.max(stride, c.count() / 256)
+    val cents = c.filter(col("vec_id") % effStride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    ivfTopKWith(corpus, id, emb, cents, query, queryEmb, k, nprobe,
-      coarseBits)
+    ivfTopKWith(c, col("vec_id"), col("v"), cents, query, queryEmb, k,
+      nprobe, coarseBits)
   }
 
   /** [[ivfTopK]] with an EXTERNAL codebook `(cid: long, cv:
@@ -209,7 +216,20 @@ object Similarity {
     val q = base.select(col("vec_id"), col("v"),
         KMeans.quantize(col("v")).as("qv"))
       .localCheckpoint()
-    val cb = KMeans.codebook2Q(q.select("vec_id", "qv"), k)
+    // `k` is a FLOOR: cells grow with the corpus (~64 vectors/cell).
+    // A fixed k makes the within-cell pair join n²/k — the sf1 soak
+    // measured 13–15× wall for 10× vectors at k=8 — and the pair leg
+    // (cosine + per-vector rank window) empirically costs ~5× per row
+    // vs Lloyd's integer sqDist, so constant CELL SIZE beats the
+    // textbook √n cell count here (both measured at sf1: n/64 → 41 s,
+    // √n/3 → 89 s for d34). The in-plan brute training then carries
+    // the n·k term; at 100 TB training moves OFFLINE at a fixed
+    // centroid budget ([[ivfTopKWith]] / [[KMeans.codebook2Q]] on a
+    // bounded sample — the linear apply path this library also
+    // ships), and this one-shot train-and-dedup form is the gate
+    // artifact. Oracle replays the same greatest(floor, n/64) cut.
+    val effK = math.max(k.toLong, q.count() / 64).toInt
+    val cb = KMeans.codebook2Q(q.select("vec_id", "qv"), effK)
     // materialized BEFORE the self-join: both pair sides read the same
     // assignment instead of each re-running training + assignment (the
     // d16 double-derivation lesson — without this the whole Lloyd
@@ -261,7 +281,10 @@ object Similarity {
     val q = base.select(col("vec_id"), col("v"),
         KMeans.quantize(col("v")).as("qv"))
       .localCheckpoint()
-    val cb = KMeans.codebook2Q(q.select("vec_id", "qv"), k)
+    // k floors at the caller's value, cells stay ~64 vectors (the
+    // semDedup cell law — measured best at sf1; 48× at fixed k=8)
+    val effK = math.max(k.toLong, q.count() / 64).toInt
+    val cb = KMeans.codebook2Q(q.select("vec_id", "qv"), effK)
     // assignment materialized once; both join sides read it (the d16
     // double-derivation lesson)
     val members = q.crossJoin(broadcast(cb))

@@ -1782,7 +1782,12 @@ object LlmQueries {
       s"""WITH corp AS (
          |$corpSql),
          |seeds0 AS (
-         |  SELECT vec_id AS cid, qv AS cv FROM corp ORDER BY vec_id LIMIT 8),
+         |  SELECT cid, cv FROM (
+         |    SELECT vec_id AS cid, qv AS cv,
+         |      row_number() OVER (ORDER BY vec_id) AS rn,
+         |      count(*) OVER () AS nn
+         |    FROM corp)
+         |  WHERE rn <= greatest(8, nn // 64)),
          |d1 AS (
          |  SELECT t.vec_id, s.cid,
          |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
@@ -2954,7 +2959,8 @@ object LlmQueries {
       """WITH corp AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings WHERE vec_id != 0),
-        |cents AS (SELECT vec_id AS cid, v AS cv FROM corp WHERE vec_id % 31 = 0),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM corp
+        |  WHERE vec_id % greatest(31, (SELECT count(*) FROM corp) // 256) = 0),
         |centb AS (
         |  SELECT cid, cv,
         |    (CASE WHEN cv[1] > 0 THEN 1 ELSE 0 END +
@@ -3234,7 +3240,8 @@ object LlmQueries {
         |    qv[(j.j * (len(qv) // 8) + 1):((j.j + 1) * (len(qv) // 8))] AS subv
         |  FROM corp, LATERAL (SELECT unnest(range(0, 8)) AS j) j
         |  WHERE vec_id != 0),
-        |cents AS (SELECT vec_id AS cid, j, subv FROM cs WHERE vec_id % 31 = 0),
+        |cents AS (SELECT vec_id AS cid, j, subv FROM cs WHERE vec_id %
+        |  greatest(31, (SELECT count(DISTINCT vec_id) FROM cs) // 256) = 0),
         |qs AS (
         |  SELECT j.j AS j,
         |    qv[(j.j * (len(qv) // 8) + 1):((j.j + 1) * (len(qv) // 8))] AS qsub
