@@ -12,8 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout under the table root:
   * {{{
-  *   v00000001/ v00000002/ ...   immutable snapshot dirs (parquet)
-  *   _commits/v00000001.json     manifest — EXISTENCE = committed
+  *   data-<uuid>/ ...            immutable snapshot dirs (parquet),
+  *                               UNIQUELY named per commit attempt
+  *   _commits/v00000001.json     manifest — EXISTENCE = committed;
+  *                               body records which data dir is vN
   *   _latest                     pointer cache (advisory, see below)
   * }}}
   *
@@ -21,13 +23,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `FileSystem.create(path, overwrite = false)` — exclusive create, the
   * one primitive object stores and HDFS give atomically. Everything
   * else is ordered around it:
-  *  1. data stages to a dot-prefixed temp dir, then RENAMES to `vN/`
-  *     (a crash before the rename leaves only an invisible temp; a
-  *     leftover UNCOMMITTED `vN/` from a crashed writer is detected by
-  *     manifest absence and reclaimed);
-  *  2. the manifest is exclusively created — the second committer of
-  *     the same base version loses this race and FAILS LOUDLY with the
-  *     conflict error (its staged data dir is cleaned up);
+  *  1. data writes COMPLETELY into a fresh uniquely-named dir — no two
+  *     writers ever touch the same path, so there is NO shared rename
+  *     target (an earlier design renamed staging onto a shared `vN/`;
+  *     an 8-thread race test caught both of that design's holes —
+  *     Hadoop's local rename NESTS into an existing destination dir
+  *     instead of failing, and the rename→manifest window let a
+  *     concurrent committer reclaim a LIVE writer's data);
+  *  2. the manifest — naming the data dir in its body — is exclusively
+  *     created: the second committer of the same base loses this race,
+  *     FAILS LOUDLY with the conflict error, and deletes only its OWN
+  *     data dir. A crash before the manifest leaves an orphan data dir
+  *     no reader can see ([[vacuum]] reclaims it);
   *  3. the `_latest` pointer is refreshed LAST and is only a cache:
   *     readers that find it missing or stale fall back to listing
   *     `_commits/`, which is authoritative, so a crash between 2 and 3
@@ -74,23 +81,37 @@ object SnapshotTable {
   def currentVersion(spark: SparkSession, root: String): Long =
     committedVersions(spark, root).lastOption.getOrElse(0L)
 
+  private def readManifest(fs: FileSystem, root: String, v: Long): String = {
+    val in = fs.open(manifest(root, v))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
+
+  private val DirRe = """"dir":"([^"]*)"""".r
+  private val TagRe = """"tag":"([^"]*)"""".r
+
+  /** The data directory committed as `version` — recorded in the
+    * manifest body (dirs are uniquely named; nothing shares a path). */
+  private def dataDirOf(fs: FileSystem, root: String, v: Long): String =
+    DirRe.findFirstMatchIn(readManifest(fs, root, v))
+      .map(m => m.group(1))
+      .getOrElse(sys.error(
+        s"snapshot: version $v manifest at $root carries no data dir"))
+
   /** Read each committed version's manifest `tag` (absent → no entry).
     * Tags are the replay-idempotence hook: a streaming sink stamps
     * each commit with its micro-batch id and skips batches whose tag
     * is already committed. O(versions) small reads — vacuum bounds it. */
   def committedTags(spark: SparkSession, root: String): Map[String, Long] = {
     val fs = fsOf(spark, root)
-    val TagRe = """"tag":"([^"]*)"""".r
     committedVersions(spark, root).flatMap { v =>
-      val in = fs.open(manifest(root, v))
-      val body = try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        bytes.toString("UTF-8")
-      } finally in.close()
-      TagRe.findFirstMatchIn(body).map(m => m.group(1) -> v)
+      TagRe.findFirstMatchIn(readManifest(fs, root, v))
+        .map(m => m.group(1) -> v)
     }.toMap
   }
 
@@ -98,7 +119,8 @@ object SnapshotTable {
     * at `expectedBase` — optimistic concurrency. Returns the new
     * version. The second committer of the same base fails loudly at
     * either the pre-check or (under a true race) the exclusive manifest
-    * create; its staged data is removed, the table is untouched.
+    * create; it removes ONLY its own uniquely-named data dir, so the
+    * winner's commit is untouchable (8-thread race spec-pinned).
     * `tag`, if given, is recorded in the manifest for
     * [[committedTags]]-based replay idempotence. */
   def commit(df: DataFrame, root: String, expectedBase: Long,
@@ -112,35 +134,21 @@ object SnapshotTable {
         s"$expectedBase but the table is at $cur — rebase on the " +
         "current snapshot and retry")
     val next = cur + 1
-    val dataDir = new Path(s"$root/${vdir(next)}")
-    // a data dir without a manifest is a crashed writer's leftover —
-    // reclaim it (the manifest check makes this safe: it never committed)
-    if (fs.exists(dataDir)) {
-      if (fs.exists(manifest(root, next)))
-        throw new java.util.ConcurrentModificationException(
-          s"snapshot commit conflict at $root: version $next committed " +
-          "underneath this writer")
-      fs.delete(dataDir, true)
-    }
-    val staging = new Path(
-      s"$root/.staging-${vdir(next)}-${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(staging.toString)
-    if (!fs.rename(staging, dataDir)) {
-      fs.delete(staging, true)
-      throw new java.util.ConcurrentModificationException(
-        s"snapshot commit conflict at $root: version $next data dir " +
-        "appeared during staging (concurrent writer)")
-    }
+    // uniquely-named data dir: no writer ever touches another's path,
+    // and a crash before the manifest leaves an invisible orphan
+    val dirName = s"data-${java.util.UUID.randomUUID()}"
+    val dataDir = new Path(s"$root/$dirName")
+    df.write.mode("overwrite").parquet(dataDir.toString)
     val m = manifest(root, next)
     fs.mkdirs(m.getParent)
     val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
     val body =
-      s"""{"version":$next,"base":$expectedBase$tagField}"""
+      s"""{"version":$next,"base":$expectedBase,"dir":"$dirName"$tagField}"""
         .getBytes("UTF-8")
     // THE commit point: exclusive create — exactly one writer per version
     val out = try fs.create(m, false) catch {
       case e: java.io.IOException =>
-        fs.delete(dataDir, true)
+        fs.delete(dataDir, true) // own dir only — the winner keeps its data
         throw new java.util.ConcurrentModificationException(
           s"snapshot commit conflict at $root: lost the version-$next " +
           s"manifest race (${e.getMessage})")
@@ -165,7 +173,8 @@ object SnapshotTable {
     require(fs.exists(manifest(root, version)),
       s"snapshot read: version $version of $root was never committed " +
       s"(committed: ${committedVersions(spark, root).mkString(",")})")
-    spark.read.parquet(s"$root/${vdir(version)}")
+    spark.read.parquet(
+      s"$root/${dataDirOf(fsOf(spark, root), root, version)}")
   }
 
   /** Read the latest committed snapshot (pointer fast path, listing
@@ -233,10 +242,13 @@ object SnapshotTable {
     }
   }
 
-  /** Drop snapshots older than `keepLast` versions plus any uncommitted
-    * leftovers (crashed staging dirs, manifest-less data dirs below the
-    * current version). Never touches committed versions in the keep
-    * window. Returns the removed version numbers. */
+  /** Drop snapshots older than `keepLast` versions plus any orphan data
+    * dirs no surviving manifest references (crashed or race-losing
+    * writers). Never touches committed versions in the keep window.
+    * MAINTENANCE-EXCLUSIVE: like Delta's VACUUM, this must not run
+    * concurrently with an in-flight commit — a live writer's data dir
+    * is an orphan until its manifest lands. Returns the removed
+    * version numbers. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2)
       : Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least the live snapshot")
@@ -244,16 +256,15 @@ object SnapshotTable {
     val versions = committedVersions(spark, root)
     val drop = versions.dropRight(keepLast)
     drop.foreach { v =>
-      fs.delete(new Path(s"$root/${vdir(v)}"), true)
+      fs.delete(new Path(s"$root/${dataDirOf(fs, root, v)}"), true)
       fs.delete(manifest(root, v), false)
     }
-    // crashed-writer leftovers: staging dirs and manifest-less data dirs
-    val committed = versions.toSet
+    // orphans: data dirs not referenced by any SURVIVING manifest
+    val referenced = committedVersions(spark, root)
+      .map(v => dataDirOf(fs, root, v)).toSet
     fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.startsWith(".staging-")) fs.delete(p, true)
-      else if (n.matches("v\\d{8}") &&
-               !committed.contains(n.stripPrefix("v").toLong))
+      if (n.startsWith("data-") && !referenced.contains(n))
         fs.delete(p, true)
     }
     drop

@@ -60,12 +60,12 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e.getMessage.contains("conflict"))
   }
 
-  test("crashed writer's manifest-less data dir is reclaimed by the " +
-       "next committer") {
+  test("crashed writer's orphan data dir is invisible to readers and " +
+       "does not block the next committer") {
     val root = freshRoot()
     SnapshotTable.commit(df("a" -> 1L), root, 0L)
-    // a writer that died after the rename but before the manifest
-    df("ghost" -> 0L).write.parquet(s"$root/v00000002")
+    // a writer that died after its data write but before the manifest
+    df("ghost" -> 0L).write.parquet(s"$root/data-ghost-crashed")
     assert(SnapshotTable.currentVersion(spark, root) == 1L,
       "uncommitted data dir must not count as a version")
     intercept[IllegalArgumentException] {
@@ -74,20 +74,24 @@ class SnapshotTableSpec extends SparkSpec {
     val v2 = SnapshotTable.commit(df("a" -> 2L), root, 1L)
     assert(v2 == 2L)
     assert(SnapshotTable.read(spark, root, 2L)
-      .collect().head.getString(0) == "a", "ghost data survived reclaim")
+      .collect().head.getString(0) == "a", "ghost data leaked into v2")
   }
 
   test("old version is byte-immutable under later commits, and the " +
        "_latest pointer is only a cache") {
     val root = freshRoot()
     SnapshotTable.commit(df("a" -> 1L), root, 0L)
-    val before = fs(root).listStatus(new Path(s"$root/v00000001"))
-      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
+    def v1Files = {
+      val dir = new Path(SnapshotTable.read(spark, root, 1L)
+        .inputFiles.head).getParent
+      fs(root).listStatus(dir)
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .toSet
+    }
+    val before = v1Files
     SnapshotTable.commit(df("a" -> 2L), root, 1L)
     SnapshotTable.commit(df("a" -> 3L), root, 2L)
-    val after = fs(root).listStatus(new Path(s"$root/v00000001"))
-      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
-    assert(after == before, "a later commit disturbed version 1's files")
+    assert(v1Files == before, "a later commit disturbed version 1's files")
     // pointer loss: readers recover from the _commits listing
     fs(root).delete(new Path(s"$root/_latest"), false)
     assert(SnapshotTable.currentVersion(spark, root) == 3L)
@@ -96,21 +100,57 @@ class SnapshotTableSpec extends SparkSpec {
   }
 
   test("vacuum drops only versions outside the keep window plus " +
-       "crashed-writer leftovers") {
+       "orphan data dirs") {
     val root = freshRoot()
     (1 to 4).foldLeft(0L) { (base, i) =>
       SnapshotTable.commit(df("a" -> i.toLong), root, base)
     }
-    df("ghost" -> 0L).write.parquet(s"$root/v00000009") // manifest-less
+    df("ghost" -> 0L).write.parquet(s"$root/data-ghost-orphan")
     val dropped = SnapshotTable.vacuum(spark, root, keepLast = 2)
     assert(dropped == Seq(1L, 2L))
     assert(SnapshotTable.committedVersions(spark, root) == Seq(3L, 4L))
-    assert(!fs(root).exists(new Path(s"$root/v00000009")),
-      "vacuum left a crashed writer's dir behind")
+    assert(!fs(root).exists(new Path(s"$root/data-ghost-orphan")),
+      "vacuum left an orphan data dir behind")
+    // exactly the two kept versions' dirs survive
+    val dataDirs = fs(root).listStatus(new Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("data-"))
+    assert(dataDirs.length == 2, s"unexpected dirs: ${dataDirs.toSeq}")
     intercept[IllegalArgumentException] {
       SnapshotTable.read(spark, root, 1L)
     }
     assert(SnapshotTable.read(spark, root, 3L).count() == 1L)
+  }
+
+  test("REAL concurrency: 8 threads racing a commit from the same base — " +
+       "exactly one wins, the rest fail loudly, the table stays sane") {
+    val root = freshRoot()
+    SnapshotTable.commit(df("base" -> 0L), root, 0L)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      Either[Throwable, Long]]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        val r = try Right(SnapshotTable.commit(
+          df(s"writer$i" -> i.toLong), root, expectedBase = 1L))
+        catch { case e: Throwable => Left(e) }
+        results.add(r): Unit
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val (losers, winners) = results.toArray(Array.empty[Either[Throwable, Long]])
+      .partition(_.isLeft)
+    assert(winners.length == 1,
+      s"expected exactly one winning committer, got ${winners.length}")
+    assert(losers.length == 7)
+    losers.foreach { l =>
+      assert(l.swap.toOption.get
+        .isInstanceOf[java.util.ConcurrentModificationException] ||
+        l.swap.toOption.get.getMessage.contains("conflict"),
+        s"loser failed with the wrong error: ${l.swap.toOption.get}")
+    }
+    // the table is at exactly version 2, holding the winner's row
+    assert(SnapshotTable.committedVersions(spark, root) == Seq(1L, 2L))
+    val row = SnapshotTable.read(spark, root, 2L).collect().head
+    assert(row.getString(0).startsWith("writer"))
   }
 
   test("changes(): insert/delete/update classes, unchanged rows absent, " +
