@@ -75,4 +75,44 @@ object Graph {
       .crossJoin(broadcast(nEdges))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** D43: single-source SHORTEST PATHS over a general weighted digraph
+    * — bounded Bellman-Ford, the [[graft.ops.WroQueries]] cost-distance
+    * relaxation generalized past grid adjacency (arbitrary edge lists:
+    * link graphs, derivation DAGs, citation nets). Exact min-cost over
+    * all ≤`rounds`-hop paths from `source`; nodes unreachable within
+    * the bound stay absent — the bounded-iteration posture every
+    * iterative operator here shares (rounds = the declared horizon,
+    * not a convergence guess, and the oracle replays exactly the same
+    * ≤rounds-hop semantics).
+    *
+    * Plan: per round, dist ⋈ edges on the source endpoint + one min
+    * aggregate — round cost is frontier×degree, rounds are the cap;
+    * each round localCheckpoints (the dedupClusters stats discipline).
+    * Weights must be ≥0 for min-relaxation semantics (checked against
+    * the edge table once, aggregate-cheap). At 100 TB: dist is
+    * node-sized state, edges shuffle on src once per round — the same
+    * shape Pregel runs, expressed as joins. */
+  def sssp(edges: DataFrame, src: Column, dst: Column, w: Column,
+           source: Long, rounds: Int = 8): DataFrame = {
+    val e = edges.select(src.as("src"), dst.as("dst"), w.as("w"))
+      .distinct()
+      .localCheckpoint()
+    val minW = e.agg(min("w")).head
+    require(!minW.isNullAt(0) && minW.getLong(0) >= 0L,
+      "sssp: edge weights must be non-negative (empty edge set or " +
+      "negative weight found)")
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist
+        .join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }

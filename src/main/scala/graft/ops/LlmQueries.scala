@@ -877,6 +877,20 @@ object LlmQueries {
     Graph.triangles(table(s, dir, "orders"),
       col("o_custkey") % 499, col("o_orderkey") % 499)
 
+  /** D43: bounded Bellman-Ford SSSP over a 1000-node weighted digraph
+    * synthesized from lineitem with PURE integer arithmetic (a
+    * double→BIGINT cast would round in DuckDB and truncate in Spark —
+    * the known cross-engine trap, avoided by deriving weights from the
+    * integer keys). Source node 0, 8 relaxation rounds; the oracle is
+    * the depth-counted recursive walk (UNION-deduped states), the
+    * wro_cost_distance oracle pattern on an arbitrary graph. */
+  def d43Sssp(s: SparkSession, dir: String): DataFrame =
+    Graph.sssp(table(s, dir, "lineitem"),
+      col("l_orderkey") % 1000,
+      (col("l_orderkey") * 7 + col("l_linenumber")) % 1000,
+      (col("l_orderkey") * 3 + col("l_linenumber")) % 50 + 1,
+      source = 0L, rounds = 8)
+
   /** The deterministic 7-host link graph shared by [[d19HostRank]] and
     * [[pipeCrawlFrontier]] — ONE definition, so the de-degeneracy
     * argument (coprime mod-13 folding) cannot drift between them. */
@@ -1424,6 +1438,7 @@ object LlmQueries {
     "d18_host_quota" -> d18HostQuota,
     "d19_host_rank" -> d19HostRank,
     "d24_triangles" -> d24Triangles,
+    "d43_sssp" -> d43Sssp,
     "d20_cdc_chunks" -> d20CdcChunks,
     "d21_embed_outliers" -> d21EmbedOutliers,
     "d22_quality_percentile" -> d22QualityPercentile,
@@ -2087,6 +2102,22 @@ object LlmQueries {
         |    i -> bounds[i] - bounds[i - 1])) AS BIGINT) AS max_chunk_len,
         |  CAST(n AS BIGINT) AS n_chars
         |FROM b""".stripMargin,
+    // depth-counted recursive walk with UNION-deduped states: min(d)
+    // per node over all <=8-edge paths == 8 relaxation rounds
+    "d43_sssp" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT l_orderkey % 1000 AS src,
+        |    (l_orderkey * 7 + l_linenumber) % 1000 AS dst,
+        |    (l_orderkey * 3 + l_linenumber) % 50 + 1 AS w
+        |  FROM lineitem),
+        |walk(node, d, depth) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        |  UNION
+        |  SELECT e.dst, walk.d + e.w, walk.depth + 1
+        |  FROM walk JOIN edges e ON e.src = walk.node
+        |  WHERE walk.depth < 8)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1""".stripMargin,
     // id-ordered triangle enumeration — deliberately NOT the Spark
     // side's degree orientation; the count must agree anyway
     "d24_triangles" ->

@@ -647,4 +647,30 @@ class LlmSpec extends SparkSpec {
     assert(byId(3L) == 0L && byId(4L) == -127L * 127L)
     assert(got.map(_.getInt(3)).toSeq == Seq(1, 2, 3, 4))
   }
+
+  test("d43 sssp: hand graph — relaxation beats the greedy path, the " +
+       "horizon truncates, weights must be non-negative") {
+    import spark.implicits._
+    // 0→1 direct costs 5; 0→2→1 costs 2 — relaxation must prefer it.
+    // 3 sits one hop past 1; 5 is reachable only by a 3-hop chain.
+    val edges = Seq(
+      (0L, 1L, 5L), (0L, 2L, 1L), (2L, 1L, 1L),
+      (1L, 3L, 1L), (3L, 5L, 1L), (8L, 9L, 1L)) // 8→9 unreachable from 0
+      .toDF("s", "t", "w")
+    def run(rounds: Int): Map[Long, Long] =
+      Graph.sssp(edges, col("s"), col("t"), col("w"), source = 0L,
+          rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = run(8)
+    assert(full == Map(0L -> 0L, 1L -> 2L, 2L -> 1L, 3L -> 3L, 5L -> 4L),
+      s"unexpected distances: $full")
+    // a 2-round horizon cannot reach node 5 (3 hops away) and still
+    // must have relaxed 1 down to 2 via the cheap detour
+    val cut = run(2)
+    assert(!cut.contains(5L) && cut(1L) == 2L, s"horizon wrong: $cut")
+    intercept[IllegalArgumentException] {
+      Graph.sssp(Seq((0L, 1L, -1L)).toDF("s", "t", "w"),
+        col("s"), col("t"), col("w"), 0L).collect()
+    }
+  }
 }
