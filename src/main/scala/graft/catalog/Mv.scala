@@ -83,8 +83,15 @@ object Mv {
         col("n_rows") + col("d_n") < 0).isEmpty,
       "delete batch retracts more rows than the view holds for a group")
     val n2 = col("n_rows") + coalesce(col("d_n"), lit(0L))
-    val stale = col("del_max_cents").isNotNull &&
-      col("del_max_cents") >= col("max_cents")
+    // a group is stale when this batch's deleted max REACHES the stored
+    // max — or when the stored max is already NULL from an UNREPAIRED
+    // earlier batch (chained mergeDeletes must carry the stale flag
+    // forward, not silently clear it: del_max >= NULL evaluates NULL
+    // and would otherwise coalesce to false, stranding the group with
+    // a NULL max and no repair signal)
+    val stale = col("max_cents").isNull ||
+      (col("del_max_cents").isNotNull &&
+       col("del_max_cents") >= col("max_cents"))
     j.select(keys.map(col) ++ Seq(
         n2.as("n_rows"),
         (col("sum_cents") + coalesce(col("d_sum"), lit(0L))).as("sum_cents"),

@@ -19,10 +19,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   _latest                     pointer cache (advisory, see below)
   * }}}
   *
-  * The COMMIT ARBITER is the manifest file created with
-  * `FileSystem.create(path, overwrite = false)` — exclusive create, the
-  * one primitive object stores and HDFS give atomically. Everything
-  * else is ordered around it:
+  * The COMMIT ARBITER is the manifest file, exclusively created —
+  * atomic on HDFS (`create(overwrite=false)`) and on local disks (NIO
+  * O_EXCL for the file:// scheme; Hadoop's local create is
+  * check-then-act, caught by the race spec). Plain S3A has no atomic
+  * create — a deployment there needs S3 conditional PUTs or an
+  * external lock, the caveat every manifest-based format documents.
+  * Readers treat a manifest as committed only once its BODY parses, so
+  * the create→write visibility window reads as "not committed yet".
+  * Everything else is ordered around the arbiter:
   *  1. data writes COMPLETELY into a fresh uniquely-named dir — no two
   *     writers ever touch the same path, so there is NO shared rename
   *     target (an earlier design renamed staging onto a shared `vN/`;
@@ -65,7 +70,11 @@ object SnapshotTable {
     new Path(s"$root/_commits/${vdir(version)}.json")
 
   /** Committed versions, ascending — from the `_commits/` listing, the
-    * authoritative record (the pointer is only a cache). */
+    * authoritative record (the pointer is only a cache). A manifest
+    * counts only once its BODY parses (names a data dir): on
+    * filesystems where create() makes the file visible before the
+    * body lands, a reader hitting the create→write window must see
+    * "not committed yet", not a half-committed version. */
   def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fsOf(spark, root)
     val dir = new Path(s"$root/_commits")
@@ -74,6 +83,7 @@ object SnapshotTable {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
+      .filter(v => DirRe.findFirstIn(readManifest(fs, root, v)).isDefined)
       .sorted
   }
 
@@ -106,13 +116,27 @@ object SnapshotTable {
   /** Read each committed version's manifest `tag` (absent → no entry).
     * Tags are the replay-idempotence hook: a streaming sink stamps
     * each commit with its micro-batch id and skips batches whose tag
-    * is already committed. O(versions) small reads — vacuum bounds it. */
+    * is already committed. O(versions) small reads — vacuum bounds it;
+    * the per-batch streaming path uses [[latestTag]] instead. */
   def committedTags(spark: SparkSession, root: String): Map[String, Long] = {
     val fs = fsOf(spark, root)
     committedVersions(spark, root).flatMap { v =>
       TagRe.findFirstMatchIn(readManifest(fs, root, v))
         .map(m => m.group(1) -> v)
     }.toMap
+  }
+
+  /** The most recent committed version that carries a tag, with its
+    * tag — scanning versions DESCENDING and stopping at the first hit,
+    * so a streaming sink's per-batch idempotence check is O(1)
+    * manifest reads instead of O(stream length) (untagged foreign
+    * commits in between are skipped over). */
+  def latestTag(spark: SparkSession, root: String): Option[(String, Long)] = {
+    val fs = fsOf(spark, root)
+    committedVersions(spark, root).reverseIterator
+      .flatMap(v => TagRe.findFirstMatchIn(readManifest(fs, root, v))
+        .map(m => m.group(1) -> v))
+      .nextOption()
   }
 
   /** Commit `df` as the next snapshot, REQUIRING the table to still be
@@ -127,6 +151,13 @@ object SnapshotTable {
              tag: Option[String] = None): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
+    // the tag is interpolated into the manifest JSON and re-parsed by a
+    // regex — a quote/backslash/control char would corrupt both, and a
+    // corrupted tag silently breaks replay idempotence. Refuse loudly.
+    tag.foreach(t => require(
+      t.nonEmpty && t.forall(ch => ch >= ' ' && ch != '"' && ch != '\\'),
+      s"snapshot commit: tag '$t' must be non-empty printable text " +
+      "without quotes or backslashes"))
     val cur = currentVersion(spark, root)
     if (cur != expectedBase)
       throw new java.util.ConcurrentModificationException(
@@ -145,15 +176,32 @@ object SnapshotTable {
     val body =
       s"""{"version":$next,"base":$expectedBase,"dir":"$dirName"$tagField}"""
         .getBytes("UTF-8")
-    // THE commit point: exclusive create — exactly one writer per version
-    val out = try fs.create(m, false) catch {
-      case e: java.io.IOException =>
+    // THE commit point: exclusive create — exactly one writer per
+    // version. Atomicity honesty: HDFS create(overwrite=false) is
+    // atomic; the LOCAL filesystem's is check-then-act, so for the
+    // file:// scheme we use NIO's O_EXCL createFile (genuinely atomic —
+    // what makes the 8-thread race spec sound rather than
+    // probabilistic). Plain S3A has no atomic create at all — a
+    // deployment there needs S3 conditional PUTs or an external lock,
+    // the same caveat Delta documents.
+    try {
+      if (fs.getScheme == "file") {
+        val local = java.nio.file.Paths.get(m.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.createFile(local) // throws if it exists
+        java.nio.file.Files.write(local, body)
+      } else {
+        val out = fs.create(m, false)
+        try out.write(body) finally out.close()
+      }
+    } catch {
+      case e @ (_: java.io.IOException |
+                _: java.nio.file.FileAlreadyExistsException) =>
         fs.delete(dataDir, true) // own dir only — the winner keeps its data
         throw new java.util.ConcurrentModificationException(
           s"snapshot commit conflict at $root: lost the version-$next " +
           s"manifest race (${e.getMessage})")
     }
-    try out.write(body) finally out.close()
     // pointer refresh — advisory cache only, losers of this race are
     // corrected by the _commits listing fallback
     val tmp = new Path(s"$root/._latest-${java.util.UUID.randomUUID()}")

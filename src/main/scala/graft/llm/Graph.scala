@@ -95,7 +95,13 @@ object Graph {
     * shape Pregel runs, expressed as joins. */
   def sssp(edges: DataFrame, src: Column, dst: Column, w: Column,
            source: Long, rounds: Int = 8): DataFrame = {
-    val e = edges.select(src.as("src"), dst.as("dst"), w.as("w"))
+    // weights pin to LONG up front: the min-weight guard reads getLong
+    // and the relaxation sums must stay integer-exact — an int or
+    // double weight column would otherwise ClassCastException the
+    // guard (doubles truncate; callers wanting sub-unit costs scale to
+    // integer first, the cents policy)
+    val e = edges.select(src.cast("long").as("src"),
+        dst.cast("long").as("dst"), w.cast("long").as("w"))
       .distinct()
       .localCheckpoint()
     val minW = e.agg(min("w")).head

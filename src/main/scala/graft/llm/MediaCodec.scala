@@ -88,11 +88,16 @@ object MediaCodec {
     val w = rd32(bytes, 18)
     val h = rd32(bytes, 22)
     require(h > 0, "decodeBmp: top-down (negative-height) BMP unsupported")
+    // bound BOTH dimensions: w <= 0 or an overflow-sized w would turn
+    // rowSize*h negative, sail past the truncation check, and crash
+    // with a bare array error instead of a parse refusal
+    require(w > 0 && w <= (1 << 16) && h <= (1 << 16),
+      s"decodeBmp: unreasonable dimensions ${w}x$h")
     val bpp = rd16(bytes, 28)
     require(bpp == 24, s"decodeBmp: only 24 bpp supported, got $bpp")
     require(rd32(bytes, 30) == 0, "decodeBmp: compressed BMP unsupported")
     val rowSize = bmpRowSize(w)
-    require(bytes.length >= dataOffset + rowSize * h,
+    require(bytes.length.toLong >= dataOffset.toLong + rowSize.toLong * h,
       "decodeBmp: pixel data truncated")
     val bgr = new Array[Byte](w * h * 3)
     var y = 0
@@ -174,6 +179,7 @@ object MediaCodec {
     * bottom-up padded DIB rows (same row layout as BMP pixel data). */
   def encodeAviDib(w: Int, h: Int, fps: Int,
                    frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeAviDib: at least one frame required")
     frames.foreach(f => require(f.length == w * h * 3,
       s"encodeAviDib: frame must be ${w * h * 3} bytes"))
     val rowSize = bmpRowSize(w)

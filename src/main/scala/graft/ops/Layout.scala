@@ -76,11 +76,13 @@ object Layout {
     * across a full axis (observed: 7-of-8 files hit by a y-band that
     * should touch 4). Bucketing the range key to aligned quads makes
     * every file a union of WHOLE quads — rectangles tight by
-    * construction, any sampling seed. The default 2^15-cell quad is a
-    * 256×128 region of the 16-bit grid; pick quadBits so the bucket
+    * construction, any sampling seed. The default 2^11-cell quad is a
+    * 64×32 region of the 16-bit grid; pick quadBits so the bucket
     * count stays ≫ `files` (equal Z-keys are never split, so too few
     * buckets means fewer output files — the partitioner balances
-    * counts at bucket granularity). */
+    * counts at bucket granularity; finer quads also keep a ±1-bucket
+    * boundary slip CORNER-near instead of letting it grab a far
+    * region's quads). */
   def compactZorder(spark: org.apache.spark.sql.SparkSession,
                     srcPath: String, dstPath: String,
                     x: Column, y: Column, files: Int,

@@ -2021,7 +2021,7 @@ object WroQueries {
         |  UNION ALL
         |  SELECT pth.seq + 1, p1.yr, p1.yc
         |  FROM pth JOIN p1 ON p1.r = pth.r AND p1.c = pth.c
-        |  WHERE pth.seq < 10)
+        |  WHERE pth.seq < 14)
         |SELECT pth.seq, pth.r, pth.c, cost.d AS cost34
         |FROM pth JOIN cost ON cost.r = pth.r AND cost.c = pth.c"""
         .stripMargin,

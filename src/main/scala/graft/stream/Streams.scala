@@ -193,8 +193,19 @@ object Streams {
     import graft.catalog.SnapshotTable
     val spark = batch.sparkSession
     val tag = s"batch-$batchId"
-    val done = SnapshotTable.committedTags(spark, tableRoot)
-    if (done.contains(tag)) return done(tag)
+    // replay check at O(1) manifest reads: this sink's batch ids are
+    // MONOTONIC, so the latest committed tag decides — a replayed id
+    // is <= it, a new id is > it (committedTags' full scan would make
+    // per-batch cost grow with stream lifetime)
+    val latest = SnapshotTable.latestTag(spark, tableRoot)
+      .collect { case (t, v) if t.startsWith("batch-") =>
+        (t.stripPrefix("batch-").toLong, v) }
+    latest.foreach { case (lastId, v) =>
+      if (batchId <= lastId)
+        return if (batchId == lastId) v
+               else SnapshotTable.committedTags(spark, tableRoot)
+                 .getOrElse(tag, v)
+    }
     val payload = batch.columns.filterNot(keys.contains).toSeq
     val reduced = batch
       .groupBy(keys.map(col): _*)

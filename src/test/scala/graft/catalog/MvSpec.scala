@@ -146,6 +146,29 @@ class MvSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   private def SnapshotTable = graft.catalog.SnapshotTable
 
+  test("A19 retractions: CHAINED delete batches carry the stale flag — " +
+       "a second batch must not clear an unrepaired NULL max") {
+    // batch 1 deletes the extrema (max goes stale/NULL); batch 2
+    // deletes cheap rows from OTHER rows before any repair ran
+    val p1 = cents >= 9000000L
+    val p2 = !p1 && cents < 100000L
+    val m1 = Mv.mergeDeletes(Mv.partials(li, keys, cents),
+      Mv.deletePartials(li.filter(p1), keys, cents), keys)
+    val staleGroups = m1.filter(col("max_stale"))
+      .select(keys.map(col): _*).collect().map(_.toString).toSet
+    assert(staleGroups.nonEmpty, "fixture produced no stale group")
+    val m2 = Mv.mergeDeletes(m1.drop("max_stale"),
+      Mv.deletePartials(li.filter(p2), keys, cents), keys)
+    val stillStale = m2.filter(col("max_stale"))
+      .select(keys.map(col): _*).collect().map(_.toString).toSet
+    assert(staleGroups.subsetOf(stillStale),
+      s"chaining cleared stale groups: ${staleGroups -- stillStale}")
+    // and the chained result still repairs to the recompute
+    val survivors = li.filter(!p1 && !p2)
+    assert(canon5(Mv.repairMax(m2, survivors, keys, cents)) ==
+           canon5(Mv.partials(survivors, keys, cents)))
+  }
+
   test("A19 retractions: over-delete and absent-group deletes fail loudly") {
     import spark.implicits._
     val view = Mv.partials(li, keys, cents)

@@ -92,8 +92,9 @@ class LayoutSpec extends SparkSpec {
       .write.parquet(src)
     assert(new java.io.File(src).listFiles()
       .count(_.getName.endsWith(".parquet")) == 32)
-    // quadBits 13 → 32 aligned buckets for 8 files (4 whole quads per
-    // file): bucket count ≫ files per the operator's contract
+    // quadBits 11 → 128 aligned 2^11-cell buckets for 8 files (16 whole
+    // quads per file — equal counts cut at 2^15-region edges): bucket
+    // count ≫ files per the operator's contract
     Layout.compactZorder(spark, src, dst, col("x"), col("y"), files = 8,
       quadBits = 11)
     val files = new java.io.File(dst).listFiles()
