@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Snapshot-versioned table commits — the manifest-based protocol that
   * generalizes [[graft.stream.Streams]]' stage→swap and
@@ -12,12 +13,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout under the table root:
   * {{{
-  *   data-<uuid>/ ...            immutable snapshot dirs (parquet),
+  *   data-<uuid>/ ...            immutable data dirs (parquet),
   *                               UNIQUELY named per commit attempt
   *   _commits/v00000001.json     manifest — EXISTENCE = committed;
-  *                               body records which data dir is vN
+  *                               body records the ENTRY LIST of vN
   *   _latest                     pointer cache (advisory, see below)
   * }}}
+  *
+  * COMMIT BY REFERENCE: a manifest names a LIST of entries — whole
+  * data dirs for unpartitioned snapshots, or `dir/pcol=value` partition
+  * subdirectories for partitioned ones — so version N may reference
+  * files written by MANY earlier commits. [[commitReplace]] writes only
+  * the partitions a batch touches and re-references every untouched
+  * entry from the parent version verbatim (Delta/Iceberg's file-list
+  * commit, at partition granularity): a 100 TB table pays a commit
+  * proportional to the data it CHANGES, never a wholesale rewrite.
+  * [[vacuum]] is correspondingly reference-counted — an entry is
+  * reclaimable only when NO surviving manifest references it.
   *
   * The COMMIT ARBITER is the manifest file, exclusively created —
   * atomic on HDFS (`create(overwrite=false)`) and on local disks (NIO
@@ -35,32 +47,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     Hadoop's local rename NESTS into an existing destination dir
   *     instead of failing, and the rename→manifest window let a
   *     concurrent committer reclaim a LIVE writer's data);
-  *  2. the manifest — naming the data dir in its body — is exclusively
-  *     created: the second committer of the same base loses this race,
-  *     FAILS LOUDLY with the conflict error, and deletes only its OWN
-  *     data dir. A crash before the manifest leaves an orphan data dir
-  *     no reader can see ([[vacuum]] reclaims it);
+  *  2. the manifest — carrying the entry list in its body — is
+  *     exclusively created: the second committer of the same base loses
+  *     this race, FAILS LOUDLY with the conflict error, and deletes only
+  *     its OWN data dir. A crash before the manifest leaves an orphan
+  *     data dir no reader can see ([[vacuum]] reclaims it);
   *  3. the `_latest` pointer is refreshed LAST and is only a cache:
   *     readers that find it missing or stale fall back to listing
   *     `_commits/`, which is authoritative, so a crash between 2 and 3
   *     loses nothing.
   *
-  * Readers never lock: `read(version)` requires the version's manifest
-  * and scans its immutable dir — a concurrent commit cannot change
+  * VERSION DISCOVERY IS O(1) ON THE HOT PATHS: [[currentVersion]] (and
+  * through it [[commit]]'s conflict pre-check) verifies the `_latest`
+  * hint with ONE manifest body read and rolls FORWARD over any
+  * newer-than-hint manifests (a crash between manifest and pointer
+  * leaves the hint at most a step stale), falling back to a filename
+  * listing — names only, bodies read lazily descending — when the hint
+  * is missing or unparsable. [[latestTag]] likewise reads bodies
+  * descending from the filename listing and stops at the first tagged
+  * one. Only the maintenance/audit surfaces ([[committedVersions]],
+  * [[committedTags]], [[vacuum]]) pay O(versions) body reads, and
+  * vacuum bounds that. [[manifestBodyReads]] counts body reads so the
+  * O(1) claims are SPEC-ASSERTED over a 100-version table, not
+  * documented.
+  *
+  * Readers never lock: `read(version)` resolves the version's manifest
+  * and scans its immutable entries — a concurrent commit cannot change
   * bytes under a running query (the Delta/Iceberg property the
   * rename-swap protocol lacked). Old versions stay readable until
-  * [[vacuum]] drops them.
-  *
-  * 100 TB posture: the manifest is O(1) metadata, never data; a commit
-  * writes only its own snapshot. For tables too big to rewrite
-  * wholesale the snapshot dir holds the OUTPUT of a partition-scoped
-  * plan ([[PartitionMerge.mergeInto]] against the previous version's
-  * dir) — the protocol versions direcories, not diffs, and composes
-  * with any layout inside the dir. Reference grounding: the
-  * geodatabase's transactional update cursors (`pyt:318-324`,
-  * `pyt:879-885`) assume exactly this commit-or-nothing property.
+  * [[vacuum]] drops them. Reference grounding: the geodatabase's
+  * transactional update cursors (`pyt:318-324`, `pyt:879-885`) assume
+  * exactly this commit-or-nothing property, and its per-layer
+  * write-back loop (`pyt:879-885`) is the partition-scoped rewrite
+  * [[commitReplace]] makes transactional.
   */
 object SnapshotTable {
+
+  /** Instrumentation: manifest BODIES read since process start. The
+    * O(1)-commit-path spec snapshots this around a commit against a
+    * long history; production code never reads it. */
+  private[graft] val manifestBodyReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,29 +96,46 @@ object SnapshotTable {
   private def manifest(root: String, version: Long): Path =
     new Path(s"$root/_commits/${vdir(version)}.json")
 
-  /** Committed versions, ascending — from the `_commits/` listing, the
-    * authoritative record (the pointer is only a cache). A manifest
-    * counts only once its BODY parses (names a data dir): on
-    * filesystems where create() makes the file visible before the
-    * body lands, a reader hitting the create→write window must see
-    * "not committed yet", not a half-committed version. */
-  def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
-    val fs = fsOf(spark, root)
-    val dir = new Path(s"$root/_commits")
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toLong }
-      .filter(v => DirRe.findFirstIn(readManifest(fs, root, v)).isDefined)
-      .sorted
-  }
+  /** One committed version's decoded manifest. `entries` are paths
+    * relative to the table root: a bare `data-<uuid>` dir for an
+    * unpartitioned snapshot, `data-<uuid>/<pcol>=<value>` partition
+    * subdirs for a partitioned one. `schemaDdl` restores column order
+    * and the partition column's ORIGINAL type on read (hive-layout dir
+    * names are strings; the recorded DDL is what makes the round trip
+    * type-exact instead of inference-dependent). */
+  private[graft] case class Manifest(version: Long, base: Long,
+      entries: Seq[String], pcol: Option[String], schemaDdl: String,
+      tag: Option[String])
 
-  /** Latest committed version; 0 = empty table (no commits yet). */
-  def currentVersion(spark: SparkSession, root: String): Long =
-    committedVersions(spark, root).lastOption.getOrElse(0L)
+  private val EntriesRe = """"entries":\[([^\]]*)\]""".r
+  private val EntryRe = """"([^"]*)"""".r
+  private val PcolRe = """"pcol":"([^"]*)"""".r
+  private val SchemaRe = """"schema":"([^"]*)"""".r
+  private val TagRe = """"tag":"([^"]*)"""".r
+  private val BaseRe = """"base":(-?\d+)""".r
 
-  private def readManifest(fs: FileSystem, root: String, v: Long): String = {
+  /** Parse a manifest body; None = not (yet) a committed manifest — a
+    * reader in the create→write visibility window sees a partial body
+    * whose entries array has no closing bracket and must treat the
+    * version as uncommitted. The schema field is required: a body
+    * without it is from no writer of this protocol. */
+  private def parseManifest(v: Long, body: String): Option[Manifest] =
+    for {
+      em <- EntriesRe.findFirstMatchIn(body)
+      sm <- SchemaRe.findFirstMatchIn(body)
+      base <- BaseRe.findFirstMatchIn(body).map(_.group(1).toLong)
+    } yield Manifest(
+      version = v,
+      base = base,
+      entries = EntryRe.findAllMatchIn(em.group(1)).map(_.group(1)).toSeq,
+      pcol = PcolRe.findFirstMatchIn(body).map(_.group(1)),
+      schemaDdl = new String(
+        java.util.Base64.getDecoder.decode(sm.group(1)), "UTF-8"),
+      tag = TagRe.findFirstMatchIn(body).map(_.group(1)))
+
+  private def readManifestBody(fs: FileSystem, root: String, v: Long)
+      : String = {
+    manifestBodyReads.incrementAndGet()
     val in = fs.open(manifest(root, v))
     try {
       val bytes = new java.io.ByteArrayOutputStream()
@@ -102,55 +146,115 @@ object SnapshotTable {
     } finally in.close()
   }
 
-  private val DirRe = """"dir":"([^"]*)"""".r
-  private val TagRe = """"tag":"([^"]*)"""".r
+  /** The version's manifest if its file exists AND its body parses —
+    * the committed-ness test (one exists probe + at most one body
+    * read). */
+  private def manifestIfCommitted(fs: FileSystem, root: String, v: Long)
+      : Option[Manifest] =
+    if (!fs.exists(manifest(root, v))) None
+    else parseManifest(v, readManifestBody(fs, root, v))
 
-  /** The data directory committed as `version` — recorded in the
-    * manifest body (dirs are uniquely named; nothing shares a path). */
-  private def dataDirOf(fs: FileSystem, root: String, v: Long): String =
-    DirRe.findFirstMatchIn(readManifest(fs, root, v))
-      .map(m => m.group(1))
-      .getOrElse(sys.error(
-        s"snapshot: version $v manifest at $root carries no data dir"))
+  private def manifestOf(fs: FileSystem, root: String, v: Long): Manifest =
+    manifestIfCommitted(fs, root, v).getOrElse(sys.error(
+      s"snapshot: version $v of $root has no parseable manifest"))
+
+  /** Candidate version numbers from the `_commits` FILENAME listing —
+    * one directory listing, zero body reads. */
+  private def listedVersions(fs: FileSystem, root: String): Seq[Long] = {
+    val dir = new Path(s"$root/_commits")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  private def readPointer(fs: FileSystem, root: String): Option[Long] = {
+    val p = new Path(s"$root/_latest")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+      } catch { case _: java.io.IOException => None }
+      finally in.close()
+    }
+  }
+
+  /** Committed versions, ascending — from the `_commits/` listing, the
+    * authoritative record (the pointer is only a cache). A manifest
+    * counts only once its BODY parses: on filesystems where create()
+    * makes the file visible before the body lands, a reader hitting the
+    * create→write window must see "not committed yet", not a
+    * half-committed version. O(versions) body reads — the audit /
+    * maintenance surface; the commit and streaming hot paths use
+    * [[currentVersion]] / [[latestTag]] instead. */
+  def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    listedVersions(fs, root)
+      .filter(v => parseManifest(v, readManifestBody(fs, root, v)).isDefined)
+  }
+
+  /** Latest committed version; 0 = empty table (no commits yet).
+    * O(1) manifest reads on the steady state: the `_latest` hint is
+    * verified with one body read, then rolled FORWARD while newer
+    * manifests exist (a crash between manifest create and pointer
+    * refresh leaves the hint stale-low, never high — manifests are
+    * never created behind the committed frontier, and vacuum only
+    * deletes BELOW the keep window the pointer sits inside). Missing /
+    * corrupt hint falls back to the filename listing with bodies read
+    * lazily descending. */
+  def currentVersion(spark: SparkSession, root: String): Long = {
+    val fs = fsOf(spark, root)
+    val hinted = readPointer(fs, root)
+      .filter(h => h > 0 && manifestIfCommitted(fs, root, h).isDefined)
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (manifestIfCommitted(fs, root, v + 1).isDefined) v += 1
+        v
+      case None =>
+        listedVersions(fs, root).reverseIterator
+          .find(v => manifestIfCommitted(fs, root, v).isDefined)
+          .getOrElse(0L)
+    }
+  }
 
   /** Read each committed version's manifest `tag` (absent → no entry).
     * Tags are the replay-idempotence hook: a streaming sink stamps
     * each commit with its micro-batch id and skips batches whose tag
-    * is already committed. O(versions) small reads — vacuum bounds it;
+    * is already committed. O(versions) body reads — vacuum bounds it;
     * the per-batch streaming path uses [[latestTag]] instead. */
   def committedTags(spark: SparkSession, root: String): Map[String, Long] = {
     val fs = fsOf(spark, root)
-    committedVersions(spark, root).flatMap { v =>
-      TagRe.findFirstMatchIn(readManifest(fs, root, v))
-        .map(m => m.group(1) -> v)
+    listedVersions(fs, root).flatMap { v =>
+      parseManifest(v, readManifestBody(fs, root, v))
+        .flatMap(m => m.tag.map(_ -> v))
     }.toMap
   }
 
   /** The most recent committed version that carries a tag, with its
-    * tag — scanning versions DESCENDING and stopping at the first hit,
-    * so a streaming sink's per-batch idempotence check is O(1)
-    * manifest reads instead of O(stream length) (untagged foreign
-    * commits in between are skipped over). */
+    * tag — filenames listed without body reads, then bodies read
+    * DESCENDING until the first tagged one, so a streaming sink whose
+    * own tagged commit is the latest pays O(1) body reads regardless
+    * of stream length (a run of untagged foreign commits on top costs
+    * one read each — still never the full history once one tag is
+    * found). */
   def latestTag(spark: SparkSession, root: String): Option[(String, Long)] = {
     val fs = fsOf(spark, root)
-    committedVersions(spark, root).reverseIterator
-      .flatMap(v => TagRe.findFirstMatchIn(readManifest(fs, root, v))
-        .map(m => m.group(1) -> v))
+    listedVersions(fs, root).reverseIterator
+      .flatMap(v => parseManifest(v, readManifestBody(fs, root, v))
+        .flatMap(m => m.tag.map(_ -> v)))
       .nextOption()
   }
 
-  /** Commit `df` as the next snapshot, REQUIRING the table to still be
-    * at `expectedBase` — optimistic concurrency. Returns the new
-    * version. The second committer of the same base fails loudly at
-    * either the pre-check or (under a true race) the exclusive manifest
-    * create; it removes ONLY its own uniquely-named data dir, so the
-    * winner's commit is untouchable (8-thread race spec-pinned).
-    * `tag`, if given, is recorded in the manifest for
-    * [[committedTags]]-based replay idempotence. */
-  def commit(df: DataFrame, root: String, expectedBase: Long,
-             tag: Option[String] = None): Long = {
-    val spark = df.sparkSession
-    val fs = fsOf(spark, root)
+  // ----------------------------------------------------------------
+  // commit machinery shared by the three commit shapes
+  // ----------------------------------------------------------------
+
+  private def checkTag(tag: Option[String]): Unit =
     // the tag is interpolated into the manifest JSON and re-parsed by a
     // regex — a quote/backslash/control char would corrupt both, and a
     // corrupted tag silently breaks replay idempotence. Refuse loudly.
@@ -158,32 +262,66 @@ object SnapshotTable {
       t.nonEmpty && t.forall(ch => ch >= ' ' && ch != '"' && ch != '\\'),
       s"snapshot commit: tag '$t' must be non-empty printable text " +
       "without quotes or backslashes"))
+
+  private def checkBase(spark: SparkSession, root: String,
+                        expectedBase: Long): Long = {
     val cur = currentVersion(spark, root)
     if (cur != expectedBase)
       throw new java.util.ConcurrentModificationException(
         s"snapshot commit conflict at $root: expected base version " +
         s"$expectedBase but the table is at $cur — rebase on the " +
         "current snapshot and retry")
-    val next = cur + 1
-    // uniquely-named data dir: no writer ever touches another's path,
-    // and a crash before the manifest leaves an invisible orphan
-    val dirName = s"data-${java.util.UUID.randomUUID()}"
-    val dataDir = new Path(s"$root/$dirName")
-    df.write.mode("overwrite").parquet(dataDir.toString)
+    cur
+  }
+
+  /** Parquet reads every column back nullable regardless of the source
+    * plan's nullability, so the recorded schema normalizes to nullable
+    * — otherwise a commitReplace built FROM a read() would spuriously
+    * fail the schema-drift check against a parent committed from a
+    * non-nullable source plan. */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = asNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = asNullable(m.keyType),
+             valueType = asNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private[graft] def nullableSchema(schema: StructType): StructType =
+    asNullable(schema).asInstanceOf[StructType]
+
+  private def manifestBody(next: Long, base: Long, entries: Seq[String],
+                           pcol: Option[String], schema0: StructType,
+                           tag: Option[String]): Array[Byte] = {
+    val schema = nullableSchema(schema0)
+    entries.foreach(e => require(!e.exists(ch => ch == '"' || ch == '\\'),
+      s"snapshot commit: entry path '$e' carries JSON-breaking characters"))
+    val entriesJson = entries.map(e => s""""$e"""").mkString(",")
+    val pcolField = pcol.map(p => s""","pcol":"$p"""").getOrElse("")
+    val schemaB64 = java.util.Base64.getEncoder
+      .encodeToString(schema.toDDL.getBytes("UTF-8"))
+    val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
+    (s"""{"version":$next,"base":$base,"entries":[$entriesJson]""" +
+      s"""$pcolField,"schema":"$schemaB64"$tagField}""").getBytes("UTF-8")
+  }
+
+  /** THE commit point: exclusive manifest create — exactly one writer
+    * per version. Atomicity honesty: HDFS create(overwrite=false) is
+    * atomic; the LOCAL filesystem's is check-then-act, so for the
+    * file:// scheme we use NIO's O_EXCL createFile (genuinely atomic —
+    * what makes the 8-thread race spec sound rather than
+    * probabilistic). Plain S3A has no atomic create at all — a
+    * deployment there needs S3 conditional PUTs or an external lock,
+    * the same caveat Delta documents. On losing the race the caller's
+    * OWN data dir (and only it) is removed. */
+  private def createManifestExclusive(fs: FileSystem, root: String,
+      next: Long, body: Array[Byte], ownDataDir: Option[Path]): Unit = {
     val m = manifest(root, next)
     fs.mkdirs(m.getParent)
-    val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
-    val body =
-      s"""{"version":$next,"base":$expectedBase,"dir":"$dirName"$tagField}"""
-        .getBytes("UTF-8")
-    // THE commit point: exclusive create — exactly one writer per
-    // version. Atomicity honesty: HDFS create(overwrite=false) is
-    // atomic; the LOCAL filesystem's is check-then-act, so for the
-    // file:// scheme we use NIO's O_EXCL createFile (genuinely atomic —
-    // what makes the 8-thread race spec sound rather than
-    // probabilistic). Plain S3A has no atomic create at all — a
-    // deployment there needs S3 conditional PUTs or an external lock,
-    // the same caveat Delta documents.
     try {
       if (fs.getScheme == "file") {
         val local = java.nio.file.Paths.get(m.toUri.getPath)
@@ -197,32 +335,179 @@ object SnapshotTable {
     } catch {
       case e @ (_: java.io.IOException |
                 _: java.nio.file.FileAlreadyExistsException) =>
-        fs.delete(dataDir, true) // own dir only — the winner keeps its data
+        ownDataDir.foreach(d => fs.delete(d, true))
         throw new java.util.ConcurrentModificationException(
           s"snapshot commit conflict at $root: lost the version-$next " +
           s"manifest race (${e.getMessage})")
     }
-    // pointer refresh — advisory cache only, losers of this race are
-    // corrected by the _commits listing fallback
+    // pointer refresh — advisory cache only, losers of this rename race
+    // are corrected by the forward scan / listing fallback
     val tmp = new Path(s"$root/._latest-${java.util.UUID.randomUUID()}")
     val pout = fs.create(tmp, true)
     try pout.write(next.toString.getBytes("UTF-8")) finally pout.close()
     val ptr = new Path(s"$root/_latest")
     fs.delete(ptr, false)
     if (!fs.rename(tmp, ptr)) fs.delete(tmp, false)
+  }
+
+  /** Commit `df` as the next FULL snapshot, REQUIRING the table to
+    * still be at `expectedBase` — optimistic concurrency. Returns the
+    * new version. The second committer of the same base fails loudly
+    * at either the pre-check or (under a true race) the exclusive
+    * manifest create; it removes ONLY its own uniquely-named data dir,
+    * so the winner's commit is untouchable (8-thread race
+    * spec-pinned). `tag`, if given, is recorded in the manifest for
+    * [[committedTags]]/[[latestTag]]-based replay idempotence. For a
+    * table too big to rewrite wholesale, use [[commitReplace]]. */
+  def commit(df: DataFrame, root: String, expectedBase: Long,
+             tag: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    checkTag(tag)
+    val cur = checkBase(spark, root, expectedBase)
+    val next = cur + 1
+    // uniquely-named data dir: no writer ever touches another's path,
+    // and a crash before the manifest leaves an invisible orphan
+    val dirName = s"data-${java.util.UUID.randomUUID()}"
+    val dataDir = new Path(s"$root/$dirName")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val body = manifestBody(next, cur, Seq(dirName), None, df.schema, tag)
+    createManifestExclusive(fs, root, next, body, Some(dataDir))
     next
   }
 
-  /** Time-travel read: the immutable snapshot of `version`. Fails
-    * loudly on an uncommitted version (data-dir presence alone is a
-    * crashed writer, not a commit). */
+  /** Commit `df` as the next full snapshot laid out HIVE-PARTITIONED on
+    * `pcol` — the layout [[commitReplace]] requires, because its unit
+    * of reference is the partition subdirectory. The manifest records
+    * one entry per partition value plus the original schema DDL, so a
+    * read restores the partition column's type and position exactly
+    * (dir names alone would leave them to partition-type inference). */
+  def commitPartitioned(df: DataFrame, root: String, expectedBase: Long,
+                        pcol: String, tag: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    checkTag(tag)
+    require(df.columns.contains(pcol),
+      s"snapshot commitPartitioned: no column '$pcol' in ${df.columns.toSeq}")
+    val cur = checkBase(spark, root, expectedBase)
+    val next = cur + 1
+    val dirName = s"data-${java.util.UUID.randomUUID()}"
+    val dataDir = new Path(s"$root/$dirName")
+    df.write.mode("overwrite").partitionBy(pcol).parquet(dataDir.toString)
+    val entries = partitionEntries(fs, root, dirName, pcol)
+    val body = manifestBody(next, cur, entries, Some(pcol), df.schema, tag)
+    createManifestExclusive(fs, root, next, body, Some(dataDir))
+    next
+  }
+
+  /** The partition subdir entries a partitioned write produced, sorted
+    * for deterministic manifests. */
+  private def partitionEntries(fs: FileSystem, root: String,
+                               dirName: String, pcol: String): Seq[String] =
+    fs.listStatus(new Path(s"$root/$dirName")).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pcol="))
+      .map(s => s"$dirName/${s.getPath.getName}")
+      .sorted
+
+  /** The partition-value dir-name component of a partition entry
+    * (still in Spark's escaped path form — comparisons happen at this
+    * level on both sides, so escaping is never undone). */
+  private def entryPartValue(entry: String, pcol: String): String =
+    entry.substring(entry.lastIndexOf('/') + 1).stripPrefix(s"$pcol=")
+
+  /** COMMIT BY REFERENCE — the partition-scoped commit: `updates` is
+    * the COMPLETE new content of every partition it contains (plus
+    * `dropParts` values to delete outright), and the resulting version
+    * writes ONLY those partitions, re-referencing every untouched
+    * entry of the parent version verbatim. Untouched partitions are
+    * the SAME files — path and bytes — in both versions (spec-pinned),
+    * so a 100 TB table pays I/O proportional to the batch's touched
+    * partitions, never a wholesale rewrite; this is
+    * [[PartitionMerge.mergeInto]]'s rewrite unit made transactional.
+    * The parent must be a partitioned snapshot on the same `pcol` with
+    * the same schema (both checked loudly — a silent schema drift
+    * would poison every later read through the recorded DDL).
+    * `dropParts` values are RAW partition values; they are escaped
+    * with Spark's partition-path escaping before matching entries.
+    * Returns the new version. */
+  def commitReplace(updates: DataFrame, root: String, expectedBase: Long,
+                    pcol: String, dropParts: Seq[String] = Nil,
+                    tag: Option[String] = None): Long = {
+    val spark = updates.sparkSession
+    val fs = fsOf(spark, root)
+    checkTag(tag)
+    require(expectedBase > 0,
+      "snapshot commitReplace: no parent version — bootstrap the table " +
+      "with commitPartitioned first")
+    val cur = checkBase(spark, root, expectedBase)
+    val parent = manifestOf(fs, root, cur)
+    require(parent.pcol.contains(pcol),
+      s"snapshot commitReplace: parent version $cur is partitioned on " +
+      s"${parent.pcol.getOrElse("<nothing>")}, not '$pcol'")
+    val parentSchema = StructType.fromDDL(parent.schemaDdl)
+    val aligned = updates.select(
+      parentSchema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    require(nullableSchema(aligned.schema).toDDL == parent.schemaDdl,
+      s"snapshot commitReplace: updates schema ${aligned.schema.toDDL} " +
+      s"does not match the table schema ${parent.schemaDdl}")
+    val next = cur + 1
+    val dirName = s"data-${java.util.UUID.randomUUID()}"
+    val dataDir = new Path(s"$root/$dirName")
+    aligned.write.mode("overwrite").partitionBy(pcol).parquet(dataDir.toString)
+    val newEntries = partitionEntries(fs, root, dirName, pcol)
+    val dropped = dropParts.map(v =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v)).toSet
+    val replaced = newEntries.map(e => entryPartValue(e, pcol)).toSet ++ dropped
+    require(replaced.nonEmpty,
+      "snapshot commitReplace: the batch touches no partitions")
+    val kept = parent.entries
+      .filterNot(e => replaced.contains(entryPartValue(e, pcol)))
+    val entries = (kept ++ newEntries).sorted
+    val body = manifestBody(next, cur, entries, Some(pcol), parentSchema, tag)
+    createManifestExclusive(fs, root, next, body, Some(dataDir))
+    next
+  }
+
+  /** Time-travel read: the immutable snapshot of `version` — the union
+    * of its manifest's entries. Partitioned entries read with their
+    * data dir as `basePath` (so the hive-layout partition column comes
+    * back) under the RECORDED schema, which restores the partition
+    * column's original type and the original column order — never
+    * partition-type inference. Entries spanning several data dirs
+    * (after [[commitReplace]]) union by name; the dir count is bounded
+    * by commits since the last compacting commit, not by data size.
+    * Fails loudly on an uncommitted version (data-dir presence alone
+    * is a crashed writer, not a commit). */
   def read(spark: SparkSession, root: String, version: Long): DataFrame = {
     val fs = fsOf(spark, root)
     require(fs.exists(manifest(root, version)),
       s"snapshot read: version $version of $root was never committed " +
       s"(committed: ${committedVersions(spark, root).mkString(",")})")
-    spark.read.parquet(
-      s"$root/${dataDirOf(fsOf(spark, root), root, version)}")
+    val m = manifestOf(fs, root, version)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    import org.apache.spark.sql.functions.col
+    val ordered = schema.fieldNames.map(col).toIndexedSeq
+    if (m.entries.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    else m.pcol match {
+      case None =>
+        spark.read.schema(schema)
+          .parquet(m.entries.map(e => s"$root/$e"): _*)
+          .select(ordered: _*)
+      case Some(_) =>
+        m.entries.groupBy(e => e.substring(0, e.indexOf('/'))).toSeq
+          .sortBy(_._1)
+          .map { case (dir, es) =>
+            spark.read.schema(schema)
+              .option("basePath", s"$root/$dir")
+              .parquet(es.map(e => s"$root/$e"): _*)
+              .select(ordered: _*)
+          }
+          .reduce(_ unionByName _)
+    }
   }
 
   /** Read the latest committed snapshot (pointer fast path, listing
@@ -235,7 +520,7 @@ object SnapshotTable {
 
   /** CHANGE FEED between two committed versions — the Delta/Iceberg
     * CDF shape, derivable here because versions are immutable
-    * snapshots: one keyed full-outer join of the two version dirs
+    * snapshots: one keyed full-outer join of the two version reads
     * emits `insert` (key only in `toV`, post-image), `delete` (key
     * only in `fromV`, pre-image), and `update` (payload struct
     * differs, post-image); unchanged rows are filtered in-plan, so
@@ -244,13 +529,17 @@ object SnapshotTable {
     * [[Mv.partials]], cache invalidation, downstream sync) reads
     * instead of re-scanning history — on a partition-keyed table the
     * join prunes to partitions either side touched. Keys must be
-    * unique per version (the upsert contract).
+    * unique per version (the upsert contract). Images are selected by
+    * change class — deletes carry the pre-image, everything else the
+    * post-image — so an update that sets a payload field to NULL
+    * reports NULL, not the stale old value a null-coalescing pick
+    * would resurrect.
     *
     * With `preimages = true` an update emits TWO rows —
     * `update_preimage` (old payload) and `update_postimage` (new) —
     * the Delta-CDF shape an incremental MV needs: retract every
     * preimage/delete row, add every postimage/insert row (composition
-    * proven in MvSpec). */
+    * proven in MvSpec and gated end-to-end by `snk11_cdf_mv`). */
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
               keys: Seq[String], preimages: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -272,7 +561,8 @@ object SnapshotTable {
         .filter(col("change_type").isNotNull)
         .select(keys.map(col) ++ Seq(col("change_type")) ++
           payload.map(p =>
-            coalesce(col(s"_post.$p"), col(s"_pre.$p")).as(p)): _*)
+            when(col("change_type") === "delete", col(s"_pre.$p"))
+              .otherwise(col(s"_post.$p")).as(p)): _*)
     else {
       // unchanged rows yield a NULL event array — explode drops them
       def ev(tpe: String, img: org.apache.spark.sql.Column) =
@@ -290,30 +580,39 @@ object SnapshotTable {
     }
   }
 
-  /** Drop snapshots older than `keepLast` versions plus any orphan data
-    * dirs no surviving manifest references (crashed or race-losing
-    * writers). Never touches committed versions in the keep window.
-    * MAINTENANCE-EXCLUSIVE: like Delta's VACUUM, this must not run
-    * concurrently with an in-flight commit — a live writer's data dir
-    * is an orphan until its manifest lands. Returns the removed
-    * version numbers. */
+  /** Drop snapshots older than `keepLast` versions, then reclaim data
+    * REFERENCE-COUNTED at entry granularity: an entry (whole data dir
+    * or partition subdir) is deleted only when NO surviving manifest
+    * references it — after [[commitReplace]], a data dir may serve
+    * many versions, so vacuuming the version that created it must keep
+    * exactly the subdirs later versions still reference. Orphan data
+    * dirs no surviving manifest references at all (crashed or
+    * race-losing writers) go entirely. Never touches entries in the
+    * keep window. MAINTENANCE-EXCLUSIVE: like Delta's VACUUM, this
+    * must not run concurrently with an in-flight commit — a live
+    * writer's data dir is an orphan until its manifest lands. Returns
+    * the removed version numbers. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2)
       : Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least the live snapshot")
     val fs = fsOf(spark, root)
     val versions = committedVersions(spark, root)
     val drop = versions.dropRight(keepLast)
-    drop.foreach { v =>
-      fs.delete(new Path(s"$root/${dataDirOf(fs, root, v)}"), true)
-      fs.delete(manifest(root, v), false)
-    }
-    // orphans: data dirs not referenced by any SURVIVING manifest
-    val referenced = committedVersions(spark, root)
-      .map(v => dataDirOf(fs, root, v)).toSet
+    drop.foreach(v => fs.delete(manifest(root, v), false))
+    val referenced: Set[String] = versions.drop(drop.length)
+      .flatMap(v => manifestOf(fs, root, v).entries).toSet
+    val referencedDirs = referenced.map(e =>
+      if (e.contains('/')) e.substring(0, e.indexOf('/')) else e)
     fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.startsWith("data-") && !referenced.contains(n))
-        fs.delete(p, true)
+      if (n.startsWith("data-") && !referenced.contains(n)) {
+        if (!referencedDirs.contains(n)) fs.delete(p, true) // fully dead
+        else // partially referenced: reclaim only unreferenced subdirs
+          fs.listStatus(p).toSeq.filter(_.isDirectory).foreach { c =>
+            if (!referenced.contains(s"$n/${c.getPath.getName}"))
+              fs.delete(c.getPath, true)
+          }
+      }
     }
     drop
   }

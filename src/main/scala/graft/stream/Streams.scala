@@ -196,15 +196,23 @@ object Streams {
     // replay check at O(1) manifest reads: this sink's batch ids are
     // MONOTONIC, so the latest committed tag decides — a replayed id
     // is <= it, a new id is > it (committedTags' full scan would make
-    // per-batch cost grow with stream lifetime)
-    val latest = SnapshotTable.latestTag(spark, tableRoot)
-      .collect { case (t, v) if t.startsWith("batch-") =>
-        (t.stripPrefix("batch-").toLong, v) }
-    latest.foreach { case (lastId, v) =>
-      if (batchId <= lastId)
-        return if (batchId == lastId) v
-               else SnapshotTable.committedTags(spark, tableRoot)
-                 .getOrElse(tag, v)
+    // per-batch cost grow with stream lifetime). When the most recent
+    // TAGGED commit is a FOREIGN writer's (not batch-<digits>), the
+    // monotonic shortcut is blind — fall back to the full tag map, or a
+    // replayed batch would silently re-commit and break the
+    // version-per-batch invariant (state would stay correct via the
+    // key-idempotent upsert, but the duplicate version would not).
+    SnapshotTable.latestTag(spark, tableRoot).foreach { case (t, v) =>
+      if (t.startsWith("batch-") && t.drop(6).nonEmpty &&
+          t.drop(6).forall(_.isDigit)) {
+        val lastId = t.stripPrefix("batch-").toLong
+        if (batchId <= lastId)
+          return if (batchId == lastId) v
+                 else SnapshotTable.committedTags(spark, tableRoot)
+                   .getOrElse(tag, v)
+      } else
+        SnapshotTable.committedTags(spark, tableRoot).get(tag)
+          .foreach(dup => return dup)
     }
     val payload = batch.columns.filterNot(keys.contains).toSeq
     val reduced = batch

@@ -175,6 +175,179 @@ class SnapshotTableSpec extends SparkSpec {
       s"unexpected preimage feed: $pre")
   }
 
+  private def pdf(vals: (String, Long, Long)*) = {
+    import spark.implicits._
+    vals.toSeq.toDF("region", "id", "v")
+  }
+
+  test("commit-by-reference: commitReplace writes only the touched " +
+       "partitions and REFERENCES the parent's untouched files — same " +
+       "paths, same bytes — across versions") {
+    val root = freshRoot()
+    val v1 = SnapshotTable.commitPartitioned(
+      pdf(("asia", 1L, 10L), ("asia", 2L, 20L), ("eu", 3L, 30L),
+          ("na", 4L, 40L)), root, 0L, "region")
+    def inventory(part: String): Set[(String, Long, Long)] = {
+      val sample = SnapshotTable.read(spark, root, v1).inputFiles
+        .find(_.contains(s"region=$part")).get
+      fs(root).listStatus(new Path(sample).getParent)
+        .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+        .toSet
+    }
+    val (euBefore, naBefore) = (inventory("eu"), inventory("na"))
+    val v2 = SnapshotTable.commitReplace(
+      pdf(("asia", 1L, 11L), ("asia", 9L, 90L)), root, v1, "region")
+    def state(v: Long) = SnapshotTable.read(spark, root, v).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+      .toSeq
+    // asia replaced wholesale (row 2 gone, 1 updated, 9 inserted);
+    // eu/na ride through; v1 time-travels unchanged
+    assert(state(v2) == Seq(("asia", 1L, 11L), ("eu", 3L, 30L),
+      ("na", 4L, 40L), ("asia", 9L, 90L)))
+    assert(state(v1) == Seq(("asia", 1L, 10L), ("asia", 2L, 20L),
+      ("eu", 3L, 30L), ("na", 4L, 40L)))
+    // the untouched partitions are the SAME FILES in both versions
+    val v1Files = SnapshotTable.read(spark, root, v1).inputFiles.toSet
+    val v2Files = SnapshotTable.read(spark, root, v2).inputFiles.toSet
+    val untouched = v1Files.filter(f =>
+      f.contains("region=eu") || f.contains("region=na"))
+    assert(untouched.nonEmpty && untouched.subsetOf(v2Files),
+      "v2 must reference v1's untouched partition files verbatim")
+    assert((inventory("eu"), inventory("na")) == (euBefore, naBefore),
+      "commitReplace disturbed an untouched partition's bytes")
+    // and the replaced partition's files are NEW files in a NEW dir
+    assert(v2Files.filter(_.contains("region=asia"))
+      .forall(f => !v1Files.contains(f)))
+    // dropParts deletes a partition outright without writing it
+    val v3 = SnapshotTable.commitReplace(
+      pdf(), root, v2, "region", dropParts = Seq("eu"))
+    assert(state(v3) == Seq(("asia", 1L, 11L), ("na", 4L, 40L),
+      ("asia", 9L, 90L)))
+    assert(state(v2).exists(_._1 == "eu"), "v2 must still see eu")
+  }
+
+  test("commitReplace refuses a wrong partition column, a schema " +
+       "drift, and an empty batch with nothing to drop") {
+    val root = freshRoot()
+    val v1 = SnapshotTable.commitPartitioned(
+      pdf(("asia", 1L, 10L)), root, 0L, "region")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitReplace(pdf(("asia", 1L, 1L)), root, v1, "id")
+    }
+    intercept[IllegalArgumentException] {
+      import spark.implicits._
+      SnapshotTable.commitReplace(
+        Seq(("asia", 1, 1L)).toDF("region", "id", "v"), // id int, not long
+        root, v1, "region")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitReplace(pdf(), root, v1, "region")
+    }
+  }
+
+  test("partition column round-trips its ORIGINAL type and column " +
+       "order through the hive layout (recorded schema, not inference)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val src = Seq((7L, "x", 1L), (8L, "y", 2L)).toDF("k", "s", "v")
+    SnapshotTable.commitPartitioned(src, root, 0L, "k")
+    val back = SnapshotTable.read(spark, root, 1L)
+    // parquet relaxes nullability — names, ORDER, and types must hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"schema drifted through the partition layout: ${back.schema}")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq == Seq((7L, "x"), (8L, "y")))
+  }
+
+  test("vacuum is reference-counted: dropping the version that CREATED " +
+       "a data dir keeps exactly the subdirs later versions still " +
+       "reference") {
+    val root = freshRoot()
+    val v1 = SnapshotTable.commitPartitioned(
+      pdf(("asia", 1L, 10L), ("eu", 3L, 30L), ("na", 4L, 40L)),
+      root, 0L, "region")
+    val v1Dir = new Path(SnapshotTable.read(spark, root, v1)
+      .inputFiles.head).getParent.getParent
+    val v2 = SnapshotTable.commitReplace(
+      pdf(("asia", 1L, 11L)), root, v1, "region")
+    val dropped = SnapshotTable.vacuum(spark, root, keepLast = 1)
+    assert(dropped == Seq(v1))
+    // v1's dir SURVIVES (eu/na still referenced) minus its asia subdir
+    assert(fs(root).exists(v1Dir), "vacuum deleted a still-referenced dir")
+    val subdirs = fs(root).listStatus(v1Dir).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+    assert(subdirs == Seq("region=eu", "region=na"),
+      s"wrong surviving subdirs: $subdirs")
+    assert(SnapshotTable.read(spark, root, v2).collect()
+      .map(r => (r.getString(0), r.getLong(2))).sortBy(_._1).toSeq ==
+      Seq(("asia", 11L), ("eu", 30L), ("na", 40L)))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, root, v1)
+    }
+  }
+
+  test("version discovery is O(1) manifest body reads on the commit " +
+       "path over a 100+-version history (the _last_checkpoint-style " +
+       "pointer hint, spec-counted)") {
+    val root = freshRoot()
+    val base = (1 to 101).foldLeft(0L) { (b, i) =>
+      SnapshotTable.commit(df("k" -> i.toLong), root, b,
+        tag = Some(s"t$i"))
+    }
+    assert(base == 101L)
+    def reads[T](body: => T): (T, Long) = {
+      val before = SnapshotTable.manifestBodyReads.get()
+      val r = body
+      (r, SnapshotTable.manifestBodyReads.get() - before)
+    }
+    val (cur, curReads) = reads(SnapshotTable.currentVersion(spark, root))
+    assert(cur == 101L)
+    assert(curReads <= 3, s"currentVersion read $curReads bodies")
+    val (_, commitReads) = reads(
+      SnapshotTable.commit(df("k" -> -1L), root, 101L))
+    assert(commitReads <= 3, s"commit path read $commitReads bodies")
+    val (lt, tagReads) = reads(SnapshotTable.latestTag(spark, root))
+    assert(lt.contains(("t101", 101L)), s"wrong latest tag: $lt")
+    assert(tagReads <= 3, s"latestTag read $tagReads bodies")
+    // pointer loss: the listing fallback still reads bodies lazily
+    // from the top, not the whole history
+    fs(root).delete(new Path(s"$root/_latest"), false)
+    val (cur2, fallbackReads) = reads(
+      SnapshotTable.currentVersion(spark, root))
+    assert(cur2 == 102L)
+    assert(fallbackReads <= 3,
+      s"pointer-loss fallback read $fallbackReads bodies")
+  }
+
+  test("changes(): a payload field UPDATED TO NULL reports a NULL " +
+       "post-image, not the resurrected old value") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v1 = Seq(("a", Option(5L)), ("b", Option(6L)))
+      .toDF("k", "v")
+    val v2 = Seq(("a", Option.empty[Long]), ("b", Option(6L)),
+      ("c", Option.empty[Long])).toDF("k", "v")
+    SnapshotTable.commit(v1, root, 0L)
+    SnapshotTable.commit(v2, root, 1L)
+    val feed = SnapshotTable.changes(spark, root, 1L, 2L, Seq("k"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1).toSeq
+    assert(feed == Seq(("a", "update", None), ("c", "insert", None)),
+      s"unexpected feed: $feed")
+    val pre = SnapshotTable.changes(spark, root, 1L, 2L, Seq("k"),
+        preimages = true)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(pre == Seq(("a", "update_postimage", None),
+      ("a", "update_preimage", Some(5L)), ("c", "insert", None)),
+      s"unexpected preimage feed: $pre")
+  }
+
   test("snk7 gate query: version 1 read after the merge equals the " +
        "pre-merge aggregate") {
     val dir = "/root/testdata/sf0.001"

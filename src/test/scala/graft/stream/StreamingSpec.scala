@@ -699,5 +699,19 @@ class StreamingSpec extends SparkSpec {
       Seq(("a", 10L)).toDF("k", "v"), root, Seq("k"), batchId = 2L)
     assert(v3 == 3L)
     assert(state(3L) == Seq(("a", 10L), ("b", 7L), ("c", 9L)))
+    // a FOREIGN writer's tagged commit lands on top — the monotonic
+    // latest-tag shortcut is blind to it, so a replayed batch must fall
+    // back to the full tag map and SKIP instead of re-committing (the
+    // version-per-batch invariant, not just state idempotence)
+    SnapshotTable.commit(
+      SnapshotTable.readLatest(spark, root), root, 3L,
+      tag = Some("maintenance-compact"))
+    val replayedUnderForeign = Streams.snapshotApply(
+      Seq(("a", 10L)).toDF("k", "v"), root, Seq("k"), batchId = 2L)
+    assert(replayedUnderForeign == 3L,
+      "replay under a foreign latest tag must resolve to the original " +
+      "batch version")
+    assert(SnapshotTable.currentVersion(spark, root) == 4L,
+      "replay under a foreign latest tag re-committed a duplicate version")
   }
 }
