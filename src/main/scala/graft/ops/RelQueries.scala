@@ -1225,6 +1225,90 @@ object RelQueries {
     SnapshotTable.changes(s, root, 1L, 2L, Seq("event_type"))
   }
 
+  /** SNK10: COMMIT BY REFERENCE
+    * ([[graft.catalog.SnapshotTable.commitReplace]]): version 1 is the
+    * events table hive-partitioned on event_type; version 2 REPLACES
+    * only the 'purchase' partition (values doubled, every 5th key
+    * deleted) and DROPS 'error' outright — writing nothing but the new
+    * purchase files, with every untouched partition REFERENCED from
+    * v1's manifest verbatim (same paths, same bytes — spec-pinned in
+    * SnapshotTableSpec). The declared result aggregates BOTH versions
+    * after the replace landed, so the gate proves time travel AND
+    * partition-scoped replace semantics together; the oracle replays
+    * the two states arithmetically. The 100-TB point of the row: a
+    * commit pays I/O for the partitions it touches, never a table
+    * rewrite. */
+  def snk10CommitRef(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    val root = ioDir(dir, "snk10ref")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"))
+    val v1 = SnapshotTable.commitPartitioned(base, root, 0L, "event_type")
+    val updates = base
+      .filter(col("event_type") === "purchase" && col("event_id") % 5 =!= 0)
+      .withColumn("cents", col("cents") * 2)
+    val v2 = SnapshotTable.commitReplace(updates, root, v1, "event_type",
+      dropParts = Seq("error"))
+    def agg(v: Long) = SnapshotTable.read(s, root, v)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .withColumn("version", lit(v))
+      .select("version", "event_type", "n", "sum_cents")
+    agg(v1).unionByName(agg(v2))
+  }
+
+  /** SNK11: CHANGE-FEED-DRIVEN MV MAINTENANCE — the IVM composition
+    * MvSpec proves, declared end-to-end: v1 holds two thirds of the
+    * keyed events, v2 inserts the rest, doubles every 7th key's cents
+    * (updates) and drops every 11th (deletes); the PREIMAGE change
+    * feed ([[graft.catalog.SnapshotTable.changes]]) drives the view —
+    * insert/update_postimage rows fold in as [[graft.catalog.Mv]]
+    * partials, delete/update_preimage rows retract through
+    * [[graft.catalog.Mv.deletePartials]]+mergeDeletes, and max repairs
+    * group-scoped from the new version only for groups whose retracted
+    * max reached the stored max. The declared result is the MAINTAINED
+    * view; the oracle RECOMPUTES the aggregate over v2's definition —
+    * equality is the incremental-equals-recompute proof at gate
+    * grain. Per-refresh cost is feed + group cardinality, never
+    * history. */
+  def snk11CdfMv(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.{Mv, SnapshotTable}
+    val root = ioDir(dir, "snk11cdfmv")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"))
+    val v1 = base.filter(col("event_id") % 3 =!= 0)
+    val v2 = base.filter(col("event_id") % 11 =!= 0)
+      .withColumn("cents",
+        when(col("event_id") % 7 === 0, col("cents") * 2)
+          .otherwise(col("cents")))
+    SnapshotTable.commit(v1, root, 0L)
+    SnapshotTable.commit(v2, root, 1L)
+    val mv0 = Mv.partials(SnapshotTable.read(s, root, 1L),
+      Seq("event_type"), col("cents"))
+    val feed = SnapshotTable.changes(s, root, 1L, 2L, Seq("event_id"),
+      preimages = true).localCheckpoint()
+    val adds = feed.filter(
+      col("change_type").isin("insert", "update_postimage"))
+    val retracts = feed.filter(
+      col("change_type").isin("delete", "update_preimage"))
+    val withAdds = Mv.merge(mv0,
+      Mv.partials(adds, Seq("event_type"), col("cents")), Seq("event_type"))
+    val afterDeletes = Mv.mergeDeletes(withAdds,
+      Mv.deletePartials(retracts, Seq("event_type"), col("cents")),
+      Seq("event_type"))
+    Mv.repairMax(afterDeletes, SnapshotTable.read(s, root, 2L),
+        Seq("event_type"), col("cents"))
+      .select("event_type", "n_rows", "sum_cents", "max_cents")
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -2747,6 +2831,8 @@ object RelQueries {
     "snk7_time_travel" -> snk7TimeTravel,
     "snk8_compact_zorder" -> snk8CompactZorder,
     "snk9_change_feed" -> snk9ChangeFeed,
+    "snk10_commit_ref" -> snk10CommitRef,
+    "snk11_cdf_mv" -> snk11CdfMv,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -3331,6 +3417,43 @@ object RelQueries {
         |SELECT 'legacy', 'delete', 1, -1
         |UNION ALL
         |SELECT 'refund', 'insert', 2, -200""".stripMargin,
+    // both versions replayed arithmetically: v1 = the raw cents rows,
+    // v2 = purchase doubled with every 5th key deleted, error dropped
+    "snk10_commit_ref" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT CAST(1 AS BIGINT) AS version, event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM base GROUP BY 1, 2
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, count(*),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'purchase' THEN cents * 2
+        |         ELSE cents END AS cents
+        |  FROM base
+        |  WHERE event_type <> 'error'
+        |    AND NOT (event_type = 'purchase' AND event_id % 5 = 0))
+        |GROUP BY 1, 2""".stripMargin,
+    // incremental-equals-recompute: the oracle recomputes the grouped
+    // aggregate over v2's definition; the declared side MAINTAINS it
+    // from the preimage change feed
+    "snk11_cdf_mv" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN 2 * cents ELSE cents END AS cents
+        |  FROM (
+        |    SELECT event_id, event_type,
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |    FROM events)
+        |  WHERE event_id % 11 <> 0)
+        |GROUP BY 1""".stripMargin,
     // the merge replay: matched rows take the batch payload (CASE on the
     // match, not coalesce — NULL payloads propagate), unmatched batch
     // rows insert, untouched partitions ride through unmodified
