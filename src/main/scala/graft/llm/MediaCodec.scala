@@ -237,10 +237,17 @@ object MediaCodec {
         } else if (id == "avih") {
           w = rd32(bytes, off + 8 + 32)
           h = rd32(bytes, off + 8 + 36)
+          // same dimension bounds as decodeBmp: hostile header values
+          // would overflow rowSize*h (Int), slip past the short-frame
+          // check with a negative product, and die with a bare array
+          // error instead of a parse refusal
+          require(w > 0 && w <= (1 << 16) && h > 0 && h <= (1 << 16),
+            s"decodeAviFrames: unreasonable dimensions ${w}x$h")
         } else if (id == "00db") {
           require(w > 0 && h > 0, "decodeAviFrames: frame before avih")
           val rowSize = bmpRowSize(w)
-          require(size >= rowSize * h, "decodeAviFrames: short frame chunk")
+          require(size.toLong >= rowSize.toLong * h,
+            "decodeAviFrames: short frame chunk")
           val bgr = new Array[Byte](w * h * 3)
           var y = 0
           while (y < h) {

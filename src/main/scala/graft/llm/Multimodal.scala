@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * the right Spark tool, because a real decoder (image/audio codec) is
   * a library call, not a column expression.
   *
-  * Two decode tiers share that boundary: [[MediaCodec]]'s REAL
-  * pure-JVM parsers (24-bpp BMP, PCM-16 WAV, uncompressed-DIB AVI —
-  * gated by d5_decode_bmp / d5_decode_wav / d5_frames_avi against
-  * arithmetic-replay oracles), and a residual STUB standing in only
-  * for entropy-coded formats (JPEG/PNG/MP3) the container has no
-  * libraries for — deterministic, so the plumbing stays
-  * oracle-checkable end to end.
+  * Every decode here is [[MediaCodec]]'s REAL pure-JVM parsing (24-bpp
+  * BMP, PCM-16 WAV, uncompressed-DIB AVI — plus zlib PNG): the binary
+  * column holds genuinely decodable bytes, the decoders walk headers
+  * and byte layout for real, and the gated statistics are
+  * position-weighted so a misread of row padding, the bottom-up flip,
+  * or a RIFF chunk size fails the arithmetic-replay oracles
+  * (d5_multimodal / d5_frames / d5_decode_* / d5_frames_avi). The
+  * round-6 decode stub is retired.
   */
 object Multimodal {
 
@@ -25,74 +26,116 @@ object Multimodal {
                       label: Int)
   case class MediaFeature(doc_id: Long, lang: String, label: Int, feat: Long)
 
-  /** STUB decoder: stands in for image/audio decode + featurize. Real
-    * implementations replace only this function; the pipeline shape
-    * (typed rows in, typed features out, partition-local batches) is
-    * what the engine guarantees. Deterministic: byte length + first
-    * code point of the UTF-8 payload (matches the oracle's
-    * octet_length(encode(text)) + ascii(text) for any input, not just
-    * ASCII — a raw first-byte read diverges on multibyte leads). */
-  def decodeStub(m: MediaRow): MediaFeature = {
-    val s = new String(m.media, java.nio.charset.StandardCharsets.UTF_8)
-    MediaFeature(m.doc_id, m.meta.lang, m.label,
-      m.media.length.toLong + (if (s.isEmpty) 0L else s.codePointAt(0).toLong))
-  }
-
-  /** Assemble the multimodal dataset: text payload as binary media,
-    * metadata struct, embedding label. One narrow join (embeddings side
-    * grouped by key — equi-join, shuffle-partitionable). */
-  def assemble(spark: SparkSession, docs: DataFrame, embs: DataFrame): Dataset[MediaRow] = {
+  /** Assemble the multimodal dataset: a REAL 24-bpp BMP (8×4, pixel
+    * field from the SQL-replayable rule seeded by doc_id) as the
+    * binary media column, metadata struct, embedding label. One narrow
+    * join (equi-join, shuffle-partitionable); the encode runs at the
+    * typed boundary, so the column carries bytes any stock viewer
+    * opens. */
+  def assemble(spark: SparkSession, docs: DataFrame, embs: DataFrame)
+      : Dataset[MediaRow] = {
     import spark.implicits._
     docs.join(embs, docs("doc_id") === embs("vec_id"))
-      .select(col("doc_id"),
-              col("text").cast("binary").as("media"),
-              struct(col("lang"), col("source")).as("meta"),
-              col("label"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("lang"), col("source"), col("label"))
+      .as[(Long, String, String, Int)]
+      .mapPartitions(_.map { case (id, lang, source, label) =>
+        MediaRow(id, MediaCodec.encodeBmp(8, 4, bmpPixels(id, 8, 4)),
+          MediaMeta(lang, source), label)
+      })
   }
 
-  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+  /** REAL nearest-neighbor resize on decoded top-down BGR pixels —
+    * output pixel (x,y) samples source pixel (x·sw/dw, y·sh/dh), the
+    * standard integer nearest-neighbor map. */
+  def resizeNearest(img: MediaCodec.BmpImage, dw: Int, dh: Int)
+      : MediaCodec.BmpImage = {
+    require(dw > 0 && dh > 0, s"resizeNearest: bad target ${dw}x$dh")
+    val out = new Array[Byte](dw * dh * 3)
+    var y = 0
+    while (y < dh) {
+      val sy = y * img.height / dh
+      var x = 0
+      while (x < dw) {
+        val sx = x * img.width / dw
+        System.arraycopy(img.bgr, (sy * img.width + sx) * 3,
+          out, (y * dw + x) * 3, 3)
+        x += 1
+      }
+      y += 1
+    }
+    MediaCodec.BmpImage(dw, dh, out)
+  }
 
-  /** STUB frame-sampler: stands in for video frame extraction. Emits up
-    * to `n` fixed-stride byte windows of the payload as one row per
-    * frame — the real thing swaps the slicing for a codec call; the
-    * engine-side shape (one media row fans out to n frame rows, typed,
-    * partition-local) is what matters at scale. */
-  def frameSampleStub(m: MediaRow, n: Int, frameBytes: Int = 8): Seq[Frame] = {
-    if (n <= 0 || m.media.isEmpty) Seq.empty
-    else {
-      val stride = math.max(1, m.media.length / n)
-      (0 until math.min(n, m.media.length)).map { i =>
-        val start = i * stride
-        Frame(m.doc_id, i,
-          m.media.slice(start, math.min(start + frameBytes, m.media.length)))
-      }.filter(_.frame.nonEmpty)
+  /** REAL decode + featurize: parse the media column's BMP bytes,
+    * nearest-neighbor resize 8×4 → 4×2 (the fixed-resolution
+    * normalization every image pipeline runs), and emit the
+    * position-weighted channel sum Σ (1+j)·chsum(pixel j) over the
+    * RESIZED image — weighting by output position gates both the
+    * decode layout and the resize sampling map. */
+  def decodeFeature(m: MediaRow): MediaFeature = {
+    val img = resizeNearest(MediaCodec.decodeBmp(m.media), 4, 2)
+    var feat = 0L
+    var j = 0
+    while (j < img.width * img.height) {
+      val v = (img.bgr(3 * j) & 0xff) + (img.bgr(3 * j + 1) & 0xff) +
+              (img.bgr(3 * j + 2) & 0xff)
+      feat += (1L + j) * v
+      j += 1
+    }
+    MediaFeature(m.doc_id, m.meta.lang, m.label, feat)
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, sum_ch: Long, wsum_ch: Long)
+
+  /** Assemble video rows: a REAL 5-frame uncompressed-DIB AVI (6×2 —
+    * width 6 forces 2 pad bytes per DIB row) as the binary column. */
+  def assembleVideo(spark: SparkSession, docs: DataFrame, embs: DataFrame)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.join(embs, docs("doc_id") === embs("vec_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("label"))
+      .as[(Long, String, String, Int)]
+      .mapPartitions(_.map { case (id, lang, source, label) =>
+        MediaRow(id, MediaCodec.encodeAviDib(6, 2, 25,
+          (0 until 5).map(f => aviFramePixels(id, f, 6, 2))),
+          MediaMeta(lang, source), label)
+      })
+  }
+
+  /** REAL frame sampling: decode the media column's AVI container
+    * (RIFF tree walk), keep every `stride`-th decoded frame, and emit
+    * one row per sampled frame with position-weighted channel stats —
+    * frame_idx is the ORIGINAL frame number, so the sampling pattern
+    * itself is oracle-visible. flatMap at the typed boundary (narrow —
+    * no shuffle; downstream ops see ordinary typed rows). */
+  def sampleFrames(spark: SparkSession, rows: Dataset[MediaRow],
+                   stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    require(stride >= 1, s"sampleFrames: stride $stride")
+    rows.flatMap { m =>
+      val (w, h, frames) = MediaCodec.decodeAviFrames(m.media)
+      frames.zipWithIndex.collect {
+        case (bgr, f) if f % stride == 0 =>
+          var sum = 0L; var wsum = 0L; var i = 0
+          val n = w * h
+          while (i < n) {
+            val v = (bgr(3 * i) & 0xff) + (bgr(3 * i + 1) & 0xff) +
+                    (bgr(3 * i + 2) & 0xff)
+            sum += v; wsum += i.toLong * v; i += 1
+          }
+          Frame(m.doc_id, f, sum, wsum)
+      }
     }
   }
 
-  /** STUB resize: truncate/pad the payload to `bytes` — stands in for
-    * image resize; byte-length normalization is the deterministic
-    * equivalent of fixing the output resolution. */
-  def resizeStub(media: Array[Byte], bytes: Int): Array[Byte] =
-    if (media.length >= bytes) media.take(bytes)
-    else media ++ Array.fill[Byte](bytes - media.length)(0)
-
-  /** Fan media rows out to sampled frames: flatMap at the typed boundary
-    * (narrow — no shuffle; downstream ops see ordinary typed rows). */
-  def sampleFrames(spark: SparkSession, rows: Dataset[MediaRow],
-                   n: Int): Dataset[Frame] = {
-    import spark.implicits._
-    rows.flatMap(frameSampleStub(_, n))
-  }
-
-  /** Decode (stub) + aggregate features per (lang, label). The
+  /** REAL decode + aggregate features per (lang, label). The
     * mapPartitions call preserves partitioning; the aggregation after it
     * is an ordinary hash group-by. */
   def featuresByLangLabel(spark: SparkSession, docs: DataFrame,
                           embs: DataFrame): DataFrame = {
     import spark.implicits._
     assemble(spark, docs, embs)
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(decodeFeature))
       .groupBy("lang", "label")
       .agg(count(lit(1)).as("n"), sum("feat").as("sum_feat"))
   }

@@ -1113,21 +1113,27 @@ object LlmQueries {
   def d4Fingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(s, dir), col("doc_id"), col("text"))
 
+  /** D5 multimodal features — REAL bytes end to end: the binary media
+    * column holds an actual 24-bpp BMP per doc, decoded with
+    * [[graft.llm.MediaCodec.decodeBmp]] and nearest-neighbor-resized
+    * 8×4 → 4×2 before featurizing; the per-(lang,label) aggregate's
+    * feature weights each RESIZED pixel by its position, so the oracle
+    * (which replays the pixel rule through the resize sampling map
+    * arithmetically) gates decode layout AND the resize. */
   def d5Multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.featuresByLangLabel(s, docs(s, dir),
       table(s, dir, "embeddings"))
 
-  /** D5 frame fan-out: one media row → up to 4 sampled frame rows at the
-    * typed flatMap boundary (no shuffle). The frame payload leaves as a
-    * UTF-8 string so the gate hashes it bit-stably (the corpus is pure
-    * ASCII — verified — so DuckDB's char-based substring equals the
-    * engine's byte slicing). */
+  /** D5 frame fan-out — REAL container in the column: a 5-frame 6×2
+    * uncompressed-DIB AVI per doc (width 6 forces DIB row padding),
+    * decoded from the binary column and stride-2 sampled — frames
+    * 0, 2, 4 emerge as typed rows with position-weighted stats, the
+    * original frame numbers kept oracle-visible. */
   def d5Frames(s: SparkSession, dir: String): DataFrame = {
-    val rows = Multimodal.assemble(s, docs(s, dir),
+    val rows = Multimodal.assembleVideo(s, docs(s, dir),
       table(s, dir, "embeddings"))
-    Multimodal.sampleFrames(s, rows, 4)
-      .select(col("doc_id"), col("frame_idx"),
-              col("frame").cast("string").as("frame_str"))
+    Multimodal.sampleFrames(s, rows, stride = 2)
+      .select(col("doc_id"), col("frame_idx"), col("sum_ch"), col("wsum_ch"))
   }
 
   /** D5 REAL decode — BMP: per doc, synthesize the SQL-replayable
@@ -3572,20 +3578,41 @@ object LlmQueries {
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
          |$shingleCtes
          |SELECT doc_id, min(md5(s)) AS fp FROM sh GROUP BY 1""".stripMargin,
+    // arithmetic replay THROUGH the resize: output pixel (ox,oy) of the
+    // 4x2 result samples source pixel s = oy*16 + ox*2 of the 8x4 rule,
+    // weighted by 1 + output position
     "d5_multimodal" ->
-      """SELECT d.lang, e.label, count(*) AS n,
-        |  CAST(sum(octet_length(encode(d.text)) + ascii(d.text)) AS BIGINT) AS sum_feat
-        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        |GROUP BY 1, 2""".stripMargin,
+      """WITH f AS (
+        |  SELECT d.doc_id, d.lang, e.label,
+        |    CAST(sum((1 + p.oy * 4 + p.ox) *
+        |      (((d.doc_id*31 + (p.oy*16 + p.ox*2)*7)  % 256) +
+        |       ((d.doc_id*17 + (p.oy*16 + p.ox*2)*11) % 256) +
+        |       ((d.doc_id*13 + (p.oy*16 + p.ox*2)*3)  % 256))) AS BIGINT)
+        |      AS feat
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id,
+        |    (SELECT x.x AS ox, y.y AS oy
+        |     FROM (SELECT unnest(range(0, 4)) AS x) x,
+        |          (SELECT unnest(range(0, 2)) AS y) y) p
+        |  GROUP BY 1, 2, 3)
+        |SELECT lang, label, count(*) AS n,
+        |  CAST(sum(feat) AS BIGINT) AS sum_feat
+        |FROM f GROUP BY 1, 2""".stripMargin,
+    // stride-2 sampling of the 5-frame AVI: original frames 0, 2, 4;
+    // 6x2 frames have 12 pixels under the frame-shifted pixel rule
     "d5_frames" ->
-      """WITH m AS (
-        |  SELECT d.doc_id, d.text, length(d.text) AS len
-        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
-        |SELECT doc_id, CAST(i.x AS INT) AS frame_idx,
-        |  substring(text, CAST(i.x * greatest(len // 4, 1) + 1 AS INT), 8)
-        |    AS frame_str
-        |FROM m, LATERAL (SELECT unnest(range(0, 4)) AS x) i
-        |WHERE i.x < least(4, len)""".stripMargin,
+      """SELECT d.doc_id, CAST(f.x AS INT) AS frame_idx,
+        |  CAST(sum(((d.doc_id*31 + f.x*19 + i.x*7)  % 256) +
+        |           ((d.doc_id*17 + f.x*23 + i.x*11) % 256) +
+        |           ((d.doc_id*13 + f.x*29 + i.x*3)  % 256)) AS BIGINT)
+        |    AS sum_ch,
+        |  CAST(sum(i.x * (((d.doc_id*31 + f.x*19 + i.x*7)  % 256) +
+        |                  ((d.doc_id*17 + f.x*23 + i.x*11) % 256) +
+        |                  ((d.doc_id*13 + f.x*29 + i.x*3)  % 256)))
+        |    AS BIGINT) AS wsum_ch
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id,
+        |     (SELECT unnest([0, 2, 4]) AS x) f,
+        |     (SELECT unnest(range(0, 12)) AS x) i
+        |GROUP BY 1, 2""".stripMargin,
     // arithmetic replay of the pixel rule — independent of the JVM
     // encode/decode path; position weight i catches layout misreads
     "d5_decode_bmp" ->

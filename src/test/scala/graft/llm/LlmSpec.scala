@@ -187,30 +187,55 @@ class LlmSpec extends SparkSpec {
     assert(pred == Map(1L -> "en", 2L -> "en", 3L -> "es", 4L -> "es"))
   }
 
-  test("Multimodal decode stub: feature = byte length + first code point") {
+  test("Multimodal decodeFeature: REAL BMP decode + nearest-neighbor " +
+       "resize matches the arithmetic replay through the sampling map") {
     import Multimodal._
-    val f = decodeStub(MediaRow(7L, "abc".getBytes("UTF-8"),
-      MediaMeta("en", "s"), 3))
-    assert(f == MediaFeature(7L, "en", 3, 3L + 'a'.toLong))
-    assert(decodeStub(MediaRow(8L, Array.empty, MediaMeta("x", "y"), 0)).feat == 0L)
-    // multibyte lead: 3 UTF-8 bytes + code point U+4F60, not raw byte 0xE4
-    assert(decodeStub(MediaRow(9L, "你".getBytes("UTF-8"),
-      MediaMeta("zh", "s"), 1)).feat == 3L + 0x4f60L)
+    val id = 77L
+    val row = MediaRow(id, MediaCodec.encodeBmp(8, 4, bmpPixels(id, 8, 4)),
+      MediaMeta("en", "s"), 3)
+    // replay: output pixel (ox,oy) samples source s = oy*16 + ox*2
+    var want = 0L
+    for (oy <- 0 until 2; ox <- 0 until 4) {
+      val s = oy * 16 + ox * 2
+      val v = (id * 31 + s * 7) % 256 + (id * 17 + s * 11) % 256 +
+              (id * 13 + s * 3) % 256
+      want += (1L + oy * 4 + ox) * v
+    }
+    assert(decodeFeature(row) == MediaFeature(id, "en", 3, want))
   }
 
-  test("Multimodal frame sampling: n typed frame rows per media row") {
+  test("Multimodal resizeNearest is a genuine sampling map, not a " +
+       "byte truncation: downscale picks every second pixel") {
+    import Multimodal._
+    // 4x2 image with distinct pixels; resize to 2x1 keeps (0,0),(2,0)
+    val bgr = Array.tabulate[Byte](4 * 2 * 3)(_.toByte)
+    val out = resizeNearest(MediaCodec.BmpImage(4, 2, bgr), 2, 1)
+    assert(out.bgr.toSeq == Seq[Byte](0, 1, 2, 6, 7, 8))
+  }
+
+  test("Multimodal frame sampling: REAL AVI decode, stride-2 keeps " +
+       "original frame numbers 0,2,4 of the 5-frame container") {
     import Multimodal._
     import spark.implicits._
-    val rows = Seq(
-      MediaRow(1L, Array.tabulate[Byte](40)(_.toByte), MediaMeta("en", "s"), 0),
-      MediaRow(2L, Array.empty[Byte], MediaMeta("en", "s"), 0)).toDS()
-    val frames = sampleFrames(spark, rows, n = 4).collect()
-    assert(frames.map(_.doc_id).forall(_ == 1L) && frames.length == 4)
-    // stride 10, frame width 8: frame i starts at byte 10*i
-    assert(frames.sortBy(_.frame_idx).map(_.frame.head.toInt).toSeq
-      == Seq(0, 10, 20, 30))
-    assert(resizeStub(Array[Byte](1, 2, 3), 5).toSeq == Seq[Byte](1, 2, 3, 0, 0))
-    assert(resizeStub(Array[Byte](1, 2, 3), 2).toSeq == Seq[Byte](1, 2))
+    val id = 9L
+    val rows = Seq(MediaRow(id,
+      MediaCodec.encodeAviDib(6, 2, 25,
+        (0 until 5).map(f => aviFramePixels(id, f, 6, 2))),
+      MediaMeta("en", "s"), 0)).toDS()
+    val frames = sampleFrames(spark, rows, stride = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    val want = frames.map { fr =>
+      var sum = 0L; var wsum = 0L
+      for (i <- 0 until 12) {
+        val v = (id * 31 + fr.frame_idx * 19 + i * 7) % 256 +
+                (id * 17 + fr.frame_idx * 23 + i * 11) % 256 +
+                (id * 13 + fr.frame_idx * 29 + i * 3) % 256
+        sum += v; wsum += i.toLong * v
+      }
+      (sum, wsum)
+    }
+    assert(frames.map(f => (f.sum_ch, f.wsum_ch)).toSeq == want.toSeq)
   }
 
   test("Multimodal.featuresByLangLabel end-to-end on a tiny corpus") {
@@ -218,9 +243,18 @@ class LlmSpec extends SparkSpec {
     val docs = Seq((1L, "ab", "en", "s0", 2L), (2L, "cd", "fr", "s1", 2L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val embs = Seq((1L, 5), (2L, 5)).toDF("vec_id", "label")
+    def feat(id: Long): Long = {
+      var w = 0L
+      for (oy <- 0 until 2; ox <- 0 until 4) {
+        val s = oy * 16 + ox * 2
+        w += (1L + oy * 4 + ox) * ((id * 31 + s * 7) % 256 +
+          (id * 17 + s * 11) % 256 + (id * 13 + s * 3) % 256)
+      }
+      w
+    }
     val out = Multimodal.featuresByLangLabel(spark, docs, embs)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
-    assert(out == Set(("en", 5, 1L, 2L + 'a'.toLong), ("fr", 5, 1L, 2L + 'c'.toLong)))
+    assert(out == Set(("en", 5, 1L, feat(1L)), ("fr", 5, 1L, feat(2L))))
   }
 
   test("minhashLsh recall: generated pairs with exact J >= 0.8 are all " +

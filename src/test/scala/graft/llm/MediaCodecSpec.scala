@@ -89,6 +89,23 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI decoder refuses hostile avih dimensions instead of " +
+       "overflowing rowSize*h into a bare array error") {
+    val frames = Seq(Array.tabulate(5 * 2 * 3)(j => (j % 256).toByte))
+    val avi = MediaCodec.encodeAviDib(5, 2, 25, frames)
+    // locate avih and plant w,h that overflow Int in rowSize*h
+    val avihOff = avi.indexOfSlice("avih".getBytes)
+    assert(avihOff > 0)
+    def putLe32(off: Int, v: Long): Unit = (0 until 4).foreach(i =>
+      avi(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    putLe32(avihOff + 8 + 32, 0x40000L)  // w = 262144 > 2^16
+    putLe32(avihOff + 8 + 36, 0x40000L)
+    val e = intercept[IllegalArgumentException] {
+      MediaCodec.decodeAviFrames(avi)
+    }
+    assert(e.getMessage.contains("unreasonable dimensions"))
+  }
+
   test("pipeline stats match a direct computation of the pixel rule") {
     val id = 4242L
     val img = MediaCodec.decodeBmp(
