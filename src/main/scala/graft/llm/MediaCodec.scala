@@ -12,11 +12,13 @@ package graft.llm
   * statistics are position-weighted.
   *
   * This replaces the round-6 `Multimodal.decodeStub` simulation: the
-  * container still has no image/audio libraries, so the formats chosen
-  * are the ones a few hundred lines of header arithmetic decode
-  * exactly. Formats needing entropy coding (JPEG/PNG/MP3) remain out
-  * of scope and would slot in at the same [[Multimodal]] mapPartitions
-  * boundary.
+  * container has no image/audio libraries, so the formats are decoded
+  * from first principles — header arithmetic for BMP/WAV/AVI, and for
+  * PNG a REAL entropy-coded path (zlib DEFLATE via the JDK's
+  * Deflater/Inflater, chunk CRCs, and the full five-filter scanline
+  * unfiltering pass). Formats whose entropy coders the JDK lacks
+  * (JPEG/MP3) remain out of scope and would slot in at the same
+  * [[Multimodal]] mapPartitions boundary.
   */
 object MediaCodec {
 
@@ -214,6 +216,161 @@ object MediaCodec {
     val movi = list("movi",
       frames.map(f => chunk("00db", dibOf(f))).reduce(_ ++ _))
     chunk("RIFF", "AVI ".getBytes ++ hdrl ++ movi)
+  }
+
+  // ---- PNG (8-bit truecolor, zlib DEFLATE via the JDK) --------------
+
+  /** Decoded PNG; `rgb` is top-down row-major, 3 bytes (R,G,B) per
+    * pixel — PNG's native channel order, vs BMP's BGR. */
+  final case class PngImage(width: Int, height: Int, rgb: Array[Byte])
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def rdBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+    ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  private def pngChunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    val tb = tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    crc.update(tb); crc.update(data)
+    be32(data.length) ++ tb ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode TOP-DOWN row-major RGB pixels as a real PNG: 8-bit
+    * truecolor IHDR, scanlines run through GENUINE per-row filters
+    * (Sub on the first row, Paeth after — so a decoder that skips
+    * unfiltering cannot round-trip), zlib-DEFLATED into IDAT with
+    * chunk CRCs. Entropy coding is the JDK's Deflater — the format
+    * a stock viewer opens. */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3,
+      s"encodePng: need ${w * h * 3} bytes for ${w}x$h, got ${rgb.length}")
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = if (y == 0) 1 else 4 // Sub, then Paeth
+      raw(y * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(y * stride + x) & 0xff
+        val left = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= 3) rgb((y - 1) * stride + x - 3) & 0xff
+                 else 0
+        val pred = if (ft == 1) left else paeth(left, up, ul)
+        raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished())
+      zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, no interlace
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", zout.toByteArray) ++
+      pngChunk("IEND", Array.empty)
+  }
+
+  /** Decode an 8-bit truecolor PNG for real: signature + chunk walk
+    * with CRC verification, IDAT concatenation, zlib INFLATE, and the
+    * full five-filter unfiltering pass (None/Sub/Up/Average/Paeth).
+    * Fails loudly on anything it does not parse (interlace, palettes,
+    * alpha, other bit depths, corrupt CRCs, truncated streams). */
+  def decodePng(bytes: Array[Byte]): PngImage = {
+    require(bytes.length >= 8 && bytes.take(8).sameElements(PngSig),
+      "decodePng: not a PNG (bad signature)")
+    var off = 8
+    var w = -1; var h = -1
+    var sawIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(off + 8 <= bytes.length, "decodePng: truncated chunk header")
+      val len = rdBe32(bytes, off)
+      require(len >= 0 && off + 12 + len <= bytes.length,
+        s"decodePng: chunk overruns the file (len $len)")
+      val tpe = new String(bytes, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, off + 4, 4 + len)
+      require(crc.getValue.toInt == rdBe32(bytes, off + 8 + len),
+        s"decodePng: CRC mismatch in $tpe chunk")
+      tpe match {
+        case "IHDR" =>
+          require(len == 13, "decodePng: bad IHDR length")
+          w = rdBe32(bytes, off + 8); h = rdBe32(bytes, off + 12)
+          require(w > 0 && w <= (1 << 16) && h > 0 && h <= (1 << 16),
+            s"decodePng: unreasonable dimensions ${w}x$h")
+          require(bytes(off + 16) == 8, "decodePng: only bit depth 8")
+          require(bytes(off + 17) == 2, "decodePng: only truecolor (type 2)")
+          require(bytes(off + 20) == 0, "decodePng: interlace unsupported")
+          sawIhdr = true
+        case "IDAT" =>
+          require(sawIhdr, "decodePng: IDAT before IHDR")
+          idat.write(bytes, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped — the point of a real walk
+      }
+      off += 12 + len
+    }
+    require(sawIhdr, "decodePng: no IHDR")
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var filled = 0
+    try {
+      while (filled < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, filled, raw.length - filled)
+        require(n > 0 || inflater.finished(),
+          "decodePng: truncated or corrupt DEFLATE stream")
+        filled += n
+      }
+    } finally inflater.end()
+    require(filled == raw.length,
+      s"decodePng: scanline data short ($filled of ${raw.length} bytes)")
+    val rgb = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      require(ft <= 4, s"decodePng: unknown filter type $ft")
+      var x = 0
+      while (x < stride) {
+        val v = raw(y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= 3) rgb((y - 1) * stride + x - 3) & 0xff
+                 else 0
+        val rec = ft match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case 4 => v + paeth(left, up, ul)
+        }
+        rgb(y * stride + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PngImage(w, h, rgb)
   }
 
   /** Decode the frames of an uncompressed-DIB AVI: walk the RIFF tree

@@ -211,6 +211,40 @@ object Multimodal {
     })
   }
 
+  /** The PNG pixel rule — distinct multipliers from [[bmpPixels]] so
+    * the png row's gated values differ from the bmp row's:
+    * R=(d·37+i·5)%256, G=(d·23+i·13)%256, B=(d·11+i·17)%256. */
+  def pngPixels(docId: Long, w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h * 3) { j =>
+      val i = j / 3
+      (j % 3 match {
+        case 0 => (docId * 37 + i * 5)  % 256
+        case 1 => (docId * 23 + i * 13) % 256
+        case _ => (docId * 11 + i * 17) % 256
+      }).toByte
+    }
+
+  /** encode→REAL PNG bytes (zlib DEFLATE, Sub/Paeth-filtered
+    * scanlines)→decode→per-pixel stats. 9×3: a width that is no
+    * multiple of 4, so any BMP-padding assumption leaking into the
+    * PNG path would shear the rows and fail the weighted sum. */
+  def pngRoundtripStats(spark: SparkSession, ids: DataFrame,
+                        w: Int = 9, h: Int = 3): Dataset[ImageStat] = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val img = MediaCodec.decodePng(
+        MediaCodec.encodePng(w, h, pngPixels(id, w, h)))
+      var sum = 0L; var wsum = 0L; var i = 0
+      val n = img.width * img.height
+      while (i < n) {
+        val v = (img.rgb(3 * i) & 0xff) + (img.rgb(3 * i + 1) & 0xff) +
+                (img.rgb(3 * i + 2) & 0xff)
+        sum += v; wsum += i.toLong * v; i += 1
+      }
+      ImageStat(id, n, sum, wsum)
+    })
+  }
+
   /** encode→REAL WAV bytes→RIFF-walk decode→sample stats. */
   def wavRoundtripStats(spark: SparkSession, ids: DataFrame,
                         n: Int = 100): Dataset[AudioStat] = {

@@ -1156,6 +1156,15 @@ object LlmQueries {
   def d5FramesAvi(s: SparkSession, dir: String): DataFrame =
     Multimodal.aviFrameStats(s, docs(s, dir)).toDF()
 
+  /** D5 REAL decode — PNG: the entropy-coded tier. Per doc the 9×3
+    * pixel field encodes through [[graft.llm.MediaCodec.encodePng]]
+    * (Sub/Paeth-filtered scanlines, zlib DEFLATE, chunk CRCs) and
+    * decodes back through the full inflate + five-filter unfiltering
+    * pass; the oracle replays the pixel rule arithmetically, so a
+    * filter or inflate misread fails the position-weighted sum. */
+  def d5DecodePng(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pngRoundtripStats(s, docs(s, dir)).toDF()
+
   def d6Quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityBySource(docs(s, dir), Seq("the", "data", "value"))
 
@@ -1480,6 +1489,7 @@ object LlmQueries {
     "d5_decode_bmp" -> d5DecodeBmp,
     "d5_decode_wav" -> d5DecodeWav,
     "d5_frames_avi" -> d5FramesAvi,
+    "d5_decode_png" -> d5DecodePng,
     "d6_quality" -> d6Quality,
     "d6_repetition" -> d6Repetition,
     "d11_vocab_oov" -> d11VocabOov,
@@ -3633,6 +3643,17 @@ object LlmQueries {
         |  CAST(sum(i.x * (((d.doc_id*13 + i.x*5) % 65536) - 32768))
         |    AS BIGINT) AS wsum_amp
         |FROM documents d, (SELECT unnest(range(0, 100)) AS x) i
+        |GROUP BY 1""".stripMargin,
+    "d5_decode_png" ->
+      """SELECT d.doc_id, CAST(27 AS INT) AS n_px,
+        |  CAST(sum(((d.doc_id*37 + i.x*5)  % 256) +
+        |           ((d.doc_id*23 + i.x*13) % 256) +
+        |           ((d.doc_id*11 + i.x*17) % 256)) AS BIGINT) AS sum_ch,
+        |  CAST(sum(i.x * (((d.doc_id*37 + i.x*5)  % 256) +
+        |                  ((d.doc_id*23 + i.x*13) % 256) +
+        |                  ((d.doc_id*11 + i.x*17) % 256))) AS BIGINT)
+        |    AS wsum_ch
+        |FROM documents d, (SELECT unnest(range(0, 27)) AS x) i
         |GROUP BY 1""".stripMargin,
     "d5_frames_avi" ->
       """SELECT d.doc_id, CAST(f.x AS INT) AS frame_idx,

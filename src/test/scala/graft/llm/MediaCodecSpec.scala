@@ -106,6 +106,82 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unreasonable dimensions"))
   }
 
+  test("PNG roundtrip is exact through real DEFLATE + Sub/Paeth " +
+       "filters (9x3: width no multiple of 4)") {
+    val rgb = Array.tabulate(9 * 3 * 3)(j => ((j * 37 + 11) % 256).toByte)
+    val png = MediaCodec.encodePng(9, 3, rgb)
+    // signature + IHDR present
+    assert((png(0) & 0xff) == 0x89 && new String(png, 1, 3) == "PNG")
+    val img = MediaCodec.decodePng(png)
+    assert(img.width == 9 && img.height == 3)
+    assert(img.rgb.toSeq == rgb.toSeq)
+  }
+
+  test("PNG decoder unfilters all five filter types (hand-built " +
+       "None/Sub/Up/Average/Paeth scanlines)") {
+    // 2x5 image, one row per filter type; build the filtered stream by
+    // the spec's own definitions, deflate it, wrap in chunks
+    val w = 2; val h = 5; val stride = w * 3
+    val rgb = Array.tabulate(stride * h)(j => ((j * 29 + 3) % 256).toByte)
+    def px(y: Int, x: Int): Int =
+      if (x < 0 || y < 0) 0 else rgb(y * stride + x) & 0xff
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(y) // filter type = row number: 0..4
+      for (x <- 0 until stride) {
+        val pred = y match {
+          case 0 => 0
+          case 1 => px(y, x - 3)
+          case 2 => px(y - 1, x)
+          case 3 => (px(y, x - 3) + px(y - 1, x)) / 2
+          case _ => paeth(px(y, x - 3), px(y - 1, x), px(y - 1, x - 3))
+        }
+        raw.write((px(y, x) - pred) & 0xff)
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.toByteArray); d.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    d.end()
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(t: String, data: Array[Byte]) = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(t.getBytes); crc.update(data)
+      be32(data.length) ++ t.getBytes ++ data ++ be32(crc.getValue.toInt)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+      .map(_.toByte)
+    val png = sig ++
+      chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", z.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+    val img = MediaCodec.decodePng(png)
+    assert(img.rgb.toSeq == rgb.toSeq,
+      "five-filter unfiltering diverged from the spec definitions")
+  }
+
+  test("PNG decoder refuses corrupt CRCs, bad signatures, and " +
+       "non-truecolor files") {
+    val good = MediaCodec.encodePng(2, 2, Array.fill[Byte](12)(1))
+    intercept[IllegalArgumentException] {
+      MediaCodec.decodePng("nope".getBytes)
+    }
+    val corrupted = good.clone()
+    corrupted(corrupted.length - 5) = (corrupted(corrupted.length - 5) ^ 1).toByte
+    intercept[IllegalArgumentException] { MediaCodec.decodePng(corrupted) }
+    val gray = good.clone()
+    gray(8 + 4 + 4 + 9) = 0 // color type byte inside IHDR
+    intercept[IllegalArgumentException] { MediaCodec.decodePng(gray) }
+  }
+
   test("pipeline stats match a direct computation of the pixel rule") {
     val id = 4242L
     val img = MediaCodec.decodeBmp(
