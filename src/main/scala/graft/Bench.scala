@@ -53,7 +53,7 @@ object Bench {
         try { while (in.read(blackhole) >= 0) () } finally { in.close() }
       }
     } finally walk.close()
-    val results = names.map { name =>
+    def timeOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -63,7 +63,22 @@ object Bench {
       // distorted (eviction pressure) by earlier queries' dead blocks —
       // AFTER reading the clock, so unpersist work isn't billed to the query
       spark.catalog.clearCache()
-      name -> (if (ok) elapsed else -1.0)
+      if (ok) elapsed else -1.0
+    }
+    val firstPass = names.map(name => name -> timeOne(name))
+    // Noise discipline beyond the headline set: every query whose
+    // single shot lands >= 1 s gets ONE fresh rep and reports the MIN.
+    // r6/r7 each produced 2-6 s phantom one-shots on sub-second queries
+    // (wro_path_lookup 2.22 s vs 0.63 s BenchFew median) that had to be
+    // adjudicated manually; a second rep kills any such artifact at the
+    // source, and sub-second queries cannot show a >2 s artifact worth
+    // the extra pass. Failed queries stay failed (-1).
+    val results = firstPass.map { case (name, t1) =>
+      if (t1 < 1.0) name -> t1
+      else {
+        val t2 = timeOne(name)
+        name -> (if (t2 < 0) t1 else math.min(t1, t2))
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,193 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** MULTI-TABLE atomic commits — the cross-table story
+  * [[SnapshotTable]] deliberately scopes out: a pipeline that
+  * materializes several artifacts that must stay mutually consistent
+  * (a corpus beside its LSH index, a fact table beside its rollup MV)
+  * commits them as ONE version under a shared root, so a reader that
+  * pins a version sees every table AS OF the same commit — no window
+  * where the corpus is new and the index old.
+  *
+  * Layout under the group root:
+  * {{{
+  *   data-<uuid>/<table>/ ...    one dir per commit, one subdir per table
+  *   _commits/v00000001.json     ONE manifest per version — the single
+  *                               arbiter spanning every table
+  *   _latest                     pointer cache (same advisory role)
+  * }}}
+  *
+  * The protocol is [[SnapshotTable]]'s with one arbiter for N tables:
+  * every table's data writes completely into the commit's uniquely
+  * named dir, then the ONE manifest — recording each table's subdir
+  * and schema — is exclusively created. Either every table advances or
+  * none does; a crash mid-write leaves an orphan dir no reader sees,
+  * and the loser of a commit race removes only its own dir. Version
+  * discovery reuses the pointer-hint + filename-listing machinery, so
+  * the commit path stays O(1) manifest reads.
+  *
+  * Scope (the design decision, recorded): group commits are FULL
+  * snapshots per table — the partition-scoped
+  * [[SnapshotTable.commitReplace]] path stays single-table, because
+  * cross-table reference lists would couple every table's layout to
+  * the group manifest format. A pipeline needing both properties
+  * commits its big table through [[SnapshotTable]] and publishes the
+  * (table version, artifact) PAIR through a small group — the same
+  * layering Delta users apply with a manifest table.
+  */
+object SnapshotGroup {
+
+  /** Per-version decoded manifest: table name → (subdir entry, schema
+    * DDL). */
+  private[graft] case class GroupManifest(version: Long, base: Long,
+      tables: Map[String, (String, String)], tag: Option[String])
+
+  private val TableRe =
+    """"([A-Za-z0-9_\-]+)":\{"dir":"([^"]*)","schema":"([^"]*)"\}""".r
+  private val BaseRe = """"base":(-?\d+)""".r
+  private val TagRe = """"tag":"([^"]*)"""".r
+  private val TablesEnd = "}}" // a complete body closes tables + object
+
+  /** Parse a group manifest; None = not (yet) committed (the
+    * create→write visibility window, same reader rule as
+    * [[SnapshotTable]]). A body is complete only when its closing
+    * braces landed. */
+  private def parse(v: Long, body: String): Option[GroupManifest] = {
+    val tables = TableRe.findAllMatchIn(body).map { m =>
+      m.group(1) -> (m.group(2), new String(
+        java.util.Base64.getDecoder.decode(m.group(3)), "UTF-8"))
+    }.toMap
+    for {
+      base <- BaseRe.findFirstMatchIn(body).map(_.group(1).toLong)
+      if tables.nonEmpty && body.endsWith(TablesEnd)
+    } yield GroupManifest(v, base, tables,
+      TagRe.findFirstMatchIn(body).map(_.group(1)))
+  }
+
+  private def manifestIfCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Long): Option[GroupManifest] =
+    if (!fs.exists(new Path(f"$root/_commits/v$v%08d.json"))) None
+    else parse(v, SnapshotTable.readManifestBody(fs, root, v))
+
+  private def manifestOf(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Long): GroupManifest =
+    manifestIfCommitted(fs, root, v).getOrElse(sys.error(
+      s"snapshot group: version $v of $root has no parseable manifest"))
+
+  /** Committed versions ascending — audit surface, O(versions) body
+    * reads like [[SnapshotTable.committedVersions]]. */
+  def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = SnapshotTable.fsOf(spark, root)
+    SnapshotTable.listedVersions(fs, root)
+      .filter(v => manifestIfCommitted(fs, root, v).isDefined)
+  }
+
+  /** Latest committed version, 0 = empty — pointer hint + forward
+    * scan, O(1) body reads on the steady state (the
+    * [[SnapshotTable.currentVersion]] discipline). */
+  def currentVersion(spark: SparkSession, root: String): Long = {
+    val fs = SnapshotTable.fsOf(spark, root)
+    SnapshotTable.readPointer(fs, root)
+      .filter(h => h > 0 && manifestIfCommitted(fs, root, h).isDefined)
+      match {
+      case Some(h) =>
+        var v = h
+        while (manifestIfCommitted(fs, root, v + 1).isDefined) v += 1
+        v
+      case None =>
+        SnapshotTable.listedVersions(fs, root).reverseIterator
+          .find(v => manifestIfCommitted(fs, root, v).isDefined)
+          .getOrElse(0L)
+    }
+  }
+
+  /** Commit every table in `tables` as ONE new version, requiring the
+    * group to still be at `expectedBase`. All-or-nothing: data for all
+    * tables lands in this commit's own dir before the single manifest
+    * is exclusively created; the loser of a race (pre-check or
+    * manifest create) fails loudly and removes only its own dir.
+    * Tables absent from a later commit simply don't exist in that
+    * version (each version's table SET is explicit in its manifest) —
+    * carry a table forward by including it. */
+  def commit(tables: Map[String, DataFrame], root: String,
+             expectedBase: Long, tag: Option[String] = None): Long = {
+    require(tables.nonEmpty, "snapshot group commit: no tables")
+    tables.keys.foreach(t => require(
+      t.nonEmpty && t.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"snapshot group commit: table name '$t' must be [A-Za-z0-9_-]+"))
+    SnapshotTable.checkTag(tag)
+    val spark = tables.head._2.sparkSession
+    val fs = SnapshotTable.fsOf(spark, root)
+    val cur = currentVersion(spark, root)
+    if (cur != expectedBase)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot group commit conflict at $root: expected base " +
+        s"$expectedBase but the group is at $cur — rebase and retry")
+    val next = cur + 1
+    val dirName = s"data-${java.util.UUID.randomUUID()}"
+    val dataDir = new Path(s"$root/$dirName")
+    val entries = tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$root/$dirName/$name")
+      val schemaB64 = java.util.Base64.getEncoder.encodeToString(
+        SnapshotTable.nullableSchema(df.schema).toDDL.getBytes("UTF-8"))
+      s""""$name":{"dir":"$dirName/$name","schema":"$schemaB64"}"""
+    }
+    val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
+    val body = (s"""{"version":$next,"base":$cur$tagField,""" +
+      s""""tables":{${entries.mkString(",")}}}""").getBytes("UTF-8")
+    SnapshotTable.createManifestExclusive(fs, root, next, body, Some(dataDir))
+    next
+  }
+
+  /** Read one table AS OF a group version — every table read at the
+    * same version is mutually consistent by construction. */
+  def read(spark: SparkSession, root: String, table: String,
+           version: Long): DataFrame = {
+    val fs = SnapshotTable.fsOf(spark, root)
+    val m = manifestIfCommitted(fs, root, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot group read: version $version of $root was never " +
+        s"committed (committed: ${committedVersions(spark, root)
+          .mkString(",")})"))
+    val (dir, ddl) = m.tables.getOrElse(table, sys.error(
+      s"snapshot group read: version $version has no table '$table' " +
+      s"(tables: ${m.tables.keys.toSeq.sorted.mkString(",")})"))
+    val schema = StructType.fromDDL(ddl)
+    spark.read.schema(schema).parquet(s"$root/$dir")
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+  }
+
+  /** Read a table at the latest committed group version. */
+  def readLatest(spark: SparkSession, root: String, table: String)
+      : DataFrame = {
+    val v = currentVersion(spark, root)
+    require(v > 0, s"snapshot group read: $root has no committed version")
+    read(spark, root, table, v)
+  }
+
+  /** Drop group versions older than `keepLast`, then reclaim data dirs
+    * no surviving manifest references (each group commit owns exactly
+    * one dir, so reclamation is dir-granular). MAINTENANCE-EXCLUSIVE,
+    * like [[SnapshotTable.vacuum]]. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 2)
+      : Seq[Long] = {
+    require(keepLast >= 1, "vacuum must keep at least the live snapshot")
+    val fs = SnapshotTable.fsOf(spark, root)
+    val versions = committedVersions(spark, root)
+    val drop = versions.dropRight(keepLast)
+    drop.foreach(v =>
+      fs.delete(new Path(f"$root/_commits/v$v%08d.json"), false))
+    val referenced = versions.drop(drop.length)
+      .flatMap(v => manifestOf(fs, root, v).tables.values
+        .map(_._1.takeWhile(_ != '/'))).toSet
+    fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
+      if (p.getName.startsWith("data-") && !referenced.contains(p.getName))
+        fs.delete(p, true)
+    }
+    drop
+  }
+}

@@ -89,7 +89,7 @@ object SnapshotTable {
   private[graft] val manifestBodyReads =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def fsOf(spark: SparkSession, path: String): FileSystem =
+  private[catalog] def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def vdir(version: Long): String = f"v$version%08d"
@@ -133,7 +133,7 @@ object SnapshotTable {
         java.util.Base64.getDecoder.decode(sm.group(1)), "UTF-8"),
       tag = TagRe.findFirstMatchIn(body).map(_.group(1)))
 
-  private def readManifestBody(fs: FileSystem, root: String, v: Long)
+  private[catalog] def readManifestBody(fs: FileSystem, root: String, v: Long)
       : String = {
     manifestBodyReads.incrementAndGet()
     val in = fs.open(manifest(root, v))
@@ -160,7 +160,7 @@ object SnapshotTable {
 
   /** Candidate version numbers from the `_commits` FILENAME listing —
     * one directory listing, zero body reads. */
-  private def listedVersions(fs: FileSystem, root: String): Seq[Long] = {
+  private[catalog] def listedVersions(fs: FileSystem, root: String): Seq[Long] = {
     val dir = new Path(s"$root/_commits")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
@@ -170,7 +170,7 @@ object SnapshotTable {
       .sorted
   }
 
-  private def readPointer(fs: FileSystem, root: String): Option[Long] = {
+  private[catalog] def readPointer(fs: FileSystem, root: String): Option[Long] = {
     val p = new Path(s"$root/_latest")
     if (!fs.exists(p)) None
     else {
@@ -254,7 +254,7 @@ object SnapshotTable {
   // commit machinery shared by the three commit shapes
   // ----------------------------------------------------------------
 
-  private def checkTag(tag: Option[String]): Unit =
+  private[catalog] def checkTag(tag: Option[String]): Unit =
     // the tag is interpolated into the manifest JSON and re-parsed by a
     // regex — a quote/backslash/control char would corrupt both, and a
     // corrupted tag silently breaks replay idempotence. Refuse loudly.
@@ -318,7 +318,7 @@ object SnapshotTable {
     * deployment there needs S3 conditional PUTs or an external lock,
     * the same caveat Delta documents. On losing the race the caller's
     * OWN data dir (and only it) is removed. */
-  private def createManifestExclusive(fs: FileSystem, root: String,
+  private[catalog] def createManifestExclusive(fs: FileSystem, root: String,
       next: Long, body: Array[Byte], ownDataDir: Option[Path]): Unit = {
     val m = manifest(root, next)
     fs.mkdirs(m.getParent)

@@ -1309,6 +1309,34 @@ object RelQueries {
       .select("event_type", "n_rows", "sum_cents", "max_cents")
   }
 
+  /** SNK12: MULTI-TABLE ATOMIC COMMIT
+    * ([[graft.catalog.SnapshotGroup]]): a corpus and its per-doc index
+    * commit as ONE group version (half the docs at v1, all at v2);
+    * the declared result joins BOTH tables read at the PINNED v1 AFTER
+    * v2 landed — if the pair could advance independently there would
+    * exist a corpus-new/index-old window and the join would mismatch;
+    * conflicts and torn-commit impossibility are spec-pinned in
+    * SnapshotGroupSpec. Oracle replays v1's content arithmetically. */
+  def snk12GroupCommit(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotGroup
+    val root = ioDir(dir, "snk12grp")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val d = table(s, dir, "documents")
+    def pair(df: DataFrame) = Map(
+      "corpus" -> df.select("doc_id", "source"),
+      "index" -> df.select("doc_id", "n_chars"))
+    val v1 = SnapshotGroup.commit(pair(d.filter(col("doc_id") % 2 === 0)),
+      root, 0L)
+    SnapshotGroup.commit(pair(d), root, v1)
+    SnapshotGroup.read(s, root, "corpus", v1)
+      .join(SnapshotGroup.read(s, root, "index", v1), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+           sum("n_chars").cast("long").as("sum_chars"))
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -2833,6 +2861,7 @@ object RelQueries {
     "snk9_change_feed" -> snk9ChangeFeed,
     "snk10_commit_ref" -> snk10CommitRef,
     "snk11_cdf_mv" -> snk11CdfMv,
+    "snk12_group_commit" -> snk12GroupCommit,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -3453,6 +3482,12 @@ object RelQueries {
         |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |    FROM events)
         |  WHERE event_id % 11 <> 0)
+        |GROUP BY 1""".stripMargin,
+    // the pinned group version v1 = the even-doc_id half of both tables
+    "snk12_group_commit" ->
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0
         |GROUP BY 1""".stripMargin,
     // the merge replay: matched rows take the batch payload (CASE on the
     // match, not coalesce — NULL payloads propagate), unmatched batch
