@@ -26,16 +26,25 @@ object BenchFew {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // progress to STDERR as it happens (long sf runs are otherwise
+    // silent until the final JSON; the stdout line stays clean)
+    def progress(msg: String): Unit = {
+      System.err.println(f"[benchfew +${System.nanoTime() / 1e9}%.0f] $msg")
+      System.err.flush()
+    }
     // same warm-up discipline as Bench: one untimed pass per query
     names.foreach { n =>
+      val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
+      progress(f"warmup $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.catalog.clearCache()
     }
     val out = names.map { n =>
-      val ts = (1 to reps).map { _ =>
+      val ts = (1 to reps).map { r =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
         val t = (System.nanoTime() - t0) / 1e9
+        progress(f"$n rep $r: $t%.2f s")
         spark.catalog.clearCache()
         t
       }

@@ -136,9 +136,25 @@ object KMeans {
     * re-read it, so an unmaterialized lineage would repeat upstream
     * work. Used when the quantized view already exists for other plan
     * legs (e.g. [[Pq.ivfPqTopK]] shares it with code assignment). */
+  /** Coverage-preserving deterministic seeding: the K lowest by
+    * (md5(vec_id), vec_id) — a fixed-key uniform sample of the corpus,
+    * computed as a scalable TOP-K (TakeOrdered, never a global
+    * row_number sort). [[seedLowestK]]'s id-order seeding concentrates
+    * every seed in the id-lowest corner, and on an id-STRUCTURED
+    * corpus (time-ordered ingest, sharded copies — the sf3 fixture)
+    * two Lloyd iterations cannot spread them: one cell ended up
+    * holding 31% of all vectors and the within-cell pair join exploded
+    * 17× (measured, CellDiag). Hash order is id-layout-independent,
+    * so seeds track the data distribution at any scale; DuckDB
+    * replays `ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id`
+    * bit-identically. */
+  def seedHashK(q: DataFrame, k: Int): DataFrame =
+    q.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+
   def codebook2Q(q: DataFrame, k: Int): DataFrame =
     reduceToCodebook(
-      lloydOnce(q, reduceToCodebook(lloydOnce(q, seedLowestK(q, k)))))
+      lloydOnce(q, reduceToCodebook(lloydOnce(q, seedHashK(q, k)))))
 
   // ---- grouped Lloyd: train MANY independent codebooks in ONE plan ----
   // The product-quantization trainer: subspace j's codebook is an

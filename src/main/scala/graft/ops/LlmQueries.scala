@@ -1815,7 +1815,8 @@ object LlmQueries {
          |seeds0 AS (
          |  SELECT cid, cv FROM (
          |    SELECT vec_id AS cid, qv AS cv,
-         |      row_number() OVER (ORDER BY vec_id) AS rn,
+         |      row_number() OVER (
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
          |      count(*) OVER () AS nn
          |    FROM corp)
          |  WHERE rn <= greatest(8, nn // 64)),
@@ -3337,7 +3338,8 @@ object LlmQueries {
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
         |  FROM embeddings WHERE vec_id = 0),
         |seeds0 AS (
-        |  SELECT vec_id AS cid, qv AS cv FROM corp ORDER BY vec_id LIMIT 8),
+        |  SELECT vec_id AS cid, qv AS cv FROM corp
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
         |d1 AS (
         |  SELECT t.vec_id, s.cid,
         |         sum((t.qv[i.x] - s.cv[i.x]) * (t.qv[i.x] - s.cv[i.x])) AS dist
