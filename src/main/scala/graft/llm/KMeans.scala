@@ -64,15 +64,17 @@ object KMeans {
     // K candidate rows sorting through a window exchange. Ties to the
     // lowest cid via the (dist, cid) ordering struct — identical to the
     // row_number formulation and to the oracle's ORDER BY dist, cid.
+    // The min_by VALUE is the bare cid — carrying the vector through
+    // the argmin duplicates the array k× through the candidate stream
+    // (28 GB at the 30× scale point, measured; the n-row join back to
+    // the corpus below moves ~n·dim bytes once instead).
     val assigned = corpus
       .crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("qv"), col("cid"),
+      .select(col("vec_id"), col("cid"),
               sqDist(col("qv"), col("cv")).as("dist"))
       .groupBy("vec_id")
-      .agg(min_by(struct(col("cid"), col("qv")), struct(col("dist"), col("cid")))
-        .as("w"))
-      .select(col("w.cid").as("cid"), col("w.qv").as("qv"))
-    assigned
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+    assigned.join(corpus, "vec_id")
       .select(col("cid"), posexplode(col("qv")).as(Seq("pos0", "q")))
       .groupBy(col("cid"), (col("pos0") + 1).cast("int").as("pos"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
@@ -167,16 +169,15 @@ object KMeans {
     * replaced by a broadcast equi-join on the group column (a vector
     * only scores its own group's seeds) and every key extended by `g`. */
   def lloydOnceBy(corpus: DataFrame, seeds: DataFrame, g: String): DataFrame = {
-    // same min_by-aggregate argmin as [[lloydOnce]] — see the note there
+    // same min_by-aggregate argmin as [[lloydOnce]] — see the note
+    // there, including the slim-value/join-back discipline
     val assigned = corpus
       .join(broadcast(seeds), Seq(g))
-      .select(col(g), col("vec_id"), col("qv"), col("cid"),
+      .select(col(g), col("vec_id"), col("cid"),
               sqDist(col("qv"), col("cv")).as("dist"))
       .groupBy(g, "vec_id")
-      .agg(min_by(struct(col("cid"), col("qv")), struct(col("dist"), col("cid")))
-        .as("w"))
-      .select(col(g), col("w.cid").as("cid"), col("w.qv").as("qv"))
-    assigned
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+    assigned.join(corpus, Seq(g, "vec_id"))
       .select(col(g), col("cid"), posexplode(col("qv")).as(Seq("pos0", "q")))
       .groupBy(col(g), col("cid"), (col("pos0") + 1).cast("int").as("pos"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))

@@ -209,10 +209,7 @@ object Similarity {
                k: Int, threshold: Double): DataFrame = {
     val base = corpus.select(id.as("vec_id"), embDouble.as("v"))
     // the quantized view feeds both training rounds AND the final
-    // assignment — materialize once (the codebook2Q caller contract).
-    // v rides along so the assignment aggregate can carry it through
-    // map-side combine instead of a join back to the corpus (two fewer
-    // exchanges and one fewer corpus scan)
+    // assignment — materialize once (the codebook2Q caller contract)
     val q = base.select(col("vec_id"), col("v"),
         KMeans.quantize(col("v")).as("qv"))
       .localCheckpoint()
@@ -234,13 +231,15 @@ object Similarity {
     // assignment instead of each re-running training + assignment (the
     // d16 double-derivation lesson — without this the whole Lloyd
     // pipeline appears twice in the executed plan)
+    // slim argmin + n-row join back for v — the array must not ride
+    // the k-wide candidate stream (see KMeans.lloydOnce)
     val members = q.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("v"), col("cid"),
+      .select(col("vec_id"), col("cid"),
               KMeans.sqDist(col("qv"), col("cv")).as("dist"))
       .groupBy("vec_id")
-      .agg(min_by(struct(col("cid"), col("v")), struct(col("dist"), col("cid")))
-        .as("w"))
-      .select(col("vec_id"), col("w.cid").as("cid"), col("w.v").as("v"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+      .join(q.select(col("vec_id"), col("v")), "vec_id")
+      .select(col("vec_id"), col("cid"), col("v"))
       .localCheckpoint()
     val lhs = members.select(col("cid"), col("vec_id").as("a_id"),
       col("v").as("va"))
@@ -287,13 +286,14 @@ object Similarity {
     val cb = KMeans.codebook2Q(q.select("vec_id", "qv"), effK)
     // assignment materialized once; both join sides read it (the d16
     // double-derivation lesson)
+    // slim argmin + n-row join back for v (see KMeans.lloydOnce)
     val members = q.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("v"), col("cid"),
+      .select(col("vec_id"), col("cid"),
               KMeans.sqDist(col("qv"), col("cv")).as("dist"))
       .groupBy("vec_id")
-      .agg(min_by(struct(col("cid"), col("v")), struct(col("dist"), col("cid")))
-        .as("w"))
-      .select(col("vec_id"), col("w.cid").as("cid"), col("w.v").as("v"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+      .join(q.select(col("vec_id"), col("v")), "vec_id")
+      .select(col("vec_id"), col("cid"), col("v"))
       .localCheckpoint()
     val w = Window.partitionBy("a_id").orderBy(col("cs").desc, col("b_id"))
     members.select(col("cid"), col("vec_id").as("a_id"), col("v").as("va"))
