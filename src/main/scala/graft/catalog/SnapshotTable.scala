@@ -105,7 +105,19 @@ object SnapshotTable {
     * type-exact instead of inference-dependent). */
   private[graft] case class Manifest(version: Long, base: Long,
       entries: Seq[String], pcol: Option[String], schemaDdl: String,
-      tag: Option[String])
+      tag: Option[String], stats: Seq[Map[String, ColStats]] = Nil)
+
+  /** Per-entry, per-column MIN/MAX recorded in the manifest — the
+    * Delta/Iceberg data-skipping statistics. `tpe` is a comparison
+    * class, not the full Spark type: "l" (integral, compared as Long),
+    * "d" (fractional/decimal, compared as BigDecimal), "s" (string,
+    * compared lexically — pruning on it additionally requires both
+    * sides ASCII, see [[SnapshotTable.pruneEntries]]). min/max are the
+    * rendered values; stats omit a column wherever its partition slice
+    * is all-NULL (no pruning there — NULL rows fail every
+    * null-rejecting predicate anyway, so min/max over non-nulls stays
+    * a SOUND skipping bound). */
+  private[graft] case class ColStats(tpe: String, min: String, max: String)
 
   private val EntriesRe = """"entries":\[([^\]]*)\]""".r
   private val EntryRe = """"([^"]*)"""".r
@@ -113,6 +125,34 @@ object SnapshotTable {
   private val SchemaRe = """"schema":"([^"]*)"""".r
   private val TagRe = """"tag":"([^"]*)"""".r
   private val BaseRe = """"base":(-?\d+)""".r
+  private val StatsRe = """"stats":\[([^\]]*)\]""".r
+
+  /** Stats blob codec: one LINE per column — `col \t tpe \t b64(min)
+    * \t b64(max)` — the whole per-entry blob base64'd into the
+    * manifest's stats array, so the manifest stays regex-parsable (no
+    * nested JSON) and arbitrary string min/max round-trip exactly. */
+  private def encodeStats(s: Map[String, ColStats]): String = {
+    def b64(v: String) =
+      java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8"))
+    val lines = s.toSeq.sortBy(_._1).map { case (c, cs) =>
+      require(!c.contains('\t') && !c.contains('\n'),
+        s"snapshot stats: column name '$c' carries codec-breaking chars")
+      s"$c\t${cs.tpe}\t${b64(cs.min)}\t${b64(cs.max)}"
+    }
+    java.util.Base64.getEncoder.encodeToString(
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def decodeStats(blob: String): Map[String, ColStats] = {
+    def un64(v: String) =
+      new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
+    val body = un64(blob)
+    if (body.isEmpty) Map.empty
+    else body.split('\n').iterator.map { line =>
+      val Array(c, t, mn, mx) = line.split('\t')
+      c -> ColStats(t, un64(mn), un64(mx))
+    }.toMap
+  }
 
   /** Parse a manifest body; None = not (yet) a committed manifest — a
     * reader in the create→write visibility window sees a partial body
@@ -131,7 +171,11 @@ object SnapshotTable {
       pcol = PcolRe.findFirstMatchIn(body).map(_.group(1)),
       schemaDdl = new String(
         java.util.Base64.getDecoder.decode(sm.group(1)), "UTF-8"),
-      tag = TagRe.findFirstMatchIn(body).map(_.group(1)))
+      tag = TagRe.findFirstMatchIn(body).map(_.group(1)),
+      stats = StatsRe.findFirstMatchIn(body)
+        .map(m => EntryRe.findAllMatchIn(m.group(1))
+          .map(g => decodeStats(g.group(1))).toSeq)
+        .getOrElse(Nil))
 
   private[catalog] def readManifestBody(fs: FileSystem, root: String, v: Long)
       : String = {
