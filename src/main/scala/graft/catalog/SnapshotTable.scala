@@ -109,15 +109,31 @@ object SnapshotTable {
 
   /** Per-entry, per-column MIN/MAX recorded in the manifest — the
     * Delta/Iceberg data-skipping statistics. `tpe` is a comparison
-    * class, not the full Spark type: "l" (integral, compared as Long),
-    * "d" (fractional/decimal, compared as BigDecimal), "s" (string,
-    * compared lexically — pruning on it additionally requires both
-    * sides ASCII, see [[SnapshotTable.pruneEntries]]). min/max are the
-    * rendered values; stats omit a column wherever its partition slice
-    * is all-NULL (no pruning there — NULL rows fail every
-    * null-rejecting predicate anyway, so min/max over non-nulls stays
-    * a SOUND skipping bound). */
+    * class, not the full Spark type: "l" (integral, rendered as Long),
+    * "d" (fractional/decimal, compared as BigDecimal — fractional
+    * bounds render via `new BigDecimal(double)`, the EXACT binary
+    * value, so a predicate can never sneak between the true bound and
+    * a rounded rendering), "s" (string, compared lexically — pruning
+    * on it additionally requires both sides ASCII, see
+    * [[SnapshotTable.pruneEntries]]: UTF8 byte order and String
+    * UTF-16 order agree only there). min/max are the rendered values;
+    * stats omit a column wherever its partition slice is all-NULL or
+    * its extreme is NaN/Infinite (no pruning there — NULL rows fail
+    * every null-rejecting predicate anyway, so min/max over non-nulls
+    * stays a SOUND skipping bound). */
   private[graft] case class ColStats(tpe: String, min: String, max: String)
+
+  /** A pruning predicate for [[readWhere]]/[[pruneEntries]]: `col op
+    * value` with op one of `= < <= > >=` — the conjunctive,
+    * null-rejecting fragment data-skipping can decide from interval
+    * bounds (Delta's supported-predicate shape). `value` may be an
+    * Int/Long/Float/Double/BigDecimal or String; anything a bound
+    * can't be compared with simply keeps the entry (pruning is an
+    * optimization, the residual filter is always applied). */
+  case class Pred(col: String, op: String, value: Any) {
+    require(Set("=", "<", "<=", ">", ">=").contains(op),
+      s"snapshot pruning: unsupported op '$op' (want = < <= > >=)")
+  }
 
   private val EntriesRe = """"entries":\[([^\]]*)\]""".r
   private val EntryRe = """"([^"]*)"""".r
@@ -143,13 +159,17 @@ object SnapshotTable {
       lines.mkString("\n").getBytes("UTF-8"))
   }
 
+  /** Inverse of [[encodeStats]]. `split("\t", -1)` (limit -1) is
+    * load-bearing: an empty-string min/max encodes to an empty b64
+    * token, and the default split would DROP trailing empty tokens
+    * and break the round trip for a legal encode output. */
   private def decodeStats(blob: String): Map[String, ColStats] = {
     def un64(v: String) =
       new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
     val body = un64(blob)
     if (body.isEmpty) Map.empty
     else body.split('\n').iterator.map { line =>
-      val Array(c, t, mn, mx) = line.split('\t')
+      val Array(c, t, mn, mx) = line.split("\t", -1)
       c -> ColStats(t, un64(mn), un64(mx))
     }.toMap
   }
@@ -164,18 +184,32 @@ object SnapshotTable {
       em <- EntriesRe.findFirstMatchIn(body)
       sm <- SchemaRe.findFirstMatchIn(body)
       base <- BaseRe.findFirstMatchIn(body).map(_.group(1).toLong)
-    } yield Manifest(
-      version = v,
-      base = base,
-      entries = EntryRe.findAllMatchIn(em.group(1)).map(_.group(1)).toSeq,
-      pcol = PcolRe.findFirstMatchIn(body).map(_.group(1)),
-      schemaDdl = new String(
-        java.util.Base64.getDecoder.decode(sm.group(1)), "UTF-8"),
-      tag = TagRe.findFirstMatchIn(body).map(_.group(1)),
-      stats = StatsRe.findFirstMatchIn(body)
-        .map(m => EntryRe.findAllMatchIn(m.group(1))
-          .map(g => decodeStats(g.group(1))).toSeq)
-        .getOrElse(Nil))
+    } yield {
+      val entries =
+        EntryRe.findAllMatchIn(em.group(1)).map(_.group(1)).toSeq
+      // Stats are ADVISORY: any decode failure (corrupt base64, torn
+      // blob) or an entry/stats length mismatch degrades to "no
+      // stats" — pruning just keeps everything — instead of letting
+      // an exception escape parseManifest and crash every reader
+      // path on a manifest whose committed content is intact.
+      val stats =
+        try StatsRe.findFirstMatchIn(body)
+          .map(m => EntryRe.findAllMatchIn(m.group(1))
+            .map(g => decodeStats(g.group(1))).toSeq)
+          .getOrElse(Nil)
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      Manifest(
+        version = v,
+        base = base,
+        entries = entries,
+        pcol = PcolRe.findFirstMatchIn(body).map(_.group(1)),
+        schemaDdl = new String(
+          java.util.Base64.getDecoder.decode(sm.group(1)), "UTF-8"),
+        tag = TagRe.findFirstMatchIn(body).map(_.group(1)),
+        stats =
+          if (stats.nonEmpty && stats.length != entries.length) Nil
+          else stats)
+    }
 
   private[catalog] def readManifestBody(fs: FileSystem, root: String, v: Long)
       : String = {
@@ -201,6 +235,13 @@ object SnapshotTable {
   private def manifestOf(fs: FileSystem, root: String, v: Long): Manifest =
     manifestIfCommitted(fs, root, v).getOrElse(sys.error(
       s"snapshot: version $v of $root has no parseable manifest"))
+
+  /** A committed version's decoded manifest — the introspection
+    * surface the pruning specs and the `snk13` gate count entries
+    * through. */
+  private[graft] def manifestAt(spark: SparkSession, root: String,
+                                v: Long): Manifest =
+    manifestOf(fsOf(spark, root), root, v)
 
   /** Candidate version numbers from the `_commits` FILENAME listing —
     * one directory listing, zero body reads. */
@@ -338,19 +379,33 @@ object SnapshotTable {
   private[graft] def nullableSchema(schema: StructType): StructType =
     asNullable(schema).asInstanceOf[StructType]
 
+  /** `stats`, when non-empty, must be positionally parallel to
+    * `entries` (enforced — the parse side additionally discards a
+    * misaligned stats array, so a future format change can never
+    * silently attribute bounds to the wrong entry). */
   private def manifestBody(next: Long, base: Long, entries: Seq[String],
                            pcol: Option[String], schema0: StructType,
-                           tag: Option[String]): Array[Byte] = {
+                           tag: Option[String],
+                           stats: Seq[Map[String, ColStats]] = Nil)
+      : Array[Byte] = {
     val schema = nullableSchema(schema0)
     entries.foreach(e => require(!e.exists(ch => ch == '"' || ch == '\\'),
       s"snapshot commit: entry path '$e' carries JSON-breaking characters"))
+    require(stats.isEmpty || stats.length == entries.length,
+      s"snapshot commit: ${stats.length} stats blobs for " +
+      s"${entries.length} entries — writer bug")
     val entriesJson = entries.map(e => s""""$e"""").mkString(",")
     val pcolField = pcol.map(p => s""","pcol":"$p"""").getOrElse("")
     val schemaB64 = java.util.Base64.getEncoder
       .encodeToString(schema.toDDL.getBytes("UTF-8"))
+    val statsField =
+      if (stats.isEmpty || stats.forall(_.isEmpty)) ""
+      else s""","stats":[${stats.map(s => s""""${encodeStats(s)}"""")
+        .mkString(",")}]"""
     val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
     (s"""{"version":$next,"base":$base,"entries":[$entriesJson]""" +
-      s"""$pcolField,"schema":"$schemaB64"$tagField}""").getBytes("UTF-8")
+      s"""$pcolField,"schema":"$schemaB64"$statsField$tagField}""")
+      .getBytes("UTF-8")
   }
 
   /** THE commit point: exclusive manifest create — exactly one writer
@@ -439,7 +494,10 @@ object SnapshotTable {
     val dataDir = new Path(s"$root/$dirName")
     df.write.mode("overwrite").partitionBy(pcol).parquet(dataDir.toString)
     val entries = partitionEntries(fs, root, dirName, pcol)
-    val body = manifestBody(next, cur, entries, Some(pcol), df.schema, tag)
+    val stats = entryStats(spark, root, dirName, pcol,
+      nullableSchema(df.schema), entries)
+    val body = manifestBody(next, cur, entries, Some(pcol), df.schema, tag,
+      stats)
     createManifestExclusive(fs, root, next, body, Some(dataDir))
     next
   }
@@ -458,6 +516,87 @@ object SnapshotTable {
     * level on both sides, so escaping is never undone). */
   private def entryPartValue(entry: String, pcol: String): String =
     entry.substring(entry.lastIndexOf('/') + 1).stripPrefix(s"$pcol=")
+
+  /** Columns eligible for skipping stats, with their comparison
+    * class: integrals → "l", fractional/decimal → "d", string → "s".
+    * Everything else (timestamps, nested, binary, …) is simply
+    * omitted — omission is always sound, pruning keeps the entry. */
+  private def statsCols(schema: StructType, pcol: String)
+      : Seq[(String, String)] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.filter(_.name != pcol).flatMap { f =>
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(f.name -> "l")
+        case FloatType | DoubleType | _: DecimalType => Some(f.name -> "d")
+        case StringType => Some(f.name -> "s")
+        case _ => None
+      }
+    }
+  }
+
+  /** Render one aggregated extreme as a ColStats bound; None = no
+    * bound recordable (NULL slice, NaN/Infinity). Fractionals render
+    * through `new BigDecimal(double)` — the EXACT value — so a
+    * pruning comparison can never be off by a rounding ulp. */
+  private def renderBound(tpe: String, v: Any): Option[String] =
+    (tpe, v) match {
+      case (_, null) => None
+      case ("l", n: Number) => Some(n.longValue.toString)
+      case ("d", d: java.math.BigDecimal) => Some(d.toPlainString)
+      case ("d", d: Double) =>
+        if (d.isNaN || d.isInfinite) None
+        else Some(new java.math.BigDecimal(d).toPlainString)
+      case ("d", f: Float) =>
+        if (f.isNaN || f.isInfinite) None
+        else Some(new java.math.BigDecimal(f.toDouble).toPlainString)
+      case ("s", s: String) => Some(s)
+      case _ => None
+    }
+
+  /** Per-partition-entry min/max stats, computed by reading BACK the
+    * freshly written data dir (one agg job, pruned to the eligible
+    * columns — never a recompute of the writer's upstream lineage;
+    * with parquet aggregate pushdown the scan is footer-only where
+    * Spark supports it). Driver state is O(partitions × columns),
+    * the same bound the manifest itself already carries. Any failure
+    * degrades to NO stats — a commit must never fail because an
+    * optimization pass did. */
+  private def entryStats(spark: SparkSession, root: String,
+      dirName: String, pcol: String, schema: StructType,
+      entries: Seq[String]): Seq[Map[String, ColStats]] = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val cols = statsCols(schema, pcol)
+    if (cols.isEmpty) return entries.map(_ => Map.empty[String, ColStats])
+    try {
+      val back = spark.read.schema(schema)
+        .option("basePath", s"$root/$dirName")
+        .parquet(s"$root/$dirName")
+      val aggs = cols.flatMap { case (c, _) =>
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
+      val byPart: Map[String, Map[String, ColStats]] =
+        back.groupBy(col(pcol)).agg(aggs.head, aggs.tail: _*)
+          .collect().map { row =>
+            val pv = Option(row.get(0)) match {
+              case None => "__HIVE_DEFAULT_PARTITION__"
+              case Some(v) => org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.escapePathName(v.toString)
+            }
+            val m = cols.flatMap { case (c, tpe) =>
+              for {
+                mn <- renderBound(tpe, row.getAs[Any](s"mn_$c"))
+                mx <- renderBound(tpe, row.getAs[Any](s"mx_$c"))
+              } yield c -> ColStats(tpe, mn, mx)
+            }.toMap
+            pv -> m
+          }.toMap
+      entries.map(e => byPart.getOrElse(entryPartValue(e, pcol),
+        Map.empty[String, ColStats]))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        entries.map(_ => Map.empty[String, ColStats])
+    }
+  }
 
   /** COMMIT BY REFERENCE — the partition-scoped commit: `updates` is
     * the COMPLETE new content of every partition it contains (plus
@@ -509,7 +648,21 @@ object SnapshotTable {
     val kept = parent.entries
       .filterNot(e => replaced.contains(entryPartValue(e, pcol)))
     val entries = (kept ++ newEntries).sorted
-    val body = manifestBody(next, cur, entries, Some(pcol), parentSchema, tag)
+    // kept entries INHERIT the parent's per-entry stats (the bytes are
+    // the same files — the bounds still hold); only the new entries
+    // pay a stats pass, keeping commit cost proportional to the
+    // touched partitions. A stats-less parent contributes empty maps.
+    val parentStats: Map[String, Map[String, ColStats]] =
+      if (parent.stats.length == parent.entries.length)
+        parent.entries.zip(parent.stats).toMap
+      else Map.empty
+    val freshStats = entryStats(spark, root, dirName, pcol,
+      nullableSchema(parentSchema), newEntries)
+    val statsByEntry = parentStats ++ newEntries.zip(freshStats).toMap
+    val stats = entries.map(e =>
+      statsByEntry.getOrElse(e, Map.empty[String, ColStats]))
+    val body = manifestBody(next, cur, entries, Some(pcol), parentSchema, tag,
+      stats)
     createManifestExclusive(fs, root, next, body, Some(dataDir))
     next
   }
@@ -530,19 +683,26 @@ object SnapshotTable {
       s"snapshot read: version $version of $root was never committed " +
       s"(committed: ${committedVersions(spark, root).mkString(",")})")
     val m = manifestOf(fs, root, version)
+    readEntries(spark, root, m, m.entries)
+  }
+
+  /** The scan of a manifest restricted to `entries` — shared by the
+    * full [[read]] and the stats-pruned [[readWhere]]. */
+  private def readEntries(spark: SparkSession, root: String, m: Manifest,
+                          entries: Seq[String]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
     import org.apache.spark.sql.functions.col
     val ordered = schema.fieldNames.map(col).toIndexedSeq
-    if (m.entries.isEmpty)
+    if (entries.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)
     else m.pcol match {
       case None =>
         spark.read.schema(schema)
-          .parquet(m.entries.map(e => s"$root/$e"): _*)
+          .parquet(entries.map(e => s"$root/$e"): _*)
           .select(ordered: _*)
       case Some(_) =>
-        m.entries.groupBy(e => e.substring(0, e.indexOf('/'))).toSeq
+        entries.groupBy(e => e.substring(0, e.indexOf('/'))).toSeq
           .sortBy(_._1)
           .map { case (dir, es) =>
             spark.read.schema(schema)
@@ -552,6 +712,151 @@ object SnapshotTable {
           }
           .reduce(_ unionByName _)
     }
+  }
+
+  // ----------------------------------------------------------------
+  // data skipping: prune manifest entries from their recorded stats
+  // ----------------------------------------------------------------
+
+  private def isAscii(s: String): Boolean = s.forall(_ < 0x80)
+
+  private implicit val bdOrdering: Ordering[java.math.BigDecimal] =
+    (a: java.math.BigDecimal, b: java.math.BigDecimal) => a.compareTo(b)
+
+  /** `value` as an exact BigDecimal, when it is numeric. */
+  private def toBd(v: Any): Option[java.math.BigDecimal] = v match {
+    case n: java.math.BigDecimal => Some(n)
+    case n: scala.math.BigDecimal => Some(n.bigDecimal)
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) None
+      else Some(new java.math.BigDecimal(d))
+    case f: Float =>
+      if (f.isNaN || f.isInfinite) None
+      else Some(new java.math.BigDecimal(f.toDouble))
+    case n: Number => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case _ => None
+  }
+
+  /** Does the interval [mn, mx] PROVABLY exclude every row satisfying
+    * `x op v`? (min/max are over non-null rows; every supported op is
+    * null-rejecting, so null rows never need the interval.) */
+  private def intervalExcludes[T](mn: T, mx: T, op: String, v: T)
+      (implicit ord: Ordering[T]): Boolean = op match {
+    case "="  => ord.lt(v, mn) || ord.gt(v, mx)
+    case "<"  => ord.gteq(mn, v)
+    case "<=" => ord.gt(mn, v)
+    case ">"  => ord.lteq(mx, v)
+    case ">=" => ord.lt(mx, v)
+  }
+
+  /** true = this pred proves the entry empty. Conservative in every
+    * undecidable direction: missing stats, type mismatch, non-ASCII
+    * strings all answer false (keep the entry — the residual filter
+    * is always applied downstream). */
+  private def predExcludes(stats: Map[String, ColStats],
+      partValue: Option[String], pcolType: Option[org.apache.spark.sql
+        .types.DataType], p: Pred): Boolean = {
+    val viaStats = stats.get(p.col).exists { cs =>
+      cs.tpe match {
+        case "l" | "d" =>
+          toBd(p.value).exists(v => intervalExcludes(
+            new java.math.BigDecimal(cs.min),
+            new java.math.BigDecimal(cs.max), p.op, v))
+        case "s" => p.value match {
+          case s: String if isAscii(s) && isAscii(cs.min) && isAscii(cs.max) =>
+            intervalExcludes(cs.min, cs.max, p.op, s)
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+    // the partition column itself: the entry's value IS its interval.
+    // The hive null sentinel reads back as NULL, which fails every
+    // null-rejecting op — always prunable under a pcol pred.
+    val viaPart = partValue.exists { pv =>
+      if (pv == "__HIVE_DEFAULT_PARTITION__") true
+      else {
+        val raw = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(pv)
+        import org.apache.spark.sql.types._
+        pcolType match {
+          case Some(ByteType | ShortType | IntegerType | LongType |
+                    FloatType | DoubleType | _: DecimalType) =>
+            (try Some(new java.math.BigDecimal(raw))
+             catch { case _: NumberFormatException => None })
+              .zip(toBd(p.value)).exists { case (pvBd, vBd) =>
+                intervalExcludes(pvBd, pvBd, p.op, vBd)
+              }
+          case Some(StringType) => p.value match {
+            case s: String if isAscii(s) && isAscii(raw) =>
+              intervalExcludes(raw, raw, p.op, s)
+            case _ => false
+          }
+          case _ => false
+        }
+      }
+    }
+    viaStats || viaPart
+  }
+
+  /** DATA SKIPPING — the read-side of the manifest's per-entry
+    * min/max stats: the entries of `m` that MIGHT satisfy the
+    * conjunction of `preds`. An entry is dropped only when some pred
+    * PROVABLY excludes it — from its recorded column bounds, or from
+    * its partition-directory value — so the result over the kept
+    * entries plus the residual filter is exactly the full read
+    * filtered (differentially spec-pinned). Bounds-undecidable
+    * situations (no stats, non-ASCII strings, type mismatches) keep
+    * the entry; pruning is an optimization, never a semantics. This
+    * is the file-skipping analogue of the reference's predicate
+    * pushdown into its geodatabase scan (pyt:152, pyt:254), at
+    * manifest granularity: a 100 TB snapshot under a selective
+    * predicate lists and scans only the surviving entries. */
+  private[graft] def pruneEntries(m: Manifest, preds: Seq[Pred])
+      : Seq[String] = {
+    val aligned = m.stats.length == m.entries.length
+    val pcolType = m.pcol.flatMap(p =>
+      StructType.fromDDL(m.schemaDdl).fields.find(_.name == p)
+        .map(_.dataType))
+    m.entries.zipWithIndex.collect { case (e, i)
+        if !preds.exists(p => predExcludes(
+          if (aligned) m.stats(i) else Map.empty,
+          m.pcol.filter(p.col == _).map(pc => entryPartValue(e, pc)),
+          pcolType, p)) =>
+      e
+    }
+  }
+
+  /** One pruning pred as the equivalent residual Catalyst filter. */
+  def predColumn(preds: Seq[Pred]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    preds.map { p =>
+      val c = col(p.col)
+      p.op match {
+        case "="  => c === lit(p.value)
+        case "<"  => c < lit(p.value)
+        case "<=" => c <= lit(p.value)
+        case ">"  => c > lit(p.value)
+        case ">=" => c >= lit(p.value)
+      }
+    }.reduceOption(_ && _)
+      .getOrElse(lit(true))
+  }
+
+  /** Stats-pruned read: semantically `read(version).filter(preds)`,
+    * but entries whose recorded [min,max] bounds (or partition value)
+    * exclude the conjunction are never listed, never planned, never
+    * scanned. Returns the filtered frame; the number of entries
+    * actually scanned is `pruneEntries`' length, spec-counted. */
+  def readWhere(spark: SparkSession, root: String, version: Long,
+                preds: Seq[Pred]): DataFrame = {
+    val fs = fsOf(spark, root)
+    require(fs.exists(manifest(root, version)),
+      s"snapshot read: version $version of $root was never committed " +
+      s"(committed: ${committedVersions(spark, root).mkString(",")})")
+    val m = manifestOf(fs, root, version)
+    readEntries(spark, root, m, pruneEntries(m, preds))
+      .filter(predColumn(preds))
   }
 
   /** Read the latest committed snapshot (pointer fast path, listing

@@ -1337,6 +1337,46 @@ object RelQueries {
            sum("n_chars").cast("long").as("sum_chars"))
   }
 
+  /** SNK13: MANIFEST DATA SKIPPING
+    * ([[graft.catalog.SnapshotTable.readWhere]] over the per-entry
+    * min/max stats [[graft.catalog.SnapshotTable.commitPartitioned]]
+    * records): the events table snapshots hive-partitioned on an
+    * event_id bucket, then a selective event_id range reads through
+    * [[graft.catalog.SnapshotTable.pruneEntries]] — entries whose
+    * recorded bounds exclude the range are never listed or scanned.
+    * The declared result carries BOTH the filtered aggregate AND a
+    * `_prune_entries` row = (entries scanned, entries total), and the
+    * oracle recomputes the prune decision ARITHMETICALLY from each
+    * bucket's true min/max — the skip itself is oracle-gated, not just
+    * the surviving rows. 100-TB shape: a selective predicate against a
+    * petabyte snapshot costs I/O proportional to the surviving
+    * entries; this is the manifest-level analogue of the reference's
+    * predicate pushdown into its geodatabase scan (pyt:152, 254). */
+  def snk13StatsPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    import graft.catalog.SnapshotTable.Pred
+    val root = ioDir(dir, "snk13prune")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"),
+        floor(col("event_id") / 2000).cast("long").as("bkt"))
+    val v1 = SnapshotTable.commitPartitioned(base, root, 0L, "bkt")
+    val preds = Seq(Pred("event_id", ">=", 1000L),
+                    Pred("event_id", "<=", 2999L))
+    val m = SnapshotTable.manifestAt(s, root, v1)
+    val scanned = SnapshotTable.pruneEntries(m, preds).length.toLong
+    val total = m.entries.length.toLong
+    SnapshotTable.readWhere(s, root, v1, preds)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .unionByName(s.range(1).select(
+        lit("_prune_entries").as("event_type"),
+        lit(scanned).as("n"), lit(total).as("sum_cents")))
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -2862,6 +2902,7 @@ object RelQueries {
     "snk10_commit_ref" -> snk10CommitRef,
     "snk11_cdf_mv" -> snk11CdfMv,
     "snk12_group_commit" -> snk12GroupCommit,
+    "snk13_stats_prune" -> snk13StatsPrune,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -3483,6 +3524,27 @@ object RelQueries {
         |    FROM events)
         |  WHERE event_id % 11 <> 0)
         |GROUP BY 1""".stripMargin,
+    // the skip itself is gated: the oracle recomputes the prune
+    // decision from each bucket's true min/max (an entry survives iff
+    // its bounds intersect [1000, 2999]) and the declared side reports
+    // what it actually scanned
+    "snk13_stats_prune" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(floor(event_id / 2000) AS BIGINT) AS bkt
+        |  FROM events),
+        |b AS (
+        |  SELECT bkt, min(event_id) AS mn, max(event_id) AS mx
+        |  FROM base GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM base WHERE event_id BETWEEN 1000 AND 2999
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT '_prune_entries',
+        |  (SELECT count(*) FROM b WHERE mx >= 1000 AND mn <= 2999),
+        |  (SELECT count(*) FROM b)""".stripMargin,
     // the pinned group version v1 = the even-doc_id half of both tables
     "snk12_group_commit" ->
       """SELECT source, count(*) AS n,

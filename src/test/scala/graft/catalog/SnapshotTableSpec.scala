@@ -348,6 +348,173 @@ class SnapshotTableSpec extends SparkSpec {
       s"unexpected preimage feed: $pre")
   }
 
+  // ----------------------------------------------------------------
+  // data skipping: per-entry stats + pruneEntries/readWhere
+  // ----------------------------------------------------------------
+
+  import SnapshotTable.Pred
+
+  test("commitPartitioned records per-entry min/max stats and " +
+       "pruneEntries skips exactly the provably-empty entries") {
+    val root = freshRoot()
+    // id ranges: asia [1,2], eu [30,40], na [100,100]
+    val v1 = SnapshotTable.commitPartitioned(
+      pdf(("asia", 1L, 10L), ("asia", 2L, 20L), ("eu", 30L, 30L),
+          ("eu", 40L, 40L), ("na", 100L, 7L)), root, 0L, "region")
+    val m = SnapshotTable.manifestAt(spark, root, v1)
+    assert(m.stats.length == m.entries.length, "stats must align")
+    val idBounds = m.entries.zip(m.stats).map { case (e, s) =>
+      e.substring(e.lastIndexOf('=') + 1) ->
+        (s("id").min.toLong, s("id").max.toLong) }.toMap
+    assert(idBounds == Map("asia" -> (1L, 2L), "eu" -> (30L, 40L),
+      "na" -> (100L, 100L)))
+    def part(e: String) = e.substring(e.lastIndexOf('=') + 1)
+    def kept(preds: Pred*): Set[String] =
+      SnapshotTable.pruneEntries(m, preds).map(part).toSet
+    assert(kept(Pred("id", ">=", 30L)) == Set("eu", "na"))
+    assert(kept(Pred("id", ">", 40L)) == Set("na"))
+    assert(kept(Pred("id", "<", 30L)) == Set("asia"))
+    assert(kept(Pred("id", "<=", 30L)) == Set("asia", "eu"))
+    assert(kept(Pred("id", "=", 35L)) == Set("eu"))
+    assert(kept(Pred("id", "=", 3L)) == Set.empty[String],
+      "a value in no entry's bounds prunes everything")
+    // conjunction: each pred prunes independently
+    assert(kept(Pred("id", ">=", 30L), Pred("v", ">=", 35L)) == Set("eu"))
+    // the PARTITION COLUMN prunes from the directory value itself
+    assert(kept(Pred("region", "=", "eu")) == Set("eu"))
+    assert(kept(Pred("region", ">", "eu")) == Set("na"))
+    // unknown column / non-numeric value for a numeric bound: keep all
+    assert(kept(Pred("nope", "=", 1L)) == Set("asia", "eu", "na"))
+    assert(kept(Pred("id", "=", "x")) == Set("asia", "eu", "na"))
+  }
+
+  test("readWhere equals read().filter() differentially across ops " +
+       "and probe values, while scanning only surviving entries") {
+    val root = freshRoot()
+    val v1 = SnapshotTable.commitPartitioned(
+      pdf(("asia", 1L, 10L), ("asia", 2L, 20L), ("eu", 30L, 30L),
+          ("eu", 40L, 40L), ("na", 100L, 7L)), root, 0L, "region")
+    val m = SnapshotTable.manifestAt(spark, root, v1)
+    val full = SnapshotTable.read(spark, root, v1)
+    for (op <- Seq("=", "<", "<=", ">", ">="); v <- Seq(0L, 2L, 35L, 100L,
+         200L)) {
+      val preds = Seq(Pred("id", op, v))
+      val got = SnapshotTable.readWhere(spark, root, v1, preds)
+        .collect().map(_.toString).sorted.toSeq
+      val want = full.filter(SnapshotTable.predColumn(preds))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"readWhere drift for id $op $v")
+    }
+    // and the pruning is load-bearing: a selective pred scans 1 of 3
+    assert(SnapshotTable.pruneEntries(m, Seq(Pred("id", ">", 40L)))
+      .length == 1)
+    assert(SnapshotTable.pruneEntries(m, Nil).length == 3,
+      "no preds = no pruning")
+  }
+
+  test("an empty-string bound round-trips through the stats codec " +
+       "(trailing-empty-token split) and a corrupt or misaligned " +
+       "stats field degrades to no-stats instead of crashing readers") {
+    import spark.implicits._
+    val root = freshRoot()
+    // s's min in partition a is "" — encodes to a line ENDING in tabs
+    val v1 = SnapshotTable.commitPartitioned(
+      Seq(("a", ""), ("a", "zz"), ("b", "mm")).toDF("region", "s"),
+      root, 0L, "region")
+    val m = SnapshotTable.manifestAt(spark, root, v1)
+    val sA = m.entries.zip(m.stats)
+      .find(_._1.endsWith("region=a")).get._2("s")
+    assert((sA.min, sA.max) == ("", "zz"),
+      s"empty-string bound broke the codec round trip: $sA")
+    assert(SnapshotTable.pruneEntries(m, Seq(Pred("s", ">", "zz")))
+      .isEmpty)
+    assert(SnapshotTable.pruneEntries(m, Seq(Pred("s", "<", "a")))
+      .map(e => e.substring(e.lastIndexOf('=') + 1)) == Seq("a"))
+    // corrupt the stats blob in place: readers must survive, stats gone
+    val mf = new Path(s"$root/_commits/v00000001.json")
+    val body = new String(
+      org.apache.commons.io.IOUtils.toByteArray(fs(root).open(mf)), "UTF-8")
+    val statsRe = """"stats":\[[^\]]*\]""".r
+    def rewrite(newBody: String): Unit = {
+      val out = fs(root).create(mf, true)
+      try out.write(newBody.getBytes("UTF-8")) finally out.close()
+    }
+    rewrite(statsRe.replaceFirstIn(body, """"stats":["!!!not-base64!!!"]"""))
+    assert(SnapshotTable.currentVersion(spark, root) == v1,
+      "corrupt stats must not make the version unreadable")
+    assert(SnapshotTable.manifestAt(spark, root, v1).stats.isEmpty)
+    assert(SnapshotTable.readWhere(spark, root, v1,
+      Seq(Pred("s", "<", "a"))).count() == 1L, "no-stats read stays exact")
+    // misaligned (1 blob for 2 entries): silently discarded, never
+    // attributed to the wrong entry
+    val oneBlob = statsRe.findFirstIn(body).get
+      .stripPrefix(""""stats":[""").stripSuffix("]").split(',').head
+    rewrite(statsRe.replaceFirstIn(body,
+      java.util.regex.Matcher.quoteReplacement(s""""stats":[$oneBlob]""")))
+    assert(SnapshotTable.manifestAt(spark, root, v1).stats.isEmpty,
+      "misaligned stats must be dropped wholesale")
+  }
+
+  test("commitReplace: kept entries INHERIT the parent's stats " +
+       "verbatim, new entries get fresh bounds, and pruning works " +
+       "across the mixed manifest") {
+    val root = freshRoot()
+    val v1 = SnapshotTable.commitPartitioned(
+      pdf(("asia", 1L, 10L), ("eu", 30L, 30L), ("na", 100L, 7L)),
+      root, 0L, "region")
+    val m1 = SnapshotTable.manifestAt(spark, root, v1)
+    val v2 = SnapshotTable.commitReplace(
+      pdf(("asia", 500L, 1L)), root, v1, "region")
+    val m2 = SnapshotTable.manifestAt(spark, root, v2)
+    assert(m2.stats.length == m2.entries.length)
+    val byPart = (man: SnapshotTable.Manifest) =>
+      man.entries.zip(man.stats).map { case (e, s) =>
+        e.substring(e.lastIndexOf('=') + 1) -> s }.toMap
+    val (s1, s2) = (byPart(m1), byPart(m2))
+    assert(s2("eu") == s1("eu") && s2("na") == s1("na"),
+      "untouched entries must carry the parent's stats verbatim")
+    assert(s2("asia")("id") == SnapshotTable.ColStats("l", "500", "500"))
+    assert(SnapshotTable.pruneEntries(m2, Seq(Pred("id", ">=", 400L)))
+      .map(e => e.substring(e.lastIndexOf('=') + 1)) == Seq("asia"))
+    assert(SnapshotTable.readWhere(spark, root, v2,
+        Seq(Pred("id", ">=", 400L))).collect().map(_.getLong(1)).toSeq ==
+      Seq(500L))
+  }
+
+  test("stats soundness edges: NaN extremes and all-NULL slices omit " +
+       "the column, non-ASCII strings never prune, a NULL partition " +
+       "prunes under any null-rejecting pred") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v1 = SnapshotTable.commitPartitioned(
+      Seq(("a", Some(1.0), Some("é")), ("a", Some(Double.NaN), Some("b")),
+          ("b", None: Option[Double], Some("mm")),
+          (null.asInstanceOf[String], Some(9.0), Some("q")))
+        .toDF("region", "d", "s"), root, 0L, "region")
+    val m = SnapshotTable.manifestAt(spark, root, v1)
+    val byPart = m.entries.zip(m.stats).map { case (e, s) =>
+      e.substring(e.lastIndexOf('=') + 1) -> s }.toMap
+    assert(!byPart("a").contains("d"),
+      "a NaN extreme must omit the column, not record an unsound bound")
+    assert(!byPart("b").contains("d"), "all-NULL slice records no bound")
+    // non-ASCII bound: recorded, but never used to prune
+    assert(SnapshotTable.pruneEntries(m, Seq(Pred("s", ">", "zz")))
+      .exists(_.endsWith("region=a")),
+      "UTF8-vs-UTF16 order divergence: non-ASCII bounds must not prune")
+    // NULL partition: excluded by ANY pred on the partition column
+    val keptParts = SnapshotTable.pruneEntries(m,
+        Seq(Pred("region", ">=", "a")))
+      .map(e => e.substring(e.lastIndexOf('=') + 1)).toSet
+    assert(!keptParts.contains("__HIVE_DEFAULT_PARTITION__"))
+    // and the pruned read still equals the filtered full read
+    val preds = Seq(Pred("region", ">=", "a"), Pred("d", ">=", 0.5))
+    assert(SnapshotTable.readWhere(spark, root, v1, preds)
+        .collect().map(_.toString).sorted.toSeq ==
+      SnapshotTable.read(spark, root, v1)
+        .filter(SnapshotTable.predColumn(preds))
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("snk7 gate query: version 1 read after the merge equals the " +
        "pre-merge aggregate") {
     val dir = "/root/testdata/sf0.001"
