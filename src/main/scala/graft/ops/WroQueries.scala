@@ -630,11 +630,14 @@ object WroQueries {
     * crosses present cells, so the result is the geodesic distance on
     * the populated grid, not straight-line. Each round is one
     * Bellman-Ford relaxation — extend every current estimate by one
-    * edge (8-offset generator — no join), keep in-grid PRESENT targets
-    * (broadcast semi of the ≤10k-cell domain), fold min per cell —
-    * so after k rounds each cell holds the min cost over ≤k-edge
-    * paths, frontier cost per round, k rounds not grid-diameter.
-    * Cells a source cannot reach in k hops stay NoData (absent). */
+    * edge (9-offset generator whose weight-0 SELF step keeps the
+    * current estimate — no join, no union), keep in-grid PRESENT
+    * targets (broadcast semi of the ≤10k-cell domain), fold min per
+    * cell — so after k rounds each cell holds the min cost over
+    * ≤k-edge paths, frontier cost per round, k rounds not
+    * grid-diameter, and the whole relaxation is ONE linear lineage
+    * (a single job, one reused domain broadcast). Cells a source
+    * cannot reach in k hops stay NoData (absent). */
   def costDistance(spark: SparkSession, dir: String, k: Int = 10)
       : DataFrame =
     costDistanceFrom(classedGrid(spark, dir), k)
@@ -643,27 +646,51 @@ object WroQueries {
     * class-`seedCls` sources, exposed for the barrier/metric spec. */
   private[ops] def costDistanceFrom(classed: DataFrame, k: Int,
                                     seedCls: Int = 4): DataFrame = {
-    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L; if dr != 0 || dc != 0 }
-      yield (dr, dc, if (dr == 0L || dc == 0L) 3L else 4L)
+    // the SELF offset (0,0, weight 0) folds "keep the current
+    // estimate" into the same fan-out as the 8 neighbor extensions,
+    // so each round is min over ONE generator — no union referencing
+    // `best` twice, hence no doubling subtree, hence NO per-round
+    // checkpoint: the k rounds are one linear lineage Spark runs as a
+    // SINGLE job (one reused broadcast of the present-cell domain,
+    // k chained partial-agg shuffles AQE coalesces to the data),
+    // instead of k checkpoint jobs each paying scheduling + a fresh
+    // broadcast. Measured 4.1 s → ~1.5 s at sf0.1 for the same rows.
+    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L }
+      yield (dr, dc, if (dr == 0L && dc == 0L) 0L
+                     else if (dr == 0L || dc == 0L) 3L else 4L)
     val cells = classed.localCheckpoint()
     val present = cells.select("r", "c")
     var best = cells.filter(col("cls") === seedCls)
       .select(col("r"), col("c"), lit(0L).as("d"))
-      .localCheckpoint()
     for (_ <- 1 to k) {
-      val ext = best
+      best = best
         .select(col("r"), col("c"), col("d"), explode(typedLit(offs)).as("o"))
         .select((col("r") + col("o._1")).as("r"),
           (col("c") + col("o._2")).as("c"), (col("d") + col("o._3")).as("d"))
         .filter(col("r").between(0, GridW - 1) &&
           col("c").between(0, GridW - 1))
         .join(broadcast(present), Seq("r", "c"), "left_semi")
-      best = best.unionByName(ext)
         .groupBy("r", "c").agg(min("d").as("d"))
-        .localCheckpoint()
     }
-    best.withColumnRenamed("d", "cost34")
+    withConfs(classed.sparkSession, relaxConfs) {
+      best.localCheckpoint()
+    }.withColumnRenamed("d", "cost34")
   }
+
+  /** Confs the domain-bounded relaxations materialize under: AQE OFF
+    * — under AQE every one of the k chained shuffle stages is
+    * submitted as its OWN job (~150-200 ms scheduling each, measured)
+    * while the stages carry ≤10k rows, so there is nothing to adapt
+    * and the whole k-round lineage can run as ONE job — and shuffle
+    * partitions sized to the RASTER DOMAIN (≤GridW² rows by
+    * construction at ANY scale factor), not the session's data-scale
+    * default of 32: the k tiny stages otherwise pay k×32 empty-task
+    * launches. Data-sized like [[aqeSkewConfs]], scoped to the
+    * materialization via [[withConfs]]; everything else in the
+    * session (including the AQE skew demos) keeps AQE on. */
+  private val relaxConfs = Map(
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.shuffle.partitions" -> "4")
 
   /** GIS23 — LEAST-COST PATH (Esri Cost Path, the backtrace companion
     * to GIS11's accumulated-cost field): from the hardest-to-reach
@@ -675,70 +702,79 @@ object WroQueries {
     * is built once as a table (one 8-offset fan-out + equality filter
     * + min-packed aggregate over the cost field — raster-domain
     * bounded, the relaxation invariant guarantees every non-source
-    * reachable cell has one); the walk is then ≤k joins of a ONE-ROW
-    * frontier against it, terminating at the source (d = 0 has no
-    * valid predecessor). Emits (seq, r, c, cost34) from destination
-    * (seq 0) down to the source. The relaxation invariant (every
-    * non-source cell has a predecessor) holds only at CONVERGENCE of
-    * the k-round cost field — under truncation a cell can hold a
-    * ≤k-edge cost whose predecessor's own recorded cost is cheaper
-    * still, leaving no valid step; the walk then FAILS LOUDLY (the
-    * dedupClusters discipline) rather than emitting a truncated route
-    * as if complete. Stats note: each walk round joins the frontier
-    * against the FIXED pred table, so checkpoint-inherited size
-    * estimates grow geometrically (linear digit count), not by
-    * squaring — the dedupClusters pathology does not arise. */
+    * reachable cell has one); the walk itself is a SINGLE-ROW pointer
+    * chase, so it runs where a ≤⌈4k/3⌉-step sequential chase belongs:
+    * on the driver, over the pred table collected ONCE (bounded by
+    * the ≤GridW² raster domain at ANY scale factor — the documented
+    * bounded-collect boundary, like Bpe's ≤topM rows; the cost FIELD
+    * and the pred FUNCTION stay distributed). The former
+    * formulation — one Spark join of a one-row frontier per step —
+    * paid either a ~100 ms checkpoint job per step or ~2 s of
+    * planning the unioned join chain, for a walk whose total state is
+    * one (r, c) pair. Emits (seq, r, c, cost34) from destination
+    * (seq 0, max cost34, ties to the smallest packed key) down to the
+    * source. The relaxation invariant (every non-source cell has a
+    * predecessor) holds only at CONVERGENCE of the k-round cost
+    * field — under truncation a cell can hold a ≤k-edge cost whose
+    * predecessor's own recorded cost is cheaper still, leaving no
+    * valid step; the walk then FAILS LOUDLY (the dedupClusters
+    * discipline) rather than emitting a truncated route as if
+    * complete. */
   def leastCostPath(spark: SparkSession, dir: String, k: Int = 10)
       : DataFrame = {
     val offs = for { dr <- -1L to 1L; dc <- -1L to 1L; if dr != 0 || dc != 0 }
       yield (dr, dc, if (dr == 0L || dc == 0L) 3L else 4L)
-    val cost = costDistance(spark, dir, k).localCheckpoint()
-    val pred = cost
-      .select(col("r").as("yr"), col("c").as("yc"),
-        col("cost34").as("yd"), explode(typedLit(offs)).as("o"))
-      .select((col("yr") + col("o._1")).as("r"),
-        (col("yc") + col("o._2")).as("c"),
-        col("yr"), col("yc"), col("yd"), col("o._3").as("w"))
-      .join(cost, Seq("r", "c"))
-      .filter(col("yd") + col("w") === col("cost34"))
-      .groupBy("r", "c")
-      .agg(min(col("yd") * 10000 + col("yr") * 100 + col("yc")).as("pk"))
-      .select(col("r"), col("c"), expr("(pk % 10000) div 100").as("pr"),
-        (col("pk") % 100).as("pc"))
-      .localCheckpoint()
-    var frontier = cost
-      .orderBy(col("cost34").desc, (col("r") * 100 + col("c")).asc)
-      .limit(1)
-      .select(lit(0L).as("seq"), col("r"), col("c"))
-      .localCheckpoint()
-    var path = frontier
+    val cost = costDistance(spark, dir, k)
+    val pred = withConfs(spark, relaxConfs) {
+      cost
+        .select(col("r").as("yr"), col("c").as("yc"),
+          col("cost34").as("yd"), explode(typedLit(offs)).as("o"))
+        .select((col("yr") + col("o._1")).as("r"),
+          (col("yc") + col("o._2")).as("c"),
+          col("yr"), col("yc"), col("yd"), col("o._3").as("w"))
+        .join(broadcast(cost), Seq("r", "c"))
+        .filter(col("yd") + col("w") === col("cost34"))
+        .groupBy("r", "c")
+        .agg(min(col("yd") * 10000 + col("yr") * 100 + col("yc")).as("pk"))
+        .select(col("r"), col("c"), expr("(pk % 10000) div 100").as("pr"),
+          (col("pk") % 100).as("pc"))
+        .localCheckpoint()
+    }
+    // both collects are bounded by the raster domain (≤GridW² rows)
+    val costOf: Map[(Long, Long), Long] = cost.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val predOf: Map[(Long, Long), (Long, Long)] = pred.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    require(costOf.nonEmpty,
+      "least-cost path found no destination — the cost field is empty")
+    // destination: max cost34, ties to the SMALLEST packed key
+    val dest = costOf.keysIterator.reduce { (a, b) =>
+      val (da, db) = (costOf(a), costOf(b))
+      if (da > db || (da == db &&
+        a._1 * 100 + a._2 < b._1 * 100 + b._2)) a else b
+    }
     // a converged field bounds cost34 by 4k but each backtrace step
     // drops it by only >=3 (orthogonal chamfer weight), so a valid
     // path can need up to ceil(4k/3) steps — walking only k would
     // trip the convergence guard below on a perfectly valid field.
-    // Extra rounds are free once the frontier empties (join on the
-    // exhausted one-row frontier yields zero rows).
     val steps = math.ceil(4.0 * k / 3.0).toInt
-    for (_ <- 1 to steps) {
-      frontier = frontier.join(pred, Seq("r", "c"))
-        .select((col("seq") + 1).as("seq"), col("pr").as("r"),
-          col("pc").as("c"))
-        .localCheckpoint()
-      path = path.unionByName(frontier)
+    val path = scala.collection.mutable.ArrayBuffer(
+      (0L, dest._1, dest._2, costOf(dest)))
+    var cur = dest
+    while (path.last._4 != 0L && predOf.contains(cur) &&
+           path.length <= steps) {
+      cur = predOf(cur)
+      path += ((path.length.toLong, cur._1, cur._2, costOf(cur)))
     }
-    val out = path.join(cost, Seq("r", "c"))
-      .select("seq", "r", "c", "cost34")
-      .localCheckpoint()
-    // loud truncation guard (≤ steps+1 rows — bounded driver check): a
-    // non-converged cost field can strand the walk mid-path
-    val minCost = out.agg(min("cost34")).head
-    require(!minCost.isNullAt(0),
-      "least-cost path found no destination — the cost field is empty")
-    require(minCost.getLong(0) == 0L,
+    // loud truncation guard: a non-converged cost field can strand
+    // the walk mid-path (no predecessor before reaching a source)
+    require(path.last._4 == 0L,
       s"least-cost path did not reach a source in $steps steps — the " +
       "k-round cost field is not converged for this destination; " +
       "raise k")
-    out
+    import spark.implicits._
+    path.toSeq.toDF("seq", "r", "c", "cost34")
   }
 
   /** GIS12 — EUCLIDEAN ALLOCATION (Esri Euclidean Allocation, the
@@ -755,16 +791,19 @@ object WroQueries {
     allocationFrom(classedGrid(spark, dir), k)
 
   private[ops] def allocationFrom(classed: DataFrame, k: Int): DataFrame = {
-    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L; if dr != 0 || dc != 0 }
-      yield (dr, dc, if (dr == 0L || dc == 0L) 3L else 4L)
+    // same single-lineage relaxation as [[costDistanceFrom]]: the
+    // weight-0 self offset subsumes the union, so the k rounds run as
+    // one job with no per-round checkpoints.
+    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L }
+      yield (dr, dc, if (dr == 0L && dc == 0L) 0L
+                     else if (dr == 0L || dc == 0L) 3L else 4L)
     val cells = classed.localCheckpoint()
     val present = cells.select("r", "c")
     var best = cells.filter(col("cls") === 4)
       .select(col("r"), col("c"),
         (col("r") * 100 + col("c")).as("key"))   // d = 0, packed = src
-      .localCheckpoint()
     for (_ <- 1 to k) {
-      val ext = best
+      best = best
         .select(col("r"), col("c"), col("key"),
           explode(typedLit(offs)).as("o"))
         .select((col("r") + col("o._1")).as("r"),
@@ -773,9 +812,10 @@ object WroQueries {
         .filter(col("r").between(0, GridW - 1) &&
           col("c").between(0, GridW - 1))
         .join(broadcast(present), Seq("r", "c"), "left_semi")
-      best = best.unionByName(ext)
         .groupBy("r", "c").agg(min("key").as("key"))
-        .localCheckpoint()
+    }
+    best = withConfs(classed.sparkSession, relaxConfs) {
+      best.localCheckpoint()
     }
     best.select(col("r"), col("c"), expr("key div 10000").as("cost34"),
       expr("(key % 10000) div 100").as("src_r"),

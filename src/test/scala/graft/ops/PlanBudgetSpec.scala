@@ -309,8 +309,8 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // cached per-cell grid + 1-row stats agg + the two-level mode
     // aggregate ((r,c,cls) counts then (r,c) fold) — all raster-bounded
     "wro_majority_filter" -> 4,
-    // the relaxation rounds hide behind their per-round checkpoints;
-    // the visible plan reads the final checkpointed frame
+    // the single-lineage relaxation materializes behind ONE checkpoint
+    // (AQE off, domain-sized partitions); the visible plan reads it
     "wro_cost_distance" -> 0,
     // the decorrelated ranked window's s_nationkey exchange + the
     // outer ORDER BY's range partitioning; nation broadcasts
@@ -408,9 +408,9 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // slope's two exchanges + the accumulation aggregate + the (r,c)
     // join; per-round walk joins hide behind their checkpoints
     "wro_twi" -> 4,
-    // the final path-cost attach joins; pred table and walk rounds
-    // hide behind their checkpoints
-    "wro_least_cost_path" -> 2,
+    // the declared result is the driver-walked path as a LocalRelation;
+    // the cost field and pred table materialize behind checkpoints
+    "wro_least_cost_path" -> 0,
     // per-cell agg + the distinct-triple agg + its bounded window +
     // the broadcast attach
     "wro_combine" -> 4,
