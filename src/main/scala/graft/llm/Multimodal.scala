@@ -260,9 +260,10 @@ object Multimodal {
     })
   }
 
-  /** encode→REAL AVI container→frame-walk decode→per-frame stats: the
-    * honest version of [[frameSampleStub]]'s fan-out — one media row
-    * becomes one row per decoded frame, partition-local. */
+  /** encode→REAL AVI container→frame-walk decode→per-frame stats:
+    * one media row becomes one row per decoded frame,
+    * partition-local (the stride-sampled fan-out the retired round-7
+    * stub only simulated). */
   def aviFrameStats(spark: SparkSession, ids: DataFrame, frames: Int = 4,
                     w: Int = 4, h: Int = 2): Dataset[FrameStat] = {
     import spark.implicits._

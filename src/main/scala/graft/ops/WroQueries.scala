@@ -153,12 +153,13 @@ object WroQueries {
   }
 
   /** Rows the planted hot cell contributes to the skewed shuffle — the
-    * sizing input for [[aqeSkewConfs]]: three quarters of lineitem's
-    * orders land on cell 0, once per layer. One columnar count with the
-    * predicate pushed to the scan. */
+    * sizing input for [[aqeSkewConfs]]. The hot fraction is known BY
+    * CONSTRUCTION (the `% 4 =!= 0` plant in [[skewedObs]] routes ~3/4
+    * of orders to cell 0, once per layer), so the sizing pays one
+    * metadata-only row count instead of a filtered column scan — the
+    * advisory needs the magnitude, not the exact row. */
   private[ops] def hotSkewRows(spark: SparkSession, dir: String): Long =
-    table(spark, dir, "lineitem")
-      .filter(col("l_orderkey") % 4 =!= 0).count() * layers.size
+    table(spark, dir, "lineitem").count() * 3 / 4 * layers.size
 
   /** The AQE-skew config set [[overlaySkewedAqe]] and its spec share:
     * thresholds lowered so the planted hot partition clears the split
@@ -211,7 +212,11 @@ object WroQueries {
   private[ops] def skewedJoinedAqe(spark: SparkSession, dir: String)
       : DataFrame = {
     val obs = skewedObs(spark, dir)
-    val obsManyMappers = obs.repartition(16).localCheckpoint()
+    // the round-robin exchange ITSELF is the 16-mapper stage feeding
+    // the join shuffle — no checkpoint: materializing the full fact to
+    // storage once more bought nothing (the skew rule only needs the
+    // join's shuffle stage to have >1 mapper to split along)
+    val obsManyMappers = obs.repartition(16)
     val cellMax = obs.groupBy("cell_id", "layer")
       .agg(max("value").as("maxv")).localCheckpoint()
     obsManyMappers.join(cellMax.hint("merge"), Seq("cell_id", "layer"))
@@ -244,10 +249,16 @@ object WroQueries {
     * final adaptive plan actually carries the skew=true sort-merge
     * join. */
   def overlaySkewedAqe(spark: SparkSession, dir: String): DataFrame = {
-    val joined = withConfs(spark, aqeSkewConfs(hotSkewRows(spark, dir))) {
-      skewedJoinedAqe(spark, dir).localCheckpoint()
+    // the near-max filter rides INSIDE the materialization: it runs in
+    // the same tasks as the skew-split join output, so the checkpoint
+    // stores the filtered survivors, not the full fact×stats product
+    // (the salted sibling streams end-to-end and never materializes —
+    // this is the AQE path's equivalent economy)
+    val rep = withConfs(spark, aqeSkewConfs(hotSkewRows(spark, dir))) {
+      skewedJoinedAqe(spark, dir)
+        .filter(col("value") * 2 >= col("maxv"))
+        .localCheckpoint()
     }
-    val rep = joined.filter(col("value") * 2 >= col("maxv"))
     val ranges = WeightedOverlay.explodeRanges(catalog(spark, dir))
     WeightedOverlay.score(WeightedOverlay.remap(rep, ranges), weights(spark))
       .select(col("cell_id"), col("score10").cast("long").as("score10"),
