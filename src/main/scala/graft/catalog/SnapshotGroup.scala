@@ -161,6 +161,26 @@ object SnapshotGroup {
         .toIndexedSeq: _*)
   }
 
+  /** CHANGE FEED for one table of the group between two committed
+    * group versions — the [[SnapshotTable.changes]] Delta-CDF shape
+    * derived AT A PINNED VERSION PAIR: because both versions are
+    * atomic group commits, the per-table feeds taken at the SAME
+    * (fromV, toV) are mutually consistent by construction — a
+    * consumer maintaining a corpus AND its index from their feeds can
+    * never observe a corpus delta without its matching index delta
+    * (the window [[commit]] exists to close). Keys must be unique per
+    * version per table (the upsert contract); `preimages` emits the
+    * update_preimage/update_postimage pair for retraction-based
+    * maintenance. Gated by `snk14_group_feed`, which composes two
+    * tables' feeds at one pair against an arithmetic oracle. */
+  def changes(spark: SparkSession, root: String, table: String,
+              fromV: Long, toV: Long, keys: Seq[String],
+              preimages: Boolean = false): DataFrame = {
+    require(fromV < toV, s"group changes: fromV $fromV must precede $toV")
+    SnapshotTable.diffFrames(read(spark, root, table, fromV),
+      read(spark, root, table, toV), keys, preimages)
+  }
+
   /** Read a table at the latest committed group version. */
   def readLatest(spark: SparkSession, root: String, table: String)
       : DataFrame = {

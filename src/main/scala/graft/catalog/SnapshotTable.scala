@@ -36,7 +36,10 @@ import org.apache.spark.sql.types.StructType
   * O_EXCL for the file:// scheme; Hadoop's local create is
   * check-then-act, caught by the race spec). Plain S3A has no atomic
   * create — a deployment there needs S3 conditional PUTs or an
-  * external lock, the caveat every manifest-based format documents.
+  * external lock, the caveat every manifest-based format documents —
+  * and the create is a pluggable seam ([[SnapshotTable.CommitArbiter]]
+  * via [[SnapshotTable.installArbiter]]) so exactly that deployment
+  * supplies If-None-Match PUT semantics without forking the protocol.
   * Readers treat a manifest as committed only once its BODY parses, so
   * the create→write visibility window reads as "not committed yet".
   * Everything else is ordered around the arbiter:
@@ -408,29 +411,63 @@ object SnapshotTable {
       .getBytes("UTF-8")
   }
 
-  /** THE commit point: exclusive manifest create — exactly one writer
-    * per version. Atomicity honesty: HDFS create(overwrite=false) is
-    * atomic; the LOCAL filesystem's is check-then-act, so for the
-    * file:// scheme we use NIO's O_EXCL createFile (genuinely atomic —
-    * what makes the 8-thread race spec sound rather than
-    * probabilistic). Plain S3A has no atomic create at all — a
-    * deployment there needs S3 conditional PUTs or an external lock,
-    * the same caveat Delta documents. On losing the race the caller's
-    * OWN data dir (and only it) is removed. */
+  /** The ATOMIC-CREATE SEAM: how a manifest file comes into existence
+    * exactly once. Implementations MUST create `path` with `body`
+    * all-or-nothing and throw `IOException` (or
+    * `FileAlreadyExistsException`) if the path already exists — that
+    * exception IS the commit-conflict signal. The default
+    * [[perSchemeArbiter]] covers HDFS (`create(overwrite=false)`,
+    * atomic) and local disks (NIO O_EXCL); an object-store deployment
+    * installs its own arbiter carrying S3 conditional-PUT
+    * (`If-None-Match: *`) semantics or an external lock via
+    * [[installArbiter]] — the protocol (data-dir layout, manifest
+    * format, vacuum, version discovery) needs no fork. */
+  trait CommitArbiter {
+    def createExclusive(fs: FileSystem, path: Path, body: Array[Byte]): Unit
+  }
+
+  /** Default arbiter: per-scheme atomic create. HDFS's
+    * create(overwrite=false) is atomic; the LOCAL filesystem's is
+    * check-then-act, so for the file:// scheme we use NIO's O_EXCL
+    * createFile (genuinely atomic — what makes the 8-thread race spec
+    * sound rather than probabilistic). Plain S3A has NO atomic create
+    * — the `fs.create(path, false)` branch is check-then-act there,
+    * the same caveat Delta documents; that deployment must install a
+    * conditional-PUT arbiter instead. */
+  object perSchemeArbiter extends CommitArbiter {
+    def createExclusive(fs: FileSystem, path: Path,
+                        body: Array[Byte]): Unit =
+      if (fs.getScheme == "file") {
+        val local = java.nio.file.Paths.get(path.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.createFile(local) // throws if it exists
+        java.nio.file.Files.write(local, body)
+      } else {
+        val out = fs.create(path, false)
+        try out.write(body) finally out.close()
+      }
+  }
+
+  @volatile private var arbiter: CommitArbiter = perSchemeArbiter
+
+  /** Install a replacement atomic-create arbiter PROCESS-WIDE (all
+    * tables, [[SnapshotGroup]] included — both funnel every commit
+    * through the one seam). Returns the previous arbiter so callers
+    * can restore it; the race spec injects a fake conditional-PUT
+    * arbiter this way. */
+  def installArbiter(a: CommitArbiter): CommitArbiter = {
+    val prev = arbiter; arbiter = a; prev
+  }
+
+  /** THE commit point: exclusive manifest create through the installed
+    * [[CommitArbiter]] — exactly one writer per version. On losing the
+    * race the caller's OWN data dir (and only it) is removed. */
   private[catalog] def createManifestExclusive(fs: FileSystem, root: String,
       next: Long, body: Array[Byte], ownDataDir: Option[Path]): Unit = {
     val m = manifest(root, next)
     fs.mkdirs(m.getParent)
     try {
-      if (fs.getScheme == "file") {
-        val local = java.nio.file.Paths.get(m.toUri.getPath)
-        java.nio.file.Files.createDirectories(local.getParent)
-        java.nio.file.Files.createFile(local) // throws if it exists
-        java.nio.file.Files.write(local, body)
-      } else {
-        val out = fs.create(m, false)
-        try out.write(body) finally out.close()
-      }
+      arbiter.createExclusive(fs, m, body)
     } catch {
       case e @ (_: java.io.IOException |
                 _: java.nio.file.FileAlreadyExistsException) =>
@@ -891,10 +928,19 @@ object SnapshotTable {
     * proven in MvSpec and gated end-to-end by `snk11_cdf_mv`). */
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long,
               keys: Seq[String], preimages: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions._
     require(fromV < toV, s"changes: fromV $fromV must precede toV $toV")
-    val a = read(spark, root, fromV)
-    val b = read(spark, root, toV)
+    diffFrames(read(spark, root, fromV), read(spark, root, toV), keys,
+      preimages)
+  }
+
+  /** The change-feed diff core shared by [[changes]] and
+    * [[SnapshotGroup.changes]]: keyed full-outer join of two immutable
+    * snapshots of the same schema, emitting the Delta-CDF change
+    * classes (see [[changes]] for the semantics — image selection by
+    * class, optional preimage rows). */
+  private[catalog] def diffFrames(a: DataFrame, b: DataFrame,
+      keys: Seq[String], preimages: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
     val payload = b.columns.filterNot(keys.contains).toSeq
     val pa = a.select(keys.map(col) :+
       struct(payload.map(col): _*).as("_pre"): _*)

@@ -1337,6 +1337,48 @@ object RelQueries {
            sum("n_chars").cast("long").as("sum_chars"))
   }
 
+  /** SNK14: GROUP-COMMIT CHANGE FEED
+    * ([[graft.catalog.SnapshotGroup.changes]]): a corpus and its
+    * per-doc index advance through two ATOMIC group commits (v1 = the
+    * even half; v2 = every non-%7 doc, with %3 sources rewritten and
+    * %5 char counts shifted), then BOTH tables' change feeds are taken
+    * at the SAME pinned version pair and composed by doc — the
+    * cross-table delta a consumer of an atomically-committed pair
+    * reads. The declared result counts docs by (corpus change class ×
+    * index change class); the oracle derives both classifications
+    * arithmetically from the documents table. Because the pair commits
+    * atomically, the composition can never observe a corpus delta
+    * without its matching index delta — which is exactly what the
+    * count matrix's empty cells prove. */
+  def snk14GroupFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotGroup
+    val root = ioDir(dir, "snk14feed")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val d = table(s, dir, "documents")
+    def pair(df: DataFrame) = Map(
+      "corpus" -> df.select(col("doc_id"), col("source")),
+      "index" -> df.select(col("doc_id"), col("n_chars")))
+    val v1 = SnapshotGroup.commit(pair(d.filter(col("doc_id") % 2 === 0)),
+      root, 0L)
+    val d2 = d.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("source",
+        when(col("doc_id") % 3 === 0, concat(col("source"), lit("_v2")))
+          .otherwise(col("source")))
+      .withColumn("n_chars",
+        when(col("doc_id") % 5 === 0, col("n_chars") + 1000)
+          .otherwise(col("n_chars")))
+    val v2 = SnapshotGroup.commit(pair(d2), root, v1)
+    val fc = SnapshotGroup.changes(s, root, "corpus", v1, v2, Seq("doc_id"))
+      .select(col("doc_id"), col("change_type").as("corpus_change"))
+    val fi = SnapshotGroup.changes(s, root, "index", v1, v2, Seq("doc_id"))
+      .select(col("doc_id"), col("change_type").as("index_change"))
+    fc.join(fi, Seq("doc_id"), "full_outer")
+      .groupBy("corpus_change", "index_change")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** SNK13: MANIFEST DATA SKIPPING
     * ([[graft.catalog.SnapshotTable.readWhere]] over the per-entry
     * min/max stats [[graft.catalog.SnapshotTable.commitPartitioned]]
@@ -2903,6 +2945,7 @@ object RelQueries {
     "snk11_cdf_mv" -> snk11CdfMv,
     "snk12_group_commit" -> snk12GroupCommit,
     "snk13_stats_prune" -> snk13StatsPrune,
+    "snk14_group_feed" -> snk14GroupFeed,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -3524,6 +3567,26 @@ object RelQueries {
         |    FROM events)
         |  WHERE event_id % 11 <> 0)
         |GROUP BY 1""".stripMargin,
+    // both tables' change classes derived arithmetically per doc; docs
+    // unchanged in BOTH tables are absent from both feeds and excluded
+    "snk14_group_feed" ->
+      """WITH cls AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 AND doc_id % 7 = 0 THEN 'delete'
+        |         WHEN doc_id % 2 = 0 AND doc_id % 7 <> 0
+        |              AND doc_id % 3 = 0 THEN 'update'
+        |         WHEN doc_id % 2 <> 0 AND doc_id % 7 <> 0 THEN 'insert'
+        |         END AS corpus_change,
+        |    CASE WHEN doc_id % 2 = 0 AND doc_id % 7 = 0 THEN 'delete'
+        |         WHEN doc_id % 2 = 0 AND doc_id % 7 <> 0
+        |              AND doc_id % 5 = 0 THEN 'update'
+        |         WHEN doc_id % 2 <> 0 AND doc_id % 7 <> 0 THEN 'insert'
+        |         END AS index_change
+        |  FROM documents)
+        |SELECT corpus_change, index_change, count(*) AS n
+        |FROM cls
+        |WHERE corpus_change IS NOT NULL OR index_change IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // the skip itself is gated: the oracle recomputes the prune
     // decision from each bucket's true min/max (an entry survives iff
     // its bounds intersect [1000, 2999]) and the declared side reports

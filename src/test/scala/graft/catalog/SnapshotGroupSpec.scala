@@ -99,6 +99,36 @@ class SnapshotGroupSpec extends SparkSpec {
     }
   }
 
+  test("changes(): per-table feeds at a pinned group version pair are " +
+       "mutually consistent — every change class lands, and a key " +
+       "deleted from both tables appears in BOTH feeds") {
+    import spark.implicits._
+    val root = freshRoot()
+    def pair(rows: Seq[(Long, String, Long)]) = Map(
+      "corpus" -> rows.map(r => (r._1, r._2)).toDF("id", "s"),
+      "index" -> rows.map(r => (r._1, r._3)).toDF("id", "n"))
+    // v1: keys 1..4; v2: 1 unchanged, 2 updated (both tables),
+    // 3 deleted (both), 4 updated in corpus only, 5 inserted (both)
+    SnapshotGroup.commit(pair(Seq((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "c", 30L), (4L, "d", 40L))), root, 0L)
+    SnapshotGroup.commit(pair(Seq((1L, "a", 10L), (2L, "B", 99L),
+      (4L, "D", 40L), (5L, "e", 50L))), root, 1L)
+    def feed(t: String): Map[Long, String] =
+      SnapshotGroup.changes(spark, root, t, 1L, 2L, Seq("id"))
+        .select("id", "change_type").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feed("corpus") == Map(2L -> "update", 3L -> "delete",
+      4L -> "update", 5L -> "insert"))
+    assert(feed("index") == Map(2L -> "update", 3L -> "delete",
+      5L -> "insert"))
+    // preimages: the update splits into the retract/add pair
+    val pre = SnapshotGroup.changes(spark, root, "index", 1L, 2L,
+        Seq("id"), preimages = true)
+      .filter($"id" === 2L).select("change_type", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pre == Map("update_preimage" -> 20L, "update_postimage" -> 99L))
+  }
+
   test("schema and column order round-trip through the group manifest") {
     import spark.implicits._
     val root = freshRoot()

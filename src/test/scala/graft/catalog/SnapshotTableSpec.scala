@@ -348,6 +348,54 @@ class SnapshotTableSpec extends SparkSpec {
       s"unexpected preimage feed: $pre")
   }
 
+  test("pluggable commit arbiter: a fake conditional-PUT (object-store) " +
+       "arbiter carries the same one-winner guarantee through an " +
+       "8-thread race, and every commit actually funnels through it") {
+    // simulates an S3 If-None-Match PUT: the putIfAbsent map IS the
+    // store's conditional-create primitive; the filesystem write
+    // happens only after winning it (overwrite=true — atomicity comes
+    // from the arbiter, not the scheme)
+    val puts = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fake = new SnapshotTable.CommitArbiter {
+      def createExclusive(fs: org.apache.hadoop.fs.FileSystem, path: Path,
+                          body: Array[Byte]): Unit = {
+        calls.incrementAndGet()
+        if (puts.putIfAbsent(path.toString, true) != null)
+          throw new java.nio.file.FileAlreadyExistsException(
+            s"conditional PUT failed: $path exists")
+        val out = fs.create(path, true)
+        try out.write(body) finally out.close()
+      }
+    }
+    val prev = SnapshotTable.installArbiter(fake)
+    try {
+      val root = freshRoot()
+      SnapshotTable.commit(df("base" -> 0L), root, 0L)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[
+        Either[Throwable, Long]]()
+      val threads = (1 to 8).map { i =>
+        new Thread(() => {
+          val r = try Right(SnapshotTable.commit(
+            df(s"writer$i" -> i.toLong), root, expectedBase = 1L))
+          catch { case e: Throwable => Left(e) }
+          results.add(r): Unit
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val (losers, winners) = results
+        .toArray(Array.empty[Either[Throwable, Long]]).partition(_.isLeft)
+      assert(winners.length == 1 && losers.length == 7)
+      losers.foreach(l => assert(l.swap.toOption.get
+        .isInstanceOf[java.util.ConcurrentModificationException]))
+      assert(SnapshotTable.committedVersions(spark, root) == Seq(1L, 2L))
+      assert(calls.get >= 2, "commits bypassed the installed arbiter")
+      // losers cleaned their own data dirs: only the two live ones stay
+      assert(fs(root).listStatus(new Path(root))
+        .count(_.getPath.getName.startsWith("data-")) == 2)
+    } finally SnapshotTable.installArbiter(prev)
+  }
+
   // ----------------------------------------------------------------
   // data skipping: per-entry stats + pruneEntries/readWhere
   // ----------------------------------------------------------------
