@@ -67,17 +67,28 @@ object Bench {
     }
     val firstPass = names.map(name => name -> timeOne(name))
     // Noise discipline beyond the headline set: every query whose
-    // single shot lands >= 1 s gets ONE fresh rep and reports the MIN.
-    // r6/r7 each produced 2-6 s phantom one-shots on sub-second queries
-    // (wro_path_lookup 2.22 s vs 0.63 s BenchFew median) that had to be
-    // adjudicated manually; a second rep kills any such artifact at the
-    // source, and sub-second queries cannot show a >2 s artifact worth
-    // the extra pass. Failed queries stay failed (-1).
+    // single shot lands >= 0.5 s gets ONE fresh rep and reports the
+    // MIN; if the two shots still disagree by >1.5x (both landed in a
+    // noisy window, or only one did — either way the number is not a
+    // plan signal yet), ONE more rep settles it. r6-r8 each produced
+    // 2-6 s phantom one-shots on sub-second queries (wro_path_lookup
+    // 2.22 s vs 0.63 s BenchFew median; r8's wro_expand 1.83 s vs
+    // 0.86 s survived even the >=1 s min-of-two because BOTH shots
+    // hit the same noisy window) that had to be adjudicated manually;
+    // the lower trigger plus the disagreement rep kill such artifacts
+    // at the source. Failed queries stay failed (-1).
     val results = firstPass.map { case (name, t1) =>
-      if (t1 < 1.0) name -> t1
+      if (t1 < 0.5) name -> t1
       else {
         val t2 = timeOne(name)
-        name -> (if (t2 < 0) t1 else math.min(t1, t2))
+        if (t2 < 0) name -> t1
+        else if (math.max(t1, t2) <= 1.5 * math.min(t1, t2))
+          name -> math.min(t1, t2)
+        else {
+          val t3 = timeOne(name)
+          name -> (if (t3 < 0) math.min(t1, t2)
+                   else math.min(math.min(t1, t2), t3))
+        }
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
