@@ -120,8 +120,8 @@ object KMeans {
     // until the caller's clearCache()/session end — the Verify/Bench
     // harnesses clear after every query; a long-lived session embedding
     // this plan should unpersist once the result is consumed
-    val q = embeddings.select(col("vec_id"),
-      quantize(col("embedding")).as("qv")).cache()
+    val q = byId(embeddings.select(col("vec_id"),
+      quantize(col("embedding")).as("qv"))).cache()
     lloydOnce(q, reduceToCodebook(lloydOnce(q, seedLowestK(q, k))))
   }
 
@@ -153,6 +153,24 @@ object KMeans {
   def seedHashK(q: DataFrame, k: Int): DataFrame =
     q.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
+
+  /** Partition a corpus view BY ID before materializing it for an
+    * assignment/training leg. The broadcast-expansion kernels
+    * ([[lloydOnce]]'s crossJoin, PQ code assignment's ×codebook join)
+    * multiply per-input-byte work by the codebook size, while file-scan
+    * partitioning (`maxPartitionBytes`) sizes splits for ~1× work per
+    * byte — a corpus that fits one split runs its whole n·k expansion
+    * on ONE task. Measured at the 30× scale point: the 15 MB sf3
+    * embeddings file is a single split, so d16/d34/d23's assignment
+    * legs ran single-threaded (6–9.6× wall for 3× data; fixed below
+    * 3.3×/4.2×/4.6×). Hashing on the id restores kernel-proportional
+    * parallelism at any corpus size (`spark.sql.shuffle.partitions` /
+    * AQE pick the count) and pre-aligns the per-vector argmin groupBy
+    * — hash(vec_id) satisfies its clustering, so the expansion's
+    * reduce needs no further exchange. The shuffle moved is the n-row
+    * corpus itself, ≥64× smaller than the expansion it parallelizes. */
+  def byId(df: DataFrame, idCol: String = "vec_id"): DataFrame =
+    df.repartition(col(idCol))
 
   def codebook2Q(q: DataFrame, k: Int): DataFrame =
     reduceToCodebook(

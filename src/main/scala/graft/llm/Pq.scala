@@ -50,8 +50,10 @@ object Pq {
     // materialize the quantized corpus ONCE: q0 feeds the code
     // assignment AND the sampled codebook (which itself appears twice —
     // assignment and ADC table), so without truncation the parquet scan
-    // + quantize transform runs three times per probe
-    val q0 = corpus.select(id.as("vec_id"), KMeans.quantize(emb).as("qv"))
+    // + quantize transform runs three times per probe; byId partitions
+    // it for the ×codebook assignment expansion (see KMeans.byId)
+    val q0 = KMeans.byId(
+        corpus.select(id.as("vec_id"), KMeans.quantize(emb).as("qv")))
       .localCheckpoint()
     // `stride` is a FLOOR: the effective stride grows with the corpus
     // so the codebook CAPS at ~256 centroids per subspace (the PQ
@@ -122,7 +124,10 @@ object Pq {
                 query: DataFrame, queryEmb: Column, k: Int,
                 kc: Int = 8, ksub: Int = 16, m: Int = 8,
                 nprobe: Int = 2): DataFrame = {
-    val q0 = corpus.select(id.as("vec_id"), KMeans.quantize(emb).as("qv"))
+    // byId: both materialized views below feed ×codebook expansions
+    // (coarse routing, subspace code assignment) — see KMeans.byId
+    val q0 = KMeans.byId(
+        corpus.select(id.as("vec_id"), KMeans.quantize(emb).as("qv")))
       .localCheckpoint()
     // coarse quantizer: trained on the full vectors, integer grid
     val coarse = KMeans.codebook2Q(q0, kc).cache()
@@ -134,8 +139,8 @@ object Pq {
       .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("ccid"))
     // subspace split, materialized once: it feeds seeding, two Lloyd
     // iterations, and code assignment
-    val subs = subspaces(q0, "qv", m)
-      .select(col("vec_id"), col("j"), col("subv").as("qv"))
+    val subs = KMeans.byId(subspaces(q0, "qv", m)
+        .select(col("vec_id"), col("j"), col("subv").as("qv")))
       .localCheckpoint()
     val sb = KMeans.codebook2By(subs, ksub, "j").cache()
     // m codes per vector: nearest trained subspace centroid

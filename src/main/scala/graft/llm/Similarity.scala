@@ -114,7 +114,8 @@ object Similarity {
               query: DataFrame, queryEmb: Column, k: Int,
               stride: Long = 31, nprobe: Int = 2,
               coarseBits: Int = 4): DataFrame = {
-    val c = corpus.select(id.as("vec_id"), asDouble(emb).as("v"))
+    val c = KMeans.byId(
+        corpus.select(id.as("vec_id"), asDouble(emb).as("v")))
       .localCheckpoint()
     // `stride` is a floor: a FIXED stride makes the codebook n/stride
     // and the per-vector assignment candidate set grows with the
@@ -210,8 +211,8 @@ object Similarity {
     val base = corpus.select(id.as("vec_id"), embDouble.as("v"))
     // the quantized view feeds both training rounds AND the final
     // assignment — materialize once (the codebook2Q caller contract)
-    val q = base.select(col("vec_id"), col("v"),
-        KMeans.quantize(col("v")).as("qv"))
+    val q = KMeans.byId(base.select(col("vec_id"), col("v"),
+        KMeans.quantize(col("v")).as("qv")))
       .localCheckpoint()
     // `k` is a FLOOR: cells grow with the corpus (~64 vectors/cell).
     // A fixed k makes the within-cell pair join n²/k — the sf1 soak
@@ -277,8 +278,8 @@ object Similarity {
   def knnGraph(corpus: DataFrame, id: Column, embDouble: Column,
                k: Int, kNbr: Int): DataFrame = {
     val base = corpus.select(id.as("vec_id"), embDouble.as("v"))
-    val q = base.select(col("vec_id"), col("v"),
-        KMeans.quantize(col("v")).as("qv"))
+    val q = KMeans.byId(base.select(col("vec_id"), col("v"),
+        KMeans.quantize(col("v")).as("qv")))
       .localCheckpoint()
     // k floors at the caller's value, cells stay ~64 vectors (the
     // semDedup cell law — measured best at sf1; 48× at fixed k=8)
