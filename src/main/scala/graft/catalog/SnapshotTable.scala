@@ -646,13 +646,20 @@ object SnapshotTable {
     * [[PartitionMerge.mergeInto]]'s rewrite unit made transactional.
     * The parent must be a partitioned snapshot on the same `pcol` with
     * the same schema (both checked loudly — a silent schema drift
-    * would poison every later read through the recorded DDL).
+    * would poison every later read through the recorded DDL), UNLESS
+    * `evolveSchema` opts in to ADD-ONLY evolution: extra `updates`
+    * columns append after the parent's as nullable columns, untouched
+    * entries keep their old files and read back NULL there, and a
+    * predicate on a new column never prunes a stats-less old entry
+    * (missing column stats mean "must scan"). Drop/rename/retype stay
+    * refused in both modes.
     * `dropParts` values are RAW partition values; they are escaped
     * with Spark's partition-path escaping before matching entries.
     * Returns the new version. */
   def commitReplace(updates: DataFrame, root: String, expectedBase: Long,
                     pcol: String, dropParts: Seq[String] = Nil,
-                    tag: Option[String] = None): Long = {
+                    tag: Option[String] = None,
+                    evolveSchema: Boolean = false): Long = {
     val spark = updates.sparkSession
     val fs = fsOf(spark, root)
     checkTag(tag)
@@ -665,12 +672,36 @@ object SnapshotTable {
       s"snapshot commitReplace: parent version $cur is partitioned on " +
       s"${parent.pcol.getOrElse("<nothing>")}, not '$pcol'")
     val parentSchema = StructType.fromDDL(parent.schemaDdl)
+    // ADD-ONLY schema evolution (opt-in): columns of `updates` beyond
+    // the parent's append AFTER the parent's, forced nullable — kept
+    // entries' files lack them and read back as NULL under the
+    // recorded schema (the explicit-schema parquet read fills absent
+    // columns with NULLs; spec-pinned). Every parent column must still
+    // be present with its recorded type — drop/rename/retype is
+    // refused loudly in BOTH modes, because old files would then lie
+    // under the new DDL.
+    val parentNames = parentSchema.fieldNames.toSet
+    val extras = updates.schema.fields
+      .filterNot(f => parentNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    require(evolveSchema || extras.isEmpty,
+      s"snapshot commitReplace: updates carry column(s) " +
+      s"${extras.map(_.name).mkString(", ")} beyond the table schema " +
+      s"${parent.schemaDdl} — pass evolveSchema=true to ADD them " +
+      "(silently dropping them would hide a writer bug)")
+    val schema =
+      if (extras.isEmpty) parentSchema
+      else StructType(parentSchema.fields ++ extras)
     val aligned = updates.select(
-      parentSchema.fieldNames.map(org.apache.spark.sql.functions.col)
+      schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
-    require(nullableSchema(aligned.schema).toDDL == parent.schemaDdl,
+    require(nullableSchema(StructType(
+        aligned.schema.fields.take(parentSchema.length))).toDDL
+        == parent.schemaDdl,
       s"snapshot commitReplace: updates schema ${aligned.schema.toDDL} " +
-      s"does not match the table schema ${parent.schemaDdl}")
+      s"does not match the table schema ${parent.schemaDdl}" +
+      (if (evolveSchema) " (evolution is ADD-only: parent columns must " +
+        "keep their names and types)" else ""))
     val next = cur + 1
     val dirName = s"data-${java.util.UUID.randomUUID()}"
     val dataDir = new Path(s"$root/$dirName")
@@ -694,11 +725,11 @@ object SnapshotTable {
         parent.entries.zip(parent.stats).toMap
       else Map.empty
     val freshStats = entryStats(spark, root, dirName, pcol,
-      nullableSchema(parentSchema), newEntries)
+      nullableSchema(schema), newEntries)
     val statsByEntry = parentStats ++ newEntries.zip(freshStats).toMap
     val stats = entries.map(e =>
       statsByEntry.getOrElse(e, Map.empty[String, ColStats]))
-    val body = manifestBody(next, cur, entries, Some(pcol), parentSchema, tag,
+    val body = manifestBody(next, cur, entries, Some(pcol), schema, tag,
       stats)
     createManifestExclusive(fs, root, next, body, Some(dataDir))
     next

@@ -1419,6 +1419,44 @@ object RelQueries {
         lit(scanned).as("n"), lit(total).as("sum_cents")))
   }
 
+  /** SNK16: ADD-ONLY SCHEMA EVOLUTION through the snapshot protocol
+    * ([[graft.catalog.SnapshotTable.commitReplace]] with
+    * `evolveSchema`): the events snapshot of snk13's shape commits v1
+    * WITHOUT a `vclass` column, then ONE partition's rewrite carries
+    * the new column and opts in — v2's recorded DDL appends `vclass`
+    * as nullable, the untouched partitions re-reference their v1 files
+    * VERBATIM (no backfill rewrite — the Delta/Iceberg ADD COLUMN
+    * economics: a 100 TB table evolves for the cost of the one touched
+    * partition), and reading v2 fills the old files' missing column
+    * with NULL under the recorded schema. The declared result buckets
+    * v2 by the evolved column with NULLs folded to a sentinel — the
+    * oracle recomputes which events sit in the rewritten partition and
+    * classifies only those, so BOTH halves of the evolution contract
+    * (new column visible where written, NULL exactly where inherited)
+    * gate arithmetically. */
+  def snk16SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    val root = ioDir(dir, "snk16evolve")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"),
+        floor(col("event_id") / 2000).cast("long").as("bkt"))
+    val v1 = SnapshotTable.commitPartitioned(base, root, 0L, "bkt")
+    val upd = base.filter(col("bkt") === 1)
+      .withColumn("vclass",
+        when(col("cents") >= 5000L, lit("hi")).otherwise(lit("lo")))
+    val v2 = SnapshotTable.commitReplace(upd, root, v1, "bkt",
+      evolveSchema = true)
+    SnapshotTable.read(s, root, v2)
+      .groupBy(coalesce(col("vclass"), lit("<pre-evolution>"))
+        .as("vclass"))
+      .agg(count(lit(1)).as("n"),
+           sum("cents").cast("long").as("sum_cents"))
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -2945,6 +2983,7 @@ object RelQueries {
     "snk11_cdf_mv" -> snk11CdfMv,
     "snk12_group_commit" -> snk12GroupCommit,
     "snk13_stats_prune" -> snk13StatsPrune,
+    "snk16_schema_evolution" -> snk16SchemaEvolution,
     "snk14_group_feed" -> snk14GroupFeed,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
@@ -3608,6 +3647,20 @@ object RelQueries {
         |SELECT '_prune_entries',
         |  (SELECT count(*) FROM b WHERE mx >= 1000 AND mn <= 2999),
         |  (SELECT count(*) FROM b)""".stripMargin,
+    // the evolved column exists only where the bkt=1 rewrite wrote it;
+    // every other partition's file predates the column and reads NULL
+    "snk16_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(floor(event_id / 2000) AS BIGINT) AS bkt
+        |  FROM events)
+        |SELECT CASE WHEN bkt = 1
+        |         THEN CASE WHEN cents >= 5000 THEN 'hi' ELSE 'lo' END
+        |         ELSE '<pre-evolution>' END AS vclass,
+        |  count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM base GROUP BY 1""".stripMargin,
     // the pinned group version v1 = the even-doc_id half of both tables
     "snk12_group_commit" ->
       """SELECT source, count(*) AS n,

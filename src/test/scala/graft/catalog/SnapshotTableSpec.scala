@@ -245,6 +245,69 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("ADD-only schema evolution: an evolveSchema commitReplace appends " +
+       "the new column nullable, inherited files read NULL there, v1 " +
+       "time-travels without the column, and old entries never prune " +
+       "on the new column") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v1 = SnapshotTable.commitPartitioned(
+      pdf(("asia", 1L, 10L), ("eu", 3L, 30L), ("na", 4L, 40L)),
+      root, 0L, "region")
+    // without the opt-in, an extra column is still a loud schema drift
+    val evolved = Seq(("asia", 1L, 11L, "gold"))
+      .toDF("region", "id", "v", "tier")
+    val drift = intercept[IllegalArgumentException] {
+      SnapshotTable.commitReplace(evolved, root, v1, "region")
+    }
+    assert(drift.getMessage.contains("evolveSchema"))
+    val v2 = SnapshotTable.commitReplace(evolved, root, v1, "region",
+      evolveSchema = true)
+    val back = SnapshotTable.read(spark, root, v2)
+    assert(back.schema.fieldNames.toSeq == Seq("region", "id", "v", "tier"),
+      "the evolved column must append AFTER the parent's columns")
+    assert(back.schema.fields.last.nullable)
+    val rows = back.collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(3))))
+      .sortBy(_._2).toSeq
+    assert(rows == Seq(("asia", 1L, Some("gold")), ("eu", 3L, None),
+      ("na", 4L, None)),
+      "inherited files must read NULL in the evolved column")
+    // v1 is untouched by the evolution — no column, same rows
+    assert(SnapshotTable.read(spark, root, v1).schema.fieldNames.toSeq ==
+      Seq("region", "id", "v"))
+    // the untouched partitions are still the SAME files (no backfill)
+    val v1Files = SnapshotTable.read(spark, root, v1).inputFiles.toSet
+    val shared = SnapshotTable.read(spark, root, v2).inputFiles.toSet
+      .filter(f => f.contains("region=eu") || f.contains("region=na"))
+    assert(shared.nonEmpty && shared.subsetOf(v1Files),
+      "evolution must not rewrite untouched partitions")
+    // pruning on the new column: old entries carry no tier stats, so a
+    // tier predicate may only drop the REWRITTEN entry, never the old
+    // ones (missing stats = must scan)
+    val m = SnapshotTable.manifestAt(spark, root, v2)
+    val kept = SnapshotTable.pruneEntries(m,
+      Seq(SnapshotTable.Pred("tier", "=", "zzz")))
+    assert(kept.count(e => e.contains("region=eu") ||
+      e.contains("region=na")) == 2,
+      "a stats-less inherited entry was pruned on the evolved column")
+    assert(!kept.exists(_.contains("region=asia")),
+      "the rewritten entry records tier bounds [gold,gold] and must " +
+      "prune under tier='zzz'")
+    // differential read: readWhere == read().filter() over the new col
+    val preds = Seq(SnapshotTable.Pred("tier", "=", "gold"))
+    val a = SnapshotTable.readWhere(spark, root, v2, preds)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(a == Seq(1L))
+    // evolution stays ADD-only: dropping/retyping a parent column is
+    // refused even with the opt-in
+    intercept[Exception] {
+      SnapshotTable.commitReplace(
+        Seq(("asia", 1, 1L, "x")).toDF("region", "id", "v", "tier"),
+        root, v2, "region", evolveSchema = true) // id int, not long
+    }
+  }
+
   test("partition column round-trips its ORIGINAL type and column " +
        "order through the hive layout (recorded schema, not inference)") {
     import spark.implicits._
@@ -355,7 +418,8 @@ class SnapshotTableSpec extends SparkSpec {
     // store's conditional-create primitive; the filesystem write
     // happens only after winning it (overwrite=true — atomicity comes
     // from the arbiter, not the scheme)
-    val puts = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val puts =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
     val calls = new java.util.concurrent.atomic.AtomicInteger(0)
     val fake = new SnapshotTable.CommitArbiter {
       def createExclusive(fs: org.apache.hadoop.fs.FileSystem, path: Path,
