@@ -735,6 +735,109 @@ object SnapshotTable {
     next
   }
 
+  /** OPTIMIZE-style COMPACTION: rewrite the selected partitions of the
+    * current version into `filesPerPart` files each (default 1) with
+    * the data bit-identical, as a normal [[commitReplace]] commit —
+    * unselected partitions re-reference their existing files verbatim,
+    * readers time-travel across the compaction untouched, and the
+    * fragmented pre-compaction files are reclaimed by [[vacuum]] once
+    * the old versions age out (the refcount already handles it; no new
+    * GC path). Small-file fragmentation is the steady-state tax of
+    * micro-batch ingest ([[appendInto]] adds one file set per batch per
+    * touched partition): at 100 TB the cost of a scan is bounded below
+    * by files-opened, so periodic compaction is what keeps read
+    * amplification flat — and because it rides commitReplace, its cost
+    * is proportional to the partitions it touches, never the table.
+    *
+    * `filesPerPart` > 1 splits each partition by a deterministic row
+    * hash for very large partitions (one task per output file).
+    * `parts` filters which RAW partition values compact (empty = all).
+    * Returns the new version. */
+  def compact(spark: SparkSession, root: String, expectedBase: Long,
+              pcol: String, parts: Seq[String] = Nil,
+              filesPerPart: Int = 1, tag: Option[String] = None): Long = {
+    require(filesPerPart >= 1,
+      s"snapshot compact: filesPerPart=$filesPerPart must be >= 1")
+    val cur = checkBase(spark, root, expectedBase)
+    val m = manifestOf(fsOf(spark, root), root, cur)
+    require(m.pcol.contains(pcol),
+      s"snapshot compact: version $cur is partitioned on " +
+      s"${m.pcol.getOrElse("<nothing>")}, not '$pcol'")
+    val touched =
+      if (parts.isEmpty) m.entries.map(e => entryPartValue(e, pcol))
+      else parts.map(v =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v))
+    val wanted = touched.toSet
+    val sel = m.entries.filter(e => wanted.contains(entryPartValue(e, pcol)))
+    require(sel.nonEmpty, "snapshot compact: no matching partitions")
+    // scan ONLY the selected entries (partition pruning by entry list,
+    // not a post-scan filter), then lay the rows out one task per
+    // output file: hash(pcol) alone puts a whole partition in one
+    // task/file; the salt term splits it filesPerPart ways by a
+    // deterministic row hash when one file would be too large.
+    val data = readEntries(spark, root, m, sel)
+    val keys: Seq[org.apache.spark.sql.Column] =
+      org.apache.spark.sql.functions.col(pcol) +:
+        (if (filesPerPart == 1) Nil
+         else Seq(org.apache.spark.sql.functions.pmod(
+           org.apache.spark.sql.functions.xxhash64(
+             data.columns.map(org.apache.spark.sql.functions.col)
+               .toIndexedSeq: _*),
+           org.apache.spark.sql.functions.lit(filesPerPart))))
+    commitReplace(data.repartition(keys: _*), root, cur, pcol, tag = tag)
+  }
+
+  /** APPEND `batch` into the partitioned snapshot — the micro-batch
+    * ingest primitive behind [[graft.stream.SnapshotSink]]. Each
+    * touched partition's next content is its current rows UNION the
+    * batch's (pure append — no key semantics; upserts go through
+    * [[PartitionMerge]] + [[commitReplace]]), committed atomically via
+    * commitReplace, so cost is proportional to the touched partitions
+    * and untouched partitions keep their files verbatim. Bootstraps an
+    * empty table with [[commitPartitioned]]. The touched-partition
+    * list is collected (bounded by the partition-value domain, never
+    * batch rows) and pushed as an entry-list restriction on the
+    * current-state scan.
+    *
+    * `expectedBase` < 0 (the default) appends onto whatever version is
+    * current — convenient for a single writer. An exactly-once caller
+    * ([[graft.stream.SnapshotSink]]) must PIN the base it decided
+    * idempotence against: with a floating base, a twin attempt of the
+    * same batch that loses the first commit race could re-read the
+    * winner's version as its parent and append the batch a second
+    * time; a pinned base makes the twin's commit CONFLICT instead,
+    * which the caller resolves via its tag. Returns the new version. */
+  def appendInto(batch: DataFrame, root: String, pcol: String,
+                 tag: Option[String] = None,
+                 expectedBase: Long = -1L): Long = {
+    val spark = batch.sparkSession
+    val cur =
+      if (expectedBase >= 0L) checkBase(spark, root, expectedBase)
+      else currentVersion(spark, root)
+    if (cur == 0L) commitPartitioned(batch, root, 0L, pcol, tag)
+    else {
+      val m = manifestOf(fsOf(spark, root), root, cur)
+      require(m.pcol.contains(pcol),
+        s"snapshot appendInto: version $cur is partitioned on " +
+        s"${m.pcol.getOrElse("<nothing>")}, not '$pcol'")
+      val touched = batch.select(org.apache.spark.sql.functions
+          .col(pcol).cast("string")).distinct()
+        .collect().map(r => r.getString(0)).toSet
+      require(!touched.contains(null),
+        s"snapshot appendInto: batch carries a NULL $pcol value")
+      val esc = touched.map(v =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v))
+      val sel = m.entries.filter(e => esc.contains(entryPartValue(e, pcol)))
+      val existing = readEntries(spark, root, m, sel)
+      val aligned = batch.select(existing.columns
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      commitReplace(existing.unionByName(aligned), root, cur, pcol,
+        tag = tag)
+    }
+  }
+
   /** Time-travel read: the immutable snapshot of `version` — the union
     * of its manifest's entries. Partitioned entries read with their
     * data dir as `basePath` (so the hive-layout partition column comes

@@ -1457,6 +1457,149 @@ object RelQueries {
            sum("cents").cast("long").as("sum_cents"))
   }
 
+  /** SNK17: OPTIMIZE-style COMPACTION
+    * ([[graft.catalog.SnapshotTable.compact]]): the events snapshot is
+    * committed deliberately FRAGMENTED (a 12-way upstream repartition
+    * leaves up to 12 small files per partition — the steady-state
+    * shape of micro-batch ingest), then one compaction commit rewrites
+    * every partition into a single file with the data bit-identical.
+    * The file-count collapse and the after<before invariant are
+    * asserted IN-QUERY (a compaction that failed to compact fails the
+    * gate loudly); the declared result re-aggregates the POST-compact
+    * snapshot so the oracle proves the rewrite changed nothing — the
+    * whole point of OPTIMIZE. At 100 TB this is the maintenance
+    * command that keeps scan cost bounded by data bytes instead of
+    * file-open counts, and it costs only the partitions it touches. */
+  def snk17Compact(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    val root = ioDir(dir, "snk17compact")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"),
+        floor(col("event_id") / 2000).cast("long").as("bkt"))
+    val v1 = SnapshotTable.commitPartitioned(
+      base.repartition(12), root, 0L, "bkt")
+    def dataFiles(v: Long): Long = {
+      val m = SnapshotTable.manifestAt(s, root, v)
+      m.entries.map { e =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$e"))
+          .count(st => st.getPath.getName.endsWith(".parquet")).toLong
+      }.sum
+    }
+    val before = dataFiles(v1)
+    val v2 = SnapshotTable.compact(s, root, v1, "bkt")
+    val after = dataFiles(v2)
+    val nparts = SnapshotTable.manifestAt(s, root, v2).entries.length
+    require(after == nparts && before > after,
+      s"snk17: compaction left $after files over $nparts partitions " +
+      s"(before: $before) — expected exactly one file per partition")
+    SnapshotTable.read(s, root, v2)
+      .groupBy("bkt")
+      .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
+  }
+
+  /** SNK18: Z-ORDER CLUSTERED LAYOUT + MULTI-DIMENSION DATA SKIPPING
+    * ([[graft.functions.ZOrder]] through the snapshot stats machinery):
+    * the 100×100 cell grid commits twice — once partitioned on a
+    * 16-block Morton-curve prefix (each block an axis-aligned 32×32
+    * square, so BOTH r and c have bounded per-entry min/max) and once
+    * on a 16-band row range (the 1-D layout: r bounded, c full-range
+    * per entry). Two single-axis box predicates then show the
+    * tradeoff that justifies Z-ordering at 100 TB: the row-box prunes
+    * under BOTH layouts (the 1-D layout better on its own axis), but
+    * the col-box prunes ONLY under the z layout — the row-banded
+    * snapshot must scan all 16 entries, the z snapshot 4. Scanned
+    * counts AND box sums are the declared result; the oracle replays
+    * the interleave arithmetic ([[graft.functions.ZOrder.zBlockSql]]
+    * emits the identical term sum), recomputes every block's r/c
+    * bounds, and re-derives the prune decisions — the pruning itself
+    * is gated, not just the surviving rows. */
+  def snk18Zorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    import graft.catalog.SnapshotTable.Pred
+    import graft.functions.ZOrder
+    val zroot = ioDir(dir, "snk18zorder")
+    val rroot = ioDir(dir, "snk18rowband")
+    val fs = new org.apache.hadoop.fs.Path(zroot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(zroot, rroot).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val cells = table(s, dir, "lineitem")
+      .groupBy((col("l_orderkey") % 10000).as("cell_id"))
+      .agg(sum((col("l_quantity").cast(dec) * 100).cast("long"))
+        .cast("long").as("cents"))
+      .select(col("cell_id"), col("cents"),
+        expr("cell_id div 100").as("r"), (col("cell_id") % 100).as("c"))
+    val zv = SnapshotTable.commitPartitioned(
+      cells.withColumn("zb", ZOrder.zBlock(col("r"), col("c"), 7, 10)),
+      zroot, 0L, "zb")
+    val rv = SnapshotTable.commitPartitioned(
+      cells.withColumn("rb", expr("(r * 16) div 100")), rroot, 0L, "rb")
+    val zm = SnapshotTable.manifestAt(s, zroot, zv)
+    val rm = SnapshotTable.manifestAt(s, rroot, rv)
+    require(zm.entries.length == rm.entries.length,
+      s"snk18: layouts disagree on partition count " +
+      s"(${zm.entries.length} vs ${rm.entries.length})")
+    val rowBox = Seq(Pred("r", ">=", 20L), Pred("r", "<=", 39L))
+    val colBox = Seq(Pred("c", ">=", 10L), Pred("c", "<=", 29L))
+    def audit(box: String, preds: Seq[Pred]): DataFrame = {
+      val zScan = SnapshotTable.pruneEntries(zm, preds).length.toLong
+      val rScan = SnapshotTable.pruneEntries(rm, preds).length.toLong
+      val sum1 = SnapshotTable.readWhere(s, zroot, zv, preds)
+        .agg(sum("cents")).head.getLong(0)
+      val sum2 = SnapshotTable.readWhere(s, rroot, rv, preds)
+        .agg(sum("cents")).head.getLong(0)
+      require(sum1 == sum2,
+        s"snk18: pruned reads disagree under $box ($sum1 vs $sum2)")
+      s.range(1).select(lit(box).as("box"), lit(zScan).as("z_scanned"),
+        lit(rScan).as("r_scanned"),
+        lit(zm.entries.length.toLong).as("total"),
+        lit(sum1).as("sum_cents"))
+    }
+    audit("row_box", rowBox).unionByName(audit("col_box", colBox))
+  }
+
+  /** SNK19: EXACTLY-ONCE MICRO-BATCH INGEST
+    * ([[graft.stream.SnapshotSink.exactlyOnce]] over
+    * [[graft.catalog.SnapshotTable.appendInto]]): three event-id-range
+    * batches append through the foreachBatch sink surface, with the
+    * middle batch DELIVERED TWICE (the at-least-once replay Structured
+    * Streaming guarantees after a restart) — the tag-idempotent commit
+    * makes the replay a provable no-op (version count asserted
+    * in-query), and the oracle's plain full-table aggregate catches
+    * any double-append arithmetically: one duplicated batch would
+    * shift every touched group's count and sum. */
+  def snk19AppendIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    import graft.stream.SnapshotSink
+    val root = ioDir(dir, "snk19ingest")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"),
+        floor(col("event_id") / 2000).cast("long").as("bkt"))
+    val hi = base.agg(max("event_id")).head.getLong(0)
+    val cut1 = hi / 3
+    val cut2 = 2 * hi / 3
+    val sink = SnapshotSink.exactlyOnce(root, "bkt") _
+    sink(base.filter(col("event_id") <= cut1), 0L)
+    sink(base.filter(col("event_id") > cut1 && col("event_id") <= cut2), 1L)
+    val vBefore = SnapshotTable.currentVersion(s, root)
+    // at-least-once replay of batch 1 after a simulated restart
+    sink(base.filter(col("event_id") > cut1 && col("event_id") <= cut2), 1L)
+    require(SnapshotTable.currentVersion(s, root) == vBefore,
+      "snk19: a replayed batch advanced the version — idempotence broken")
+    sink(base.filter(col("event_id") > cut2), 2L)
+    SnapshotTable.readLatest(s, root)
+      .groupBy("bkt")
+      .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -2984,6 +3127,9 @@ object RelQueries {
     "snk12_group_commit" -> snk12GroupCommit,
     "snk13_stats_prune" -> snk13StatsPrune,
     "snk16_schema_evolution" -> snk16SchemaEvolution,
+    "snk17_compact" -> snk17Compact,
+    "snk18_zorder" -> snk18Zorder,
+    "snk19_append_ingest" -> snk19AppendIngest,
     "snk14_group_feed" -> snk14GroupFeed,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
@@ -3661,6 +3807,54 @@ object RelQueries {
         |  count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM base GROUP BY 1""".stripMargin,
+    // compaction must be invisible to the data: the post-compact
+    // aggregate is the plain events aggregate
+    "snk17_compact" ->
+      """SELECT CAST(floor(event_id / 2000) AS BIGINT) AS bkt,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    // the prune decisions replay arithmetically: per-block r/c bounds
+    // from the SAME interleave term sum, then bounds-vs-box intersection
+    "snk18_zorder" -> {
+      val zb = graft.functions.ZOrder.zBlockSql("r", "c", 7, 10)
+      s"""WITH cells AS (
+         |  SELECT l_orderkey % 10000 AS cell_id,
+         |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+         |             AS BIGINT)) AS BIGINT) AS cents
+         |  FROM lineitem GROUP BY 1),
+         |g AS (
+         |  SELECT cell_id, cents, cell_id // 100 AS r, cell_id % 100 AS c
+         |  FROM cells),
+         |z AS (SELECT *, $zb AS zb, (r * 16) // 100 AS rb FROM g),
+         |zs AS (SELECT zb, min(r) mr, max(r) xr, min(c) mc, max(c) xc
+         |       FROM z GROUP BY zb),
+         |rs AS (SELECT rb, min(r) mr, max(r) xr, min(c) mc, max(c) xc
+         |       FROM z GROUP BY rb)
+         |SELECT 'row_box' AS box,
+         |  (SELECT count(*) FROM zs WHERE xr >= 20 AND mr <= 39)
+         |    AS z_scanned,
+         |  (SELECT count(*) FROM rs WHERE xr >= 20 AND mr <= 39)
+         |    AS r_scanned,
+         |  (SELECT count(*) FROM zs) AS total,
+         |  (SELECT CAST(sum(cents) AS BIGINT) FROM z
+         |   WHERE r BETWEEN 20 AND 39) AS sum_cents
+         |UNION ALL
+         |SELECT 'col_box',
+         |  (SELECT count(*) FROM zs WHERE xc >= 10 AND mc <= 29),
+         |  (SELECT count(*) FROM rs WHERE xc >= 10 AND mc <= 29),
+         |  (SELECT count(*) FROM zs),
+         |  (SELECT CAST(sum(cents) AS BIGINT) FROM z
+         |   WHERE c BETWEEN 10 AND 29)""".stripMargin
+    },
+    // one duplicated batch would shift every touched group's n and sum
+    "snk19_append_ingest" ->
+      """SELECT CAST(floor(event_id / 2000) AS BIGINT) AS bkt,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
     // the pinned group version v1 = the even-doc_id half of both tables
     "snk12_group_commit" ->
       """SELECT source, count(*) AS n,

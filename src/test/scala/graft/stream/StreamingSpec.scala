@@ -714,4 +714,54 @@ class StreamingSpec extends SparkSpec {
     assert(SnapshotTable.currentVersion(spark, root) == 4L,
       "replay under a foreign latest tag re-committed a duplicate version")
   }
+
+  test("S21 exactly-once snapshot APPEND sink: micro-batches append at " +
+       "commitReplace economics, replay and a racing twin are no-ops, " +
+       "untouched partitions keep their files") {
+    import spark.implicits._
+    import graft.catalog.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_s21").toString
+    val root = s"$dir/tbl"
+    val input = MemoryStream[(String, Long)](spark)
+    val rows = input.toDF().toDF("p", "v")
+    val q = rows.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(SnapshotSink.exactlyOnce(root, "p") _)
+      .start()
+    try {
+      input.addData(("a", 1L), ("b", 2L))
+      q.processAllAvailable()
+      input.addData(("a", 3L))          // touches only partition a
+      q.processAllAvailable()
+    } finally q.stop()
+    def state(v: Long): Seq[(String, Long)] =
+      SnapshotTable.read(spark, root, v).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(SnapshotTable.committedVersions(spark, root) == Seq(1L, 2L))
+    assert(state(2L) == Seq(("a", 1L), ("a", 3L), ("b", 2L)))
+    // append economics: batch 1 did not rewrite partition b
+    val bFiles1 = SnapshotTable.read(spark, root, 1L).inputFiles.toSet
+      .filter(_.contains("p=b"))
+    val bFiles2 = SnapshotTable.read(spark, root, 2L).inputFiles.toSet
+      .filter(_.contains("p=b"))
+    assert(bFiles2 == bFiles1,
+      "an append touching only partition a rewrote partition b")
+    // at-least-once replay after a simulated restart: no-op
+    SnapshotSink.exactlyOnce(root, "p")(Seq(("a", 3L)).toDF("p", "v"), 1L)
+    assert(SnapshotTable.currentVersion(spark, root) == 2L)
+    assert(state(2L) == Seq(("a", 1L), ("a", 3L), ("b", 2L)))
+    // racing twin attempts of the SAME batch: exactly one commits
+    // (arbiter), the loser resolves its conflict via the tag and stays
+    // quiet; the data lands exactly once
+    val batch2 = Seq(("b", 8L)).toDF("p", "v")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (1 to 2).map(_ => new Thread(() =>
+      try SnapshotSink.exactlyOnce(root, "p")(batch2, 2L)
+      catch { case t: Throwable => errs.add(t) }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"twin race leaked: ${errs.peek()}")
+    assert(SnapshotTable.currentVersion(spark, root) == 3L)
+    assert(state(3L).count(_ == ("b", 8L)) == 1,
+      "the twin race double-appended batch 2")
+  }
 }
