@@ -160,10 +160,12 @@ object KMeans {
     * multiply per-input-byte work by the codebook size, while file-scan
     * partitioning (`maxPartitionBytes`) sizes splits for ~1× work per
     * byte — a corpus that fits one split runs its whole n·k expansion
-    * on ONE task. Measured at the 30× scale point: the 15 MB sf3
-    * embeddings file is a single split, so d16/d34/d23's assignment
-    * legs ran single-threaded (6–9.6× wall for 3× data; fixed below
-    * 3.3×/4.2×/4.6×). Hashing on the id restores kernel-proportional
+    * on ONE task. Measured (BenchFew median-of-3, local[16]): at the
+    * 30× scale point the assignment legs ran near-single-threaded —
+    * d16 71.5 s, d34 88.8 s, d23 78.0 s; with byId 7.2 / 17.3 / 10.5 s
+    * (the 10× point improved 10.5→4.2, 41→4.8, 20.8→4.6), and the
+    * 10×→30× ratios fell to 1.7× / 3.6× / 2.3× for 3× data — the
+    * kernel-linear regime. Hashing on the id restores kernel-proportional
     * parallelism at any corpus size (`spark.sql.shuffle.partitions` /
     * AQE pick the count) and pre-aligns the per-vector argmin groupBy
     * — hash(vec_id) satisfies its clustering, so the expansion's
