@@ -1600,6 +1600,68 @@ object RelQueries {
       .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
   }
 
+  /** SNK20: VERSION-PAIR LAYERING — the documented composition for a
+    * table that needs BOTH partition-scoped commit economics and
+    * cross-artifact atomicity ([[graft.catalog.SnapshotGroup]]'s
+    * recorded scope decision: group commits are full snapshots per
+    * table, so the BIG table commits through
+    * [[graft.catalog.SnapshotTable.commitReplace]] and the group
+    * publishes only the (corpus version, derived index) PAIR). Two
+    * ingest rounds run — the second touching ONE corpus partition via
+    * commitReplace and republishing the pair — then the query pins the
+    * OLDER group version: the pointer it stores selects corpus v1, and
+    * the index read AT THE SAME group version was derived from exactly
+    * that corpus, so per-bucket counts from the pinned index and a
+    * recount of the pinned corpus agree row for row. The oracle
+    * replays both sides from the events arithmetic; any torn
+    * publication (new corpus, old index — the window the group
+    * closes) or a broken pointer shifts one side and fails the hash.
+    * At 100 TB: the corpus pays only touched partitions per round, the
+    * group pays two tiny tables — atomicity costs metadata, not
+    * data. */
+  def snk20LayeredPair(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.{SnapshotGroup, SnapshotTable}
+    import s.implicits._
+    val big = ioDir(dir, "snk20corpus")
+    val grp = ioDir(dir, "snk20pair")
+    val fs = new org.apache.hadoop.fs.Path(big)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(big, grp).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val base = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"),
+        floor(col("event_id") / 2000).cast("long").as("bkt"))
+    def index(v: Long): DataFrame =
+      SnapshotTable.read(s, big, v).groupBy("bkt")
+        .agg(count(lit(1)).as("n_idx"),
+          sum("cents").cast("long").as("sum_idx"))
+    // round 1: even events ingest; pair (v1, index-of-v1) publishes
+    val v1 = SnapshotTable.commitPartitioned(
+      base.filter(col("event_id") % 2 === 0), big, 0L, "bkt")
+    val g1 = SnapshotGroup.commit(Map(
+      "ptr" -> Seq(v1).toDF("corpus_version"), "idx" -> index(v1)),
+      grp, 0L)
+    // round 2: the odd rows of ONE bucket land via commitReplace (only
+    // that partition rewrites), and the pair republishes atomically
+    val v2 = SnapshotTable.commitReplace(
+      base.filter(col("bkt") === 1), big, v1, "bkt")
+    SnapshotGroup.commit(Map(
+      "ptr" -> Seq(v2).toDF("corpus_version"), "idx" -> index(v2)),
+      grp, g1)
+    // pin the OLD pair: its pointer must select corpus v1, and its
+    // index must agree with a live recount of that pinned corpus
+    val ptr = SnapshotGroup.read(s, grp, "ptr", g1)
+      .head().getLong(0)
+    require(ptr == v1,
+      s"snk20: pinned group version points at corpus $ptr, not $v1")
+    SnapshotGroup.read(s, grp, "idx", g1)
+      .join(SnapshotTable.read(s, big, ptr).groupBy("bkt")
+          .agg(count(lit(1)).as("n_live")),
+        Seq("bkt"), "full_outer")
+      .select(col("bkt"), col("n_idx"), col("sum_idx"), col("n_live"))
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -3130,6 +3192,7 @@ object RelQueries {
     "snk17_compact" -> snk17Compact,
     "snk18_zorder" -> snk18Zorder,
     "snk19_append_ingest" -> snk19AppendIngest,
+    "snk20_layered_pair" -> snk20LayeredPair,
     "snk14_group_feed" -> snk14GroupFeed,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
@@ -3848,6 +3911,18 @@ object RelQueries {
          |  (SELECT CAST(sum(cents) AS BIGINT) FROM z
          |   WHERE c BETWEEN 10 AND 29)""".stripMargin
     },
+    // the pinned pair is corpus v1 = the even-event half; a torn
+    // publication or broken pointer shifts n_idx against n_live
+    "snk20_layered_pair" ->
+      """WITH c AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(floor(event_id / 2000) AS BIGINT) AS bkt
+        |  FROM events WHERE event_id % 2 = 0)
+        |SELECT bkt, count(*) AS n_idx,
+        |  CAST(sum(cents) AS BIGINT) AS sum_idx,
+        |  count(*) AS n_live
+        |FROM c GROUP BY bkt""".stripMargin,
     // one duplicated batch would shift every touched group's n and sum
     "snk19_append_ingest" ->
       """SELECT CAST(floor(event_id / 2000) AS BIGINT) AS bkt,
