@@ -239,7 +239,8 @@ object KMeans {
     * float epsilon: mean-of-integers re-quantized to the grid is
     * deterministic, and an unchanged codebook reproduces itself. */
   def train(corpus: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {
-    val q = corpus.localCheckpoint()
+    // byId: every round's lloydOnce is a ×k expansion over q (see byId)
+    val q = byId(corpus).localCheckpoint()
     var seeds = seedLowestK(q, k).localCheckpoint()
     var iter = 0
     var moved = 1L
