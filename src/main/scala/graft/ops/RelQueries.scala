@@ -1476,10 +1476,16 @@ object RelQueries {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    val base = table(s, dir, "events")
+    // SF-independent 8-bucket layout: width derives from the data (the
+    // oracle replays it as a scalar subquery), so the gate exercises
+    // the same partition count at every SF instead of exploding to
+    // hundreds of tiny dirs at sf0.1 (gate scaffold, not signal)
+    val events0 = table(s, dir, "events")
+    val width = events0.agg(max("event_id")).head.getLong(0) / 8 + 1
+    val base = events0
       .select(col("event_id"), col("event_type"),
         (col("value").cast(dec) * 100).cast("long").as("cents"),
-        floor(col("event_id") / 2000).cast("long").as("bkt"))
+        floor(col("event_id") / width).cast("long").as("bkt"))
     val v1 = SnapshotTable.commitPartitioned(
       base.repartition(12), root, 0L, "bkt")
     def dataFiles(v: Long): Long = {
@@ -1579,11 +1585,14 @@ object RelQueries {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    val base = table(s, dir, "events")
+    // SF-independent 8-bucket layout (see snk17Compact)
+    val events0 = table(s, dir, "events")
+    val hi = events0.agg(max("event_id")).head.getLong(0)
+    val width = hi / 8 + 1
+    val base = events0
       .select(col("event_id"), col("event_type"),
         (col("value").cast(dec) * 100).cast("long").as("cents"),
-        floor(col("event_id") / 2000).cast("long").as("bkt"))
-    val hi = base.agg(max("event_id")).head.getLong(0)
+        floor(col("event_id") / width).cast("long").as("bkt"))
     val cut1 = hi / 3
     val cut2 = 2 * hi / 3
     val sink = SnapshotSink.exactlyOnce(root, "bkt") _
@@ -1628,10 +1637,13 @@ object RelQueries {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     Seq(big, grp).foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    val base = table(s, dir, "events")
+    // SF-independent 8-bucket layout (see snk17Compact)
+    val events0 = table(s, dir, "events")
+    val width = events0.agg(max("event_id")).head.getLong(0) / 8 + 1
+    val base = events0
       .select(col("event_id"), col("event_type"),
         (col("value").cast(dec) * 100).cast("long").as("cents"),
-        floor(col("event_id") / 2000).cast("long").as("bkt"))
+        floor(col("event_id") / width).cast("long").as("bkt"))
     def index(v: Long): DataFrame =
       SnapshotTable.read(s, big, v).groupBy("bkt")
         .agg(count(lit(1)).as("n_idx"),
@@ -3873,7 +3885,7 @@ object RelQueries {
     // compaction must be invisible to the data: the post-compact
     // aggregate is the plain events aggregate
     "snk17_compact" ->
-      """SELECT CAST(floor(event_id / 2000) AS BIGINT) AS bkt,
+      """SELECT CAST(floor(event_id / ((SELECT max(event_id) FROM events) // 8 + 1)) AS BIGINT) AS bkt,
         |  count(*) AS n,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
         |       AS BIGINT) AS sum_cents
@@ -3917,7 +3929,7 @@ object RelQueries {
       """WITH c AS (
         |  SELECT event_id,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-        |    CAST(floor(event_id / 2000) AS BIGINT) AS bkt
+        |    CAST(floor(event_id / ((SELECT max(event_id) FROM events) // 8 + 1)) AS BIGINT) AS bkt
         |  FROM events WHERE event_id % 2 = 0)
         |SELECT bkt, count(*) AS n_idx,
         |  CAST(sum(cents) AS BIGINT) AS sum_idx,
@@ -3925,7 +3937,7 @@ object RelQueries {
         |FROM c GROUP BY bkt""".stripMargin,
     // one duplicated batch would shift every touched group's n and sum
     "snk19_append_ingest" ->
-      """SELECT CAST(floor(event_id / 2000) AS BIGINT) AS bkt,
+      """SELECT CAST(floor(event_id / ((SELECT max(event_id) FROM events) // 8 + 1)) AS BIGINT) AS bkt,
         |  count(*) AS n,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
         |       AS BIGINT) AS sum_cents
