@@ -188,7 +188,13 @@ object WroQueries {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory.toString,
       // without these two, coalescePartitions' parallelismFirst floor
       // (minPartitionSize 1 MB) merges ALL test-SF partitions into one
-      // read before the skew rule can see the hot one
+      // read before the skew rule can see the hot one. (Disabling
+      // coalescing outright was measured WORSE at sf1 — 45.5 s vs
+      // 37.8 — so this pair stays; the AQE demo's ~2.6–3.6× gap to the
+      // salted sibling at sf1 is the intrinsic cost of the unsalted
+      // plan shape it exists to demonstrate: a 75%-hot round-robin
+      // re-shuffle plus a forced-skew sort-merge join, where the
+      // salted path streams one hash join end to end.)
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
       "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
         math.max(4096L, advisory / 8).toString)
