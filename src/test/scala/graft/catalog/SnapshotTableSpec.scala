@@ -359,6 +359,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(a == (55L to 60L).toSeq)
   }
 
+  test("compact filesPerPart > 1: the deterministic row-hash salt " +
+       "splits each partition into at most that many files, data intact") {
+    val root = freshRoot()
+    val rows = (1L to 90L).map(i => (s"p${i % 2}", i, i * 7))
+    val v1 = SnapshotTable.commitPartitioned(
+      pdf(rows: _*).repartition(9), root, 0L, "region")
+    val v2 = SnapshotTable.compact(spark, root, v1, "region",
+      filesPerPart = 3)
+    val m = SnapshotTable.manifestAt(spark, root, v2)
+    m.entries.foreach { e =>
+      val n = fs(root).listStatus(new Path(s"$root/$e"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(n >= 1 && n <= 3,
+        s"$e has $n files — expected 1..3 after filesPerPart=3")
+    }
+    assert(SnapshotTable.read(spark, root, v2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      == rows.sorted)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, root, v2, "region", filesPerPart = 0)
+    }
+  }
+
   test("appendInto: touched partitions gain the batch's rows, untouched " +
        "keep their files verbatim, bootstrap works, NULL partition " +
        "values are refused") {
