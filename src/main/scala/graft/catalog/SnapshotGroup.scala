@@ -37,6 +37,18 @@ import org.apache.spark.sql.types.StructType
   * commits its big table through [[SnapshotTable]] and publishes the
   * (table version, artifact) PAIR through a small group — the same
   * layering Delta users apply with a manifest table.
+  *
+  * STATS ASYMMETRY, recorded for the same reason: group tables commit
+  * WITHOUT per-entry min/max skipping stats, so [[read]] never prunes
+  * — deliberate, not an omission. A group table is by the scope
+  * decision above a SMALL artifact (a version pointer, a rollup, an
+  * index summary): a skipping pass over it saves nothing, and stats
+  * would require per-table partition layouts the group manifest
+  * format deliberately excludes. A table big enough to want
+  * [[SnapshotTable.readWhere]]'s pruning belongs on the other side of
+  * the version-pair layering (gated by `snk20_layered_pair`), where it
+  * gets entry- and file-grain stats through the partitioned commit
+  * path.
   */
 object SnapshotGroup {
 
@@ -191,12 +203,16 @@ object SnapshotGroup {
 
   /** Drop group versions older than `keepLast`, then reclaim data dirs
     * no surviving manifest references (each group commit owns exactly
-    * one dir, so reclamation is dir-granular). MAINTENANCE-EXCLUSIVE,
-    * like [[SnapshotTable.vacuum]]. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int = 2)
+    * one dir, so reclamation is dir-granular). Writer safety is
+    * enforced the same way as [[SnapshotTable.vacuum]]: an
+    * unreferenced dir younger than `minAgeMs` is a live writer's
+    * not-yet-committed data, not garbage, and is skipped. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 2,
+             minAgeMs: Long = SnapshotTable.defaultVacuumHorizonMs)
       : Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least the live snapshot")
     val fs = SnapshotTable.fsOf(spark, root)
+    val now = System.currentTimeMillis()
     val versions = committedVersions(spark, root)
     val drop = versions.dropRight(keepLast)
     drop.foreach(v =>
@@ -205,7 +221,9 @@ object SnapshotGroup {
       .flatMap(v => manifestOf(fs, root, v).tables.values
         .map(_._1.takeWhile(_ != '/'))).toSet
     fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
-      if (p.getName.startsWith("data-") && !referenced.contains(p.getName))
+      if (p.getName.startsWith("data-") && !referenced.contains(p.getName) &&
+          (minAgeMs <= 0L ||
+            now - fs.getFileStatus(p).getModificationTime >= minAgeMs))
         fs.delete(p, true)
     }
     drop

@@ -108,7 +108,9 @@ object SnapshotTable {
     * type-exact instead of inference-dependent). */
   private[graft] case class Manifest(version: Long, base: Long,
       entries: Seq[String], pcol: Option[String], schemaDdl: String,
-      tag: Option[String], stats: Seq[Map[String, ColStats]] = Nil)
+      tag: Option[String], stats: Seq[Map[String, ColStats]] = Nil,
+      ts: Option[Long] = None,
+      fileStats: Seq[Map[String, Map[String, ColStats]]] = Nil)
 
   /** Per-entry, per-column MIN/MAX recorded in the manifest — the
     * Delta/Iceberg data-skipping statistics. `tpe` is a comparison
@@ -144,37 +146,76 @@ object SnapshotTable {
   private val SchemaRe = """"schema":"([^"]*)"""".r
   private val TagRe = """"tag":"([^"]*)"""".r
   private val BaseRe = """"base":(-?\d+)""".r
+  private val TsRe = """"ts":(-?\d+)""".r
   private val StatsRe = """"stats":\[([^\]]*)\]""".r
 
-  /** Stats blob codec: one LINE per column — `col \t tpe \t b64(min)
-    * \t b64(max)` — the whole per-entry blob base64'd into the
-    * manifest's stats array, so the manifest stays regex-parsable (no
-    * nested JSON) and arbitrary string min/max round-trip exactly. */
-  private def encodeStats(s: Map[String, ColStats]): String = {
+  /** Stats blob codec: one LINE per bound — the whole per-entry blob
+    * base64'd into the manifest's stats array, so the manifest stays
+    * regex-parsable (no nested JSON) and arbitrary string min/max
+    * round-trip exactly. Two line shapes, distinguished by FIELD COUNT:
+    * {{{
+    *   col \t tpe \t b64(min) \t b64(max)                 entry-level
+    *   f \t b64(file) \t col \t tpe \t b64(min) \t b64(max)  per-FILE
+    * }}}
+    * Per-file lines are the Iceberg-grain refinement: during
+    * fragmented ingest (the appendInto steady state) one partition
+    * entry holds many files, and entry-level bounds coarsen to the
+    * union — file lines let [[pruneFiles]] skip at the same grain
+    * parquet footers do, BEFORE compaction runs. A pre-file-stats
+    * reader hitting a 6-field line fails the decode and degrades to
+    * no-stats via parseManifest's advisory catch — never a wrong
+    * prune. */
+  private def encodeStats(s: Map[String, ColStats],
+      files: Map[String, Map[String, ColStats]]): String = {
     def b64(v: String) =
       java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8"))
-    val lines = s.toSeq.sortBy(_._1).map { case (c, cs) =>
+    def checkName(c: String): Unit =
       require(!c.contains('\t') && !c.contains('\n'),
         s"snapshot stats: column name '$c' carries codec-breaking chars")
+    val entryLines = s.toSeq.sortBy(_._1).map { case (c, cs) =>
+      checkName(c)
       s"$c\t${cs.tpe}\t${b64(cs.min)}\t${b64(cs.max)}"
     }
+    val fileLines = files.toSeq.sortBy(_._1).flatMap { case (fn, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+        checkName(c)
+        s"f\t${b64(fn)}\t$c\t${cs.tpe}\t${b64(cs.min)}\t${b64(cs.max)}"
+      }
+    }
     java.util.Base64.getEncoder.encodeToString(
-      lines.mkString("\n").getBytes("UTF-8"))
+      (entryLines ++ fileLines).mkString("\n").getBytes("UTF-8"))
   }
 
-  /** Inverse of [[encodeStats]]. `split("\t", -1)` (limit -1) is
-    * load-bearing: an empty-string min/max encodes to an empty b64
-    * token, and the default split would DROP trailing empty tokens
-    * and break the round trip for a legal encode output. */
-  private def decodeStats(blob: String): Map[String, ColStats] = {
+  /** Inverse of [[encodeStats]]: (entry-level bounds, per-file
+    * bounds). `split("\t", -1)` (limit -1) is load-bearing: an
+    * empty-string min/max encodes to an empty b64 token, and the
+    * default split would DROP trailing empty tokens and break the
+    * round trip for a legal encode output. */
+  private def decodeStats(blob: String)
+      : (Map[String, ColStats], Map[String, Map[String, ColStats]]) = {
     def un64(v: String) =
       new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
     val body = un64(blob)
-    if (body.isEmpty) Map.empty
-    else body.split('\n').iterator.map { line =>
-      val Array(c, t, mn, mx) = line.split("\t", -1)
-      c -> ColStats(t, un64(mn), un64(mx))
-    }.toMap
+    if (body.isEmpty) (Map.empty, Map.empty)
+    else {
+      val entry = Map.newBuilder[String, ColStats]
+      val files = scala.collection.mutable.Map
+        .empty[String, Map[String, ColStats]]
+      body.split('\n').foreach { line =>
+        line.split("\t", -1) match {
+          case Array(c, t, mn, mx) =>
+            entry += c -> ColStats(t, un64(mn), un64(mx))
+          case Array("f", fn64, c, t, mn, mx) =>
+            val fn = un64(fn64)
+            files(fn) = files.getOrElse(fn, Map.empty) +
+              (c -> ColStats(t, un64(mn), un64(mx)))
+          case other => sys.error(
+            s"snapshot stats: unrecognized line shape " +
+            s"(${other.length} fields)") // caught: degrades to no-stats
+        }
+      }
+      (entry.result(), files.toMap)
+    }
   }
 
   /** Parse a manifest body; None = not (yet) a committed manifest — a
@@ -195,12 +236,13 @@ object SnapshotTable {
       // stats" — pruning just keeps everything — instead of letting
       // an exception escape parseManifest and crash every reader
       // path on a manifest whose committed content is intact.
-      val stats =
+      val decoded =
         try StatsRe.findFirstMatchIn(body)
           .map(m => EntryRe.findAllMatchIn(m.group(1))
             .map(g => decodeStats(g.group(1))).toSeq)
           .getOrElse(Nil)
         catch { case scala.util.control.NonFatal(_) => Nil }
+      val aligned = decoded.isEmpty || decoded.length == entries.length
       Manifest(
         version = v,
         base = base,
@@ -209,9 +251,9 @@ object SnapshotTable {
         schemaDdl = new String(
           java.util.Base64.getDecoder.decode(sm.group(1)), "UTF-8"),
         tag = TagRe.findFirstMatchIn(body).map(_.group(1)),
-        stats =
-          if (stats.nonEmpty && stats.length != entries.length) Nil
-          else stats)
+        stats = if (aligned) decoded.map(_._1) else Nil,
+        ts = TsRe.findFirstMatchIn(body).map(_.group(1).toLong),
+        fileStats = if (aligned) decoded.map(_._2) else Nil)
     }
 
   private[catalog] def readManifestBody(fs: FileSystem, root: String, v: Long)
@@ -389,7 +431,10 @@ object SnapshotTable {
   private def manifestBody(next: Long, base: Long, entries: Seq[String],
                            pcol: Option[String], schema0: StructType,
                            tag: Option[String],
-                           stats: Seq[Map[String, ColStats]] = Nil)
+                           stats: Seq[Map[String, ColStats]] = Nil,
+                           fstats: Seq[Map[String, Map[String, ColStats]]]
+                             = Nil,
+                           ts: Long = -1L)
       : Array[Byte] = {
     val schema = nullableSchema(schema0)
     entries.foreach(e => require(!e.exists(ch => ch == '"' || ch == '\\'),
@@ -397,19 +442,37 @@ object SnapshotTable {
     require(stats.isEmpty || stats.length == entries.length,
       s"snapshot commit: ${stats.length} stats blobs for " +
       s"${entries.length} entries — writer bug")
+    require(fstats.isEmpty || fstats.length == entries.length,
+      s"snapshot commit: ${fstats.length} file-stats blobs for " +
+      s"${entries.length} entries — writer bug")
     val entriesJson = entries.map(e => s""""$e"""").mkString(",")
     val pcolField = pcol.map(p => s""","pcol":"$p"""").getOrElse("")
     val schemaB64 = java.util.Base64.getEncoder
       .encodeToString(schema.toDDL.getBytes("UTF-8"))
+    val fs0 = if (fstats.isEmpty) entries.map(_ =>
+      Map.empty[String, Map[String, ColStats]]) else fstats
     val statsField =
-      if (stats.isEmpty || stats.forall(_.isEmpty)) ""
-      else s""","stats":[${stats.map(s => s""""${encodeStats(s)}"""")
+      if (stats.isEmpty ||
+          (stats.forall(_.isEmpty) && fs0.forall(_.isEmpty))) ""
+      else s""","stats":[${stats.zip(fs0)
+        .map { case (s, f) => s""""${encodeStats(s, f)}"""" }
         .mkString(",")}]"""
     val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
-    (s"""{"version":$next,"base":$base,"entries":[$entriesJson]""" +
+    val tsField = if (ts >= 0) s""","ts":$ts""" else ""
+    (s"""{"version":$next,"base":$base$tsField,"entries":[$entriesJson]""" +
       s"""$pcolField,"schema":"$schemaB64"$statsField$tagField}""")
       .getBytes("UTF-8")
   }
+
+  /** Resolve a caller-supplied commit timestamp: an explicit value is
+    * recorded verbatim (what keeps tests and replayed pipelines
+    * deterministic); the < 0 sentinel falls back to the process wall
+    * clock. Monotonicity is NOT enforced at commit time (multi-writer
+    * clock skew must not fail commits — Delta's position);
+    * [[versionAsOf]] adjusts non-monotonic history at resolution time
+    * instead. */
+  private def resolveTs(commitTs: Long): Long =
+    if (commitTs >= 0L) commitTs else System.currentTimeMillis()
 
   /** The ATOMIC-CREATE SEAM: how a manifest file comes into existence
     * exactly once. Implementations MUST create `path` with `body`
@@ -496,7 +559,7 @@ object SnapshotTable {
     * [[committedTags]]/[[latestTag]]-based replay idempotence. For a
     * table too big to rewrite wholesale, use [[commitReplace]]. */
   def commit(df: DataFrame, root: String, expectedBase: Long,
-             tag: Option[String] = None): Long = {
+             tag: Option[String] = None, commitTs: Long = -1L): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     checkTag(tag)
@@ -507,7 +570,8 @@ object SnapshotTable {
     val dirName = s"data-${java.util.UUID.randomUUID()}"
     val dataDir = new Path(s"$root/$dirName")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val body = manifestBody(next, cur, Seq(dirName), None, df.schema, tag)
+    val body = manifestBody(next, cur, Seq(dirName), None, df.schema, tag,
+      ts = resolveTs(commitTs))
     createManifestExclusive(fs, root, next, body, Some(dataDir))
     next
   }
@@ -519,7 +583,8 @@ object SnapshotTable {
     * read restores the partition column's type and position exactly
     * (dir names alone would leave them to partition-type inference). */
   def commitPartitioned(df: DataFrame, root: String, expectedBase: Long,
-                        pcol: String, tag: Option[String] = None): Long = {
+                        pcol: String, tag: Option[String] = None,
+                        commitTs: Long = -1L): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     checkTag(tag)
@@ -531,10 +596,10 @@ object SnapshotTable {
     val dataDir = new Path(s"$root/$dirName")
     df.write.mode("overwrite").partitionBy(pcol).parquet(dataDir.toString)
     val entries = partitionEntries(fs, root, dirName, pcol)
-    val stats = entryStats(spark, root, dirName, pcol,
+    val (stats, fstats) = entryStats(spark, root, dirName, pcol,
       nullableSchema(df.schema), entries)
     val body = manifestBody(next, cur, entries, Some(pcol), df.schema, tag,
-      stats)
+      stats, fstats, resolveTs(commitTs))
     createManifestExclusive(fs, root, next, body, Some(dataDir))
     next
   }
@@ -591,47 +656,102 @@ object SnapshotTable {
       case _ => None
     }
 
-  /** Per-partition-entry min/max stats, computed by reading BACK the
-    * freshly written data dir (one agg job, pruned to the eligible
-    * columns — never a recompute of the writer's upstream lineage;
-    * with parquet aggregate pushdown the scan is footer-only where
-    * Spark supports it). Driver state is O(partitions × columns),
-    * the same bound the manifest itself already carries. Any failure
+  /** Per-entry cap on FILE-level stats: a partition entry holding more
+    * files than this records only entry-level bounds (the manifest is
+    * one JSON document — a pathologically fragmented partition must
+    * not balloon it; [[compact]] is the cure for that shape anyway,
+    * and entry-level pruning still applies). Spec-tunable. */
+  @volatile private[graft] var fileStatsCap: Int = 128
+
+  /** Rendered-bound comparison in the bound's own domain. Strings
+    * compare by UTF-8 bytes UNSIGNED — exactly Spark's binary string
+    * ordering — so a driver-side merge can never pick a different
+    * extreme than Spark's own min/max would. */
+  private def boundLt(tpe: String, a: String, b: String): Boolean =
+    tpe match {
+      case "l" => a.toLong < b.toLong
+      case "d" =>
+        new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
+      case _ => java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0
+    }
+
+  /** Per-entry AND per-file min/max stats, computed by reading BACK
+    * the freshly written data dir — ONE agg job at (partition, file)
+    * grain, pruned to the eligible columns, never a recompute of the
+    * writer's upstream lineage. Entry-level bounds merge from the file
+    * bounds in the driver; a column ANY file omits (NaN extreme or
+    * all-NULL slice there) is omitted at entry level too — the file's
+    * hidden extreme could make a merged bound unsound under Spark's
+    * NaN-greatest ordering, and omission is always sound. Driver state
+    * is O(files × columns), the same bound the manifest itself then
+    * carries, and [[fileStatsCap]] bounds it per entry. Any failure
     * degrades to NO stats — a commit must never fail because an
     * optimization pass did. */
   private def entryStats(spark: SparkSession, root: String,
       dirName: String, pcol: String, schema: StructType,
-      entries: Seq[String]): Seq[Map[String, ColStats]] = {
-    import org.apache.spark.sql.functions.{col, min, max}
+      entries: Seq[String])
+      : (Seq[Map[String, ColStats]],
+         Seq[Map[String, Map[String, ColStats]]]) = {
+    import org.apache.spark.sql.functions.{col, min, max, input_file_name}
     val cols = statsCols(schema, pcol)
-    if (cols.isEmpty) return entries.map(_ => Map.empty[String, ColStats])
+    val noStats = (entries.map(_ => Map.empty[String, ColStats]),
+      entries.map(_ => Map.empty[String, Map[String, ColStats]]))
+    if (cols.isEmpty) return noStats
     try {
       val back = spark.read.schema(schema)
         .option("basePath", s"$root/$dirName")
         .parquet(s"$root/$dirName")
       val aggs = cols.flatMap { case (c, _) =>
         Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
-      val byPart: Map[String, Map[String, ColStats]] =
-        back.groupBy(col(pcol)).agg(aggs.head, aggs.tail: _*)
+      val byPartFile: Map[String, Map[String, Map[String, ColStats]]] =
+        back.groupBy(col(pcol), input_file_name().as("_fn"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect().map { row =>
             val pv = Option(row.get(0)) match {
               case None => "__HIVE_DEFAULT_PARTITION__"
               case Some(v) => org.apache.spark.sql.catalyst.catalog
                 .ExternalCatalogUtils.escapePathName(v.toString)
             }
+            val path = row.getString(1)
+            val fname = path.substring(path.lastIndexOf('/') + 1)
             val m = cols.flatMap { case (c, tpe) =>
               for {
                 mn <- renderBound(tpe, row.getAs[Any](s"mn_$c"))
                 mx <- renderBound(tpe, row.getAs[Any](s"mx_$c"))
               } yield c -> ColStats(tpe, mn, mx)
             }.toMap
-            pv -> m
+            (pv, fname, m)
+          }.groupBy(_._1).map { case (pv, rows) =>
+            pv -> rows.map(r => r._2 -> r._3).toMap
+          }
+      val byPart: Map[String, Map[String, ColStats]] =
+        byPartFile.map { case (pv, files) =>
+          val perFile = files.values.toSeq
+          pv -> cols.flatMap { case (c, tpe) =>
+            val bounds = perFile.map(_.get(c))
+            if (bounds.isEmpty || bounds.exists(_.isEmpty)) None
+            else {
+              val all = bounds.flatten
+              Some(c -> ColStats(tpe,
+                all.map(_.min).reduce((a, b) =>
+                  if (boundLt(tpe, a, b)) a else b),
+                all.map(_.max).reduce((a, b) =>
+                  if (boundLt(tpe, a, b)) b else a)))
+            }
           }.toMap
-      entries.map(e => byPart.getOrElse(entryPartValue(e, pcol),
-        Map.empty[String, ColStats]))
+        }
+      (entries.map(e => byPart.getOrElse(entryPartValue(e, pcol),
+         Map.empty[String, ColStats])),
+       entries.map { e =>
+         val files = byPartFile.getOrElse(entryPartValue(e, pcol),
+           Map.empty[String, Map[String, ColStats]])
+         if (files.size > fileStatsCap)
+           Map.empty[String, Map[String, ColStats]]
+         else files
+       })
     } catch {
-      case scala.util.control.NonFatal(_) =>
-        entries.map(_ => Map.empty[String, ColStats])
+      case scala.util.control.NonFatal(_) => noStats
     }
   }
 
@@ -655,22 +775,43 @@ object SnapshotTable {
     * refused in both modes.
     * `dropParts` values are RAW partition values; they are escaped
     * with Spark's partition-path escaping before matching entries.
-    * Returns the new version. */
+    *
+    * DISJOINT-PARTITION OPTIMISTIC CONCURRENCY (the Delta/Iceberg
+    * logical-conflict-detection analogue): when the table has moved
+    * past `expectedBase` — at the pre-check or by losing the manifest
+    * race — the commit does NOT immediately fail. It re-reads the
+    * winner's manifest and PROVES the two commits independent: same
+    * `pcol`, schema unchanged since `expectedBase`, and the set of
+    * partition values the winners touched (entry sets differing
+    * between the expected base and the current manifest) DISJOINT
+    * from the set this commit replaces or drops. If the proof holds
+    * it re-commits on the new base — kept entries and their stats now
+    * inherited from the WINNER's manifest, so nothing the winner wrote
+    * is lost — bounded by `rebaseRetries`; any overlap, concurrent
+    * schema evolution, or retry exhaustion stays a LOUD
+    * ConcurrentModificationException. At 100 TB this is what lets
+    * several ingest streams plus a compaction daemon commit
+    * concurrently instead of serializing on a whole-table CAS: the
+    * data is written ONCE, each retry pays only a manifest read and
+    * an exclusive create. Returns the new version. */
   def commitReplace(updates: DataFrame, root: String, expectedBase: Long,
                     pcol: String, dropParts: Seq[String] = Nil,
                     tag: Option[String] = None,
-                    evolveSchema: Boolean = false): Long = {
+                    evolveSchema: Boolean = false,
+                    rebaseRetries: Int = 5,
+                    commitTs: Long = -1L): Long = {
     val spark = updates.sparkSession
     val fs = fsOf(spark, root)
     checkTag(tag)
     require(expectedBase > 0,
       "snapshot commitReplace: no parent version — bootstrap the table " +
       "with commitPartitioned first")
-    val cur = checkBase(spark, root, expectedBase)
-    val parent = manifestOf(fs, root, cur)
+    // validate against the EXPECTED base (not whatever is current):
+    // the rebase path re-proves compatibility against the winner later
+    val parent = manifestOf(fs, root, expectedBase)
     require(parent.pcol.contains(pcol),
-      s"snapshot commitReplace: parent version $cur is partitioned on " +
-      s"${parent.pcol.getOrElse("<nothing>")}, not '$pcol'")
+      s"snapshot commitReplace: parent version $expectedBase is " +
+      s"partitioned on ${parent.pcol.getOrElse("<nothing>")}, not '$pcol'")
     val parentSchema = StructType.fromDDL(parent.schemaDdl)
     // ADD-ONLY schema evolution (opt-in): columns of `updates` beyond
     // the parent's append AFTER the parent's, forced nullable — kept
@@ -702,7 +843,8 @@ object SnapshotTable {
       s"does not match the table schema ${parent.schemaDdl}" +
       (if (evolveSchema) " (evolution is ADD-only: parent columns must " +
         "keep their names and types)" else ""))
-    val next = cur + 1
+    // data writes ONCE into the commit's own dir; every rebase retry
+    // reuses it (the whole point — a conflict must not re-run the job)
     val dirName = s"data-${java.util.UUID.randomUUID()}"
     val dataDir = new Path(s"$root/$dirName")
     aligned.write.mode("overwrite").partitionBy(pcol).parquet(dataDir.toString)
@@ -711,28 +853,104 @@ object SnapshotTable {
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .escapePathName(v)).toSet
     val replaced = newEntries.map(e => entryPartValue(e, pcol)).toSet ++ dropped
-    require(replaced.nonEmpty,
-      "snapshot commitReplace: the batch touches no partitions")
-    val kept = parent.entries
-      .filterNot(e => replaced.contains(entryPartValue(e, pcol)))
-    val entries = (kept ++ newEntries).sorted
-    // kept entries INHERIT the parent's per-entry stats (the bytes are
-    // the same files — the bounds still hold); only the new entries
-    // pay a stats pass, keeping commit cost proportional to the
-    // touched partitions. A stats-less parent contributes empty maps.
-    val parentStats: Map[String, Map[String, ColStats]] =
-      if (parent.stats.length == parent.entries.length)
-        parent.entries.zip(parent.stats).toMap
-      else Map.empty
-    val freshStats = entryStats(spark, root, dirName, pcol,
-      nullableSchema(schema), newEntries)
-    val statsByEntry = parentStats ++ newEntries.zip(freshStats).toMap
-    val stats = entries.map(e =>
-      statsByEntry.getOrElse(e, Map.empty[String, ColStats]))
-    val body = manifestBody(next, cur, entries, Some(pcol), schema, tag,
-      stats)
-    createManifestExclusive(fs, root, next, body, Some(dataDir))
-    next
+    if (replaced.isEmpty) {
+      fs.delete(dataDir, true)
+      throw new IllegalArgumentException(
+        "requirement failed: snapshot commitReplace: the batch touches " +
+        "no partitions")
+    }
+    val (freshStats, freshFileStats) = entryStats(spark, root, dirName,
+      pcol, nullableSchema(schema), newEntries)
+    val ts = resolveTs(commitTs)
+
+    def partEntrySets(m: Manifest): Map[String, Set[String]] =
+      m.entries.groupBy(e => entryPartValue(e, pcol))
+        .map { case (pv, es) => pv -> es.toSet }
+
+    def fail(msg: String): Nothing = {
+      fs.delete(dataDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot commit conflict at $root: $msg")
+    }
+
+    var parentV = expectedBase
+    var parentM = parent
+    var attempts = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      if (cur != parentV) {
+        // the table moved: prove this commit independent of the
+        // winner(s), or fail loudly
+        if (cur < parentV) fail(
+          s"expected base $parentV but the table is at $cur")
+        if (attempts >= rebaseRetries) fail(
+          s"expected base $expectedBase but the table is at $cur and " +
+          s"$rebaseRetries rebase retries are exhausted — rebase on the " +
+          "current snapshot and retry")
+        val curM = manifestOf(fs, root, cur)
+        if (!curM.pcol.contains(pcol)) fail(
+          s"a concurrent writer re-partitioned the table on " +
+          s"${curM.pcol.getOrElse("<nothing>")} — cannot rebase")
+        if (curM.schemaDdl != parent.schemaDdl) fail(
+          s"a concurrent writer evolved the schema to ${curM.schemaDdl} " +
+          s"since base $expectedBase — cannot rebase automatically")
+        val (bm, cm) = (partEntrySets(parent), partEntrySets(curM))
+        val winnerTouched = (bm.keySet ++ cm.keySet).filter(pv =>
+          bm.getOrElse(pv, Set.empty) != cm.getOrElse(pv, Set.empty))
+        val overlap = winnerTouched.intersect(replaced)
+        if (overlap.nonEmpty) fail(
+          s"concurrent writer(s) modified partition(s) " +
+          s"${overlap.toSeq.sorted.mkString(", ")} this commit also " +
+          "replaces — rebase on the current snapshot and retry")
+        attempts += 1
+        parentV = cur
+        parentM = curM
+      }
+      val next = parentV + 1
+      val kept = parentM.entries
+        .filterNot(e => replaced.contains(entryPartValue(e, pcol)))
+      val entries = (kept ++ newEntries).sorted
+      // kept entries INHERIT the parent's per-entry stats (the bytes
+      // are the same files — the bounds still hold); only the new
+      // entries pay a stats pass, keeping commit cost proportional to
+      // the touched partitions. A stats-less parent contributes empty
+      // maps. On a rebase, "parent" is the WINNER's manifest, so its
+      // commits' stats ride through too.
+      val aligned0 = parentM.stats.length == parentM.entries.length
+      val parentStats: Map[String, Map[String, ColStats]] =
+        if (aligned0) parentM.entries.zip(parentM.stats).toMap
+        else Map.empty
+      val parentFileStats: Map[String, Map[String, Map[String, ColStats]]] =
+        if (aligned0 && parentM.fileStats.length == parentM.entries.length)
+          parentM.entries.zip(parentM.fileStats).toMap
+        else Map.empty
+      val statsByEntry = parentStats ++ newEntries.zip(freshStats).toMap
+      val fstatsByEntry =
+        parentFileStats ++ newEntries.zip(freshFileStats).toMap
+      val stats = entries.map(e =>
+        statsByEntry.getOrElse(e, Map.empty[String, ColStats]))
+      val fstats = entries.map(e => fstatsByEntry.getOrElse(e,
+        Map.empty[String, Map[String, ColStats]]))
+      val body = manifestBody(next, parentV, entries, Some(pcol), schema,
+        tag, stats, fstats, ts)
+      try {
+        createManifestExclusive(fs, root, next, body, None)
+        return next
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // lost the exclusive create: loop — the re-read of
+          // currentVersion above discovers the winner and either
+          // rebases or fails with the overlap diagnosis. The attempt
+          // counter ALSO advances here so the create→write visibility
+          // window (winner's manifest exists, body not yet readable —
+          // currentVersion still reports the old frontier) cannot spin
+          // this loop unboundedly; the brief sleep lets that body land.
+          if (attempts >= rebaseRetries) { fs.delete(dataDir, true); throw e }
+          attempts += 1
+          Thread.sleep(10L)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** OPTIMIZE-style COMPACTION: rewrite the selected partitions of the
@@ -770,6 +988,15 @@ object SnapshotTable {
           .escapePathName(v))
     val wanted = touched.toSet
     val sel = m.entries.filter(e => wanted.contains(entryPartValue(e, pcol)))
+    // every requested value must match — silently skipping a typo'd
+    // partition would let the caller believe it was compacted
+    if (parts.nonEmpty) {
+      val have = m.entries.map(e => entryPartValue(e, pcol)).toSet
+      val missing = touched.filterNot(have.contains)
+      require(missing.isEmpty,
+        s"snapshot compact: requested partition value(s) " +
+        s"${missing.mkString(", ")} match no entry of version $cur")
+    }
     require(sel.nonEmpty, "snapshot compact: no matching partitions")
     // scan ONLY the selected entries (partition pruning by entry list,
     // not a post-scan filter), then lay the rows out one task per
@@ -831,6 +1058,16 @@ object SnapshotTable {
           .escapePathName(v))
       val sel = m.entries.filter(e => esc.contains(entryPartValue(e, pcol)))
       val existing = readEntries(spark, root, m, sel)
+      // mirror commitReplace's extras refusal: silently dropping a
+      // batch column beyond the table schema would hide a writer bug
+      // behind the streaming sink. Evolution goes through
+      // commitReplace(evolveSchema = true) explicitly.
+      val extra = batch.columns.filterNot(existing.columns.contains)
+      require(extra.isEmpty,
+        s"snapshot appendInto: batch carries column(s) " +
+        s"${extra.mkString(", ")} beyond the table schema " +
+        s"${m.schemaDdl} — evolve through commitReplace(evolveSchema = " +
+        "true) instead (silently dropping them would hide a writer bug)")
       val aligned = batch.select(existing.columns
         .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       commitReplace(existing.unionByName(aligned), root, cur, pcol,
@@ -860,25 +1097,41 @@ object SnapshotTable {
   /** The scan of a manifest restricted to `entries` — shared by the
     * full [[read]] and the stats-pruned [[readWhere]]. */
   private def readEntries(spark: SparkSession, root: String, m: Manifest,
-                          entries: Seq[String]): DataFrame = {
+                          entries: Seq[String]): DataFrame =
+    readSelection(spark, root, m, entries.map(_ -> None))
+
+  /** The scan of a manifest restricted to a selection of entries,
+    * each optionally narrowed to a FILE list within its directory
+    * (`None` = the whole entry dir) — the read unit [[pruneFiles]]
+    * produces. File paths keep the entry's data dir as `basePath`, so
+    * the hive partition column still materializes under the recorded
+    * schema. */
+  private def readSelection(spark: SparkSession, root: String, m: Manifest,
+      sel: Seq[(String, Option[Seq[String]])]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
     import org.apache.spark.sql.functions.col
     val ordered = schema.fieldNames.map(col).toIndexedSeq
-    if (entries.isEmpty)
+    if (sel.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)
     else m.pcol match {
       case None =>
+        // unpartitioned entries are whole dirs (commit() records no
+        // stats, so file narrowing never reaches this branch)
         spark.read.schema(schema)
-          .parquet(entries.map(e => s"$root/$e"): _*)
+          .parquet(sel.map(e => s"$root/${e._1}"): _*)
           .select(ordered: _*)
       case Some(_) =>
-        entries.groupBy(e => e.substring(0, e.indexOf('/'))).toSeq
+        sel.groupBy(e => e._1.substring(0, e._1.indexOf('/'))).toSeq
           .sortBy(_._1)
           .map { case (dir, es) =>
+            val paths = es.flatMap {
+              case (e, None) => Seq(s"$root/$e")
+              case (e, Some(fns)) => fns.map(f => s"$root/$e/$f")
+            }
             spark.read.schema(schema)
               .option("basePath", s"$root/$dir")
-              .parquet(es.map(e => s"$root/$e"): _*)
+              .parquet(paths: _*)
               .select(ordered: _*)
           }
           .reduce(_ unionByName _)
@@ -927,8 +1180,12 @@ object SnapshotTable {
   private def predExcludes(stats: Map[String, ColStats],
       partValue: Option[String], pcolType: Option[org.apache.spark.sql
         .types.DataType], p: Pred): Boolean = {
+    // stats are ADVISORY end to end: a blob that base64-decodes but
+    // carries a garbled numeric bound must degrade to "keep the entry"
+    // (false), never throw out of a read path — the same contract
+    // parseManifest enforces one layer up for torn blobs.
     val viaStats = stats.get(p.col).exists { cs =>
-      cs.tpe match {
+      try cs.tpe match {
         case "l" | "d" =>
           toBd(p.value).exists(v => intervalExcludes(
             new java.math.BigDecimal(cs.min),
@@ -939,7 +1196,7 @@ object SnapshotTable {
           case _ => false
         }
         case _ => false
-      }
+      } catch { case scala.util.control.NonFatal(_) => false }
     }
     // the partition column itself: the entry's value IS its interval.
     // The hive null sentinel reads back as NULL, which fails every
@@ -998,6 +1255,37 @@ object SnapshotTable {
     }
   }
 
+  /** FILE-GRAIN DATA SKIPPING — [[pruneEntries]] refined to the file
+    * lists recorded per entry: for each surviving entry, the files the
+    * conjunction of `preds` cannot prove empty. `None` = the entry
+    * records no file-level stats (pre-file-stats manifest, advisory
+    * stats failure, or a [[fileStatsCap]] overflow) — scan the whole
+    * entry dir; skipping stays an optimization. An entry whose EVERY
+    * recorded file is provably empty drops entirely — the case
+    * entry-level bounds structurally cannot see: the entry interval is
+    * the UNION of its files' intervals, and a predicate can land in
+    * the gap between two files' ranges (exactly the fragmented-ingest
+    * steady state, where each appendInto batch writes one
+    * narrow-range file set per touched partition). This is the
+    * Iceberg per-file-stats grain on the same manifest. */
+  private[graft] def pruneFiles(m: Manifest, preds: Seq[Pred])
+      : Seq[(String, Option[Seq[String]])] = {
+    val fAligned = m.fileStats.length == m.entries.length
+    val idx = m.entries.zipWithIndex.toMap
+    pruneEntries(m, preds).flatMap { e =>
+      val files =
+        if (fAligned) m.fileStats(idx(e))
+        else Map.empty[String, Map[String, ColStats]]
+      if (files.isEmpty) Some(e -> None)
+      else {
+        val kept = files.toSeq.collect { case (fn, fcs)
+            if !preds.exists(p => predExcludes(fcs, None, None, p)) => fn }
+          .sorted
+        if (kept.isEmpty) None else Some(e -> Some(kept))
+      }
+    }
+  }
+
   /** One pruning pred as the equivalent residual Catalyst filter. */
   def predColumn(preds: Seq[Pred]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -1015,10 +1303,12 @@ object SnapshotTable {
   }
 
   /** Stats-pruned read: semantically `read(version).filter(preds)`,
-    * but entries whose recorded [min,max] bounds (or partition value)
-    * exclude the conjunction are never listed, never planned, never
-    * scanned. Returns the filtered frame; the number of entries
-    * actually scanned is `pruneEntries`' length, spec-counted. */
+    * but entries — and, where per-file bounds are recorded, individual
+    * FILES within surviving entries — whose [min,max] bounds (or
+    * partition value) exclude the conjunction are never listed, never
+    * planned, never scanned. Returns the filtered frame; what was
+    * actually scanned is [[pruneFiles]]' output, spec- and
+    * gate-counted. */
   def readWhere(spark: SparkSession, root: String, version: Long,
                 preds: Seq[Pred]): DataFrame = {
     val fs = fsOf(spark, root)
@@ -1026,7 +1316,7 @@ object SnapshotTable {
       s"snapshot read: version $version of $root was never committed " +
       s"(committed: ${committedVersions(spark, root).mkString(",")})")
     val m = manifestOf(fs, root, version)
-    readEntries(spark, root, m, pruneEntries(m, preds))
+    readSelection(spark, root, m, pruneFiles(m, preds))
       .filter(predColumn(preds))
   }
 
@@ -1037,6 +1327,43 @@ object SnapshotTable {
     require(v > 0, s"snapshot read: $root has no committed version")
     read(spark, root, v)
   }
+
+  /** TIMESTAMP TIME TRAVEL: the version that was current AS OF `ts` —
+    * the latest version whose EFFECTIVE commit timestamp is ≤ ts.
+    * Commit timestamps are recorded per manifest ([[commit]]'s
+    * `commitTs`, wall clock by default); because multi-writer clock
+    * skew can record them non-monotonically, resolution adjusts
+    * Delta-style — effective(v) = max(recorded(v), effective(v-1)+1) —
+    * so later versions always resolve later and every version stays
+    * addressable by some timestamp. O(versions) body reads ascending
+    * (the adjustment is inherently a left fold): an audit-priced
+    * surface like [[committedVersions]], not a hot path. Fails loudly
+    * before the first commit's timestamp, and on history predating
+    * timestamp recording. */
+  def versionAsOf(spark: SparkSession, root: String, ts: Long): Long = {
+    val fs = fsOf(spark, root)
+    var eff = Long.MinValue
+    var best = 0L
+    listedVersions(fs, root).foreach { v =>
+      parseManifest(v, readManifestBody(fs, root, v)).foreach { m =>
+        val raw = m.ts.getOrElse(sys.error(
+          s"snapshot asOf: version $v of $root records no commit " +
+          "timestamp — this history predates timestamp time travel; " +
+          "pin by version number instead"))
+        eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1)
+        if (eff <= ts) best = v
+      }
+    }
+    require(best > 0,
+      s"snapshot asOf: timestamp $ts precedes the first commit of $root")
+    best
+  }
+
+  /** Read the snapshot that was current as of wall-clock `ts` — the
+    * human form of time travel ("as of yesterday 06:00");
+    * [[versionAsOf]] defines the resolution. */
+  def readAsOf(spark: SparkSession, root: String, ts: Long): DataFrame =
+    read(spark, root, versionAsOf(spark, root, ts))
 
   /** CHANGE FEED between two committed versions — the Delta/Iceberg
     * CDF shape, derivable here because versions are immutable
@@ -1109,6 +1436,12 @@ object SnapshotTable {
     }
   }
 
+  /** Default vacuum age horizon: 20 minutes — comfortably longer than
+    * any data-write→manifest-create window a live commit spends as an
+    * apparent orphan, short enough that crashed writers reclaim on the
+    * next maintenance pass. */
+  val defaultVacuumHorizonMs: Long = 20L * 60L * 1000L
+
   /** Drop snapshots older than `keepLast` versions, then reclaim data
     * REFERENCE-COUNTED at entry granularity: an entry (whole data dir
     * or partition subdir) is deleted only when NO surviving manifest
@@ -1117,14 +1450,26 @@ object SnapshotTable {
     * exactly the subdirs later versions still reference. Orphan data
     * dirs no surviving manifest references at all (crashed or
     * race-losing writers) go entirely. Never touches entries in the
-    * keep window. MAINTENANCE-EXCLUSIVE: like Delta's VACUUM, this
-    * must not run concurrently with an in-flight commit — a live
-    * writer's data dir is an orphan until its manifest lands. Returns
-    * the removed version numbers. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int = 2)
-      : Seq[Long] = {
+    * keep window.
+    *
+    * WRITER SAFETY IS ENFORCED, not documented: a LIVE writer's data
+    * dir is an apparent orphan until its manifest lands, so vacuum
+    * skips any unreferenced dir (or partition subdir) whose
+    * modification time is younger than `minAgeMs` — Delta's
+    * retention-check analogue. The horizon must comfortably exceed the
+    * longest data-write→manifest-create window; crashed writers older
+    * than it reclaim normally. `minAgeMs = 0` restores the legacy
+    * maintenance-exclusive mode (tests use it to exercise reclamation
+    * deterministically). Returns the removed version numbers. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 2,
+             minAgeMs: Long = defaultVacuumHorizonMs): Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least the live snapshot")
     val fs = fsOf(spark, root)
+    val now = System.currentTimeMillis()
+    def oldEnough(p: Path): Boolean =
+      minAgeMs <= 0L ||
+        (try now - fs.getFileStatus(p).getModificationTime >= minAgeMs
+         catch { case _: java.io.IOException => false }) // vanished: skip
     val versions = committedVersions(spark, root)
     val drop = versions.dropRight(keepLast)
     drop.foreach(v => fs.delete(manifest(root, v), false))
@@ -1135,10 +1480,12 @@ object SnapshotTable {
     fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith("data-") && !referenced.contains(n)) {
-        if (!referencedDirs.contains(n)) fs.delete(p, true) // fully dead
-        else // partially referenced: reclaim only unreferenced subdirs
+        if (!referencedDirs.contains(n)) {
+          if (oldEnough(p)) fs.delete(p, true) // fully dead (and aged)
+        } else // partially referenced: reclaim only unreferenced subdirs
           fs.listStatus(p).toSeq.filter(_.isDirectory).foreach { c =>
-            if (!referenced.contains(s"$n/${c.getPath.getName}"))
+            if (!referenced.contains(s"$n/${c.getPath.getName}") &&
+                oldEnough(c.getPath))
               fs.delete(c.getPath, true)
           }
       }

@@ -34,6 +34,29 @@ object SnapshotSink {
 
   private[stream] def batchTag(batchId: Long): String = s"ingest-$batchId"
 
+  /** Already-committed check at PER-BATCH streaming cost: the
+    * [[SnapshotTable.latestTag]] fast path reads O(1) manifest bodies
+    * on the steady state, where a full [[SnapshotTable.committedTags]]
+    * scan reads every committed body — O(versions) per batch,
+    * quadratic over the stream until vacuum. The shortcut relies on
+    * the sink being this table's ONLY `ingest-*` tagger (the tag
+    * namespace the exactly-once contract already owns) and on
+    * foreachBatch delivering batch ids in order per run, so the
+    * latest ingest tag carrying id ≥ this batch's proves this batch
+    * committed earlier. A foreign (non-ingest) tag on top is the one
+    * ambiguous case — only there does the full scan run. */
+  private def alreadyCommitted(spark: org.apache.spark.sql.SparkSession,
+      root: String, tag: String, batchId: Long): Boolean =
+    SnapshotTable.latestTag(spark, root) match {
+      case None => false // no tagged commit at all: ours can't exist
+      case Some((t, _)) if t == tag => true
+      case Some((t, _)) if t.startsWith("ingest-") &&
+          t.stripPrefix("ingest-").forall(_.isDigit) =>
+        t.stripPrefix("ingest-").toLong >= batchId
+      case _ => // foreign tag on top: ambiguous — pay the full scan
+        SnapshotTable.committedTags(spark, root).contains(tag)
+    }
+
   /** The `foreachBatch` function: append `batch` into the partitioned
     * snapshot at `root` exactly once per `batchId`.
     * {{{ ds.writeStream.foreachBatch(SnapshotSink.exactlyOnce(root, "p") _) }}} */
@@ -48,7 +71,7 @@ object SnapshotSink {
     // batch twice
     val base = SnapshotTable.currentVersion(spark, root)
     // replay fast path: this batch already committed before a restart
-    if (SnapshotTable.committedTags(spark, root).contains(tag)) return
+    if (alreadyCommitted(spark, root, tag, batchId)) return
     try SnapshotTable.appendInto(batch, root, pcol, Some(tag),
       expectedBase = base)
     catch {
@@ -57,7 +80,7 @@ object SnapshotSink {
         // won — exactly-once is preserved by doing nothing. Otherwise a
         // FOREIGN writer interleaved: stay loud, let the streaming
         // engine fail and replay the batch (the replay is idempotent).
-        if (!SnapshotTable.committedTags(spark, root).contains(tag)) throw e
+        if (!alreadyCommitted(spark, root, tag, batchId)) throw e
     }
   }
 }

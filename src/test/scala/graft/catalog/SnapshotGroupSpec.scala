@@ -85,7 +85,8 @@ class SnapshotGroupSpec extends SparkSpec {
       SnapshotGroup.read(spark, root, "u", 1L)
     }
     assert(e.getMessage.contains("no table 'u'"))
-    val dropped = SnapshotGroup.vacuum(spark, root, keepLast = 1)
+    val dropped = SnapshotGroup.vacuum(spark, root, keepLast = 1,
+      minAgeMs = 0L)
     assert(dropped == Seq(1L))
     assert(!fs(root).exists(new Path(s"$root/data-ghost")),
       "vacuum left the crashed writer's dir")

@@ -106,7 +106,10 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.commit(df("a" -> i.toLong), root, base)
     }
     df("ghost" -> 0L).write.parquet(s"$root/data-ghost-orphan")
-    val dropped = SnapshotTable.vacuum(spark, root, keepLast = 2)
+    // minAgeMs = 0 opts out of the writer-safety horizon so freshly
+    // created fixture dirs reclaim deterministically
+    val dropped = SnapshotTable.vacuum(spark, root, keepLast = 2,
+      minAgeMs = 0L)
     assert(dropped == Seq(1L, 2L))
     assert(SnapshotTable.committedVersions(spark, root) == Seq(3L, 4L))
     assert(!fs(root).exists(new Path(s"$root/data-ghost-orphan")),
@@ -435,7 +438,8 @@ class SnapshotTableSpec extends SparkSpec {
       .inputFiles.head).getParent.getParent
     val v2 = SnapshotTable.commitReplace(
       pdf(("asia", 1L, 11L)), root, v1, "region")
-    val dropped = SnapshotTable.vacuum(spark, root, keepLast = 1)
+    val dropped = SnapshotTable.vacuum(spark, root, keepLast = 1,
+      minAgeMs = 0L)
     assert(dropped == Seq(v1))
     // v1's dir SURVIVES (eu/na still referenced) minus its asia subdir
     assert(fs(root).exists(v1Dir), "vacuum deleted a still-referenced dir")
