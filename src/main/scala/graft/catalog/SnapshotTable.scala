@@ -177,7 +177,13 @@ object SnapshotTable {
       s"$c\t${cs.tpe}\t${b64(cs.min)}\t${b64(cs.max)}"
     }
     val fileLines = files.toSeq.sortBy(_._1).flatMap { case (fn, cols) =>
-      cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+      if (cols.isEmpty)
+        // PRESENCE marker: a file with no recordable bound (NaN
+        // extremes / all-NULL slices) must still appear in the decoded
+        // file list — pruneFiles treats that list as COMPLETE, so a
+        // vanished file's rows would be silently skipped (unsound)
+        Seq(s"f\t${b64(fn)}")
+      else cols.toSeq.sortBy(_._1).map { case (c, cs) =>
         checkName(c)
         s"f\t${b64(fn)}\t$c\t${cs.tpe}\t${b64(cs.min)}\t${b64(cs.max)}"
       }
@@ -205,6 +211,9 @@ object SnapshotTable {
         line.split("\t", -1) match {
           case Array(c, t, mn, mx) =>
             entry += c -> ColStats(t, un64(mn), un64(mx))
+          case Array("f", fn64) => // presence marker: bound-less file
+            val fn = un64(fn64)
+            if (!files.contains(fn)) files(fn) = Map.empty
           case Array("f", fn64, c, t, mn, mx) =>
             val fn = un64(fn64)
             files(fn) = files.getOrElse(fn, Map.empty) +
@@ -798,7 +807,7 @@ object SnapshotTable {
                     pcol: String, dropParts: Seq[String] = Nil,
                     tag: Option[String] = None,
                     evolveSchema: Boolean = false,
-                    rebaseRetries: Int = 5,
+                    rebaseRetries: Int = 10,
                     commitTs: Long = -1L): Long = {
     val spark = updates.sparkSession
     val fs = fsOf(spark, root)

@@ -455,6 +455,69 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** The SECOND, independent connected-components formulation —
+    * id-ordered per-NODE min-label propagation: each round every node
+    * takes the minimum of its own label and its neighbors' labels
+    * (one keyed aggregate over the symmetric edge list), with no
+    * supernode hooking and no pointer-jumping compression. Same fixed
+    * point as [[dedupClusters]] (the per-component minimum id), reached
+    * by a STRUCTURALLY DIFFERENT recurrence — O(diameter) rounds where
+    * hooking is O(log n) — which is exactly why it exists: it is the
+    * differential VERIFIER for the closure family at scale points where
+    * the DuckDB comparator runs out of memory (the sf3 gate;
+    * `graft.CcDiff`, CcPropertySpec). Production pipelines stay on
+    * [[dedupClusters]]; this one's cost profile (diameter-bound rounds,
+    * same per-round shuffle shape) is acceptable for an audit pass and
+    * documented as such. Fails loudly on non-convergence, like its
+    * sibling, and uses the same stats-reset RDD round-trip (the Spark 4
+    * localCheckpoint sizeInBytes blowup — see [[dedupClusters]]). */
+  def ccByLabelProp(pairs: DataFrame, aId: Column, bId: Column,
+                    maxIter: Int = 400): DataFrame = {
+    val und = pairs.select(aId.cast("long").as("src"),
+                           bId.cast("long").as("dst"))
+      .localCheckpoint()
+    val spark = und.sparkSession
+    val p = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      und.count() / 100000L + 1L)).toInt
+    val nodes = und.select(col("src").as("id"))
+      .union(und.select(col("dst").as("id"))).distinct()
+    val sym = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(p, col("src"))
+      .localCheckpoint()
+    def freshById(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+        .repartition(p, col("id")).localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .repartition(p, col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // neighbor minimum per node: one join edge→label on the source
+      // side, one min-aggregate keyed by destination — no label-space
+      // lift, no jumps; the recurrence is the textbook propagation
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("lbl").as("ls")),
+          "src")
+        .groupBy(col("dst").as("id")).agg(min(col("ls")).as("nm"))
+      val next = freshById(labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev")))
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("id"), col("lbl"))
+      iter += 1
+    }
+    require(changed == 0,
+      s"ccByLabelProp did not converge in $maxIter rounds — the graph's " +
+      "diameter exceeds the bound; raise maxIter (this is the audit " +
+      "formulation, not the production path)")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** D30: CONTAINMENT near-dup pairs — the ASYMMETRIC overlap measure
     * C(A→B) = |Sh(A) ∩ Sh(B)| / |Sh(A)|: a short document quoted
     * whole inside a much longer one scores 1.0 where Jaccard

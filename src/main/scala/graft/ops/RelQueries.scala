@@ -1674,6 +1674,180 @@ object RelQueries {
       .select(col("bkt"), col("n_idx"), col("sum_idx"), col("n_live"))
   }
 
+  /** SNK21: DISJOINT-PARTITION OPTIMISTIC CONCURRENCY
+    * ([[graft.catalog.SnapshotTable.commitReplace]]'s rebase path): two
+    * TRULY CONCURRENT writers commitReplace DISJOINT partitions from
+    * the SAME base version — the loser of the whole-table CAS re-reads
+    * the winner's manifest, proves the touched partition sets
+    * disjoint, and re-commits on the new base, so BOTH land without
+    * manual rebase (version count asserted in-query). A third,
+    * OVERLAPPING writer from the stale base must still conflict loudly
+    * (also asserted in-query). The oracle recomputes the final table
+    * arithmetically: buckets 1 and 5 carry their full event sets, all
+    * others only the even half — a lost writer, a double-applied
+    * batch, or a rebase that resurrected stale entries all shift the
+    * per-bucket sums. At 100 TB this is what lets several ingest
+    * streams plus a compaction daemon commit concurrently instead of
+    * serializing on one CAS (the steady state snk17+snk19 set up). */
+  def snk21RebaseCommit(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    val root = ioDir(dir, "snk21rebase")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    // SF-independent 8-bucket layout (see snk17Compact)
+    val events0 = table(s, dir, "events")
+    val width = events0.agg(max("event_id")).head.getLong(0) / 8 + 1
+    val base = events0
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"),
+        floor(col("event_id") / width).cast("long").as("bkt"))
+    val v1 = SnapshotTable.commitPartitioned(
+      base.filter(col("event_id") % 2 === 0), root, 0L, "bkt")
+    // two writers, same base, disjoint buckets, racing on real threads
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = Seq(1L, 5L).map(b => new Thread(() =>
+      try SnapshotTable.commitReplace(
+        base.filter(col("bkt") === b), root, v1, "bkt"): Unit
+      catch { case t: Throwable => errs.add(t): Unit }))
+    writers.foreach(_.start()); writers.foreach(_.join())
+    require(errs.isEmpty,
+      s"snk21: a disjoint concurrent writer failed: ${errs.peek()}")
+    require(SnapshotTable.currentVersion(s, root) == v1 + 2,
+      "snk21: both disjoint writers must land as consecutive versions")
+    // overlap from the same stale base stays a loud conflict
+    val overlapped =
+      try { SnapshotTable.commitReplace(
+          base.filter(col("bkt") === 1 && col("event_id") % 3 === 0),
+          root, v1, "bkt"): Unit
+        false }
+      catch { case _: java.util.ConcurrentModificationException => true }
+    require(overlapped,
+      "snk21: an overlapping writer from the stale base must conflict")
+    SnapshotTable.readLatest(s, root)
+      .groupBy("bkt")
+      .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
+  }
+
+  /** SNK22: FILE-GRAIN DATA SKIPPING during fragmented ingest
+    * ([[graft.catalog.SnapshotTable.pruneFiles]] over the per-file
+    * bounds recorded in each entry's stats blob): the events snapshot
+    * commits partitioned on `event_type` with every partition dir
+    * deliberately FRAGMENTED into 12 files of disjoint event_id ranges
+    * (one upstream task per range leg — the small-file shape
+    * micro-batch ingest leaves before compaction). An event_id range
+    * predicate then prunes at the grain parquet footers would: the
+    * entry-level bounds keep EVERY entry (each type spans all ids),
+    * but inside each kept entry only the files whose recorded range
+    * intersects the probe are scanned. Scanned/total counts for BOTH
+    * grains are the declared result; the oracle recomputes every
+    * (type, leg) file's true min/max and re-derives each prune
+    * decision arithmetically — the skipping itself is gated, not just
+    * the surviving rows. */
+  def snk22FilePrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    import graft.catalog.SnapshotTable.Pred
+    val root = ioDir(dir, "snk22fileprune")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val events0 = table(s, dir, "events")
+    val hi0 = events0.agg(max("event_id")).head.getLong(0)
+    val fwidth = hi0 / 12 + 1
+    val base = events0
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"))
+    // fragment DETERMINISTICALLY: each type's rows land in one task
+    // (hash by the partition column), sorted by event_id, and
+    // maxRecordsPerFile rolls a new file every `rowsPerFile` records —
+    // so file k of type t holds exactly its rows with per-type
+    // id-order rank in [k·rowsPerFile, (k+1)·rowsPerFile), clustered
+    // ranges the oracle replays with a window function. This is also
+    // the layout a real ingest would WANT for range skipping.
+    val rowsPerFile = base.groupBy("event_type").count()
+      .agg(max("count")).head.getLong(0) / 12 + 1
+    val confKey = "spark.sql.files.maxRecordsPerFile"
+    val prevConf = s.conf.get(confKey)
+    val v1 =
+      try {
+        s.conf.set(confKey, rowsPerFile)
+        SnapshotTable.commitPartitioned(
+          base.repartition(col("event_type"))
+            .sortWithinPartitions("event_type", "event_id"),
+          root, 0L, "event_type")
+      } finally s.conf.set(confKey, prevConf)
+    val m = SnapshotTable.manifestAt(s, root, v1)
+    val (lo, hiP) = (4L * fwidth, 5L * fwidth - 1L)
+    val preds = Seq(Pred("event_id", ">=", lo), Pred("event_id", "<=", hiP))
+    val sel = SnapshotTable.pruneFiles(m, preds)
+    require(sel.forall(_._2.isDefined),
+      "snk22: every entry must carry file-level stats (12 files < cap)")
+    val filesScanned = sel.flatMap(_._2.map(_.length.toLong)).sum
+    val filesTotal = m.fileStats.map(_.size.toLong).sum
+    val entriesScanned = sel.length.toLong
+    val entriesTotal = m.entries.length.toLong
+    SnapshotTable.readWhere(s, root, v1, preds)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .unionByName(s.range(1).select(
+        lit("_prune_files").as("event_type"),
+        lit(filesScanned).as("n"), lit(filesTotal).as("sum_cents")))
+      .unionByName(s.range(1).select(
+        lit("_prune_entries").as("event_type"),
+        lit(entriesScanned).as("n"), lit(entriesTotal).as("sum_cents")))
+  }
+
+  /** SNK23: TIMESTAMP TIME TRAVEL
+    * ([[graft.catalog.SnapshotTable.readAsOf]]): three commits carry
+    * INJECTED wall-clock timestamps 1000 → 2000 → 1500 — the third
+    * deliberately SKEWED backwards, the multi-writer clock reality —
+    * and the query reads the table as of three pinned instants.
+    * Resolution must adjust the skewed commit Delta-style
+    * (effective(v3) = effective(v2)+1 = 2001): as-of 1500 sees only
+    * v1, as-of 2000 sees v2, as-of 2001 sees v3 — pinned in-query via
+    * `versionAsOf` AND gated through the content, since the oracle
+    * recomputes each instant's expected snapshot arithmetically (v1 =
+    * even events; v2 adds bucket 1's odd half; v3 adds bucket 2's).
+    * The refusal surface (a timestamp before the first commit) is
+    * asserted in-query. */
+  def snk23AsOf(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    val root = ioDir(dir, "snk23asof")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val events0 = table(s, dir, "events")
+    val width = events0.agg(max("event_id")).head.getLong(0) / 8 + 1
+    val base = events0
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"),
+        floor(col("event_id") / width).cast("long").as("bkt"))
+    val v1 = SnapshotTable.commitPartitioned(
+      base.filter(col("event_id") % 2 === 0), root, 0L, "bkt",
+      commitTs = 1000L)
+    val v2 = SnapshotTable.commitReplace(
+      base.filter(col("bkt") === 1), root, v1, "bkt", commitTs = 2000L)
+    val v3 = SnapshotTable.commitReplace(
+      base.filter(col("bkt") === 2), root, v2, "bkt", commitTs = 1500L)
+    require(SnapshotTable.versionAsOf(s, root, 1500L) == v1 &&
+      SnapshotTable.versionAsOf(s, root, 2000L) == v2 &&
+      SnapshotTable.versionAsOf(s, root, 2001L) == v3,
+      "snk23: timestamp resolution drifted from the Delta-style " +
+      "monotonic adjustment")
+    val refused =
+      try { SnapshotTable.readAsOf(s, root, 999L); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "snk23: a pre-history timestamp must refuse loudly")
+    Seq(1500L, 2000L, 2001L).map { ts =>
+      SnapshotTable.readAsOf(s, root, ts)
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n"),
+             sum("cents").cast("long").as("sum_cents"))
+        .select(lit(ts).as("as_of_ts"), col("bkt"), col("n"),
+          col("sum_cents"))
+    }.reduce(_ unionByName _)
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -3205,6 +3379,9 @@ object RelQueries {
     "snk18_zorder" -> snk18Zorder,
     "snk19_append_ingest" -> snk19AppendIngest,
     "snk20_layered_pair" -> snk20LayeredPair,
+    "snk21_rebase_commit" -> snk21RebaseCommit,
+    "snk22_file_prune" -> snk22FilePrune,
+    "snk23_as_of" -> snk23AsOf,
     "snk14_group_feed" -> snk14GroupFeed,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
@@ -3935,6 +4112,86 @@ object RelQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_idx,
         |  count(*) AS n_live
         |FROM c GROUP BY bkt""".stripMargin,
+    // both disjoint writers landed: buckets 1 and 5 carry the FULL
+    // event set, every other bucket only the even half — a lost
+    // writer, a doubled batch, or resurrected stale entries all shift
+    // the per-bucket sums
+    "snk21_rebase_commit" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(floor(event_id / ((SELECT max(event_id) FROM events) // 8 + 1)) AS BIGINT) AS bkt
+        |  FROM events)
+        |SELECT bkt, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM base
+        |WHERE bkt IN (1, 5) OR event_id % 2 = 0
+        |GROUP BY 1""".stripMargin,
+    // every file's true min/max is recomputed and each prune decision
+    // re-derived: file k of type t holds that type's id-order rank
+    // range [k·N, (k+1)·N) (the maxRecordsPerFile roll), scanned iff
+    // its id range intersects the probe; an entry iff its type's
+    // whole range does
+    "snk22_file_prune" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |n AS (
+        |  SELECT max(cnt) // 12 + 1 AS rows_per_file
+        |  FROM (SELECT count(*) AS cnt FROM base GROUP BY event_type)),
+        |r AS (
+        |  SELECT event_id, event_type, cents,
+        |    (row_number() OVER (PARTITION BY event_type
+        |        ORDER BY event_id) - 1)
+        |      // (SELECT rows_per_file FROM n) AS fidx
+        |  FROM base),
+        |b AS (
+        |  SELECT 4 * ((SELECT max(event_id) FROM events) // 12 + 1) AS lo,
+        |         5 * ((SELECT max(event_id) FROM events) // 12 + 1) - 1
+        |           AS hi),
+        |g AS (
+        |  SELECT event_type, fidx, min(event_id) AS mn, max(event_id) AS mx
+        |  FROM r GROUP BY 1, 2),
+        |e AS (
+        |  SELECT event_type, min(event_id) AS mn, max(event_id) AS mx
+        |  FROM base GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM base WHERE event_id BETWEEN (SELECT lo FROM b)
+        |  AND (SELECT hi FROM b)
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT '_prune_files',
+        |  (SELECT count(*) FROM g
+        |   WHERE mx >= (SELECT lo FROM b) AND mn <= (SELECT hi FROM b)),
+        |  (SELECT count(*) FROM g)
+        |UNION ALL
+        |SELECT '_prune_entries',
+        |  (SELECT count(*) FROM e
+        |   WHERE mx >= (SELECT lo FROM b) AND mn <= (SELECT hi FROM b)),
+        |  (SELECT count(*) FROM e)""".stripMargin,
+    // each pinned instant's snapshot replays arithmetically: as-of
+    // 1500 the skew-adjusted v3 (effective 2001) and v2 (2000) are
+    // both in the future, so only v1's even half is visible; 2000 adds
+    // bucket 1's odd rows; 2001 adds bucket 2's
+    "snk23_as_of" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(floor(event_id / ((SELECT max(event_id) FROM events) // 8 + 1)) AS BIGINT) AS bkt
+        |  FROM events)
+        |SELECT CAST(1500 AS BIGINT) AS as_of_ts, bkt, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM base WHERE event_id % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(2000 AS BIGINT), bkt, count(*),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM base WHERE bkt = 1 OR event_id % 2 = 0 GROUP BY 2
+        |UNION ALL
+        |SELECT CAST(2001 AS BIGINT), bkt, count(*),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM base WHERE bkt IN (1, 2) OR event_id % 2 = 0 GROUP BY 2"""
+        .stripMargin,
     // one duplicated batch would shift every touched group's n and sum
     "snk19_append_ingest" ->
       """SELECT CAST(floor(event_id / ((SELECT max(event_id) FROM events) // 8 + 1)) AS BIGINT) AS bkt,

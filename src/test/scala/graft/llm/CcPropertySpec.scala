@@ -65,6 +65,35 @@ class CcPropertySpec extends SparkSpec {
     }
   }
 
+  test("ccByLabelProp (the audit formulation) equals union-find AND " +
+       "dedupClusters on random mixed graphs — the differential pair " +
+       "the sf3 gate rides (graft.CcDiff)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      val edges = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      val base = trial * 20000L
+      edges ++= (0 until 90).map(i => (base + i, base + i + 1)) // chain
+      val hub = base + 3000
+      edges ++= (1 to 15).map(i => (hub, hub + i)) // star
+      edges ++= (1 to 60).map(_ =>
+        (base + rnd.nextInt(4000).toLong, base + rnd.nextInt(4000).toLong))
+        .filter { case (a, b) => a != b }
+      val exp = unionFind(edges.toSeq)
+      val prop = Dedup.ccByLabelProp(
+          edges.toSeq.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prop == exp,
+        s"trial $trial: label propagation diverges from union-find")
+      val hooked = Dedup.dedupClusters(
+          edges.toSeq.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prop == hooked,
+        s"trial $trial: the two closure formulations disagree")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("dedupClusters converges fast on a 2-D mesh (the region-group " +
        "regime the old propagation failed)") {
     import spark.implicits._

@@ -764,4 +764,44 @@ class StreamingSpec extends SparkSpec {
     assert(state(3L).count(_ == ("b", 8L)) == 1,
       "the twin race double-appended batch 2")
   }
+
+  test("S21 per-batch cost is O(1) manifest body reads regardless of " +
+       "stream length (latestTag fast path, spec-counted), and a " +
+       "foreign tag on top still resolves replays correctly") {
+    import spark.implicits._
+    import graft.catalog.SnapshotTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s21cost").toString + "/tbl"
+    def batch(i: Long) = Seq(("a", i)).toDF("p", "v")
+    def reads[T](body: => T): Long = {
+      val before = SnapshotTable.manifestBodyReads.get()
+      body
+      SnapshotTable.manifestBodyReads.get() - before
+    }
+    (0L until 8L).foreach(i => SnapshotSink.exactlyOnce(root, "p")(batch(i), i))
+    val costAt8 = reads(SnapshotSink.exactlyOnce(root, "p")(batch(8L), 8L))
+    (9L until 24L).foreach(i =>
+      SnapshotSink.exactlyOnce(root, "p")(batch(i), i))
+    val costAt24 = reads(SnapshotSink.exactlyOnce(root, "p")(batch(24L), 24L))
+    assert(costAt24 <= costAt8,
+      s"per-batch manifest reads grew with history: $costAt8 -> $costAt24")
+    assert(costAt24 <= 10L,
+      s"per-batch manifest reads not O(1): $costAt24 bodies")
+    // replay of an OLD batch: the latest ingest tag (24) proves batch 3
+    // committed — O(1), version unchanged
+    val replayCost = reads(SnapshotSink.exactlyOnce(root, "p")(batch(3L), 3L))
+    assert(SnapshotTable.currentVersion(spark, root) == 25L)
+    assert(replayCost <= 4L,
+      s"replay fast path read $replayCost bodies — not O(1)")
+    // a FOREIGN tagged commit on top makes the shortcut ambiguous: the
+    // sink must fall back to the full scan and still treat the old
+    // batch as committed (no double-append)
+    SnapshotTable.commit(
+      SnapshotTable.readLatest(spark, root), root, 25L, tag = Some("opt-1"))
+    val n = SnapshotTable.readLatest(spark, root).count()
+    SnapshotSink.exactlyOnce(root, "p")(batch(5L), 5L)
+    assert(SnapshotTable.currentVersion(spark, root) == 26L,
+      "a replay under a foreign tag double-appended")
+    assert(SnapshotTable.readLatest(spark, root).count() == n)
+  }
 }
