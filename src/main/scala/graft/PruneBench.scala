@@ -67,6 +67,58 @@ object PruneBench {
       f"""{"sf":"$sfDir","entries_total":${m.entries.length},""" +
       f""""entries_scanned":$scanned,"full_min_s":$fMin%.3f,""" +
       f""""pruned_min_s":$sMin%.3f,"speedup":${fMin / sMin}%.2f}""")
+
+    // ---- file-grain leg: the fragmented-ingest shape (snk22) ----
+    // the SAME fact committed into FEW partitions (8) but many files
+    // per partition (each partition's rows sorted by key, files rolled
+    // every maxRecordsPerFile rows) — entry pruning barely helps (the
+    // probe lands inside some partition), file pruning reads ~1 file
+    // of the ~12 in each surviving entry.
+    val froot = "target/prunebench/frag"
+    fs.delete(new org.apache.hadoop.fs.Path(froot), true)
+    val bigWidth = math.max(1L, mx / 8)
+    val ffact = li
+      .select(col("l_orderkey"), col("l_quantity"),
+        floor(col("l_orderkey") / bigWidth).cast("long").as("bkt"))
+    val perPart = ffact.groupBy("bkt").count().agg(max("count"))
+      .head.getLong(0)
+    val confKey = "spark.sql.files.maxRecordsPerFile"
+    spark.conf.set(confKey, perPart / 12 + 1)
+    val fv = SnapshotTable.commitPartitioned(
+      ffact.repartition(col("bkt"))
+        .sortWithinPartitions("bkt", "l_orderkey"),
+      froot, 0L, "bkt")
+    spark.conf.set(confKey, 0L)
+    val fm = SnapshotTable.manifestAt(spark, froot, fv)
+    // a slice INSIDE one partition: entry pruning keeps that whole
+    // entry; file pruning reads only the intersecting files
+    val (flo, fhi) = (2 * bigWidth + bigWidth / 3,
+                      2 * bigWidth + bigWidth / 3 + bigWidth / 12)
+    val fpreds = Seq(Pred("l_orderkey", ">=", flo),
+                     Pred("l_orderkey", "<=", fhi))
+    val fsel = SnapshotTable.pruneFiles(fm, fpreds)
+    val filesScanned = fsel.flatMap(_._2.map(_.length.toLong)).sum
+    val filesTotal = fm.fileStats.map(_.size.toLong).sum
+    def frun(pruned: Boolean): (Double, Long) = {
+      val df =
+        if (pruned) SnapshotTable.readWhere(spark, froot, fv, fpreds)
+        else SnapshotTable.read(spark, froot, fv)
+          .filter(SnapshotTable.predColumn(fpreds))
+      val t0 = System.nanoTime()
+      val n = df.agg(sum("l_quantity").cast("long")).head.getLong(0)
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    frun(pruned = false); frun(pruned = true)
+    val ffull = (1 to reps).map(_ => frun(pruned = false))
+    val fskip = (1 to reps).map(_ => frun(pruned = true))
+    require(ffull.map(_._2).distinct == fskip.map(_._2).distinct,
+      s"file-pruned read diverged: ${ffull.head._2} vs ${fskip.head._2}")
+    val (ffMin, fsMin) = (ffull.map(_._1).min, fskip.map(_._1).min)
+    println(
+      f"""{"sf":"$sfDir","leg":"file_grain","entries_total":${fm.entries.length},""" +
+      f""""entries_scanned":${fsel.length},"files_total":$filesTotal,""" +
+      f""""files_scanned":$filesScanned,"full_min_s":$ffMin%.3f,""" +
+      f""""pruned_min_s":$fsMin%.3f,"speedup":${ffMin / fsMin}%.2f}""")
     spark.stop()
   }
 }

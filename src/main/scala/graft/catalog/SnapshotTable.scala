@@ -1325,9 +1325,17 @@ object SnapshotTable {
       s"snapshot read: version $version of $root was never committed " +
       s"(committed: ${committedVersions(spark, root).mkString(",")})")
     val m = manifestOf(fs, root, version)
-    readSelection(spark, root, m, pruneFiles(m, preds))
-      .filter(predColumn(preds))
+    readPruned(spark, root, m, pruneFiles(m, preds), preds)
   }
+
+  /** The pruned-selection read with its residual filter — shared by
+    * [[readWhere]] and the `graft-snapshot` data source relation
+    * ([[SnapshotRelation]]), which computes the selection itself to
+    * instrument what was planned. */
+  private[catalog] def readPruned(spark: SparkSession, root: String,
+      m: Manifest, sel: Seq[(String, Option[Seq[String]])],
+      preds: Seq[Pred]): DataFrame =
+    readSelection(spark, root, m, sel).filter(predColumn(preds))
 
   /** Read the latest committed snapshot (pointer fast path, listing
     * fallback). */

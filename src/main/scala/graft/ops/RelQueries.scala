@@ -1848,6 +1848,54 @@ object RelQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** SNK25: SQL-NATIVE SNAPSHOT ACCESS with pushdown-driven pruning
+    * ([[graft.catalog.SnapshotSource]], registered as `graft-snapshot`):
+    * the same snapshot snk13 gates is read through
+    * `spark.read.format("graft-snapshot")` — no [[SnapshotTable]] API in
+    * the query path — and Catalyst's pushed filters drive the manifest
+    * pruning: the relation plans ONLY the entries whose recorded bounds
+    * intersect the BETWEEN probe (asserted in-query against an
+    * independent `pruneFiles` computation via the `lastPlanned`
+    * instrumentation, after forcing the scan). The declared result
+    * carries the planned/total entry counts, and the oracle recomputes
+    * the prune decision arithmetically — proving the DataFrameReader /
+    * SQL surface gets the SAME skipping the API gets, which is what
+    * makes the protocol usable from plain SQL at 100 TB. */
+  def snk25SourceRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.{SnapshotSource, SnapshotTable}
+    import graft.catalog.SnapshotTable.Pred
+    val root = ioDir(dir, "snk25source")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"),
+        floor(col("event_id") / 2000).cast("long").as("bkt"))
+    val v1 = SnapshotTable.commitPartitioned(base, root, 0L, "bkt")
+    val m = SnapshotTable.manifestAt(s, root, v1)
+    val preds = Seq(Pred("event_id", ">=", 1000L),
+                    Pred("event_id", "<=", 2999L))
+    val filtered = s.read.format("graft-snapshot").option("path", root)
+      .load()
+      .filter(col("event_id") >= 1000L && col("event_id") <= 2999L)
+    // force the scan so the pushdown instrumentation reflects THIS plan
+    SnapshotSource.lastPlanned.set((-9L, -9L))
+    filtered.queryExecution.toRdd.count()
+    val (plannedEntries, _) = SnapshotSource.lastPlanned.get()
+    val expected = SnapshotTable.pruneFiles(m, preds).length.toLong
+    require(plannedEntries == expected,
+      s"snk25: the SQL surface planned $plannedEntries entries, the " +
+      s"pruning API says $expected — pushdown did not reach the manifest")
+    filtered
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .unionByName(s.range(1).select(
+        lit("_planned_entries").as("event_type"),
+        lit(plannedEntries).as("n"),
+        lit(m.entries.length.toLong).as("sum_cents")))
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -3382,6 +3430,7 @@ object RelQueries {
     "snk21_rebase_commit" -> snk21RebaseCommit,
     "snk22_file_prune" -> snk22FilePrune,
     "snk23_as_of" -> snk23AsOf,
+    "snk25_source_read" -> snk25SourceRead,
     "snk14_group_feed" -> snk14GroupFeed,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
@@ -4112,6 +4161,26 @@ object RelQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_idx,
         |  count(*) AS n_live
         |FROM c GROUP BY bkt""".stripMargin,
+    // snk13's prune arithmetic replayed for the SQL-surface read: the
+    // DataFrameReader path must plan exactly the buckets whose bounds
+    // intersect [1000, 2999]
+    "snk25_source_read" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(floor(event_id / 2000) AS BIGINT) AS bkt
+        |  FROM events),
+        |b AS (
+        |  SELECT bkt, min(event_id) AS mn, max(event_id) AS mx
+        |  FROM base GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM base WHERE event_id BETWEEN 1000 AND 2999
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT '_planned_entries',
+        |  (SELECT count(*) FROM b WHERE mx >= 1000 AND mn <= 2999),
+        |  (SELECT count(*) FROM b)""".stripMargin,
     // both disjoint writers landed: buckets 1 and 5 carry the FULL
     // event set, every other bucket only the even half — a lost
     // writer, a doubled batch, or resurrected stale entries all shift
