@@ -55,12 +55,14 @@ object SnapshotGroup {
   /** Per-version decoded manifest: table name → (subdir entry, schema
     * DDL). */
   private[graft] case class GroupManifest(version: Long, base: Long,
-      tables: Map[String, (String, String)], tag: Option[String])
+      tables: Map[String, (String, String)], tag: Option[String],
+      ts: Option[Long] = None)
 
   private val TableRe =
     """"([A-Za-z0-9_\-]+)":\{"dir":"([^"]*)","schema":"([^"]*)"\}""".r
   private val BaseRe = """"base":(-?\d+)""".r
   private val TagRe = """"tag":"([^"]*)"""".r
+  private val TsRe = """"ts":(-?\d+)""".r
   private val TablesEnd = "}}" // a complete body closes tables + object
 
   /** Parse a group manifest; None = not (yet) committed (the
@@ -76,7 +78,8 @@ object SnapshotGroup {
       base <- BaseRe.findFirstMatchIn(body).map(_.group(1).toLong)
       if tables.nonEmpty && body.endsWith(TablesEnd)
     } yield GroupManifest(v, base, tables,
-      TagRe.findFirstMatchIn(body).map(_.group(1)))
+      TagRe.findFirstMatchIn(body).map(_.group(1)),
+      TsRe.findFirstMatchIn(body).map(_.group(1).toLong))
   }
 
   private def manifestIfCommitted(fs: org.apache.hadoop.fs.FileSystem,
@@ -125,7 +128,8 @@ object SnapshotGroup {
     * version (each version's table SET is explicit in its manifest) —
     * carry a table forward by including it. */
   def commit(tables: Map[String, DataFrame], root: String,
-             expectedBase: Long, tag: Option[String] = None): Long = {
+             expectedBase: Long, tag: Option[String] = None,
+             commitTs: Long = -1L): Long = {
     require(tables.nonEmpty, "snapshot group commit: no tables")
     tables.keys.foreach(t => require(
       t.nonEmpty && t.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
@@ -148,7 +152,8 @@ object SnapshotGroup {
       s""""$name":{"dir":"$dirName/$name","schema":"$schemaB64"}"""
     }
     val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
-    val body = (s"""{"version":$next,"base":$cur$tagField,""" +
+    val ts = if (commitTs >= 0L) commitTs else System.currentTimeMillis()
+    val body = (s"""{"version":$next,"base":$cur,"ts":$ts$tagField,""" +
       s""""tables":{${entries.mkString(",")}}}""").getBytes("UTF-8")
     SnapshotTable.createManifestExclusive(fs, root, next, body, Some(dataDir))
     next
@@ -200,6 +205,39 @@ object SnapshotGroup {
     require(v > 0, s"snapshot group read: $root has no committed version")
     read(spark, root, table, v)
   }
+
+  /** TIMESTAMP TIME TRAVEL for groups — the group version current as
+    * of `ts`, with [[SnapshotTable.versionAsOf]]'s Delta-style
+    * monotonic adjustment (a skewed clock never makes a later version
+    * resolve earlier); because a group version is atomic across its
+    * tables, every table read at the resolved version is mutually
+    * consistent AS OF that instant. O(versions) body reads ascending
+    * — audit-priced. Fails loudly before the first commit's timestamp
+    * and on ts-less pre-timestamp history. */
+  def versionAsOf(spark: SparkSession, root: String, ts: Long): Long = {
+    val fs = SnapshotTable.fsOf(spark, root)
+    var eff = Long.MinValue
+    var best = 0L
+    SnapshotTable.listedVersions(fs, root).foreach { v =>
+      parse(v, SnapshotTable.readManifestBody(fs, root, v)).foreach { m =>
+        val raw = m.ts.getOrElse(sys.error(
+          s"snapshot group asOf: version $v of $root records no commit " +
+          "timestamp — this history predates timestamp time travel; " +
+          "pin by version number instead"))
+        eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1)
+        if (eff <= ts) best = v
+      }
+    }
+    require(best > 0, s"snapshot group asOf: timestamp $ts precedes " +
+      s"the first commit of $root")
+    best
+  }
+
+  /** Read one table of the group as of wall-clock `ts`
+    * ([[versionAsOf]] resolution). */
+  def readAsOf(spark: SparkSession, root: String, table: String,
+               ts: Long): DataFrame =
+    read(spark, root, table, versionAsOf(spark, root, ts))
 
   /** Drop group versions older than `keepLast`, then reclaim data dirs
     * no surviving manifest references (each group commit owns exactly

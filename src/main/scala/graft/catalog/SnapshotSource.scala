@@ -16,7 +16,12 @@ import org.apache.spark.sql.types.StructType
   * Options: `path` (table root, required), `version` (pin a committed
   * version; default latest), `asOfTimestamp` (epoch millis —
   * [[SnapshotTable.versionAsOf]] resolution; mutually exclusive with
-  * `version`).
+  * `version`), `table` (read one table of a [[SnapshotGroup]] at
+  * `path` instead of a single snapshot table). The version resolves
+  * ONCE, when the relation is created — a `CREATE TEMPORARY VIEW`
+  * therefore pins the snapshot it saw at creation (snapshot-isolation
+  * view semantics, the protocol's reader property); re-create the
+  * view (or `load()` again) to follow new commits.
   *
   * The relation implements `PrunedFilteredScan`, so Catalyst hands it
   * the query's column set and conjunctive filters: supported
@@ -52,15 +57,33 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
     require(!(parameters.contains("version") &&
         parameters.contains("asOfTimestamp")),
       "graft-snapshot: 'version' and 'asOfTimestamp' are mutually exclusive")
-    val version = parameters.get("version").map(_.toLong)
-      .orElse(parameters.get("asOfTimestamp").map(ts =>
-        SnapshotTable.versionAsOf(spark, root, ts.toLong)))
-      .getOrElse {
-        val v = SnapshotTable.currentVersion(spark, root)
-        require(v > 0, s"graft-snapshot: $root has no committed version")
-        v
-      }
-    new SnapshotRelation(sqlContext, root, version)
+    // `table` selects a table of a SnapshotGroup at `path`; absent, the
+    // path is a single SnapshotTable. Group reads carry no skipping
+    // stats by the recorded scope decision (group tables are small
+    // artifacts), so the group relation prunes columns only.
+    parameters.get("table") match {
+      case Some(t) =>
+        val version = parameters.get("version").map(_.toLong)
+          .orElse(parameters.get("asOfTimestamp").map(ts =>
+            SnapshotGroup.versionAsOf(spark, root, ts.toLong)))
+          .getOrElse {
+            val v = SnapshotGroup.currentVersion(spark, root)
+            require(v > 0,
+              s"graft-snapshot: group $root has no committed version")
+            v
+          }
+        new SnapshotGroupRelation(sqlContext, root, t, version)
+      case None =>
+        val version = parameters.get("version").map(_.toLong)
+          .orElse(parameters.get("asOfTimestamp").map(ts =>
+            SnapshotTable.versionAsOf(spark, root, ts.toLong)))
+          .getOrElse {
+            val v = SnapshotTable.currentVersion(spark, root)
+            require(v > 0, s"graft-snapshot: $root has no committed version")
+            v
+          }
+        new SnapshotRelation(sqlContext, root, version)
+    }
   }
 }
 
@@ -72,6 +95,31 @@ object SnapshotSource {
     * it. */
   private[graft] val lastPlanned =
     new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
+}
+
+/** One table of a [[SnapshotGroup]] through the data source: column
+  * pruning only (group tables record no skipping stats — the scope
+  * decision on [[SnapshotGroup]]); rows hand back as InternalRows
+  * from the delegated parquet scan, filters re-applied by Spark. */
+private[catalog] class SnapshotGroupRelation(val sqlContext: SQLContext,
+    root: String, table: String, version: Long)
+    extends BaseRelation with PrunedScan {
+
+  private val spark = sqlContext.sparkSession
+  private def df = SnapshotGroup.read(spark, root, table, version)
+
+  override val schema: StructType = df.schema
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
+    import org.apache.spark.sql.functions.col
+    val base = df
+    val projected =
+      if (requiredColumns.isEmpty) base.select()
+      else base.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
 }
 
 private[catalog] class SnapshotRelation(val sqlContext: SQLContext,

@@ -130,6 +130,38 @@ class SnapshotGroupSpec extends SparkSpec {
     assert(pre == Map("update_preimage" -> 20L, "update_postimage" -> 99L))
   }
 
+  test("group timestamp time travel: injected commit timestamps resolve " +
+       "with the Delta-style skew adjustment, every table at the " +
+       "resolved version is consistent as of that instant, and " +
+       "pre-history refuses") {
+    val root = freshRoot()
+    SnapshotGroup.commit(Map("c" -> df("a" -> 1L), "i" -> df("a" -> 10L)),
+      root, 0L, commitTs = 1000L)
+    SnapshotGroup.commit(Map("c" -> df("a" -> 2L), "i" -> df("a" -> 20L)),
+      root, 1L, commitTs = 2000L)
+    // skewed clock: recorded 1500 AFTER 2000 — effective 2001
+    SnapshotGroup.commit(Map("c" -> df("a" -> 3L), "i" -> df("a" -> 30L)),
+      root, 2L, commitTs = 1500L)
+    assert(SnapshotGroup.versionAsOf(spark, root, 1500L) == 1L)
+    assert(SnapshotGroup.versionAsOf(spark, root, 2000L) == 2L)
+    assert(SnapshotGroup.versionAsOf(spark, root, 2001L) == 3L)
+    // both tables resolve through ONE version — consistent as-of
+    assert(SnapshotGroup.readAsOf(spark, root, "c", 2000L)
+      .collect().head.getLong(1) == 2L)
+    assert(SnapshotGroup.readAsOf(spark, root, "i", 2000L)
+      .collect().head.getLong(1) == 20L)
+    intercept[IllegalArgumentException] {
+      SnapshotGroup.versionAsOf(spark, root, 999L)
+    }
+    // default commit records the wall clock
+    val before = System.currentTimeMillis()
+    SnapshotGroup.commit(Map("c" -> df("a" -> 4L)), root, 3L)
+    val fsys = fs(root)
+    val m = SnapshotTable.readManifestBody(fsys, root, 4L)
+    assert("\"ts\":(\\d+)".r.findFirstMatchIn(m)
+      .exists(_.group(1).toLong >= before), s"wall-clock ts missing: $m")
+  }
+
   test("schema and column order round-trip through the group manifest") {
     import spark.implicits._
     val root = freshRoot()

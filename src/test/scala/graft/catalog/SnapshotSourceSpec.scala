@@ -82,6 +82,37 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(load(root).count() == 5L)
   }
 
+  test("the 'table' option reads one table of a SnapshotGroup — latest, " +
+       "pinned version, and as-of forms — with column pruning and no " +
+       "skipping (the recorded group scope decision)") {
+    import spark.implicits._
+    val root = freshRoot()
+    def t(vals: (String, Long)*) = vals.toSeq.toDF("k", "v")
+    val g1 = SnapshotGroup.commit(Map(
+      "corpus" -> t("a" -> 1L, "b" -> 2L), "idx" -> t("a" -> 10L)),
+      root, 0L, commitTs = 1000L)
+    SnapshotGroup.commit(Map(
+      "corpus" -> t("a" -> 1L, "b" -> 2L, "c" -> 3L),
+      "idx" -> t("a" -> 11L)), root, g1, commitTs = 2000L)
+    def loadT(opts: (String, String)*) = {
+      val r = spark.read.format("graft-snapshot").option("path", root)
+        .option("table", "corpus")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+    }
+    assert(loadT().count() == 3L)
+    assert(loadT("version" -> "1").count() == 2L)
+    assert(loadT("asOfTimestamp" -> "1500").count() == 2L)
+    // filters still evaluate exactly (re-applied above the scan)
+    assert(loadT().filter(col("v") >= 2L).collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("b", "c"))
+    // column pruning path + missing table stays loud
+    assert(loadT().select("k").columns.toSeq == Seq("k"))
+    intercept[Exception] {
+      spark.read.format("graft-snapshot").option("path", root)
+        .option("table", "nope").load().collect()
+    }
+  }
+
   test("SQL surface: CREATE TEMPORARY VIEW ... USING `graft-snapshot` " +
        "answers through plain SQL with the same pruning") {
     val root = freshRoot()
