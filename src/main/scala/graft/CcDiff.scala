@@ -45,7 +45,9 @@ object CcDiff {
         : (org.apache.spark.sql.DataFrame, Double) = {
       val s0 = System.nanoTime()
       val out = f().localCheckpoint()
-      (out, (System.nanoTime() - s0) / 1e9)
+      val secs = (System.nanoTime() - s0) / 1e9
+      System.err.println(f"[ccdiff] $name: $secs%.1f s")
+      (out, secs)
     }
     val (hooked, tHook) = run("hooking", () =>
       Dedup.dedupClusters(pairs, col("a_id"), col("b_id")))

@@ -218,12 +218,20 @@ object SnapshotGroup {
     val fs = SnapshotTable.fsOf(spark, root)
     var eff = Long.MinValue
     var best = 0L
-    SnapshotTable.listedVersions(fs, root).foreach { v =>
-      parse(v, SnapshotTable.readManifestBody(fs, root, v)).foreach { m =>
+    val it = SnapshotTable.listedVersions(fs, root).iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val v = it.next()
+      // early stop once resolution is determined — see
+      // [[SnapshotTable.versionAsOf]] (a later ts-less manifest cannot
+      // affect a query the effective clock already passed)
+      if (eff != Long.MinValue && eff >= ts) done = true
+      else parse(v, SnapshotTable.readManifestBody(fs, root, v)).foreach { m =>
         val raw = m.ts.getOrElse(sys.error(
           s"snapshot group asOf: version $v of $root records no commit " +
-          "timestamp — this history predates timestamp time travel; " +
-          "pin by version number instead"))
+          s"timestamp and resolution of $ts needs it — that span of " +
+          "history predates timestamp time travel; pin by version " +
+          "number instead"))
         eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1)
         if (eff <= ts) best = v
       }
@@ -258,10 +266,13 @@ object SnapshotGroup {
     val referenced = versions.drop(drop.length)
       .flatMap(v => manifestOf(fs, root, v).tables.values
         .map(_._1.takeWhile(_ != '/'))).toSet
+    def oldEnough(p: Path): Boolean =
+      minAgeMs <= 0L ||
+        (try now - fs.getFileStatus(p).getModificationTime >= minAgeMs
+         catch { case _: java.io.IOException => false }) // vanished: skip
     fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
       if (p.getName.startsWith("data-") && !referenced.contains(p.getName) &&
-          (minAgeMs <= 0L ||
-            now - fs.getFileStatus(p).getModificationTime >= minAgeMs))
+          oldEnough(p))
         fs.delete(p, true)
     }
     drop

@@ -106,7 +106,9 @@ private[catalog] class SnapshotGroupRelation(val sqlContext: SQLContext,
     extends BaseRelation with PrunedScan {
 
   private val spark = sqlContext.sparkSession
-  private def df = SnapshotGroup.read(spark, root, table, version)
+  // val, not def: the relation pins `version`, so the one resolved
+  // read (one manifest body) serves schema and every buildScan
+  private val df = SnapshotGroup.read(spark, root, table, version)
 
   override val schema: StructType = df.schema
 

@@ -389,6 +389,23 @@ object SnapshotTable {
       .nextOption()
   }
 
+  /** The most recent committed tag decoded against a numeric-suffix
+    * namespace, with its version: `Right(id)` when the latest tag is
+    * `prefix` + digits within Long range, `Left(tag)` for a foreign
+    * latest tag, None when no tagged commit exists. The O(1) replay
+    * fast path BOTH streaming sinks share
+    * ([[graft.stream.SnapshotSink]], `Streams.snapshotApply`) — and
+    * the single place the suffix parse is guarded: an empty or
+    * over-Long suffix is a FOREIGN tag, never an exception (a writer
+    * tagging `ingest-` must not wedge every later micro-batch). */
+  private[graft] def latestNumericTag(spark: SparkSession, root: String,
+      prefix: String): Option[(Either[String, Long], Long)] =
+    latestTag(spark, root).map { case (t, v) =>
+      (if (t.startsWith(prefix))
+         t.stripPrefix(prefix).toLongOption.toRight(t)
+       else Left(t)) -> v
+    }
+
   // ----------------------------------------------------------------
   // commit machinery shared by the three commit shapes
   // ----------------------------------------------------------------
@@ -911,7 +928,10 @@ object SnapshotTable {
           s"concurrent writer(s) modified partition(s) " +
           s"${overlap.toSeq.sorted.mkString(", ")} this commit also " +
           "replaces — rebase on the current snapshot and retry")
-        attempts += 1
+        // NOT counted against rebaseRetries here: every loop iteration
+        // ends in an exclusive-create attempt, and only a LOST create
+        // advances the counter — so the budget counts actual conflicts
+        // once each, not once at the catch and again at this re-proof
         parentV = cur
         parentM = curM
       }
@@ -1361,12 +1381,22 @@ object SnapshotTable {
     val fs = fsOf(spark, root)
     var eff = Long.MinValue
     var best = 0L
-    listedVersions(fs, root).foreach { v =>
-      parseManifest(v, readManifestBody(fs, root, v)).foreach { m =>
+    val it = listedVersions(fs, root).iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val v = it.next()
+      // once the effective clock has reached ts, every LATER version's
+      // effective timestamp is strictly greater (the +1 adjustment) —
+      // resolution is already determined, so stop: a ts-less manifest
+      // BEYOND this point (an old writer binary in a rolling upgrade)
+      // must not fail queries it cannot affect
+      if (eff != Long.MinValue && eff >= ts) done = true
+      else parseManifest(v, readManifestBody(fs, root, v)).foreach { m =>
         val raw = m.ts.getOrElse(sys.error(
           s"snapshot asOf: version $v of $root records no commit " +
-          "timestamp — this history predates timestamp time travel; " +
-          "pin by version number instead"))
+          s"timestamp and resolution of $ts needs it — that span of " +
+          "history predates timestamp time travel; pin by version " +
+          "number instead"))
         eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1)
         if (eff <= ts) best = v
       }

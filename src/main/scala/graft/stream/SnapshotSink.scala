@@ -35,26 +35,39 @@ object SnapshotSink {
   private[stream] def batchTag(batchId: Long): String = s"ingest-$batchId"
 
   /** Already-committed check at PER-BATCH streaming cost: the
-    * [[SnapshotTable.latestTag]] fast path reads O(1) manifest bodies
-    * on the steady state, where a full [[SnapshotTable.committedTags]]
-    * scan reads every committed body — O(versions) per batch,
-    * quadratic over the stream until vacuum. The shortcut relies on
-    * the sink being this table's ONLY `ingest-*` tagger (the tag
-    * namespace the exactly-once contract already owns) and on
-    * foreachBatch delivering batch ids in order per run, so the
-    * latest ingest tag carrying id ≥ this batch's proves this batch
-    * committed earlier. A foreign (non-ingest) tag on top is the one
-    * ambiguous case — only there does the full scan run. */
+    * [[SnapshotTable.latestNumericTag]] fast path reads O(1) manifest
+    * bodies on the steady state, where a full
+    * [[SnapshotTable.committedTags]] scan reads every committed body —
+    * O(versions) per batch, quadratic over the stream until vacuum.
+    * The shortcut relies on the sink being this table's ONLY
+    * `ingest-*` tagger (the tag namespace the exactly-once contract
+    * already owns) and on foreachBatch delivering batch ids in order
+    * per checkpoint lineage. Decision table on the latest ingest id:
+    * `== batchId` → committed (the common replay); `< batchId` → new
+    * batch; `> batchId` → IMPOSSIBLE within one lineage (foreachBatch
+    * never re-delivers an old id after a newer one committed), so pay
+    * the full scan: the tag present means a legitimately ancient
+    * replay; ABSENT means a fresh checkpoint is replaying ids against
+    * an old table — refused LOUDLY, because a silent append would
+    * DUPLICATE rows the snapshot still holds (vacuum drops old
+    * manifests, not current data) and a silent skip would LOSE the new
+    * lineage's batch. A foreign latest tag is the other ambiguous case
+    * and pays the full scan too. */
   private def alreadyCommitted(spark: org.apache.spark.sql.SparkSession,
       root: String, tag: String, batchId: Long): Boolean =
-    SnapshotTable.latestTag(spark, root) match {
+    SnapshotTable.latestNumericTag(spark, root, "ingest-") match {
       case None => false // no tagged commit at all: ours can't exist
-      case Some((t, _)) if t == tag => true
-      case Some((t, _)) if t.startsWith("ingest-") &&
-          t.stripPrefix("ingest-").forall(_.isDigit) =>
-        t.stripPrefix("ingest-").toLong >= batchId
-      case _ => // foreign tag on top: ambiguous — pay the full scan
-        SnapshotTable.committedTags(spark, root).contains(tag)
+      case Some((Right(id), _)) if id == batchId => true
+      case Some((Right(id), _)) if id < batchId => false
+      case latest => // latest id > batchId, or a foreign tag: full scan
+        if (SnapshotTable.committedTags(spark, root).contains(tag)) true
+        else if (latest.exists(_._1.exists(_ > batchId)))
+          throw new IllegalStateException(
+            s"snapshot ingest at $root: batch $batchId arrived behind " +
+            "the table's latest ingest tag with no committed tag of its " +
+            "own — a restarted stream must reuse its checkpoint (a fresh " +
+            "checkpoint would re-append rows the snapshot already holds)")
+        else false
     }
 
   /** The `foreachBatch` function: append `batch` into the partitioned

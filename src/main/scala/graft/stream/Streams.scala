@@ -202,15 +202,13 @@ object Streams {
     // replayed batch would silently re-commit and break the
     // version-per-batch invariant (state would stay correct via the
     // key-idempotent upsert, but the duplicate version would not).
-    SnapshotTable.latestTag(spark, tableRoot).foreach { case (t, v) =>
-      if (t.startsWith("batch-") && t.drop(6).nonEmpty &&
-          t.drop(6).forall(_.isDigit)) {
-        val lastId = t.stripPrefix("batch-").toLong
+    SnapshotTable.latestNumericTag(spark, tableRoot, "batch-").foreach {
+      case (Right(lastId), v) =>
         if (batchId <= lastId)
           return if (batchId == lastId) v
                  else SnapshotTable.committedTags(spark, tableRoot)
                    .getOrElse(tag, v)
-      } else
+      case (Left(_), _) =>
         SnapshotTable.committedTags(spark, tableRoot).get(tag)
           .foreach(dup => return dup)
     }

@@ -787,12 +787,27 @@ class StreamingSpec extends SparkSpec {
       s"per-batch manifest reads grew with history: $costAt8 -> $costAt24")
     assert(costAt24 <= 10L,
       s"per-batch manifest reads not O(1): $costAt24 bodies")
-    // replay of an OLD batch: the latest ingest tag (24) proves batch 3
-    // committed — O(1), version unchanged
-    val replayCost = reads(SnapshotSink.exactlyOnce(root, "p")(batch(3L), 3L))
+    // replay of the LATEST batch — the common restart shape — is O(1)
+    val replayCost = reads(SnapshotSink.exactlyOnce(root, "p")(batch(24L), 24L))
     assert(SnapshotTable.currentVersion(spark, root) == 25L)
     assert(replayCost <= 4L,
-      s"replay fast path read $replayCost bodies — not O(1)")
+      s"latest-batch replay read $replayCost bodies — not O(1)")
+    // an OUT-OF-ORDER old id (impossible within one checkpoint lineage)
+    // pays the full scan by design: the tag is still committed here, so
+    // it resolves to a no-op; cost is deliberately unbounded on this
+    // rare path
+    SnapshotSink.exactlyOnce(root, "p")(batch(3L), 3L)
+    assert(SnapshotTable.currentVersion(spark, root) == 25L)
+    // a FRESH checkpoint lineage against an old table (old id, tag NOT
+    // committed) must refuse loudly — a silent append would duplicate
+    // rows the snapshot still holds, a silent skip would lose data
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_s21fresh").toString + "/tbl"
+    SnapshotSink.exactlyOnce(root2, "p")(batch(24L), 24L)
+    val fresh = intercept[IllegalStateException] {
+      SnapshotSink.exactlyOnce(root2, "p")(batch(3L), 3L)
+    }
+    assert(fresh.getMessage.contains("checkpoint"), fresh.getMessage)
     // a FOREIGN tagged commit on top makes the shortcut ambiguous: the
     // sink must fall back to the full scan and still treat the old
     // batch as committed (no double-append)
@@ -802,6 +817,14 @@ class StreamingSpec extends SparkSpec {
     SnapshotSink.exactlyOnce(root, "p")(batch(5L), 5L)
     assert(SnapshotTable.currentVersion(spark, root) == 26L,
       "a replay under a foreign tag double-appended")
+    assert(SnapshotTable.readLatest(spark, root).count() == n)
+    // a malicious/malformed 'ingest-' tag (empty numeric suffix) is a
+    // FOREIGN tag, not an exception: the sink must not wedge on it
+    SnapshotTable.commit(
+      SnapshotTable.readLatest(spark, root), root, 26L,
+      tag = Some("ingest-"))
+    SnapshotSink.exactlyOnce(root, "p")(batch(5L), 5L) // no-op via scan
+    assert(SnapshotTable.currentVersion(spark, root) == 27L)
     assert(SnapshotTable.readLatest(spark, root).count() == n)
   }
 }
