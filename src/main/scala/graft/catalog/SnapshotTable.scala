@@ -92,6 +92,14 @@ object SnapshotTable {
   private[graft] val manifestBodyReads =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Instrumentation: successful disjoint-partition REBASES performed
+    * by [[commitReplace]] since process start — each one is a conflict
+    * that would have failed the whole-table CAS but landed after the
+    * independence proof. `ConcBench`/specs snapshot it; production
+    * code never reads it. */
+  private[graft] val rebasesPerformed =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[catalog] def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -932,6 +940,7 @@ object SnapshotTable {
         // ends in an exclusive-create attempt, and only a LOST create
         // advances the counter — so the budget counts actual conflicts
         // once each, not once at the catch and again at this re-proof
+        rebasesPerformed.incrementAndGet()
         parentV = cur
         parentM = curM
       }
