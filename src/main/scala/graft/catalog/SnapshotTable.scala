@@ -1498,6 +1498,60 @@ object SnapshotTable {
     * next maintenance pass. */
   val defaultVacuumHorizonMs: Long = 20L * 60L * 1000L
 
+  /** COMMIT HISTORY as data — the DESCRIBE HISTORY analogue: one row
+    * per committed version (version, base, commit ts, effective ts
+    * after [[versionAsOf]]'s monotonic adjustment, tag, entry count,
+    * partition column). O(versions) body reads — the audit surface.
+    * Driver-side construction is O(versions) rows of metadata, the
+    * same bound the manifest listing itself carries. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val fs = fsOf(spark, root)
+    var eff = Long.MinValue
+    val rows = listedVersions(fs, root).flatMap { v =>
+      parseManifest(v, readManifestBody(fs, root, v)).map { m =>
+        m.ts.foreach { raw =>
+          eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1) }
+        (m.version, m.base, m.ts,
+          m.ts.map(_ => eff), m.tag, m.entries.length.toLong, m.pcol)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("version", "base", "commit_ts", "effective_ts", "tag",
+      "entries", "pcol")
+  }
+
+  /** TIME-BASED RETENTION — the "keep 7 days" form of [[vacuum]]:
+    * drops every version whose EFFECTIVE commit timestamp
+    * ([[versionAsOf]]'s adjusted clock) is strictly below `cutoffTs`,
+    * always keeping at least the latest version, then reclaims data
+    * through the same reference-counted, age-horizon-guarded pass.
+    * Versions without a recorded timestamp never age out by time (a
+    * pre-timestamp history must be reclaimed explicitly by count).
+    * Returns the removed version numbers. */
+  def vacuumOlderThan(spark: SparkSession, root: String, cutoffTs: Long,
+                      minAgeMs: Long = defaultVacuumHorizonMs)
+      : Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val versions = committedVersions(spark, root)
+    // effective ts is strictly increasing, so the aged set is the
+    // longest PREFIX of history below the cutoff — takeWhile, which
+    // also makes a ts-less version a conservative stop (nothing beyond
+    // it ages by time), and lets the drop reuse count-based [[vacuum]]
+    // verbatim, refcount and writer-safety horizon included
+    var eff = Long.MinValue
+    val aged = versions.dropRight(1).takeWhile { v =>
+      manifestIfCommitted(fs, root, v).exists { m =>
+        m.ts.exists { raw =>
+          eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1)
+          eff < cutoffTs
+        }
+      }
+    }
+    if (aged.isEmpty) Seq.empty
+    else vacuum(spark, root, keepLast = versions.length - aged.length,
+      minAgeMs = minAgeMs)
+  }
+
   /** Drop snapshots older than `keepLast` versions, then reclaim data
     * REFERENCE-COUNTED at entry granularity: an entry (whole data dir
     * or partition subdir) is deleted only when NO surviving manifest

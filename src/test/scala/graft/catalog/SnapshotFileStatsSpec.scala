@@ -158,6 +158,51 @@ class SnapshotFileStatsSpec extends SparkSpec {
       Seq(Pred("d", ">", 5.0))).count() == 1L)
   }
 
+  test("history() is DESCRIBE HISTORY: one row per version with " +
+       "commit/effective timestamps, tags, entry counts; " +
+       "vacuumOlderThan retires by effective time, keeps the latest, " +
+       "and stops at a ts-less version") {
+    import spark.implicits._
+    val root = freshRoot()
+    def df(v: Long) = Seq(("a", v)).toDF("k", "v")
+    SnapshotTable.commit(df(1L), root, 0L, commitTs = 1000L)
+    SnapshotTable.commit(df(2L), root, 1L, tag = Some("t2"),
+      commitTs = 2000L)
+    SnapshotTable.commit(df(3L), root, 2L, commitTs = 1500L) // skewed
+    val h = SnapshotTable.history(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    assert(h == Seq(
+      (1L, 1000L, 1000L, None, 1L),
+      (2L, 2000L, 2000L, Some("t2"), 1L),
+      (3L, 1500L, 2001L, None, 1L)), // effective adjusts the skew
+      s"unexpected history: $h")
+    // retention by time: cutoff 2001 ages out v1 and v2, keeps v3
+    val dropped = SnapshotTable.vacuumOlderThan(spark, root, 2001L,
+      minAgeMs = 0L)
+    assert(dropped == Seq(1L, 2L))
+    assert(SnapshotTable.committedVersions(spark, root) == Seq(3L))
+    // the latest version NEVER ages out, even past its timestamp
+    assert(SnapshotTable.vacuumOlderThan(spark, root, Long.MaxValue,
+      minAgeMs = 0L).isEmpty)
+    assert(SnapshotTable.readLatest(spark, root).count() == 1L)
+    // a ts-less version stops time-based aging conservatively
+    val root2 = freshRoot()
+    SnapshotTable.commit(df(1L), root2, 0L, commitTs = 1000L)
+    val mf = new Path(s"$root2/_commits/v00000001.json")
+    val body = new String(org.apache.commons.io.IOUtils
+      .toByteArray(fs(root2).open(mf)), "UTF-8")
+    val out = fs(root2).create(mf, true)
+    try out.write(body.replaceFirst(""","ts":\d+""", "").getBytes("UTF-8"))
+    finally out.close()
+    SnapshotTable.commit(df(2L), root2, 1L, commitTs = 2000L)
+    SnapshotTable.commit(df(3L), root2, 2L, commitTs = 3000L)
+    assert(SnapshotTable.vacuumOlderThan(spark, root2, Long.MaxValue,
+      minAgeMs = 0L).isEmpty,
+      "a ts-less version must stop time-based aging")
+  }
+
   test("timestamp time travel: injected commit timestamps resolve by " +
        "version arithmetic, clock skew adjusts Delta-style, and " +
        "pre-history or ts-less manifests refuse loudly") {
