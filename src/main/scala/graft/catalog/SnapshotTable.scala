@@ -1014,7 +1014,14 @@ object SnapshotTable {
               filesPerPart: Int = 1, tag: Option[String] = None): Long = {
     require(filesPerPart >= 1,
       s"snapshot compact: filesPerPart=$filesPerPart must be >= 1")
-    val cur = checkBase(spark, root, expectedBase)
+    // expectedBase < 0 = compact whatever is current (the daemon form,
+    // mirroring appendInto): a concurrent writer on OTHER partitions
+    // still lands via commitReplace's rebase; one touching a selected
+    // partition conflicts loudly, which is correct — the compaction
+    // would otherwise resurrect that partition's pre-write content
+    val cur =
+      if (expectedBase >= 0L) checkBase(spark, root, expectedBase)
+      else currentVersion(spark, root)
     val m = manifestOf(fsOf(spark, root), root, cur)
     require(m.pcol.contains(pcol),
       s"snapshot compact: version $cur is partitioned on " +

@@ -383,6 +383,11 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SnapshotTable.compact(spark, root, v2, "region", filesPerPart = 0)
     }
+    // the daemon form: expectedBase < 0 compacts whatever is current
+    val v3 = SnapshotTable.compact(spark, root, expectedBase = -1L,
+      "region")
+    assert(v3 == v2 + 1)
+    assert(SnapshotTable.readLatest(spark, root).count() == 90)
   }
 
   test("appendInto: touched partitions gain the batch's rows, untouched " +
