@@ -45,9 +45,63 @@ import org.apache.spark.sql.types.StructType
   * added pushdown. Writes stay on the commit API — they need
   * `expectedBase`/tags/evolution flags that a blind `save()` cannot
   * express safely. */
-class SnapshotSource extends RelationProvider with DataSourceRegister {
+class SnapshotSource extends RelationProvider with DataSourceRegister
+    with StreamSourceProvider with CreatableRelationProvider {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** SQL writes are REFUSED WITH GUIDANCE rather than Spark's generic
+    * "data source does not support write": a blind `save()`/`INSERT`
+    * cannot carry the commit protocol's safety inputs
+    * (expectedBase for optimistic concurrency, tags for replay
+    * idempotence, the explicit evolveSchema opt-in), so accepting one
+    * would silently forfeit exactly the guarantees the table exists
+    * for. The error names the real write surfaces. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation =
+    throw new UnsupportedOperationException(
+      "graft-snapshot: SQL/DataFrame writes are not supported — commits " +
+      "need an expected base version (optimistic concurrency), an " +
+      "optional idempotence tag, and an explicit schema-evolution " +
+      "opt-in, which save()/INSERT cannot express. Write through " +
+      "graft.catalog.SnapshotTable: commit / commitPartitioned / " +
+      "commitReplace / appendInto / commitDelete (or " +
+      "stream.SnapshotSink.exactlyOnce for streaming ingest); reads " +
+      "stay on this source.")
+
+  /** Streaming CHANGE FEED over the commit log:
+    * {{{
+    *   spark.readStream.format("graft-snapshot")
+    *     .option("path", root).option("keys", "id")
+    *     [.option("preimages", "true")]
+    *     [.option("startingVersion", "0")]
+    *     .load()
+    * }}}
+    * Offsets are COMMITTED VERSIONS: each micro-batch emits the
+    * Delta-CDF rows ([[SnapshotTable.changes]] semantics, one
+    * `_commit_version` column appended) of every commit in
+    * (lastSeen, current] — the incremental-consumer story (snk11's MV
+    * maintenance, cache invalidation, downstream sync) without
+    * polling code: the engine's checkpoint persists the version
+    * cursor. `startingVersion` N means "emit changes AFTER version N"
+    * (0 = from the first commit, whose feed is all-inserts); absent,
+    * the stream starts at the CURRENT version — history is not
+    * replayed. Retention must outlast checkpoint lag: a vacuumed
+    * version inside a restart's catch-up range fails loudly rather
+    * than emitting a gap. */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), SnapshotChangeSource.cdfSchema(
+      sqlContext.sparkSession, parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new SnapshotChangeSource(sqlContext, parameters)
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -92,9 +146,15 @@ object SnapshotSource {
     * files planned; -1 = some entry scans whole dirs). Instrumentation
     * for the gate/specs, same role as
     * [[SnapshotTable.manifestBodyReads]]; production code never reads
-    * it. */
+    * it. THREAD-LOCAL, not a process-wide cell: DSv1 `buildScan` runs
+    * on the thread that forces the query's physical plan, so a gate
+    * that sets→scans→gets on one thread can never have its reading
+    * overwritten by a concurrent `graft-snapshot` scan on another
+    * (parallel gate queries / parallel test suites). */
   private[graft] val lastPlanned =
-    new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
+    new ThreadLocal[(Long, Long)] {
+      override def initialValue(): (Long, Long) = (0L, 0L)
+    }
 }
 
 /** One table of a [[SnapshotGroup]] through the data source: column
@@ -122,6 +182,117 @@ private[catalog] class SnapshotGroupRelation(val sqlContext: SQLContext,
       else base.select(requiredColumns.map(col).toIndexedSeq: _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
+}
+
+private[catalog] object SnapshotChangeSource {
+  private[catalog] def keysOf(parameters: Map[String, String]): Seq[String] =
+    parameters.getOrElse("keys", throw new IllegalArgumentException(
+      "graft-snapshot stream: the 'keys' option (comma-separated key " +
+      "columns, the changes() upsert contract) is required"))
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** The CDF schema: keys (caller order) ++ change_type ++ payload
+    * (table order) ++ _commit_version — exactly the column order
+    * [[SnapshotTable.changes]] emits plus the version stamp, so
+    * every per-commit batch aligns positionally. */
+  private[catalog] def cdfSchema(spark: org.apache.spark.sql.SparkSession,
+      parameters: Map[String, String]): StructType = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot stream: the 'path' option is required"))
+    val keys = keysOf(parameters)
+    val cur = SnapshotTable.currentVersion(spark, root)
+    require(cur > 0, s"graft-snapshot stream: $root has no committed " +
+      "version to derive the change schema from")
+    val table = StructType.fromDDL(
+      SnapshotTable.manifestAt(spark, root, cur).schemaDdl)
+    val names = table.fieldNames.toSet
+    keys.foreach(k => require(names.contains(k),
+      s"graft-snapshot stream: key column '$k' is not a table column"))
+    val keyFields = keys.map(k => table(table.fieldIndex(k)))
+    val payload = table.fields.filterNot(f => keys.contains(f.name))
+    StructType((keyFields :+
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType)) ++ payload :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType))
+  }
+}
+
+/** The micro-batch change-feed source (see
+  * [[SnapshotSource.sourceSchema]] for the contract): offsets are
+  * committed snapshot versions, each batch the union of per-commit
+  * Delta-CDF diffs over its (start, end] version range — normally one
+  * commit per micro-batch in steady state. Version resolution per
+  * batch is [[SnapshotTable.currentVersion]]'s O(1) pointer path, so
+  * the POLL cost does not grow with history; the diff itself joins
+  * two adjacent snapshot reads (partition-pruned on partition-keyed
+  * tables, per the changes() scale contract). */
+private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
+    parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val spark = sqlContext.sparkSession
+  private val root = parameters("path")
+  private val keys = SnapshotChangeSource.keysOf(parameters)
+  private val preimages =
+    parameters.get("preimages").exists(_.toBoolean)
+  // absent startingVersion = start AT the current version: history is
+  // not replayed, only commits after stream start feed batches
+  private val startV: Long = parameters.get("startingVersion")
+    .map(_.toLong)
+    .getOrElse(SnapshotTable.currentVersion(spark, root))
+
+  override val schema: StructType =
+    SnapshotChangeSource.cdfSchema(spark, parameters)
+
+  override def getOffset: Option[V1Offset] = {
+    val cur = SnapshotTable.currentVersion(spark, root)
+    if (cur > startV) Some(LongOffset(cur)) else None
+  }
+
+  private def offsetV(o: V1Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong // SerializedOffset on restart
+  }
+
+  /** One commit's CDF rows, version-stamped. The first commit has no
+    * predecessor snapshot — its feed is the snapshot itself as
+    * inserts (the same shape a from-empty diff would produce). */
+  private def cdfOfCommit(v: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d =
+      if (v == 1L) {
+        val t = SnapshotTable.read(spark, root, 1L)
+        val payload = t.columns.filterNot(keys.contains).toSeq
+        t.select(keys.map(col) ++ Seq(lit("insert").as("change_type")) ++
+          payload.map(col): _*)
+      } else SnapshotTable.changes(spark, root, v - 1L, v, keys, preimages)
+    d.withColumn("_commit_version", lit(v))
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset)
+      : org.apache.spark.sql.DataFrame = {
+    val fromV = start.map(offsetV).getOrElse(startV)
+    val toV = offsetV(end)
+    val range = (fromV + 1L) to toV
+    import org.apache.spark.sql.functions.col
+    val ordered = schema.fieldNames.map(col).toIndexedSeq
+    val batch =
+      if (range.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else range.map(cdfOfCommit).reduce(_ unionByName _)
+        .select(ordered: _*)
+    // the engine asserts getBatch hands back a STREAMING-flagged plan
+    org.apache.spark.sql.GraftBridge.asStreaming(batch)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[catalog] class SnapshotRelation(val sqlContext: SQLContext,

@@ -118,7 +118,22 @@ object SnapshotTable {
       entries: Seq[String], pcol: Option[String], schemaDdl: String,
       tag: Option[String], stats: Seq[Map[String, ColStats]] = Nil,
       ts: Option[Long] = None,
-      fileStats: Seq[Map[String, Map[String, ColStats]]] = Nil)
+      fileStats: Seq[Map[String, Map[String, ColStats]]] = Nil,
+      dels: Seq[Seq[DelRef]] = Nil)
+
+  /** One EQUALITY-DELETE reference attached to a manifest entry (the
+    * Iceberg equality-delete analogue at entry grain): `path` is a
+    * `del-<uuid>` dir under the table root holding the parquet of
+    * deleted key tuples, `keyCols` the columns the read-side anti-join
+    * matches on. A [[commitDelete]] appends one ref to every entry it
+    * scopes to; the entry's DATA FILES are untouched — deleting one
+    * key in a 1-TB partition rewrites nothing. Reads apply refs as
+    * anti-joins; [[compact]]/[[commitReplace]] rewrites MATERIALIZE
+    * them (a rewritten partition's fresh entry carries no refs).
+    * Unlike the advisory stats, delete refs are SEMANTIC: a garbled
+    * dels field fails the read loudly rather than resurrecting
+    * deleted rows. */
+  private[graft] case class DelRef(path: String, keyCols: Seq[String])
 
   /** Per-entry, per-column MIN/MAX recorded in the manifest — the
     * Delta/Iceberg data-skipping statistics. `tpe` is a comparison
@@ -156,6 +171,36 @@ object SnapshotTable {
   private val BaseRe = """"base":(-?\d+)""".r
   private val TsRe = """"ts":(-?\d+)""".r
   private val StatsRe = """"stats":\[([^\]]*)\]""".r
+  private val DelsRe = """"dels":\[([^\]]*)\]""".r
+
+  /** Delete-chain codec: per entry, one base64 blob of lines
+    * `b64(path) \t b64(col1,col2,…)` — same regex-parsable-JSON
+    * discipline as the stats blob. Decode failures are NOT advisory
+    * (see [[DelRef]]): they throw out of [[parseManifest]]'s dels
+    * block, outside the stats' degrade-to-empty catch. */
+  private def encodeDels(refs: Seq[DelRef]): String = {
+    def b64(v: String) =
+      java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8"))
+    java.util.Base64.getEncoder.encodeToString(
+      refs.map(r => s"${b64(r.path)}\t${b64(r.keyCols.mkString(","))}")
+        .mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def decodeDels(blob: String): Seq[DelRef] = {
+    def un64(v: String) =
+      new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
+    val body = un64(blob)
+    if (body.isEmpty) Nil
+    else body.split('\n').toSeq.map { line =>
+      line.split("\t", -1) match {
+        case Array(p, kc) =>
+          DelRef(un64(p), un64(kc).split(',').toSeq)
+        case other => sys.error(
+          s"snapshot dels: unrecognized line shape (${other.length} " +
+          "fields) — a dels-aware reader is required for this manifest")
+      }
+    }
+  }
 
   /** Stats blob codec: one LINE per bound — the whole per-entry blob
     * base64'd into the manifest's stats array, so the manifest stays
@@ -260,6 +305,18 @@ object SnapshotTable {
           .getOrElse(Nil)
         catch { case scala.util.control.NonFatal(_) => Nil }
       val aligned = decoded.isEmpty || decoded.length == entries.length
+      // dels are SEMANTIC, not advisory: a dels field that fails to
+      // decode or misaligns with the entry list throws loudly — a
+      // reader must never scan an entry without its delete chain
+      // (that would resurrect deleted rows)
+      val dels = DelsRe.findFirstMatchIn(body)
+        .map(m => EntryRe.findAllMatchIn(m.group(1))
+          .map(g => decodeDels(g.group(1))).toSeq)
+        .getOrElse(Nil)
+      require(dels.isEmpty || dels.length == entries.length,
+        s"snapshot manifest v$v: ${dels.length} delete chains for " +
+        s"${entries.length} entries — refusing to read (deleted rows " +
+        "would resurrect)")
       Manifest(
         version = v,
         base = base,
@@ -270,13 +327,12 @@ object SnapshotTable {
         tag = TagRe.findFirstMatchIn(body).map(_.group(1)),
         stats = if (aligned) decoded.map(_._1) else Nil,
         ts = TsRe.findFirstMatchIn(body).map(_.group(1).toLong),
-        fileStats = if (aligned) decoded.map(_._2) else Nil)
+        fileStats = if (aligned) decoded.map(_._2) else Nil,
+        dels = dels)
     }
 
-  private[catalog] def readManifestBody(fs: FileSystem, root: String, v: Long)
-      : String = {
-    manifestBodyReads.incrementAndGet()
-    val in = fs.open(manifest(root, v))
+  private def readFileBody(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
     try {
       val bytes = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](4096)
@@ -284,6 +340,12 @@ object SnapshotTable {
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
       bytes.toString("UTF-8")
     } finally in.close()
+  }
+
+  private[catalog] def readManifestBody(fs: FileSystem, root: String, v: Long)
+      : String = {
+    manifestBodyReads.incrementAndGet()
+    readFileBody(fs, manifest(root, v))
   }
 
   /** The version's manifest if its file exists AND its body parses —
@@ -335,13 +397,19 @@ object SnapshotTable {
     * counts only once its BODY parses: on filesystems where create()
     * makes the file visible before the body lands, a reader hitting the
     * create→write window must see "not committed yet", not a
-    * half-committed version. O(versions) body reads — the audit /
-    * maintenance surface; the commit and streaming hot paths use
-    * [[currentVersion]] / [[latestTag]] instead. */
+    * half-committed version. O(checkpoint + suffix) reads: versions a
+    * checkpoint covers are committed by construction (the rollup only
+    * records parsed manifests), so only the uncovered suffix pays body
+    * reads — without a checkpoint this is the old O(versions) walk. */
   def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fsOf(spark, root)
-    listedVersions(fs, root)
-      .filter(v => parseManifest(v, readManifestBody(fs, root, v)).isDefined)
+    val ckpt = latestCheckpoint(fs, root)
+    val k = ckpt.map(_._1).getOrElse(0L)
+    val covered = ckpt.map(_._2.iterator.map(_.version).toSet)
+      .getOrElse(Set.empty[Long])
+    listedVersions(fs, root).filter(v =>
+      (v <= k && covered(v)) ||
+      parseManifest(v, readManifestBody(fs, root, v)).isDefined)
   }
 
   /** Latest committed version; 0 = empty table (no commits yet).
@@ -372,14 +440,23 @@ object SnapshotTable {
   /** Read each committed version's manifest `tag` (absent → no entry).
     * Tags are the replay-idempotence hook: a streaming sink stamps
     * each commit with its micro-batch id and skips batches whose tag
-    * is already committed. O(versions) body reads — vacuum bounds it;
-    * the per-batch streaming path uses [[latestTag]] instead. */
+    * is already committed. O(checkpoint + suffix) reads: tags of
+    * checkpoint-covered versions come from the rollup — INCLUDING
+    * versions later vacuumed, which is exactly right for idempotence
+    * (a batch whose commit aged out of retention is still committed;
+    * re-appending it would duplicate rows the live snapshot holds).
+    * Only the uncovered suffix pays body reads. */
   def committedTags(spark: SparkSession, root: String): Map[String, Long] = {
     val fs = fsOf(spark, root)
-    listedVersions(fs, root).flatMap { v =>
+    val ckpt = latestCheckpoint(fs, root)
+    val k = ckpt.map(_._1).getOrElse(0L)
+    val fromCkpt = ckpt.map(_._2.flatMap(r => r.tag.map(_ -> r.version)))
+      .getOrElse(Seq.empty)
+    val fromBodies = listedVersions(fs, root).filter(_ > k).flatMap { v =>
       parseManifest(v, readManifestBody(fs, root, v))
         .flatMap(m => m.tag.map(_ -> v))
-    }.toMap
+    }
+    (fromCkpt ++ fromBodies).toMap
   }
 
   /** The most recent committed version that carries a tag, with its
@@ -391,10 +468,37 @@ object SnapshotTable {
     * found). */
   def latestTag(spark: SparkSession, root: String): Option[(String, Long)] = {
     val fs = fsOf(spark, root)
-    listedVersions(fs, root).reverseIterator
-      .flatMap(v => parseManifest(v, readManifestBody(fs, root, v))
-        .flatMap(m => m.tag.map(_ -> v)))
-      .nextOption()
+    val listed = listedVersions(fs, root).reverse
+    // steady state (the newest tagged commit is near the top): pay
+    // body reads only for that shallow suffix, and never touch the
+    // checkpoint file (whose byte size grows with history). Only once
+    // the walk is deeper than one rollup interval load the checkpoint
+    // LAZILY and finish the scan in its records — a long run of
+    // untagged foreign commits then costs O(interval + 1 checkpoint
+    // read), not O(versions) bodies.
+    var ckpt: Option[(Long, Seq[CkptRec])] = None
+    var ckptLoaded = false
+    var i = 0
+    while (i < listed.length) {
+      val v = listed(i)
+      if (!ckptLoaded && checkpointInterval > 0 &&
+          i >= checkpointInterval) {
+        ckpt = latestCheckpoint(fs, root); ckptLoaded = true
+      }
+      if (ckpt.exists(v <= _._1))
+        return ckpt.flatMap(_._2.reverseIterator
+          .flatMap(r => r.tag.map(_ -> r.version)).nextOption())
+      val t = parseManifest(v, readManifestBody(fs, root, v))
+        .flatMap(m => m.tag.map(_ -> v))
+      if (t.isDefined) return t
+      i += 1
+    }
+    // exhausted the listing untagged: tags may survive only in the
+    // checkpoint (their versions vacuumed) — still valid idempotence
+    // evidence, see [[committedTags]]
+    if (!ckptLoaded) ckpt = latestCheckpoint(fs, root)
+    ckpt.flatMap(_._2.reverseIterator
+      .flatMap(r => r.tag.map(_ -> r.version)).nextOption())
   }
 
   /** The most recent committed tag decoded against a numeric-suffix
@@ -412,6 +516,164 @@ object SnapshotTable {
       (if (t.startsWith(prefix))
          t.stripPrefix(prefix).toLongOption.toRight(t)
        else Left(t)) -> v
+    }
+
+  // ----------------------------------------------------------------
+  // metadata checkpointing: O(suffix) audit scans on long histories
+  // ----------------------------------------------------------------
+
+  /** One version's metadata as rolled into a checkpoint — everything
+    * the audit surfaces ([[versionAsOf]], [[history]],
+    * [[committedTags]], [[latestTag]]) need, WITHOUT the entry list:
+    * entry-list consumers ([[read]], vacuum's refcount) read the
+    * version's own manifest, which exists for every non-vacuumed
+    * version. `ts` is the RAW recorded timestamp; the monotonic
+    * adjustment stays a read-time fold so it composes identically
+    * across the checkpoint/suffix seam. */
+  private[graft] case class CkptRec(version: Long, base: Long,
+      ts: Option[Long], tag: Option[String], nEntries: Long,
+      pcol: Option[String])
+
+  /** Instrumentation: checkpoint FILES read since process start —
+    * separate from [[manifestBodyReads]] so the O(suffix) specs bound
+    * both sides of the seam honestly. */
+  private[graft] val checkpointReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Roll up a metadata checkpoint every N commits (0/negative
+    * disables). Micro-batch ingest creates one version per batch;
+    * without a rollup, every as-of resolution / history / full tag
+    * scan walks O(versions) manifest bodies between vacuums — 1,440
+    * manifests per day at one-minute cadence. Delta checkpoints its
+    * log every 10 commits for exactly this reason. Spec-tunable. */
+  @volatile private[graft] var checkpointInterval: Int = 10
+
+  private def ckptPath(root: String, k: Long): Path =
+    new Path(s"$root/_commits/_ckpt-${vdir(k)}.json")
+
+  private val CkptRecsRe = """"recs":"([^"]*)"""".r
+
+  /** Checkpoint codec: the record list as TSV lines (one per version,
+    * ascending), the whole blob base64'd — the same
+    * regex-parsable-JSON discipline as the manifest stats blob. A
+    * `-1` ts and empty-b64 tag/pcol encode absence ([[checkTag]]
+    * refuses empty tags, so the sentinel is unambiguous). */
+  private def encodeCkpt(k: Long, recs: Seq[CkptRec]): Array[Byte] = {
+    def b64(v: String) =
+      java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8"))
+    val blob = recs.map { r =>
+      s"${r.version}\t${r.base}\t${r.ts.getOrElse(-1L)}\t" +
+        s"${b64(r.tag.getOrElse(""))}\t${r.nEntries}\t" +
+        b64(r.pcol.getOrElse(""))
+    }.mkString("\n")
+    (s"""{"ckpt":$k,"recs":"${java.util.Base64.getEncoder
+      .encodeToString(blob.getBytes("UTF-8"))}"}""").getBytes("UTF-8")
+  }
+
+  /** Inverse of [[encodeCkpt]]; None = torn/garbled (the caller falls
+    * back to an older checkpoint or to manifest bodies — a checkpoint
+    * is an optimization, never the only copy of live metadata). */
+  private def decodeCkpt(body: String): Option[Seq[CkptRec]] =
+    CkptRecsRe.findFirstMatchIn(body).flatMap { m =>
+      try {
+        def un64(v: String) =
+          new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
+        val blob = un64(m.group(1))
+        Some(if (blob.isEmpty) Seq.empty[CkptRec]
+        else blob.split('\n').toSeq.map { line =>
+          line.split("\t", -1) match {
+            case Array(v, b, t, tag, n, pc) =>
+              CkptRec(v.toLong, b.toLong,
+                Some(t.toLong).filter(_ >= 0L),
+                Some(un64(tag)).filter(_.nonEmpty), n.toLong,
+                Some(un64(pc)).filter(_.nonEmpty))
+            case other => sys.error(
+              s"checkpoint: unrecognized record shape " +
+              s"(${other.length} fields)") // caught below
+          }
+        })
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** The newest parseable checkpoint under `_commits`: (covered-through
+    * version K, records for versions 1..K ascending — complete for
+    * every version that was committed when it was written, INCLUDING
+    * versions later vacuumed). One listing + one file read on the
+    * happy path; a torn or concurrently-deleted checkpoint falls back
+    * to the next older one, then to None. */
+  private def listedCheckpoints(fs: FileSystem, root: String): Seq[Long] = {
+    val dir = new Path(s"$root/_commits")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_ckpt-v") && n.endsWith(".json") =>
+        n.stripPrefix("_ckpt-v").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  private[graft] def latestCheckpoint(fs: FileSystem, root: String)
+      : Option[(Long, Seq[CkptRec])] =
+    listedCheckpoints(fs, root).sorted(Ordering[Long].reverse)
+      .iterator.flatMap { k =>
+        try {
+          checkpointReads.incrementAndGet()
+          decodeCkpt(readFileBody(fs, ckptPath(root, k))).map(k -> _)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.nextOption()
+
+  /** Write (or extend) the checkpoint to cover every committed version
+    * ≤ `throughV`: the prior checkpoint's records carry over verbatim,
+    * the uncovered suffix's manifest bodies are rolled up, and the new
+    * file is exclusively created (a twin writer producing the same
+    * rollup is a benign no-op — the content is a pure function of the
+    * immutable manifests). Returns false WITHOUT writing when a listed
+    * version in the roll range does not parse yet (a committer's
+    * create→write window): a checkpoint must never record a gap,
+    * because readers treat its record set as complete for versions ≤ K
+    * — the next interval retries. Never throws: metadata rollup is an
+    * optimization; a commit or vacuum must not fail because it did. */
+  private[graft] def writeCheckpoint(fs: FileSystem, root: String,
+      throughV: Long): Boolean =
+    try {
+      val prior = latestCheckpoint(fs, root)
+      val k0 = prior.map(_._1).getOrElse(0L)
+      if (k0 >= throughV) true
+      else {
+        val rolled = listedVersions(fs, root)
+          .filter(v => v > k0 && v <= throughV)
+          .map(v => parseManifest(v, readManifestBody(fs, root, v))
+            .map(m => CkptRec(m.version, m.base, m.ts, m.tag,
+              m.entries.length.toLong, m.pcol)))
+        if (rolled.exists(_.isEmpty)) false
+        else {
+          // the DEFAULT per-scheme create, NOT the installed arbiter:
+          // the arbiter seam arbitrates COMMITS (who owns a version);
+          // a checkpoint is an advisory rollup whose content is a pure
+          // function of immutable manifests — twins write identical
+          // bytes, and a torn file degrades through decodeCkpt to the
+          // older rollup. Routing it through a custom arbiter would
+          // also let commit-arbitration faults (or a race spec's
+          // deliberately blocked writer) wedge vacuum's metadata pass.
+          perSchemeArbiter.createExclusive(fs, ckptPath(root, throughV),
+            encodeCkpt(throughV,
+              prior.map(_._2).getOrElse(Seq.empty) ++ rolled.flatten))
+          true
+        }
+      }
+    } catch {
+      // an existing file means a twin wrote the identical rollup
+      case _: java.nio.file.FileAlreadyExistsException => true
+      case _: java.io.IOException => true
+      case scala.util.control.NonFatal(_) => false
+    }
+
+  /** The commit-path hook: roll up every [[checkpointInterval]]
+    * commits. Only [[SnapshotTable]]'s own commit shapes call it —
+    * [[SnapshotGroup]] manifests have their own format and stay on
+    * O(versions) audit scans by its recorded small-artifact scope. */
+  private def maybeCheckpoint(fs: FileSystem, root: String,
+      next: Long): Unit =
+    if (checkpointInterval > 0 && next % checkpointInterval == 0) {
+      writeCheckpoint(fs, root, next); ()
     }
 
   // ----------------------------------------------------------------
@@ -468,7 +730,8 @@ object SnapshotTable {
                            stats: Seq[Map[String, ColStats]] = Nil,
                            fstats: Seq[Map[String, Map[String, ColStats]]]
                              = Nil,
-                           ts: Long = -1L)
+                           ts: Long = -1L,
+                           dels: Seq[Seq[DelRef]] = Nil)
       : Array[Byte] = {
     val schema = nullableSchema(schema0)
     entries.foreach(e => require(!e.exists(ch => ch == '"' || ch == '\\'),
@@ -478,6 +741,9 @@ object SnapshotTable {
       s"${entries.length} entries — writer bug")
     require(fstats.isEmpty || fstats.length == entries.length,
       s"snapshot commit: ${fstats.length} file-stats blobs for " +
+      s"${entries.length} entries — writer bug")
+    require(dels.isEmpty || dels.length == entries.length,
+      s"snapshot commit: ${dels.length} delete chains for " +
       s"${entries.length} entries — writer bug")
     val entriesJson = entries.map(e => s""""$e"""").mkString(",")
     val pcolField = pcol.map(p => s""","pcol":"$p"""").getOrElse("")
@@ -493,8 +759,12 @@ object SnapshotTable {
         .mkString(",")}]"""
     val tagField = tag.map(t => s""","tag":"$t"""").getOrElse("")
     val tsField = if (ts >= 0) s""","ts":$ts""" else ""
+    val delsField =
+      if (dels.forall(_.isEmpty)) ""
+      else s""","dels":[${dels.map(d => s""""${encodeDels(d)}"""")
+        .mkString(",")}]"""
     (s"""{"version":$next,"base":$base$tsField,"entries":[$entriesJson]""" +
-      s"""$pcolField,"schema":"$schemaB64"$statsField$tagField}""")
+      s"""$pcolField,"schema":"$schemaB64"$statsField$delsField$tagField}""")
       .getBytes("UTF-8")
   }
 
@@ -607,6 +877,7 @@ object SnapshotTable {
     val body = manifestBody(next, cur, Seq(dirName), None, df.schema, tag,
       ts = resolveTs(commitTs))
     createManifestExclusive(fs, root, next, body, Some(dataDir))
+    maybeCheckpoint(fs, root, next)
     next
   }
 
@@ -635,6 +906,7 @@ object SnapshotTable {
     val body = manifestBody(next, cur, entries, Some(pcol), df.schema, tag,
       stats, fstats, resolveTs(commitTs))
     createManifestExclusive(fs, root, next, body, Some(dataDir))
+    maybeCheckpoint(fs, root, next)
     next
   }
 
@@ -697,6 +969,19 @@ object SnapshotTable {
     * and entry-level pruning still applies). Spec-tunable. */
   @volatile private[graft] var fileStatsCap: Int = 128
 
+  /** Skipping-stats grain knob, for PRICING the write-path stats pass
+    * (`graft.StatsBench`, SCALE.md): 2 = per-file + entry (default,
+    * the SNK22 grain), 1 = entry-level only (the pre-SNK22 agg, one
+    * row per partition, no file dimension), 0 = no stats pass at all.
+    * Production stays at 2; the bench flips this to attribute commit
+    * wall between the write itself and each stats grain. */
+  @volatile private[graft] var statsMode: Int = 2
+
+  /** Wall-clock nanos spent inside [[entryStats]] since process start
+    * — the commit-path stats tax, measured not guessed. */
+  private[graft] val statsNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Rendered-bound comparison in the bound's own domain. Strings
     * compare by UTF-8 bytes UNSIGNED — exactly Spark's binary string
     * ordering — so a driver-side merge can never pick a different
@@ -731,13 +1016,37 @@ object SnapshotTable {
     val cols = statsCols(schema, pcol)
     val noStats = (entries.map(_ => Map.empty[String, ColStats]),
       entries.map(_ => Map.empty[String, Map[String, ColStats]]))
-    if (cols.isEmpty) return noStats
+    if (cols.isEmpty || statsMode <= 0) return noStats
+    val t0 = System.nanoTime()
     try {
       val back = spark.read.schema(schema)
         .option("basePath", s"$root/$dirName")
         .parquet(s"$root/$dirName")
       val aggs = cols.flatMap { case (c, _) =>
         Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
+      if (statsMode == 1) {
+        // entry grain only (the pricing baseline): one agg row per
+        // partition, no file dimension — bounds come straight from the
+        // partition slice instead of a driver-side file merge
+        val byPart: Map[String, Map[String, ColStats]] =
+          back.groupBy(col(pcol)).agg(aggs.head, aggs.tail: _*)
+            .collect().map { row =>
+              val pv = Option(row.get(0)) match {
+                case None => "__HIVE_DEFAULT_PARTITION__"
+                case Some(v) => org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils.escapePathName(v.toString)
+              }
+              pv -> cols.flatMap { case (c, tpe) =>
+                for {
+                  mn <- renderBound(tpe, row.getAs[Any](s"mn_$c"))
+                  mx <- renderBound(tpe, row.getAs[Any](s"mx_$c"))
+                } yield c -> ColStats(tpe, mn, mx)
+              }.toMap
+            }.toMap
+        return (entries.map(e => byPart.getOrElse(entryPartValue(e, pcol),
+          Map.empty[String, ColStats])),
+          entries.map(_ => Map.empty[String, Map[String, ColStats]]))
+      }
       val byPartFile: Map[String, Map[String, Map[String, ColStats]]] =
         back.groupBy(col(pcol), input_file_name().as("_fn"))
           .agg(aggs.head, aggs.tail: _*)
@@ -786,7 +1095,7 @@ object SnapshotTable {
        })
     } catch {
       case scala.util.control.NonFatal(_) => noStats
-    }
+    } finally statsNanos.addAndGet(System.nanoTime() - t0)
   }
 
   /** COMMIT BY REFERENCE — the partition-scoped commit: `updates` is
@@ -897,9 +1206,19 @@ object SnapshotTable {
       pcol, nullableSchema(schema), newEntries)
     val ts = resolveTs(commitTs)
 
-    def partEntrySets(m: Manifest): Map[String, Set[String]] =
+    // a partition's conflict signature includes its DELETE CHAIN: a
+    // concurrent commitDelete changes no entry paths, but replacing
+    // that partition from a stale base would resurrect the deleted
+    // rows — so a dels-only change must count as "winner touched it"
+    def partEntrySets(m: Manifest): Map[String, Set[String]] = {
+      val dmap: Map[String, Seq[DelRef]] =
+        if (m.dels.length == m.entries.length) m.entries.zip(m.dels).toMap
+        else Map.empty
       m.entries.groupBy(e => entryPartValue(e, pcol))
-        .map { case (pv, es) => pv -> es.toSet }
+        .map { case (pv, es) => pv -> es.map(e =>
+          e + "|" + dmap.getOrElse(e, Nil).map(_.path).sorted
+            .mkString(",")).toSet }
+    }
 
     def fail(msg: String): Nothing = {
       fs.delete(dataDir, true)
@@ -969,10 +1288,20 @@ object SnapshotTable {
         statsByEntry.getOrElse(e, Map.empty[String, ColStats]))
       val fstats = entries.map(e => fstatsByEntry.getOrElse(e,
         Map.empty[String, Map[String, ColStats]]))
+      // kept entries INHERIT the parent's delete chains (their files
+      // still contain the deleted rows); replaced partitions' fresh
+      // entries carry none — the rewrite read applied the chain, so
+      // this commit MATERIALIZES deletes for the partitions it touches
+      val parentDels: Map[String, Seq[DelRef]] =
+        if (parentM.dels.length == parentM.entries.length)
+          parentM.entries.zip(parentM.dels).toMap
+        else Map.empty
+      val dels = entries.map(e => parentDels.getOrElse(e, Nil))
       val body = manifestBody(next, parentV, entries, Some(pcol), schema,
-        tag, stats, fstats, ts)
+        tag, stats, fstats, ts, dels)
       try {
         createManifestExclusive(fs, root, next, body, None)
+        maybeCheckpoint(fs, root, next)
         return next
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1011,7 +1340,8 @@ object SnapshotTable {
     * Returns the new version. */
   def compact(spark: SparkSession, root: String, expectedBase: Long,
               pcol: String, parts: Seq[String] = Nil,
-              filesPerPart: Int = 1, tag: Option[String] = None): Long = {
+              filesPerPart: Int = 1, tag: Option[String] = None,
+              rebaseRetries: Int = 10): Long = {
     require(filesPerPart >= 1,
       s"snapshot compact: filesPerPart=$filesPerPart must be >= 1")
     // expectedBase < 0 = compact whatever is current (the daemon form,
@@ -1057,7 +1387,8 @@ object SnapshotTable {
              data.columns.map(org.apache.spark.sql.functions.col)
                .toIndexedSeq: _*),
            org.apache.spark.sql.functions.lit(filesPerPart))))
-    commitReplace(data.repartition(keys: _*), root, cur, pcol, tag = tag)
+    commitReplace(data.repartition(keys: _*), root, cur, pcol, tag = tag,
+      rebaseRetries = rebaseRetries)
   }
 
   /** APPEND `batch` into the partitioned snapshot — the micro-batch
@@ -1082,7 +1413,8 @@ object SnapshotTable {
     * which the caller resolves via its tag. Returns the new version. */
   def appendInto(batch: DataFrame, root: String, pcol: String,
                  tag: Option[String] = None,
-                 expectedBase: Long = -1L): Long = {
+                 expectedBase: Long = -1L,
+                 rebaseRetries: Int = 10): Long = {
     val spark = batch.sparkSession
     val cur =
       if (expectedBase >= 0L) checkBase(spark, root, expectedBase)
@@ -1116,8 +1448,95 @@ object SnapshotTable {
       val aligned = batch.select(existing.columns
         .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       commitReplace(existing.unionByName(aligned), root, cur, pcol,
-        tag = tag)
+        tag = tag, rebaseRetries = rebaseRetries)
     }
+  }
+
+  /** ROW-LEVEL DELETE without rewriting data — the GDPR-at-scale path:
+    * records `delKeys` (deduplicated on `keyCols`) as an EQUALITY
+    * DELETE file and commits a new version whose entry list, data
+    * files, and stats are the PARENT'S VERBATIM, each in-scope entry
+    * gaining one [[DelRef]]. Deleting one key in a 1-TB partition
+    * therefore writes one tiny parquet of keys and one manifest —
+    * never a partition rewrite (that is [[commitReplace]]'s price);
+    * reads anti-join the chain (broadcast-sized for point deletes) and
+    * the next [[compact]]/[[commitReplace]] of a partition
+    * materializes its chain away. Old versions still time-travel to
+    * the pre-delete rows (retire them with [[vacuum]], which
+    * refcounts delete files like data).
+    *
+    * SCOPING: when the parent is partitioned and `delKeys` carries the
+    * partition column (it need not be part of `keyCols`), only the
+    * partitions `delKeys` names pay the read-side anti-join — the
+    * others' entries stay chain-free. Without it, the ref attaches to
+    * every entry (sound, but prices every read).
+    *
+    * Semantics: a row of the table is deleted iff its `keyCols` tuple
+    * (null-safe) appears in `delKeys` AND its entry is in scope.
+    * Stats stay inherited — deletion only removes rows, so recorded
+    * min/max remain sound over-approximations for skipping.
+    * Concurrency: plain optimistic CAS on `expectedBase` (no rebase
+    * loop — a delete is metadata-cheap to retry, and auto-rebasing a
+    * DELETE across unseen winners could silently miss rows a
+    * concurrent append just added for the same keys). Returns the new
+    * version. */
+  def commitDelete(delKeys: DataFrame, root: String, expectedBase: Long,
+                   keyCols: Seq[String], tag: Option[String] = None,
+                   commitTs: Long = -1L): Long = {
+    val spark = delKeys.sparkSession
+    val fs = fsOf(spark, root)
+    checkTag(tag)
+    require(expectedBase > 0,
+      "snapshot commitDelete: no parent version — nothing to delete from")
+    require(keyCols.nonEmpty, "snapshot commitDelete: empty keyCols")
+    keyCols.foreach(c => require(
+      !c.contains(',') && !c.contains('\t') && !c.contains('\n'),
+      s"snapshot commitDelete: key column '$c' carries codec-breaking " +
+      "characters"))
+    val cur = checkBase(spark, root, expectedBase)
+    val parent = manifestOf(fs, root, cur)
+    val parentNames = StructType.fromDDL(parent.schemaDdl).fieldNames.toSet
+    keyCols.foreach(c => require(parentNames.contains(c),
+      s"snapshot commitDelete: no column '$c' in ${parent.schemaDdl}"))
+    keyCols.foreach(c => require(delKeys.columns.contains(c),
+      s"snapshot commitDelete: delKeys lacks key column '$c'"))
+    delKeys.columns.foreach(c => require(parentNames.contains(c),
+      s"snapshot commitDelete: delKeys column '$c' is not a table " +
+      "column — a typo here would silently delete nothing"))
+    import org.apache.spark.sql.functions.col
+    // partition scoping from the delKeys' pcol values, when present
+    val touched: Option[Set[String]] =
+      parent.pcol.filter(delKeys.columns.contains).map { pc =>
+        delKeys.select(col(pc).cast("string")).distinct()
+          .collect().map(r => Option(r.getString(0)) match {
+            case None => "__HIVE_DEFAULT_PARTITION__"
+            case Some(v) => org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.escapePathName(v)
+          }).toSet
+      }
+    val delDir = s"del-${java.util.UUID.randomUUID()}"
+    val delPath = new Path(s"$root/$delDir")
+    delKeys.select(keyCols.map(col): _*).distinct()
+      .write.mode("overwrite").parquet(delPath.toString)
+    val ref = DelRef(delDir, keyCols)
+    val parentDels: Seq[Seq[DelRef]] =
+      if (parent.dels.length == parent.entries.length) parent.dels
+      else parent.entries.map(_ => Seq.empty[DelRef])
+    val dels = parent.entries.zip(parentDels).map { case (e, chain) =>
+      val inScope = touched match {
+        case None => true
+        case Some(set) =>
+          parent.pcol.exists(pc => set.contains(entryPartValue(e, pc)))
+      }
+      if (inScope) chain :+ ref else chain
+    }
+    val next = cur + 1
+    val body = manifestBody(next, cur, parent.entries, parent.pcol,
+      StructType.fromDDL(parent.schemaDdl), tag, parent.stats,
+      parent.fileStats, resolveTs(commitTs), dels)
+    createManifestExclusive(fs, root, next, body, Some(delPath))
+    maybeCheckpoint(fs, root, next)
+    next
   }
 
   /** Time-travel read: the immutable snapshot of `version` — the union
@@ -1151,33 +1570,73 @@ object SnapshotTable {
     * produces. File paths keep the entry's data dir as `basePath`, so
     * the hive partition column still materializes under the recorded
     * schema. */
+  /** Apply an entry's delete chain to its scan: one LEFT-ANTI join per
+    * distinct key-column set against the UNION of that set's delete
+    * key files (null-safe equality, so a deleted NULL key matches).
+    * The delete side of a GDPR-style point delete is tiny — Spark's
+    * size-based broadcast threshold turns these into broadcast
+    * anti-joins, so at 100 TB the data side streams through unshuffled
+    * — and rewrites ([[compact]]/[[commitReplace]]) materialize the
+    * chain away, so it never grows past the commits since the last
+    * rewrite of that partition. */
+  private def applyDels(spark: SparkSession, root: String,
+      df: DataFrame, dels: Seq[DelRef]): DataFrame =
+    if (dels.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      dels.groupBy(_.keyCols).toSeq
+        .sortBy(_._1.mkString(","))
+        .foldLeft(df) { case (acc, (kcols, refs)) =>
+          val keys = refs.map(r => spark.read.parquet(s"$root/${r.path}"))
+            .reduce(_ unionByName _)
+            .select(kcols.map(c => col(c).as(s"_del_$c")): _*)
+            .distinct()
+          val cond = kcols.map(c => acc(c) <=> keys(s"_del_$c"))
+            .reduce(_ && _)
+          acc.join(keys, cond, "left_anti")
+        }
+    }
+
   private def readSelection(spark: SparkSession, root: String, m: Manifest,
       sel: Seq[(String, Option[Seq[String]])]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
     import org.apache.spark.sql.functions.col
     val ordered = schema.fieldNames.map(col).toIndexedSeq
+    val delsByEntry: Map[String, Seq[DelRef]] =
+      if (m.dels.length == m.entries.length) m.entries.zip(m.dels).toMap
+      else Map.empty // parseManifest refuses misalignment; Nil = none
     if (sel.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)
     else m.pcol match {
       case None =>
         // unpartitioned entries are whole dirs (commit() records no
-        // stats, so file narrowing never reaches this branch)
-        spark.read.schema(schema)
-          .parquet(sel.map(e => s"$root/${e._1}"): _*)
-          .select(ordered: _*)
+        // stats, so file narrowing never reaches this branch); entries
+        // sharing a delete chain scan as one group
+        sel.groupBy(e => delsByEntry.getOrElse(e._1, Nil)).toSeq
+          .sortBy(_._2.map(_._1).min)
+          .map { case (dels, es) =>
+            applyDels(spark, root,
+              spark.read.schema(schema)
+                .parquet(es.map(e => s"$root/${e._1}"): _*)
+                .select(ordered: _*), dels)
+          }
+          .reduce(_ unionByName _)
       case Some(_) =>
-        sel.groupBy(e => e._1.substring(0, e._1.indexOf('/'))).toSeq
-          .sortBy(_._1)
-          .map { case (dir, es) =>
+        sel.groupBy(e => (e._1.substring(0, e._1.indexOf('/')),
+            delsByEntry.getOrElse(e._1, Nil))).toSeq
+          .sortBy { case ((dir, dels), _) =>
+            (dir, dels.map(_.path).mkString(",")) }
+          .map { case ((dir, dels), es) =>
             val paths = es.flatMap {
               case (e, None) => Seq(s"$root/$e")
               case (e, Some(fns)) => fns.map(f => s"$root/$e/$f")
             }
-            spark.read.schema(schema)
-              .option("basePath", s"$root/$dir")
-              .parquet(paths: _*)
-              .select(ordered: _*)
+            applyDels(spark, root,
+              spark.read.schema(schema)
+                .option("basePath", s"$root/$dir")
+                .parquet(paths: _*)
+                .select(ordered: _*), dels)
           }
           .reduce(_ unionByName _)
     }
@@ -1388,37 +1847,58 @@ object SnapshotTable {
     * skew can record them non-monotonically, resolution adjusts
     * Delta-style — effective(v) = max(recorded(v), effective(v-1)+1) —
     * so later versions always resolve later and every version stays
-    * addressable by some timestamp. O(versions) body reads ascending
-    * (the adjustment is inherently a left fold): an audit-priced
-    * surface like [[committedVersions]], not a hot path. Fails loudly
-    * before the first commit's timestamp, and on history predating
-    * timestamp recording. */
+    * addressable by some timestamp. O(checkpoint + suffix) reads: the
+    * fold (inherently left-to-right) consumes checkpoint records for
+    * the covered prefix WITHOUT body reads — including records of
+    * versions later vacuumed, which keeps the effective clock anchored
+    * at the true first commit instead of restarting at the first
+    * survivor — and pays body reads only for the uncovered suffix.
+    * Only still-listed versions are resolvable read targets. Fails
+    * loudly before the first commit's timestamp, and on history
+    * predating timestamp recording. */
   def versionAsOf(spark: SparkSession, root: String, ts: Long): Long = {
     val fs = fsOf(spark, root)
+    val ckpt = latestCheckpoint(fs, root)
+    val k = ckpt.map(_._1).getOrElse(0L)
+    val listed = listedVersions(fs, root)
+    val listedSet = listed.toSet
     var eff = Long.MinValue
     var best = 0L
-    val it = listedVersions(fs, root).iterator
     var done = false
-    while (it.hasNext && !done) {
-      val v = it.next()
-      // once the effective clock has reached ts, every LATER version's
-      // effective timestamp is strictly greater (the +1 adjustment) —
-      // resolution is already determined, so stop: a ts-less manifest
-      // BEYOND this point (an old writer binary in a rolling upgrade)
-      // must not fail queries it cannot affect
-      if (eff != Long.MinValue && eff >= ts) done = true
-      else parseManifest(v, readManifestBody(fs, root, v)).foreach { m =>
-        val raw = m.ts.getOrElse(sys.error(
-          s"snapshot asOf: version $v of $root records no commit " +
-          s"timestamp and resolution of $ts needs it — that span of " +
-          "history predates timestamp time travel; pin by version " +
-          "number instead"))
-        eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1)
-        if (eff <= ts) best = v
+    // once the effective clock has reached ts, every LATER version's
+    // effective timestamp is strictly greater (the +1 adjustment) —
+    // resolution is already determined, so stop: a ts-less manifest
+    // BEYOND this point (an old writer binary in a rolling upgrade)
+    // must not fail queries it cannot affect
+    def step(v: Long, rawTs: Option[Long], resolvable: Boolean): Unit =
+      if (!done) {
+        if (eff != Long.MinValue && eff >= ts) done = true
+        else rawTs match {
+          case None =>
+            // a ts-less LISTED version before the resolution point is
+            // the pre-timestamp-history refusal; a ts-less VACUUMED
+            // checkpoint record contributes neither a clock value nor
+            // a read target and is simply skipped
+            if (resolvable) sys.error(
+              s"snapshot asOf: version $v of $root records no commit " +
+              s"timestamp and resolution of $ts needs it — that span " +
+              "of history predates timestamp time travel; pin by " +
+              "version number instead")
+          case Some(raw) =>
+            eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1)
+            if (eff <= ts && resolvable) best = v
+        }
       }
+    ckpt.foreach(_._2.foreach(r =>
+      step(r.version, r.ts, listedSet(r.version))))
+    listed.filter(_ > k).foreach { v =>
+      if (!done)
+        parseManifest(v, readManifestBody(fs, root, v))
+          .foreach(m => step(v, m.ts, resolvable = true))
     }
     require(best > 0,
-      s"snapshot asOf: timestamp $ts precedes the first commit of $root")
+      s"snapshot asOf: timestamp $ts precedes the first commit of " +
+      s"$root (or resolves only to versions retention already dropped)")
     best
   }
 
@@ -1506,25 +1986,39 @@ object SnapshotTable {
   val defaultVacuumHorizonMs: Long = 20L * 60L * 1000L
 
   /** COMMIT HISTORY as data — the DESCRIBE HISTORY analogue: one row
-    * per committed version (version, base, commit ts, effective ts
-    * after [[versionAsOf]]'s monotonic adjustment, tag, entry count,
-    * partition column). O(versions) body reads — the audit surface.
-    * Driver-side construction is O(versions) rows of metadata, the
-    * same bound the manifest listing itself carries. */
+    * per committed version still within retention (version, base,
+    * commit ts, effective ts after [[versionAsOf]]'s monotonic
+    * adjustment, tag, entry count, partition column). O(checkpoint +
+    * suffix) reads: covered versions' rows come from the rollup
+    * records; vacuumed records are folded for effective-clock
+    * continuity but not reported (they are no longer readable
+    * versions). Driver-side construction is O(versions) rows of
+    * metadata, the same bound the listing itself carries. */
   def history(spark: SparkSession, root: String): DataFrame = {
     val fs = fsOf(spark, root)
+    val ckpt = latestCheckpoint(fs, root)
+    val k = ckpt.map(_._1).getOrElse(0L)
+    val listed = listedVersions(fs, root)
+    val listedSet = listed.toSet
     var eff = Long.MinValue
-    val rows = listedVersions(fs, root).flatMap { v =>
+    def fold(ts: Option[Long]): Option[Long] = ts.map { raw =>
+      eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1); eff
+    }
+    val fromCkpt = ckpt.map(_._2).getOrElse(Seq.empty).flatMap { r =>
+      val effTs = fold(r.ts)
+      if (listedSet(r.version))
+        Some((r.version, r.base, r.ts, effTs, r.tag, r.nEntries, r.pcol))
+      else None
+    }
+    val fromBodies = listed.filter(_ > k).flatMap { v =>
       parseManifest(v, readManifestBody(fs, root, v)).map { m =>
-        m.ts.foreach { raw =>
-          eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1) }
-        (m.version, m.base, m.ts,
-          m.ts.map(_ => eff), m.tag, m.entries.length.toLong, m.pcol)
+        (m.version, m.base, m.ts, fold(m.ts), m.tag,
+          m.entries.length.toLong, m.pcol)
       }
     }
     import spark.implicits._
-    rows.toDF("version", "base", "commit_ts", "effective_ts", "tag",
-      "entries", "pcol")
+    (fromCkpt ++ fromBodies).toDF("version", "base", "commit_ts",
+      "effective_ts", "tag", "entries", "pcol")
   }
 
   /** TIME-BASED RETENTION — the "keep 7 days" form of [[vacuum]]:
@@ -1543,20 +2037,36 @@ object SnapshotTable {
     // effective ts is strictly increasing, so the aged set is the
     // longest PREFIX of history below the cutoff — takeWhile, which
     // also makes a ts-less version a conservative stop (nothing beyond
-    // it ages by time), and lets the drop reuse count-based [[vacuum]]
-    // verbatim, refcount and writer-safety horizon included
+    // it ages by time). The fold runs through the SAME checkpoint seam
+    // as [[versionAsOf]] (vacuumed records anchor the clock), so
+    // retention and resolution can never disagree about a version's
+    // effective timestamp.
+    val ckpt = latestCheckpoint(fs, root)
+    val k = ckpt.map(_._1).getOrElse(0L)
     var eff = Long.MinValue
-    val aged = versions.dropRight(1).takeWhile { v =>
-      manifestIfCommitted(fs, root, v).exists { m =>
-        m.ts.exists { raw =>
-          eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1)
-          eff < cutoffTs
-        }
-      }
+    val effOf = scala.collection.mutable.Map.empty[Long, Long]
+    def fold(v: Long, ts: Option[Long]): Unit = ts.foreach { raw =>
+      eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1)
+      effOf(v) = eff
     }
+    ckpt.foreach(_._2.foreach(r => fold(r.version, r.ts)))
+    versions.filter(_ > k).foreach(v =>
+      manifestIfCommitted(fs, root, v).foreach(m => fold(v, m.ts)))
+    val aged = versions.dropRight(1).takeWhile(v =>
+      effOf.get(v).exists(_ < cutoffTs))
     if (aged.isEmpty) Seq.empty
-    else vacuum(spark, root, keepLast = versions.length - aged.length,
-      minAgeMs = minAgeMs)
+    else {
+      // the drop boundary is an explicit VERSION NUMBER, not a count:
+      // a concurrent commit landing between this aged-prefix
+      // computation and the reclaim pass's own listing only appends
+      // HIGHER versions, which a `<= boundary` filter can never drop —
+      // a count-based keepLast recomputed against a second listing
+      // could overshoot past the aged prefix and delete versions at or
+      // after the cutoff (ADVICE r10).
+      val through = aged.last
+      vacuumDrop(spark, root, vs => vs.dropRight(1).filter(_ <= through),
+        minAgeMs)
+    }
   }
 
   /** Drop snapshots older than `keepLast` versions, then reclaim data
@@ -1581,6 +2091,16 @@ object SnapshotTable {
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2,
              minAgeMs: Long = defaultVacuumHorizonMs): Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least the live snapshot")
+    vacuumDrop(spark, root, _.dropRight(keepLast), minAgeMs)
+  }
+
+  /** The reclaim pass shared by [[vacuum]] and [[vacuumOlderThan]]:
+    * `dropSel` picks the versions to drop FROM THE ONE authoritative
+    * listing this pass performs, so no caller can race a concurrent
+    * commit between two listings (it must select a prefix that keeps
+    * at least the latest version — both callers do by construction). */
+  private def vacuumDrop(spark: SparkSession, root: String,
+      dropSel: Seq[Long] => Seq[Long], minAgeMs: Long): Seq[Long] = {
     val fs = fsOf(spark, root)
     val now = System.currentTimeMillis()
     def oldEnough(p: Path): Boolean =
@@ -1588,15 +2108,38 @@ object SnapshotTable {
         (try now - fs.getFileStatus(p).getModificationTime >= minAgeMs
          catch { case _: java.io.IOException => false }) // vanished: skip
     val versions = committedVersions(spark, root)
-    val drop = versions.dropRight(keepLast)
+    val drop = dropSel(versions)
+    // CHECKPOINT-AWARE: before the dropped manifests disappear, make
+    // sure the newest checkpoint covers every one of them — that
+    // preserves the effective-clock fold prefix ([[versionAsOf]] /
+    // [[history]] fold checkpoint records where bodies no longer
+    // exist) and the tag record (replay idempotence outlives
+    // retention). If the rollup cannot be written (a torn manifest
+    // mid-window), the drop still proceeds — exactly the
+    // pre-checkpointing semantics, where the fold restarts at the
+    // first survivor.
+    if (checkpointInterval > 0 && drop.nonEmpty) {
+      writeCheckpoint(fs, root, drop.last); ()
+    }
     drop.foreach(v => fs.delete(manifest(root, v), false))
-    val referenced: Set[String] = versions.drop(drop.length)
-      .flatMap(v => manifestOf(fs, root, v).entries).toSet
+    val dropped = drop.toSet
+    val survivors = versions.filterNot(dropped)
+      .map(v => manifestOf(fs, root, v))
+    val referenced: Set[String] = survivors.flatMap(_.entries).toSet
     val referencedDirs = referenced.map(e =>
       if (e.contains('/')) e.substring(0, e.indexOf('/')) else e)
+    // delete-key dirs refcount like data: reclaimable only when NO
+    // surviving manifest's chain references them (age-horizon guarded
+    // — a live commitDelete's dir is an apparent orphan until its
+    // manifest lands, same as data)
+    val referencedDels: Set[String] =
+      survivors.flatMap(_.dels.flatten.map(_.path)).toSet
     fs.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.startsWith("data-") && !referenced.contains(n)) {
+      if (n.startsWith("del-") && !referencedDels.contains(n) &&
+          oldEnough(p))
+        fs.delete(p, true)
+      else if (n.startsWith("data-") && !referenced.contains(n)) {
         if (!referencedDirs.contains(n)) {
           if (oldEnough(p)) fs.delete(p, true) // fully dead (and aged)
         } else // partially referenced: reclaim only unreferenced subdirs
@@ -1607,6 +2150,12 @@ object SnapshotTable {
           }
       }
     }
+    // retire superseded checkpoints, keeping exactly the newest:
+    // every consumer takes the newest parseable one, and
+    // [[latestCheckpoint]] tolerates a file vanishing mid-read by
+    // falling back, so deleting older rollups never strands a reader
+    listedCheckpoints(fs, root).dropRight(1)
+      .foreach(k => fs.delete(ckptPath(root, k), false))
     drop
   }
 }

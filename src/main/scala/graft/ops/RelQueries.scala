@@ -1896,6 +1896,144 @@ object RelQueries {
         lit(m.entries.length.toLong).as("sum_cents")))
   }
 
+  /** SNK26: ROW-LEVEL DELETES without data rewrites
+    * ([[graft.catalog.SnapshotTable.commitDelete]] — equality-delete
+    * refs at entry grain, the Iceberg-equality-delete / Delta
+    * deletion-vector capability class): the events snapshot commits
+    * into 8 buckets with deliberately MULTI-FILE partitions, then a
+    * GDPR-style delete of the event_ids divisible by 97 inside bucket
+    * 2 (scoped through the delKeys' bkt column) and an UNSCOPED
+    * second delete of the whole 'error' event class (different key
+    * column — chain composition) commit WITHOUT touching data: the
+    * query asserts in-query that the data-file set is verbatim
+    * identical across both delete commits, that the chain attached
+    * only to bucket 2's entries for the scoped delete, and that the
+    * pre-delete version still time-travels to the full row set. At
+    * 100 TB this is the difference between a one-key delete costing a
+    * manifest + a keys file versus a 1-TB partition rewrite. The
+    * declared result is the post-delete per-bucket aggregate plus the
+    * time-travel count; the oracle recomputes both deletes
+    * relationally. */
+  def snk26RowDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    val root = ioDir(dir, "snk26rowdel")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val events0 = table(s, dir, "events")
+    val width = events0.agg(max("event_id")).head.getLong(0) / 8 + 1
+    val base = events0
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"),
+        floor(col("event_id") / width).cast("long").as("bkt"))
+    // multi-file partitions: roll a new file every quarter-partition
+    val rowsPerFile = base.groupBy("bkt").count()
+      .agg(max("count")).head.getLong(0) / 4 + 1
+    val confKey = "spark.sql.files.maxRecordsPerFile"
+    val prevConf = s.conf.get(confKey)
+    val v1 =
+      try {
+        s.conf.set(confKey, rowsPerFile)
+        SnapshotTable.commitPartitioned(
+          base.repartition(col("bkt"))
+            .sortWithinPartitions("bkt", "event_id"),
+          root, 0L, "bkt")
+      } finally s.conf.set(confKey, prevConf)
+    def dataFiles(): Set[String] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq(st.getPath.toString)
+        }
+      fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("data-"))
+        .flatMap(walk).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = dataFiles()
+    val v2 = SnapshotTable.commitDelete(
+      base.filter(col("bkt") === 2 && col("event_id") % 97 === 0)
+        .select("event_id", "bkt"),
+      root, v1, Seq("event_id"))
+    val m2 = SnapshotTable.manifestAt(s, root, v2)
+    require(m2.entries.zip(m2.dels).forall { case (e, chain) =>
+      chain.nonEmpty == e.contains("bkt=2") },
+      "snk26: the scoped delete chain must attach to bucket 2 only")
+    val v3 = SnapshotTable.commitDelete(
+      s.range(1).select(lit("error").as("event_type")),
+      root, v2, Seq("event_type"))
+    require(dataFiles() == before,
+      "snk26: a row-level delete rewrote data files")
+    require(SnapshotTable.currentVersion(s, root) == v3)
+    val fullN = SnapshotTable.read(s, root, v1).count()
+    SnapshotTable.readLatest(s, root)
+      .groupBy("bkt")
+      .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
+      .unionByName(s.range(1).select(
+        lit(-1L).as("bkt"), lit(fullN).as("n"), lit(0L).as("sum_cents")))
+  }
+
+  /** SNK27: MANIFEST CHECKPOINTING keeps metadata scans O(suffix) on a
+    * growing commit history ([[graft.catalog.SnapshotTable]]'s
+    * `_ckpt` rollups — Delta's `_last_checkpoint` analogue): twelve
+    * commits with injected timestamps build the micro-batch-ingest
+    * steady state; the commit path auto-rolls a checkpoint every 10
+    * commits, and the query asserts in-query that (a) the rollup
+    * covers exactly v10, (b) timestamp resolution reads only the
+    * UNCOVERED SUFFIX's manifest bodies (spec-counted ≤ suffix +
+    * slack, against a 12-body walk without the rollup), and (c) after
+    * `vacuumOlderThan` retires the three oldest versions, as-of
+    * resolution over survivors is UNCHANGED — the effective-clock
+    * fold continues through checkpoint records whose manifests no
+    * longer exist. The declared result reads three pinned instants;
+    * the oracle replays each instant's snapshot arithmetically. */
+  def snk27CkptAsOf(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.SnapshotTable
+    val root = ioDir(dir, "snk27ckpt")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val events0 = table(s, dir, "events")
+    // a quarter-sample keeps the 12 cumulative full-snapshot writes
+    // cheap at bench SF; slot derives from the SAMPLED id space (div
+    // before mod — event_id % 4 == 0 correlates with event_id % 12,
+    // which would leave slots {0,4,8} only)
+    val base = events0.filter(col("event_id") % 4 === 0)
+      .select(col("event_id"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"),
+        expr("(event_id div 4) % 12").cast("long").as("slot"))
+    // version i holds slots < i — a growing table, one commit per
+    // "micro-batch", commit ts = 1000 * i
+    (1 to 12).foldLeft(0L) { (b, i) =>
+      SnapshotTable.commit(base.filter(col("slot") < i), root, b,
+        commitTs = 1000L * i)
+    }
+    val ck = SnapshotTable.latestCheckpoint(fs, root)
+    require(ck.map(_._1).contains(10L),
+      s"snk27: expected an auto-rolled checkpoint through v10, got " +
+      s"${ck.map(_._1)}")
+    val r0 = SnapshotTable.manifestBodyReads.get()
+    require(SnapshotTable.versionAsOf(s, root, 11500L) == 11L)
+    val reads = SnapshotTable.manifestBodyReads.get() - r0
+    require(reads <= 4L,
+      s"snk27: versionAsOf read $reads bodies — the checkpoint is not " +
+      "carrying the covered prefix (a 12-version walk reads 12)")
+    // retention drops v1..v3 (effective ts < 4000); resolution over
+    // survivors must not move
+    val dropped = SnapshotTable.vacuumOlderThan(s, root, 4000L,
+      minAgeMs = 0L)
+    require(dropped == Seq(1L, 2L, 3L),
+      s"snk27: vacuumOlderThan dropped $dropped")
+    require(SnapshotTable.versionAsOf(s, root, 11500L) == 11L &&
+      SnapshotTable.versionAsOf(s, root, 4500L) == 4L,
+      "snk27: as-of resolution moved across retention")
+    Seq(4500L, 9200L, 12000L).map { ts =>
+      SnapshotTable.readAsOf(s, root, ts)
+        .agg(count(lit(1)).as("n"),
+             sum("cents").cast("long").as("sum_cents"))
+        .select(lit(ts).as("as_of_ts"), col("n"), col("sum_cents"))
+    }.reduce(_ unionByName _)
+  }
+
   /** O6: keyset-style pagination — global order + OFFSET + LIMIT (page
     * 2 of 10). Spark plans offset+limit into one
     * CollectLimit/GlobalLimit over the partial orders, so page depth
@@ -3431,6 +3569,8 @@ object RelQueries {
     "snk22_file_prune" -> snk22FilePrune,
     "snk23_as_of" -> snk23AsOf,
     "snk25_source_read" -> snk25SourceRead,
+    "snk26_row_delete" -> snk26RowDelete,
+    "snk27_ckpt_as_of" -> snk27CkptAsOf,
     "snk14_group_feed" -> snk14GroupFeed,
     "src5_json_corrupt" -> src5JsonCorrupt,
     "q3_shipping_priority" -> q3Shipping,
@@ -4261,6 +4401,45 @@ object RelQueries {
         |  CAST(sum(cents) AS BIGINT)
         |FROM base WHERE bkt IN (1, 2) OR event_id % 2 = 0 GROUP BY 2"""
         .stripMargin,
+    // both deletes replayed relationally: the scoped GDPR keys
+    // (bkt 2, id % 97) and the unscoped 'error' class vanish from the
+    // live aggregate, while the time-travel row carries the FULL
+    // pre-delete count — a rewrite-based "delete" that dropped old
+    // versions, or a chain that leaked into other buckets, shifts one
+    // side or the other
+    "snk26_row_delete" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(floor(event_id / ((SELECT max(event_id) FROM events) // 8 + 1)) AS BIGINT) AS bkt
+        |  FROM events),
+        |live AS (
+        |  SELECT * FROM base
+        |  WHERE NOT (bkt = 2 AND event_id % 97 = 0)
+        |    AND event_type <> 'error')
+        |SELECT bkt, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM live GROUP BY 1
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), (SELECT count(*) FROM base),
+        |  CAST(0 AS BIGINT)""".stripMargin,
+    // each pinned instant's snapshot is version ts//1000 = slots < i;
+    // a checkpoint fold that drifted the effective clock, or a vacuum
+    // that broke resolution, lands on the wrong version's content
+    "snk27_ckpt_as_of" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST((event_id // 4) % 12 AS BIGINT) AS slot
+        |  FROM events WHERE event_id % 4 = 0)
+        |SELECT CAST(4500 AS BIGINT) AS as_of_ts, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM base WHERE slot < 4
+        |UNION ALL
+        |SELECT CAST(9200 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT)
+        |FROM base WHERE slot < 9
+        |UNION ALL
+        |SELECT CAST(12000 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT)
+        |FROM base WHERE slot < 12""".stripMargin,
     // one duplicated batch would shift every touched group's n and sum
     "snk19_append_ingest" ->
       """SELECT CAST(floor(event_id / ((SELECT max(event_id) FROM events) // 8 + 1)) AS BIGINT) AS bkt,

@@ -8,4 +8,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-plan a batch frame as a STREAMING-flagged one — what a DSv1
+    * streaming Source's getBatch must hand back (the engine asserts
+    * isStreaming=true; FileStreamSource uses the same private[sql]
+    * internalCreateDataFrame). The RDD is lazy: this plans, it does
+    * not execute. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -132,4 +132,23 @@ class SnapshotSourceSpec extends SparkSpec {
         "SQL predicate must reach the relation and prune the asia entry")
     } finally spark.sql("DROP VIEW IF EXISTS snap_v"): Unit
   }
+
+  test("writes are refused WITH GUIDANCE: save() names the commit API " +
+       "and the safety inputs a blind write cannot carry, instead of " +
+       "Spark's generic unsupported-write error") {
+    val root = freshRoot()
+    SnapshotTable.commitPartitioned(pdf(("asia", 1L, 10L)), root, 0L,
+      "region")
+    val e = intercept[Exception] {
+      pdf(("eu", 2L, 20L)).write.format("graft-snapshot")
+        .option("path", root).mode("append").save()
+    }
+    // Spark may wrap the provider's error; the GUIDANCE must survive
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("SnapshotTable") &&
+      (msg.contains("expected base") ||
+       msg.contains("optimistic concurrency")),
+      s"refusal lost its guidance: $msg")
+  }
 }

@@ -1,0 +1,161 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.catalog.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** The streaming CHANGE FEED source (`spark.readStream
+  * .format("graft-snapshot")`): offsets are committed versions, each
+  * micro-batch the Delta-CDF rows of the commits it covers — the
+  * incremental-consumer story (snk11's MV maintenance) end-to-end
+  * streaming, with the version cursor in the engine's checkpoint
+  * instead of hand-rolled polling code. */
+class SnapshotChangeSourceSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("snapcdc").toString + "/t"
+
+  private def df(vals: (Long, Long, Long)*) = {
+    import spark.implicits._
+    vals.toSeq.toDF("id", "p", "v")
+  }
+
+  test("three commits (upsert, append, row-level delete) stream as " +
+       "CDF batches; replaying the feed rebuilds EXACTLY the latest " +
+       "snapshot (the snk11 equality, end-to-end streaming)") {
+    val root = freshRoot()
+    val v1 = SnapshotTable.commitPartitioned(
+      df((1L, 0L, 10L), (2L, 0L, 20L), (3L, 1L, 30L)), root, 0L, "p")
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("keys", "id")
+      .option("startingVersion", "0")
+      .load()
+      .writeStream.format("memory").queryName("cdc1").start()
+    try {
+      q.processAllAvailable()
+      // v1 feeds as all-inserts
+      val b1 = spark.table("cdc1").collect()
+      assert(b1.length == 3 &&
+        b1.forall(r => r.getString(1) == "insert" &&
+          r.getLong(4) == 1L), s"v1 feed wrong: ${b1.toSeq}")
+      // v2: replace partition 0 — id 1 updated, id 2 dropped, id 4 new
+      SnapshotTable.commitReplace(
+        df((1L, 0L, 11L), (4L, 0L, 40L)), root, v1, "p")
+      // v3: row-level delete of id 3 (the delete must surface in the
+      // DIFF even though no data file changed)
+      import spark.implicits._
+      SnapshotTable.commitDelete(Seq(3L).toDF("id"), root, 2L, Seq("id"))
+      q.processAllAvailable()
+      val all = spark.table("cdc1").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+      val byCommit = all.groupBy(_._4)
+      assert(byCommit(2L).toSet == Set((1L, "update", 11L, 2L),
+        (2L, "delete", 20L, 2L), (4L, "insert", 40L, 2L)),
+        s"v2 CDF wrong: ${byCommit(2L).toSeq}")
+      assert(byCommit(3L).toSet == Set((3L, "delete", 30L, 3L)),
+        s"v3 CDF wrong: ${byCommit(3L).toSeq}")
+      // MV equality: fold the feed in commit order → latest snapshot
+      val folded = all.sortBy(_._4).foldLeft(Map.empty[Long, Long]) {
+        case (m, (id, "delete", _, _)) => m - id
+        case (m, (id, _, v, _)) => m + (id -> v)
+      }
+      val latest = SnapshotTable.readLatest(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(folded == latest,
+        s"replayed feed $folded != snapshot $latest")
+    } finally q.stop()
+  }
+
+  test("default start position is the CURRENT version: history is not " +
+       "replayed, only commits after stream start feed batches") {
+    val root = freshRoot()
+    val v1 = SnapshotTable.commitPartitioned(
+      df((1L, 0L, 10L)), root, 0L, "p")
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("keys", "id")
+      .load()
+      .writeStream.format("memory").queryName("cdc2").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc2").isEmpty, "history was replayed")
+      SnapshotTable.appendInto(df((2L, 0L, 20L)), root, "p")
+      q.processAllAvailable()
+      val rows = spark.table("cdc2").collect()
+      assert(rows.length == 1 && rows.head.getLong(0) == 2L &&
+        rows.head.getString(1) == "insert" &&
+        rows.head.getLong(4) == v1 + 1)
+    } finally q.stop()
+  }
+
+  test("restart from the engine checkpoint resumes at the persisted " +
+       "version cursor: no re-delivery, no gap (SerializedOffset path)") {
+    val root = freshRoot()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("snapcdc_ckpt").toString
+    SnapshotTable.commitPartitioned(df((1L, 0L, 10L)), root, 0L, "p")
+    // foreachBatch, not the memory sink: only fault-tolerant sinks may
+    // recover from a checkpoint, and recovery is exactly what this
+    // test exercises
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("keys", "id")
+      .option("startingVersion", "0")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getLong(0), r.getLong(4))))
+        ()
+      }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(got.size == 1)
+    // two commits while the stream is DOWN
+    SnapshotTable.appendInto(df((2L, 0L, 20L)), root, "p")
+    SnapshotTable.appendInto(df((3L, 1L, 30L)), root, "p")
+    got.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toSeq.sorted
+      // only the two missed commits, version-stamped 2 and 3 — the
+      // v1 insert must NOT re-deliver
+      assert(rows == Seq((2L, 2L), (3L, 3L)),
+        s"restart re-delivered or gapped: $rows")
+    } finally q2.stop()
+  }
+
+  test("preimages=true emits the update_preimage/update_postimage " +
+       "pair (retraction-based MV maintenance shape)") {
+    val root = freshRoot()
+    val v1 = SnapshotTable.commitPartitioned(
+      df((1L, 0L, 10L)), root, 0L, "p")
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("keys", "id")
+      .option("preimages", "true")
+      .load()
+      .writeStream.format("memory").queryName("cdc4").start()
+    try {
+      SnapshotTable.commitReplace(df((1L, 0L, 11L)), root, v1, "p")
+      q.processAllAvailable()
+      val rows = spark.table("cdc4").collect()
+        .map(r => (r.getString(1), r.getLong(3))).toSet
+      assert(rows == Set(("update_preimage", 10L),
+        ("update_postimage", 11L)), s"preimage pair wrong: $rows")
+    } finally q.stop()
+  }
+
+  test("refusals: missing keys option; a non-table key column") {
+    val root = freshRoot()
+    SnapshotTable.commitPartitioned(df((1L, 0L, 10L)), root, 0L, "p")
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-snapshot")
+        .option("path", root).load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-snapshot")
+        .option("path", root).option("keys", "nope").load()
+    }
+  }
+}
