@@ -116,9 +116,39 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // CALIBRATION PROBE: the flagship's median-of-5 is fixed work, so
+    // cross-round totals self-normalize — divide two rounds' totals by
+    // their calibrations before reading a delta as a code change (r9→r10
+    // cost two judge-days adjudicating a ~2x container drift this number
+    // would have shown immediately). It is the headline flagship median,
+    // re-emitted under a stable name so the normalization never depends
+    // on the headline set's composition.
+    val calib = {
+      val fn = SparkEntry.queries("wro_overlay_flagship")
+      val ts = (1 to headlineReps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (ok) Some(t) else None
+      }
+      if (ts.isEmpty) -1.0 else ts.sorted.apply((ts.size - 1) / 2)
+    }
+    // AQE-vs-salted cost ratio (the r9 "within 2.2x" bound) measured
+    // here under the bench noise rules instead of a flaky unit-test
+    // wall-clock assert (ADVICE r10) — the mechanism itself stays
+    // spec-pinned in SkewSpec via the finalized plan's isSkewJoin.
+    val aqeRatio = (results.toMap.get("wro_overlay_skewed"),
+        results.toMap.get("wro_overlay_skewed_aqe")) match {
+      case (Some(s), Some(a)) if s > 0 && a > 0 => a / s
+      case _ => -1.0
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""headline":$headline,"failed":$failed,"sf":"$sfDir"}"""
+      s""""headline":$headline,"failed":$failed,""" +
+      s""""calibration_flagship_median5":$calib,""" +
+      s""""aqe_vs_salted":$aqeRatio,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line)
     spark.stop()
     // last line, bare, after Spark's shutdown chatter

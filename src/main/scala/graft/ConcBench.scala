@@ -79,16 +79,83 @@ object ConcBench {
     require(errs.isEmpty, s"a disjoint concurrent writer failed: ${errs.peek()}")
     require(SnapshotTable.currentVersion(spark, conRoot) == cv + writers)
 
-    // both protocols must produce the identical final table
-    val a = SnapshotTable.readLatest(spark, seqRoot)
-      .agg(count(lit(1)), sum("l_quantity")).head()
-    val b = SnapshotTable.readLatest(spark, conRoot)
-      .agg(count(lit(1)), sum("l_quantity")).head()
+    // both protocols must produce the identical final table — summed
+    // in DECIMAL (exact, order-independent), not double: the two
+    // layouts aggregate in different file orders and a float sum could
+    // differ by ulps on identical row multisets
+    def checksum(root: String) = SnapshotTable.readLatest(spark, root)
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(24,4)")))
+      .head()
+    val a = checksum(seqRoot)
+    val b = checksum(conRoot)
     require(a == b, s"sequential and concurrent final tables differ: $a vs $b")
+
+    // ----------------------------------------------------------------
+    // MIXED WORKLOAD (the snk21 claim verbatim): N appendInto ingest
+    // streams — each owning one partition, floating base, several
+    // batches — racing a floating-base compaction daemon working COLD
+    // partitions (the realistic shape: maintenance compacts what
+    // ingest is not writing). Every conflict is disjoint, so ZERO
+    // failures are required, and the final table must be row-identical
+    // to the same operations replayed sequentially (compaction never
+    // changes content; appends are per-partition unions, so replay
+    // order is immaterial — that is what makes the equality exact).
+    // ----------------------------------------------------------------
+    val batches = 3
+    val compactIters = 4
+    val hotParts = (0 until writers).map(_.toLong)
+    val coldParts = Seq(30L, 31L)
+    def batchDf(b: Long, k: Int) = fact.filter(col("bkt") === b)
+      .withColumn("l_orderkey", col("l_orderkey") + lit((k + 1) * 1000000000L))
+    def runMixed(root: String, concurrent: Boolean): Double = {
+      freshTable(root)
+      val t = System.nanoTime()
+      if (!concurrent) {
+        hotParts.foreach(b => (0 until batches).foreach(k =>
+          SnapshotTable.appendInto(batchDf(b, k), root, "bkt")))
+        (0 until compactIters).foreach(_ =>
+          SnapshotTable.compact(spark, root, -1L, "bkt",
+            parts = coldParts.map(_.toString)))
+      } else {
+        val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val appenders = hotParts.map(b => new Thread(() =>
+          try (0 until batches).foreach(k =>
+            SnapshotTable.appendInto(batchDf(b, k), root, "bkt",
+              rebaseRetries = 8 * (writers + 1)): Unit)
+          catch { case x: Throwable => errs2.add(x): Unit }))
+        val daemon = new Thread(() =>
+          try (0 until compactIters).foreach { _ =>
+            SnapshotTable.compact(spark, root, -1L, "bkt",
+              parts = coldParts.map(_.toString),
+              rebaseRetries = 8 * (writers + 1)): Unit
+            Thread.sleep(25L)
+          } catch { case x: Throwable => errs2.add(x): Unit })
+        (appenders :+ daemon).foreach(_.start())
+        (appenders :+ daemon).foreach(_.join())
+        require(errs2.isEmpty,
+          s"mixed workload: a disjoint writer failed: ${errs2.peek()}")
+      }
+      (System.nanoTime() - t) / 1e9
+    }
+    val rebases1 = SnapshotTable.rebasesPerformed.get()
+    val mixedSeqWall = runMixed("target/concbench/mixseq", concurrent = false)
+    val mixedConWall = runMixed("target/concbench/mixcon", concurrent = true)
+    val mixedRebases = SnapshotTable.rebasesPerformed.get() - rebases1
+    val ma = checksum("target/concbench/mixseq")
+    val mb = checksum("target/concbench/mixcon")
+    require(ma == mb,
+      s"mixed sequential and concurrent final tables differ: $ma vs $mb")
+    require(SnapshotTable.currentVersion(spark, "target/concbench/mixcon")
+      == 1L + writers * batches + compactIters,
+      "mixed workload lost a commit")
 
     println(s"""{"metric":"conc_commit","sf_dir":"$sfDir",""" +
       s""""writers":$writers,"rebases":$rebases,""" +
-      f""""sequential_wall_s":$seqWall%.2f,"concurrent_wall_s":$conWall%.2f}""")
+      f""""sequential_wall_s":$seqWall%.2f,"concurrent_wall_s":$conWall%.2f,""" +
+      s""""mixed_writers":${writers + 1},"mixed_commits":${writers * batches + compactIters},""" +
+      s""""mixed_rebases":$mixedRebases,""" +
+      f""""mixed_sequential_wall_s":$mixedSeqWall%.2f,""" +
+      f""""mixed_concurrent_wall_s":$mixedConWall%.2f}""")
     spark.stop()
   }
 }
