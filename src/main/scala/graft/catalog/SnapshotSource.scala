@@ -241,17 +241,30 @@ private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
   private val preimages =
     parameters.get("preimages").exists(_.toBoolean)
   // absent startingVersion = start AT the current version: history is
-  // not replayed, only commits after stream start feed batches
-  private val startV: Long = parameters.get("startingVersion")
-    .map(_.toLong)
+  // not replayed, only commits after stream start feed batches. NOTE:
+  // this default re-evaluates at every (re)start — it may only govern
+  // a FRESH stream (no engine cursor); once the engine has a
+  // checkpointed offset, that cursor wins, or commits made while the
+  // stream was down would be silently withheld.
+  private val explicitStartV: Option[Long] =
+    parameters.get("startingVersion").map(_.toLong)
+  private val startV: Long = explicitStartV
     .getOrElse(SnapshotTable.currentVersion(spark, root))
 
   override val schema: StructType =
     SnapshotChangeSource.cdfSchema(spark, parameters)
 
+  /** The latest available offset is simply the current version — the
+    * ENGINE compares it against its checkpointed committed offset, so
+    * this must NOT be gated on `startV`: startV re-initializes to the
+    * current version at every restart (absent an explicit
+    * startingVersion), and a gate like `cur > startV` would silently
+    * withhold commits made while the stream was down until some later
+    * unrelated commit arrived. Start-position semantics live entirely
+    * in [[getBatch]]'s from-floor instead. */
   override def getOffset: Option[V1Offset] = {
     val cur = SnapshotTable.currentVersion(spark, root)
-    if (cur > startV) Some(LongOffset(cur)) else None
+    if (cur > 0) Some(LongOffset(cur)) else None
   }
 
   private def offsetV(o: V1Offset): Long = o match {
@@ -276,7 +289,15 @@ private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset)
       : org.apache.spark.sql.DataFrame = {
-    val fromV = start.map(offsetV).getOrElse(startV)
+    // a fresh stream (start = None) begins after startV; an engine
+    // cursor WINS over the re-evaluated default (see startV note) and
+    // is floored only by an EXPLICIT startingVersion, so a recovered
+    // offset can never resurrect pre-start history nor stall behind a
+    // restart-time current version
+    val fromV = start.map(offsetV) match {
+      case Some(cursor) => math.max(cursor, explicitStartV.getOrElse(0L))
+      case None => startV
+    }
     val toV = offsetV(end)
     val range = (fromV + 1L) to toV
     import org.apache.spark.sql.functions.col

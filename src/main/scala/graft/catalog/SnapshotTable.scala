@@ -282,11 +282,22 @@ object SnapshotTable {
 
   /** Parse a manifest body; None = not (yet) a committed manifest — a
     * reader in the create→write visibility window sees a partial body
-    * whose entries array has no closing bracket and must treat the
-    * version as uncommitted. The schema field is required: a body
-    * without it is from no writer of this protocol. */
+    * and must treat the version as uncommitted. COMPLETENESS is
+    * checked structurally: the body must end with the closing brace.
+    * That check is load-bearing for the SEMANTIC trailing fields
+    * (dels): without it, a torn write whose visible prefix already
+    * satisfies the required-field regexes would parse as committed
+    * WITHOUT its delete chains and resurrect deleted rows. The writer
+    * cooperates by emitting `tag` (the one field whose value may
+    * legally contain '}') BEFORE `entries`, so every later byte up to
+    * the final brace is brace-free (uuid paths, hive-escaped partition
+    * values truncate a required field, base64 blobs carry no '}') — a
+    * strict prefix can therefore never end in '}' AND satisfy the
+    * field regexes. The schema field is required: a body without it is
+    * from no writer of this protocol. */
   private def parseManifest(v: Long, body: String): Option[Manifest] =
     for {
+      _ <- Option.when(body.endsWith("}"))(())
       em <- EntriesRe.findFirstMatchIn(body)
       sm <- SchemaRe.findFirstMatchIn(body)
       base <- BaseRe.findFirstMatchIn(body).map(_.group(1).toLong)
@@ -404,8 +415,8 @@ object SnapshotTable {
   def committedVersions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fsOf(spark, root)
     val ckpt = latestCheckpoint(fs, root)
-    val k = ckpt.map(_._1).getOrElse(0L)
-    val covered = ckpt.map(_._2.iterator.map(_.version).toSet)
+    val k = ckpt.map(_.k).getOrElse(0L)
+    val covered = ckpt.map(_.recs.iterator.map(_.version).toSet)
       .getOrElse(Set.empty[Long])
     listedVersions(fs, root).filter(v =>
       (v <= k && covered(v)) ||
@@ -449,8 +460,8 @@ object SnapshotTable {
   def committedTags(spark: SparkSession, root: String): Map[String, Long] = {
     val fs = fsOf(spark, root)
     val ckpt = latestCheckpoint(fs, root)
-    val k = ckpt.map(_._1).getOrElse(0L)
-    val fromCkpt = ckpt.map(_._2.flatMap(r => r.tag.map(_ -> r.version)))
+    val k = ckpt.map(_.k).getOrElse(0L)
+    val fromCkpt = ckpt.map(_.recs.flatMap(r => r.tag.map(_ -> r.version)))
       .getOrElse(Seq.empty)
     val fromBodies = listedVersions(fs, root).filter(_ > k).flatMap { v =>
       parseManifest(v, readManifestBody(fs, root, v))
@@ -476,7 +487,7 @@ object SnapshotTable {
     // LAZILY and finish the scan in its records — a long run of
     // untagged foreign commits then costs O(interval + 1 checkpoint
     // read), not O(versions) bodies.
-    var ckpt: Option[(Long, Seq[CkptRec])] = None
+    var ckpt: Option[Ckpt] = None
     var ckptLoaded = false
     var i = 0
     while (i < listed.length) {
@@ -485,8 +496,8 @@ object SnapshotTable {
           i >= checkpointInterval) {
         ckpt = latestCheckpoint(fs, root); ckptLoaded = true
       }
-      if (ckpt.exists(v <= _._1))
-        return ckpt.flatMap(_._2.reverseIterator
+      if (ckpt.exists(v <= _.k))
+        return ckpt.flatMap(_.recs.reverseIterator
           .flatMap(r => r.tag.map(_ -> r.version)).nextOption())
       val t = parseManifest(v, readManifestBody(fs, root, v))
         .flatMap(m => m.tag.map(_ -> v))
@@ -497,7 +508,7 @@ object SnapshotTable {
     // checkpoint (their versions vacuumed) — still valid idempotence
     // evidence, see [[committedTags]]
     if (!ckptLoaded) ckpt = latestCheckpoint(fs, root)
-    ckpt.flatMap(_._2.reverseIterator
+    ckpt.flatMap(_.recs.reverseIterator
       .flatMap(r => r.tag.map(_ -> r.version)).nextOption())
   }
 
@@ -548,38 +559,63 @@ object SnapshotTable {
     * log every 10 commits for exactly this reason. Spec-tunable. */
   @volatile private[graft] var checkpointInterval: Int = 10
 
+  /** Bound on per-version records a checkpoint retains. Beyond it,
+    * the oldest VACUUMED records fold into the scalar summary (the
+    * effective-clock base readers need from them); their tags age out
+    * of the idempotence record — a replay older than the cap then
+    * refuses loudly through the sink's ancient-replay guard instead
+    * of silently duplicating. Keeps the checkpoint file — and the
+    * O(file) rollup a commit pays every interval — BOUNDED instead of
+    * growing one record per commit forever. Spec-tunable. */
+  @volatile private[graft] var checkpointRecordCap: Int = 4096
+
+  /** A decoded checkpoint: records for versions in (summV, k], plus
+    * the summary of the folded prefix 1..summV — `summEff` is the
+    * effective timestamp AT version summV (the fold base), `summN`
+    * the folded record count (audit breadcrumb). summV = 0 means
+    * nothing folded. */
+  private[graft] case class Ckpt(k: Long, summV: Long,
+      summEff: Option[Long], summN: Long, recs: Seq[CkptRec])
+
   private def ckptPath(root: String, k: Long): Path =
     new Path(s"$root/_commits/_ckpt-${vdir(k)}.json")
 
   private val CkptRecsRe = """"recs":"([^"]*)"""".r
+  private val SummVRe = """"summv":(-?\d+)""".r
+  private val SummERe = """"summe":(-?\d+)""".r
+  private val SummNRe = """"summn":(-?\d+)""".r
 
   /** Checkpoint codec: the record list as TSV lines (one per version,
     * ascending), the whole blob base64'd — the same
     * regex-parsable-JSON discipline as the manifest stats blob. A
     * `-1` ts and empty-b64 tag/pcol encode absence ([[checkTag]]
     * refuses empty tags, so the sentinel is unambiguous). */
-  private def encodeCkpt(k: Long, recs: Seq[CkptRec]): Array[Byte] = {
+  private def encodeCkpt(c: Ckpt): Array[Byte] = {
     def b64(v: String) =
       java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8"))
-    val blob = recs.map { r =>
+    val blob = c.recs.map { r =>
       s"${r.version}\t${r.base}\t${r.ts.getOrElse(-1L)}\t" +
         s"${b64(r.tag.getOrElse(""))}\t${r.nEntries}\t" +
         b64(r.pcol.getOrElse(""))
     }.mkString("\n")
-    (s"""{"ckpt":$k,"recs":"${java.util.Base64.getEncoder
-      .encodeToString(blob.getBytes("UTF-8"))}"}""").getBytes("UTF-8")
+    (s"""{"ckpt":${c.k},"summv":${c.summV}""" +
+      c.summEff.map(e => s""","summe":$e""").getOrElse("") +
+      s""","summn":${c.summN},"recs":"${java.util.Base64.getEncoder
+        .encodeToString(blob.getBytes("UTF-8"))}"}""").getBytes("UTF-8")
   }
 
   /** Inverse of [[encodeCkpt]]; None = torn/garbled (the caller falls
     * back to an older checkpoint or to manifest bodies — a checkpoint
-    * is an optimization, never the only copy of live metadata). */
-  private def decodeCkpt(body: String): Option[Seq[CkptRec]] =
+    * is an optimization, never the only copy of live metadata).
+    * Summary fields default to "nothing folded" so first-format
+    * checkpoints decode unchanged. */
+  private def decodeCkpt(k: Long, body: String): Option[Ckpt] =
     CkptRecsRe.findFirstMatchIn(body).flatMap { m =>
       try {
         def un64(v: String) =
           new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
         val blob = un64(m.group(1))
-        Some(if (blob.isEmpty) Seq.empty[CkptRec]
+        val recs = if (blob.isEmpty) Seq.empty[CkptRec]
         else blob.split('\n').toSeq.map { line =>
           line.split("\t", -1) match {
             case Array(v, b, t, tag, n, pc) =>
@@ -591,7 +627,14 @@ object SnapshotTable {
               s"checkpoint: unrecognized record shape " +
               s"(${other.length} fields)") // caught below
           }
-        })
+        }
+        Some(Ckpt(k,
+          SummVRe.findFirstMatchIn(body).map(_.group(1).toLong)
+            .getOrElse(0L),
+          SummERe.findFirstMatchIn(body).map(_.group(1).toLong),
+          SummNRe.findFirstMatchIn(body).map(_.group(1).toLong)
+            .getOrElse(0L),
+          recs))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
@@ -611,12 +654,12 @@ object SnapshotTable {
   }
 
   private[graft] def latestCheckpoint(fs: FileSystem, root: String)
-      : Option[(Long, Seq[CkptRec])] =
-    listedCheckpoints(fs, root).sorted(Ordering[Long].reverse)
-      .iterator.flatMap { k =>
+      : Option[Ckpt] =
+    listedCheckpoints(fs, root).reverseIterator // already ascending
+      .flatMap { k =>
         try {
           checkpointReads.incrementAndGet()
-          decodeCkpt(readFileBody(fs, ckptPath(root, k))).map(k -> _)
+          decodeCkpt(k, readFileBody(fs, ckptPath(root, k)))
         } catch { case scala.util.control.NonFatal(_) => None }
       }.nextOption()
 
@@ -632,37 +675,81 @@ object SnapshotTable {
     * — the next interval retries. Never throws: metadata rollup is an
     * optimization; a commit or vacuum must not fail because it did. */
   private[graft] def writeCheckpoint(fs: FileSystem, root: String,
-      throughV: Long): Boolean =
+      throughV: Long, retried: Boolean = false): Boolean =
     try {
       val prior = latestCheckpoint(fs, root)
-      val k0 = prior.map(_._1).getOrElse(0L)
+      val k0 = prior.map(_.k).getOrElse(0L)
       if (k0 >= throughV) true
       else {
-        val rolled = listedVersions(fs, root)
+        val listed = listedVersions(fs, root)
+        val listedSet = listed.toSet
+        // versions are DENSE (next = cur + 1), so (k0, throughV] must
+        // be fully covered by `prior` plus the listing. A gap means a
+        // concurrent vacuum checkpointed-and-dropped versions AFTER
+        // `prior` was read — the vacuum's newer checkpoint holds their
+        // records: RE-READ once and rebase this rollup on it, so the
+        // newest checkpoint can never lose records an older one held.
+        // A gap that survives the re-read is pre-checkpointing history
+        // (vacuumed before any rollup recorded it): proceed without
+        // those versions — the fold then starts at the first survivor,
+        // exactly the semantics that span always had.
+        if (!retried &&
+            ((k0 + 1) to throughV).exists(v => !listedSet.contains(v)))
+          return writeCheckpoint(fs, root, throughV, retried = true)
+        val rolled = listed
           .filter(v => v > k0 && v <= throughV)
           .map(v => parseManifest(v, readManifestBody(fs, root, v))
             .map(m => CkptRec(m.version, m.base, m.ts, m.tag,
               m.entries.length.toLong, m.pcol)))
         if (rolled.exists(_.isEmpty)) false
         else {
+          var summV = prior.map(_.summV).getOrElse(0L)
+          var summEff = prior.flatMap(_.summEff)
+          var summN = prior.map(_.summN).getOrElse(0L)
+          var recs = prior.map(_.recs).getOrElse(Seq.empty) ++
+            rolled.flatten
+          // bound the file: fold the oldest VACUUMED records into the
+          // scalar summary (their fold base is all readers need; live
+          // records never fold — committedVersions counts on them)
+          while (recs.length > checkpointRecordCap &&
+                 !listedSet.contains(recs.head.version)) {
+            val r = recs.head
+            r.ts.foreach { raw =>
+              summEff = Some(summEff match {
+                case None => raw
+                case Some(e) => math.max(raw, e + 1)
+              })
+            }
+            summV = r.version
+            summN += 1
+            recs = recs.tail
+          }
           // the DEFAULT per-scheme create, NOT the installed arbiter:
           // the arbiter seam arbitrates COMMITS (who owns a version);
           // a checkpoint is an advisory rollup whose content is a pure
-          // function of immutable manifests — twins write identical
-          // bytes, and a torn file degrades through decodeCkpt to the
-          // older rollup. Routing it through a custom arbiter would
-          // also let commit-arbitration faults (or a race spec's
-          // deliberately blocked writer) wedge vacuum's metadata pass.
-          perSchemeArbiter.createExclusive(fs, ckptPath(root, throughV),
-            encodeCkpt(throughV,
-              prior.map(_._2).getOrElse(Seq.empty) ++ rolled.flatten))
-          true
+          // function of immutable manifests plus the covered range —
+          // twins write identical bytes, and a torn file degrades
+          // through decodeCkpt to the older rollup. Routing it through
+          // a custom arbiter would also let commit-arbitration faults
+          // (or a race spec's deliberately blocked writer) wedge
+          // vacuum's metadata pass.
+          try {
+            perSchemeArbiter.createExclusive(fs, ckptPath(root, throughV),
+              encodeCkpt(Ckpt(throughV, summV, summEff, summN, recs)))
+            true
+          } catch {
+            // success ONLY if the file actually exists (a twin wrote
+            // the identical rollup); any other I/O failure reports
+            // false — vacuum's coverage extension must never proceed
+            // on a phantom checkpoint
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.io.IOException =>
+              try fs.exists(ckptPath(root, throughV))
+              catch { case _: java.io.IOException => false }
+          }
         }
       }
     } catch {
-      // an existing file means a twin wrote the identical rollup
-      case _: java.nio.file.FileAlreadyExistsException => true
-      case _: java.io.IOException => true
       case scala.util.control.NonFatal(_) => false
     }
 
@@ -763,8 +850,14 @@ object SnapshotTable {
       if (dels.forall(_.isEmpty)) ""
       else s""","dels":[${dels.map(d => s""""${encodeDels(d)}"""")
         .mkString(",")}]"""
-    (s"""{"version":$next,"base":$base$tsField,"entries":[$entriesJson]""" +
-      s"""$pcolField,"schema":"$schemaB64"$statsField$delsField$tagField}""")
+    // tag FIRST (see parseManifest's completeness contract): it is the
+    // only field whose value may contain '}', so everything after it —
+    // through the semantic dels — stays brace-free until the final
+    // closing brace. Parsing is regex-based and order-independent, so
+    // pre-reorder manifests read identically.
+    (s"""{"version":$next,"base":$base$tsField$tagField,""" +
+      s""""entries":[$entriesJson]""" +
+      s"""$pcolField,"schema":"$schemaB64"$statsField$delsField}""")
       .getBytes("UTF-8")
   }
 
@@ -1859,10 +1952,12 @@ object SnapshotTable {
   def versionAsOf(spark: SparkSession, root: String, ts: Long): Long = {
     val fs = fsOf(spark, root)
     val ckpt = latestCheckpoint(fs, root)
-    val k = ckpt.map(_._1).getOrElse(0L)
+    val k = ckpt.map(_.k).getOrElse(0L)
     val listed = listedVersions(fs, root)
     val listedSet = listed.toSet
-    var eff = Long.MinValue
+    // the fold base is the checkpoint's SUMMARY when records older
+    // than the cap were folded: summEff IS effective(summV)
+    var eff = ckpt.flatMap(_.summEff).getOrElse(Long.MinValue)
     var best = 0L
     var done = false
     // once the effective clock has reached ts, every LATER version's
@@ -1889,7 +1984,7 @@ object SnapshotTable {
             if (eff <= ts && resolvable) best = v
         }
       }
-    ckpt.foreach(_._2.foreach(r =>
+    ckpt.foreach(_.recs.foreach(r =>
       step(r.version, r.ts, listedSet(r.version))))
     listed.filter(_ > k).foreach { v =>
       if (!done)
@@ -1997,14 +2092,14 @@ object SnapshotTable {
   def history(spark: SparkSession, root: String): DataFrame = {
     val fs = fsOf(spark, root)
     val ckpt = latestCheckpoint(fs, root)
-    val k = ckpt.map(_._1).getOrElse(0L)
+    val k = ckpt.map(_.k).getOrElse(0L)
     val listed = listedVersions(fs, root)
     val listedSet = listed.toSet
-    var eff = Long.MinValue
+    var eff = ckpt.flatMap(_.summEff).getOrElse(Long.MinValue)
     def fold(ts: Option[Long]): Option[Long] = ts.map { raw =>
       eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1); eff
     }
-    val fromCkpt = ckpt.map(_._2).getOrElse(Seq.empty).flatMap { r =>
+    val fromCkpt = ckpt.map(_.recs).getOrElse(Seq.empty).flatMap { r =>
       val effTs = fold(r.ts)
       if (listedSet(r.version))
         Some((r.version, r.base, r.ts, effTs, r.tag, r.nEntries, r.pcol))
@@ -2042,14 +2137,14 @@ object SnapshotTable {
     // retention and resolution can never disagree about a version's
     // effective timestamp.
     val ckpt = latestCheckpoint(fs, root)
-    val k = ckpt.map(_._1).getOrElse(0L)
-    var eff = Long.MinValue
+    val k = ckpt.map(_.k).getOrElse(0L)
+    var eff = ckpt.flatMap(_.summEff).getOrElse(Long.MinValue)
     val effOf = scala.collection.mutable.Map.empty[Long, Long]
     def fold(v: Long, ts: Option[Long]): Unit = ts.foreach { raw =>
       eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1)
       effOf(v) = eff
     }
-    ckpt.foreach(_._2.foreach(r => fold(r.version, r.ts)))
+    ckpt.foreach(_.recs.foreach(r => fold(r.version, r.ts)))
     versions.filter(_ > k).foreach(v =>
       manifestIfCommitted(fs, root, v).foreach(m => fold(v, m.ts)))
     val aged = versions.dropRight(1).takeWhile(v =>

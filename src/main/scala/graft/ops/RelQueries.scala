@@ -2008,9 +2008,9 @@ object RelQueries {
         commitTs = 1000L * i)
     }
     val ck = SnapshotTable.latestCheckpoint(fs, root)
-    require(ck.map(_._1).contains(10L),
+    require(ck.map(_.k).contains(10L),
       s"snk27: expected an auto-rolled checkpoint through v10, got " +
-      s"${ck.map(_._1)}")
+      s"${ck.map(_.k)}")
     val r0 = SnapshotTable.manifestBodyReads.get()
     require(SnapshotTable.versionAsOf(s, root, 11500L) == 11L)
     val reads = SnapshotTable.manifestBodyReads.get() - r0

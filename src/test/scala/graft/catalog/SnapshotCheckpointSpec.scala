@@ -106,11 +106,11 @@ class SnapshotCheckpointSpec extends SparkSpec {
     }
     assert(base == 12L)
     val ck = SnapshotTable.latestCheckpoint(fs(root), root)
-    assert(ck.map(_._1).contains(10L),
-      s"expected auto-rollup through v10, got ${ck.map(_._1)}")
-    assert(ck.exists(_._2.map(_.version) == (1L to 10L)))
+    assert(ck.map(_.k).contains(10L),
+      s"expected auto-rollup through v10, got ${ck.map(_.k)}")
+    assert(ck.exists(_.recs.map(_.version) == (1L to 10L)))
     // and the records carry what the manifests say
-    assert(ck.exists(_._2.forall(r => r.nEntries == 1L && r.ts.isDefined)))
+    assert(ck.exists(_.recs.forall(r => r.nEntries == 1L && r.ts.isDefined)))
   }
 
   test("vacuum extends the checkpoint through its drop boundary, so " +
@@ -129,7 +129,7 @@ class SnapshotCheckpointSpec extends SparkSpec {
     assert(dropped == Seq(1L, 2L))
     // the vacuum-written checkpoint covers the dropped versions
     val ck = SnapshotTable.latestCheckpoint(fs(root), root)
-    assert(ck.exists(_._1 >= 2L), s"no checkpoint through the drop: $ck")
+    assert(ck.exists(_.k >= 2L), s"no checkpoint through the drop: $ck")
     // fold continuity: v3 still resolves at its ADJUSTED effective ts
     // (2001), not its raw skewed 1500 — without the checkpoint the
     // fold would restart at the first survivor and as-of 1600 would
@@ -169,6 +169,52 @@ class SnapshotCheckpointSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.startsWith("_ckpt-"))
     assert(left.length == 1 && left.head >= "_ckpt-v00000022",
       s"superseded checkpoints not retired: $left")
+  }
+
+  test("the record cap folds the oldest VACUUMED records into the " +
+       "scalar summary: the file stays bounded and the effective-clock " +
+       "fold base (incl. a skew adjustment inside the folded prefix) " +
+       "is preserved exactly") {
+    val root = freshRoot()
+    val prevCap = SnapshotTable.checkpointRecordCap
+    try {
+      SnapshotTable.checkpointRecordCap = 4
+      // v10's clock is wildly ahead: eff(10)=50000, eff(11..30)=50001..,
+      // so every later version's EFFECTIVE ts diverges from its raw ts
+      // — exactly what the summary must carry through the fold
+      (1L to 30L).foreach(v =>
+        fakeManifest(root, v, ts = if (v == 10L) 50000L else 1000L * v))
+      assert(SnapshotTable.versionAsOf(spark, root, 50013L) == 23L)
+      SnapshotTable.vacuum(spark, root, keepLast = 8, minAgeMs = 0L)
+      // the vacuum-written checkpoint still lists the dropped versions
+      // at write time (coverage precedes deletion), so folding happens
+      // at the NEXT rollup, when they are gone from the listing
+      fakeManifest(root, 31L, ts = 31000L)
+      assert(SnapshotTable.writeCheckpoint(fs(root), root, 31L))
+      val ck = SnapshotTable.latestCheckpoint(fs(root), root).get
+      assert(ck.summV == 22L && ck.summN == 22L,
+        s"expected versions 1..22 folded, got $ck")
+      assert(ck.recs.map(_.version) == (23L to 31L),
+        "live/suffix records must never fold")
+      // eff(22) = 50012 via the folded skew; eff(23) = 50013 — a fold
+      // restart at the first record would give eff(23) = raw = 23000
+      // and resolve as-of 50013 to v30 instead
+      assert(ck.summEff.contains(50012L), s"fold base wrong: $ck")
+      assert(SnapshotTable.versionAsOf(spark, root, 50013L) == 23L,
+        "summary folding changed as-of resolution")
+    } finally SnapshotTable.checkpointRecordCap = prevCap
+  }
+
+  test("pre-checkpointing vacuumed history (a PERMANENT head gap) " +
+       "does not block rollups: one re-read, then proceed with the " +
+       "surviving records") {
+    val root = freshRoot()
+    // versions 1..5 were vacuumed before any checkpoint existed
+    (6L to 10L).foreach(v => fakeManifest(root, v, ts = 1000L * v))
+    assert(SnapshotTable.writeCheckpoint(fs(root), root, 10L))
+    val ck = SnapshotTable.latestCheckpoint(fs(root), root).get
+    assert(ck.recs.map(_.version) == (6L to 10L) && ck.summV == 0L)
+    assert(SnapshotTable.versionAsOf(spark, root, 7500L) == 7L)
   }
 
   test("a torn checkpoint degrades to the older one (or to bodies), " +

@@ -126,6 +126,39 @@ class SnapshotChangeSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("restart WITHOUT startingVersion delivers commits made while " +
+       "the stream was down: the engine's cursor wins over the " +
+       "re-evaluated start-at-current default") {
+    val root = freshRoot()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("snapcdc_ckpt2").toString
+    SnapshotTable.commitPartitioned(df((1L, 0L, 10L)), root, 0L, "p")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("keys", "id")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getLong(0), r.getLong(4))))
+        ()
+      }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(got.isEmpty, "default start replayed history")
+    // a commit lands while the stream is DOWN; on restart the default
+    // re-evaluates to the NEW current version — the engine cursor must
+    // still deliver it (the start-at-current default governs only a
+    // fresh stream with no checkpoint)
+    SnapshotTable.appendInto(df((2L, 0L, 20L)), root, "p")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSeq == Seq((2L, 2L)),
+        s"down-time commit withheld or duplicated: ${got.asScala.toSeq}")
+    } finally q2.stop()
+  }
+
   test("preimages=true emits the update_preimage/update_postimage " +
        "pair (retraction-based MV maintenance shape)") {
     val root = freshRoot()
