@@ -336,18 +336,33 @@ private[catalog] class SnapshotRelation(val sqlContext: SQLContext,
 
   /** The conjunctive, literal-comparison fragment of `filters` as
     * pruning preds — exactly the shape [[SnapshotTable.Pred]] decides
-    * from interval bounds. Anything else contributes nothing (sound:
-    * pruning keeps the entry). */
+    * from interval bounds. IN translates to the disjunctive pred
+    * (excluded only when every member is); a null-safe equality with a
+    * non-null literal prunes like `=` (its null rows fail either way);
+    * StartsWith decomposes into the half-open prefix RANGE
+    * `[p, incr(p))` — for ASCII prefixes where the upper bound is
+    * expressible (last char < 0x7f), since bound comparison is only
+    * sound in ASCII anyway (see pruneEntries). Anything else
+    * contributes nothing (sound: pruning keeps the entry). */
   private def toPreds(filters: Array[Filter]): Seq[SnapshotTable.Pred] =
     filters.toSeq.flatMap {
       case And(l, r) => toPreds(Array(l, r))
       case EqualTo(a, v) if lit(v) => Seq(SnapshotTable.Pred(a, "=", v))
+      case EqualNullSafe(a, v) if lit(v) =>
+        Seq(SnapshotTable.Pred(a, "=", v))
       case GreaterThan(a, v) if lit(v) => Seq(SnapshotTable.Pred(a, ">", v))
       case GreaterThanOrEqual(a, v) if lit(v) =>
         Seq(SnapshotTable.Pred(a, ">=", v))
       case LessThan(a, v) if lit(v) => Seq(SnapshotTable.Pred(a, "<", v))
       case LessThanOrEqual(a, v) if lit(v) =>
         Seq(SnapshotTable.Pred(a, "<=", v))
+      case In(a, vs) if vs.nonEmpty && vs.forall(lit) =>
+        Seq(SnapshotTable.Pred(a, "in", vs.toSeq))
+      case StringStartsWith(a, p)
+          if p.nonEmpty && p.forall(c => c < 0x7f) =>
+        val upper = p.init + (p.last + 1).toChar
+        Seq(SnapshotTable.Pred(a, ">=", p),
+            SnapshotTable.Pred(a, "<", upper))
       case _ => Nil
     }
 

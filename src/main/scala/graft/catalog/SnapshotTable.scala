@@ -152,15 +152,19 @@ object SnapshotTable {
   private[graft] case class ColStats(tpe: String, min: String, max: String)
 
   /** A pruning predicate for [[readWhere]]/[[pruneEntries]]: `col op
-    * value` with op one of `= < <= > >=` — the conjunctive,
+    * value` with op one of `= < <= > >= in` — the conjunctive,
     * null-rejecting fragment data-skipping can decide from interval
     * bounds (Delta's supported-predicate shape). `value` may be an
-    * Int/Long/Float/Double/BigDecimal or String; anything a bound
-    * can't be compared with simply keeps the entry (pruning is an
-    * optimization, the residual filter is always applied). */
+    * Int/Long/Float/Double/BigDecimal or String; for `in` it is a
+    * Seq of such literals (the entry is excluded only when EVERY
+    * member is provably absent). Anything a bound can't be compared
+    * with simply keeps the entry (pruning is an optimization, the
+    * residual filter is always applied). */
   case class Pred(col: String, op: String, value: Any) {
-    require(Set("=", "<", "<=", ">", ">=").contains(op),
-      s"snapshot pruning: unsupported op '$op' (want = < <= > >=)")
+    require(Set("=", "<", "<=", ">", ">=", "in").contains(op),
+      s"snapshot pruning: unsupported op '$op' (want = < <= > >= in)")
+    require(op != "in" || value.isInstanceOf[Seq[_]],
+      "snapshot pruning: 'in' takes a Seq of literals")
   }
 
   private val EntriesRe = """"entries":\[([^\]]*)\]""".r
@@ -1777,6 +1781,14 @@ object SnapshotTable {
   private def predExcludes(stats: Map[String, ColStats],
       partValue: Option[String], pcolType: Option[org.apache.spark.sql
         .types.DataType], p: Pred): Boolean = {
+    // IN = a disjunction of equalities: the entry is provably empty
+    // only when EVERY member is (an empty list is Catalyst-folded to
+    // false upstream; conservatively keep the entry here)
+    if (p.op == "in") {
+      val vs = p.value.asInstanceOf[Seq[Any]]
+      return vs.nonEmpty && vs.forall(v =>
+        predExcludes(stats, partValue, pcolType, Pred(p.col, "=", v)))
+    }
     // stats are ADVISORY end to end: a blob that base64-decodes but
     // carries a garbled numeric bound must degrade to "keep the entry"
     // (false), never throw out of a read path — the same contract
@@ -1894,6 +1906,7 @@ object SnapshotTable {
         case "<=" => c <= lit(p.value)
         case ">"  => c > lit(p.value)
         case ">=" => c >= lit(p.value)
+        case "in" => c.isin(p.value.asInstanceOf[Seq[Any]]: _*)
       }
     }.reduceOption(_ && _)
       .getOrElse(lit(true))

@@ -133,6 +133,43 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally spark.sql("DROP VIEW IF EXISTS snap_v"): Unit
   }
 
+  test("IN, null-safe equality, and StartsWith push down to manifest " +
+       "pruning (IN = excluded only when every member is; StartsWith " +
+       "= the half-open ASCII prefix range), results identical to the " +
+       "unpruned filter") {
+    val root = freshRoot()
+    SnapshotTable.commitPartitioned(
+      pdf(("asia", 1L, 10L), ("eu", 30L, 30L), ("na", 100L, 7L)),
+      root, 0L, "region")
+    def planned[T](body: => T): (T, Long) = {
+      SnapshotSource.lastPlanned.set((-9L, -9L))
+      val r = body
+      (r, SnapshotSource.lastPlanned.get()._1)
+    }
+    // IN over the partition column: two of three entries survive
+    val (inRows, inPlanned) = planned(
+      load(root).filter(col("region").isin("asia", "na"))
+        .collect().map(_.getString(0)).sorted.toSeq)
+    assert(inRows == Seq("asia", "na") && inPlanned == 2L,
+      s"IN planned $inPlanned entries")
+    // IN over a stats column: ids 1/30/100 in distinct entries
+    val (inIds, inIdPlanned) = planned(
+      load(root).filter(col("id").isin(30L, 100L))
+        .collect().map(_.getLong(1)).sorted.toSeq)
+    assert(inIds == Seq(30L, 100L) && inIdPlanned == 2L)
+    // null-safe equality prunes like '='
+    val (nsRows, nsPlanned) = planned(
+      load(root).filter(col("region") <=> "eu")
+        .collect().map(_.getString(0)).toSeq)
+    assert(nsRows == Seq("eu") && nsPlanned == 1L)
+    // StartsWith on the partition column: 'a' range keeps only asia
+    val (swRows, swPlanned) = planned(
+      load(root).filter(col("region").startsWith("a"))
+        .collect().map(_.getString(0)).toSeq)
+    assert(swRows == Seq("asia") && swPlanned == 1L,
+      s"StartsWith planned $swPlanned entries")
+  }
+
   test("writes are refused WITH GUIDANCE: save() names the commit API " +
        "and the safety inputs a blind write cannot carry, instead of " +
        "Spark's generic unsupported-write error") {
