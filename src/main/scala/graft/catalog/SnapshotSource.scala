@@ -250,6 +250,17 @@ private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
     parameters.get("startingVersion").map(_.toLong)
   private val startV: Long = explicitStartV
     .getOrElse(SnapshotTable.currentVersion(spark, root))
+  // rate limit: at most this many commits per micro-batch (Delta's
+  // maxFilesPerTrigger analogue at version grain) — a stream restarting
+  // far behind then catches up in bounded batches instead of one diff
+  // spanning hundreds of versions
+  private val maxVersionsPerTrigger: Long =
+    parameters.get("maxVersionsPerTrigger").map(_.toLong)
+      .getOrElse(Long.MaxValue)
+  // the highest version already HANDED OUT as a batch end — getOffset
+  // throttles from here; re-learned from the engine's own range on
+  // restart (getBatch runs before the next getOffset matters)
+  @volatile private var lastBatchEnd: Long = -1L
 
   override val schema: StructType =
     SnapshotChangeSource.cdfSchema(spark, parameters)
@@ -264,7 +275,19 @@ private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
     * in [[getBatch]]'s from-floor instead. */
   override def getOffset: Option[V1Offset] = {
     val cur = SnapshotTable.currentVersion(spark, root)
-    if (cur > 0) Some(LongOffset(cur)) else None
+    if (cur <= 0) None
+    else if (maxVersionsPerTrigger == Long.MaxValue || lastBatchEnd < 0L)
+      // unthrottled, OR no batch seen yet THIS RUN: a V1 getOffset
+      // cannot see the engine's committed cursor, and throttling from
+      // any guess below it would hand out an offset BEHIND the
+      // checkpoint — regressing the log and re-delivering versions.
+      // So the first batch after a (re)start is unthrottled (the
+      // Kafka-V1 precedent); an in-flight batch recovered from the
+      // offset log replays through getBatch first and re-seeds the
+      // throttle base, and every subsequent batch is bounded.
+      Some(LongOffset(cur))
+    else Some(LongOffset(math.min(cur,
+      lastBatchEnd + maxVersionsPerTrigger)))
   }
 
   private def offsetV(o: V1Offset): Long = o match {
@@ -299,6 +322,7 @@ private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
       case None => startV
     }
     val toV = offsetV(end)
+    lastBatchEnd = math.max(lastBatchEnd, toV)
     val range = (fromV + 1L) to toV
     import org.apache.spark.sql.functions.col
     val ordered = schema.fieldNames.map(col).toIndexedSeq

@@ -1488,6 +1488,59 @@ object SnapshotTable {
       rebaseRetries = rebaseRetries)
   }
 
+  /** MAINTENANCE POLICY — the compaction daemon's brain: compact
+    * exactly the partitions of the CURRENT version whose total file
+    * count exceeds `maxFiles`, deciding from METADATA only. The common
+    * case reads no filesystem at all: a partition fragmented by
+    * [[appendInto]] spans several entries (one per append) and each
+    * entry's per-file stats record its file list, so the count comes
+    * from the manifest; only an entry without a recorded file list
+    * (stats-less legacy commit, advisory failure, or a
+    * [[fileStatsCap]] overflow — which MEANS heavily fragmented) pays
+    * one directory listing. Partitions at or under the threshold are
+    * untouched — their entries ride through the commit verbatim, so
+    * the daemon's steady-state cost tracks the fragmented set, never
+    * the table. Floating-base ([[compact]]'s daemon form): disjoint
+    * concurrent ingest rides the rebase. Returns None when nothing is
+    * fragmented (no commit at all), Some(newVersion) otherwise. */
+  def compactFragmented(spark: SparkSession, root: String, pcol: String,
+                        maxFiles: Int, filesPerPart: Int = 1,
+                        tag: Option[String] = None,
+                        rebaseRetries: Int = 10): Option[Long] = {
+    require(maxFiles >= 1,
+      s"snapshot compactFragmented: maxFiles=$maxFiles must be >= 1")
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, root)
+    require(cur > 0, s"snapshot compactFragmented: $root has no commits")
+    val m = manifestOf(fs, root, cur)
+    require(m.pcol.contains(pcol),
+      s"snapshot compactFragmented: version $cur is partitioned on " +
+      s"${m.pcol.getOrElse("<nothing>")}, not '$pcol'")
+    val fAligned = m.fileStats.length == m.entries.length
+    def entryFiles(e: String, i: Int): Long = {
+      val rec = if (fAligned) m.fileStats(i) else Map.empty
+      if (rec.nonEmpty) rec.size.toLong
+      else // unknown grain: one LISTING, still zero data bytes
+        try fs.listStatus(new Path(s"$root/$e")).toSeq
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .toLong
+        catch { case _: java.io.IOException => 0L } // vanished: skip
+    }
+    val byPart = m.entries.zipWithIndex
+      .groupBy { case (e, _) => entryPartValue(e, pcol) }
+      .map { case (pv, es) =>
+        pv -> es.map { case (e, i) => entryFiles(e, i) }.sum }
+    val fragmented = byPart.collect {
+      case (pv, n) if n > maxFiles => pv }.toSeq.sorted
+    if (fragmented.isEmpty) None
+    else Some(compact(spark, root, -1L, pcol,
+      parts = fragmented.map(pv =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(pv)),
+      filesPerPart = filesPerPart, tag = tag,
+      rebaseRetries = rebaseRetries))
+  }
+
   /** APPEND `batch` into the partitioned snapshot — the micro-batch
     * ingest primitive behind [[graft.stream.SnapshotSink]]. Each
     * touched partition's next content is its current rows UNION the

@@ -182,6 +182,46 @@ class SnapshotDeleteSpec extends SparkSpec {
     assert(!fs(root).exists(orphan))
   }
 
+  test("compactFragmented: the metadata-decided daemon policy compacts " +
+       "ONLY over-threshold partitions (fragmented by appendInto), " +
+       "leaves the rest verbatim, and is a no-op when nothing is " +
+       "fragmented") {
+    val root = freshRoot()
+    import spark.implicits._
+    // bucket 0: 12 rows rolled into single-row files (the fragmented
+    // shape); bucket 1: one row, one file
+    val seed = ((1L to 12L).map(i => (i, 0L, i)) :+ (100L, 1L, 100L))
+      .toDF("id", "bkt", "v").repartition(col("bkt"))
+      .sortWithinPartitions("bkt", "id")
+    val key = "spark.sql.files.maxRecordsPerFile"
+    val prev = spark.conf.get(key)
+    val v1 = try {
+      spark.conf.set(key, 1L)
+      SnapshotTable.commitPartitioned(seed, root, 0L, "bkt")
+    } finally spark.conf.set(key, prev)
+    val before = SnapshotTable.manifestAt(spark, root, v1)
+    val b1Before = before.entries.filter(_.contains("bkt=1"))
+    assert(before.fileStats(before.entries.indexWhere(
+      _.contains("bkt=0"))).size == 12,
+      "seed should have fragmented bucket 0 into 12 recorded files")
+    val v = SnapshotTable.compactFragmented(spark, root, "bkt",
+      maxFiles = 3)
+    assert(v.isDefined, "fragmented bucket 0 not detected")
+    val after = SnapshotTable.manifestAt(spark, root, v.get)
+    assert(after.fileStats(after.entries.indexWhere(
+      _.contains("bkt=0"))).size == 1,
+      "bucket 0 not compacted to one file")
+    assert(after.entries.filter(_.contains("bkt=1")) == b1Before,
+      "an under-threshold partition was rewritten")
+    assert(SnapshotTable.readLatest(spark, root)
+      .agg(count(lit(1)), sum("v")).head() ==
+      spark.sql("SELECT CAST(13 AS BIGINT), CAST(178 AS BIGINT)").head(),
+      "compaction changed content")
+    // steady state: nothing left over threshold
+    assert(SnapshotTable.compactFragmented(spark, root, "bkt",
+      maxFiles = 3).isEmpty)
+  }
+
   test("null-safe key matching: a NULL key tuple deletes NULL-key rows") {
     val root = freshRoot()
     import spark.implicits._

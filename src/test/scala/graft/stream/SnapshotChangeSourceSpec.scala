@@ -179,6 +179,38 @@ class SnapshotChangeSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger bounds catch-up: commits accumulated " +
+       "between triggers deliver as one-version micro-batches, in " +
+       "order, none lost") {
+    val root = freshRoot()
+    SnapshotTable.commitPartitioned(df((1L, 0L, 10L)), root, 0L, "p")
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("path", root).option("keys", "id")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.collect().map(_.getLong(4)).toSeq
+        if (vs.nonEmpty) batches.add(vs.distinct.sorted): Unit
+      }.start()
+    try {
+      q.processAllAvailable() // v1 (first batch is unthrottled, = v1)
+      // three commits land between triggers
+      SnapshotTable.appendInto(df((2L, 0L, 20L)), root, "p")
+      SnapshotTable.appendInto(df((3L, 1L, 30L)), root, "p")
+      SnapshotTable.appendInto(df((4L, 1L, 40L)), root, "p")
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = batches.asScala.toSeq
+      assert(got == Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L)),
+        s"throttle delivered $got — want one version per batch, " +
+        "in order, none lost")
+    } finally q.stop()
+  }
+
   test("refusals: missing keys option; a non-table key column") {
     val root = freshRoot()
     SnapshotTable.commitPartitioned(df((1L, 0L, 10L)), root, 0L, "p")
