@@ -99,20 +99,21 @@ object Bench {
     // median) from ambient I/O noise, not plan changes. The full-pass
     // single shots still feed "total" per the BASELINE.md contract.
     val headlineReps = 5
-    val headlineMedians = names.filter(SparkEntry.headline.contains)
-      .map { name =>
-        val fn = SparkEntry.queries(name)
-        val ts = (1 to headlineReps).flatMap { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case _: Throwable => false }
-          val t = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          if (ok) Some(t) else None
-        }
-        // lower-middle median (conservative for even counts), -1 = failed
-        name -> (if (ts.isEmpty) -1.0 else ts.sorted.apply((ts.size - 1) / 2))
+    def median5(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to headlineReps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (ok) Some(t) else None
       }
+      // lower-middle median (conservative for even counts), -1 = failed
+      if (ts.isEmpty) -1.0 else ts.sorted.apply((ts.size - 1) / 2)
+    }
+    val headlineMedians = names.filter(SparkEntry.headline.contains)
+      .map(name => name -> median5(name))
     val headline = headlineMedians
       .map { case (name, med) => "\"" + name + "\":" + med }
       .mkString("{", ",", "}")
@@ -123,11 +124,12 @@ object Bench {
     // cross-round totals self-normalize — divide two rounds' totals by
     // their calibrations before reading a delta as a code change (r9→r10
     // cost two judge-days adjudicating a ~2x container drift this number
-    // would have shown immediately). It IS the headline flagship median,
-    // re-emitted under a stable name so the normalization never depends
-    // on the headline set's composition — reused, not re-measured.
+    // would have shown immediately). Reused from the headline pass when
+    // the flagship is in it (the steady state), measured independently
+    // if a future edit ever trims the headline set — the probe must
+    // never silently vanish, it is what cross-round totals divide by.
     val calib = headlineMedians.toMap
-      .getOrElse("wro_overlay_flagship", -1.0)
+      .getOrElse("wro_overlay_flagship", median5("wro_overlay_flagship"))
     // AQE-vs-salted cost ratio (the r9 "within 2.2x" bound) measured
     // here under the bench noise rules instead of a flaky unit-test
     // wall-clock assert (ADVICE r10) — the mechanism itself stays

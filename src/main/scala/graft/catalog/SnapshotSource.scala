@@ -201,6 +201,11 @@ private[catalog] object SnapshotChangeSource {
       throw new IllegalArgumentException(
         "graft-snapshot stream: the 'path' option is required"))
     val keys = keysOf(parameters)
+    parameters.get("maxVersionsPerTrigger").map(_.toLong).foreach(n =>
+      require(n > 0L,
+        s"graft-snapshot stream: maxVersionsPerTrigger $n must be " +
+        "positive — 0 would silently wedge the stream after its " +
+        "first batch"))
     val cur = SnapshotTable.currentVersion(spark, root)
     require(cur > 0, s"graft-snapshot stream: $root has no committed " +
       "version to derive the change schema from")
@@ -251,12 +256,18 @@ private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
   private val startV: Long = explicitStartV
     .getOrElse(SnapshotTable.currentVersion(spark, root))
   // rate limit: at most this many commits per micro-batch (Delta's
-  // maxFilesPerTrigger analogue at version grain) — a stream restarting
-  // far behind then catches up in bounded batches instead of one diff
-  // spanning hundreds of versions
+  // maxFilesPerTrigger analogue at version grain) for commits that
+  // accumulate while the stream RUNS. Scope honestly stated: the first
+  // batch after a (re)start is unthrottled — a V1 getOffset cannot see
+  // the engine's committed cursor (see getOffset) — so a restart far
+  // behind pays one unbounded catch-up batch, then bounded ones.
   private val maxVersionsPerTrigger: Long =
     parameters.get("maxVersionsPerTrigger").map(_.toLong)
       .getOrElse(Long.MaxValue)
+  require(maxVersionsPerTrigger > 0L,
+    s"graft-snapshot stream: maxVersionsPerTrigger " +
+    s"$maxVersionsPerTrigger must be positive — 0 would silently " +
+    "wedge the stream after its first batch")
   // the highest version already HANDED OUT as a batch end — getOffset
   // throttles from here; re-learned from the engine's own range on
   // restart (getBatch runs before the next getOffset matters)
@@ -286,8 +297,16 @@ private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
       // offset log replays through getBatch first and re-seeds the
       // throttle base, and every subsequent batch is bounded.
       Some(LongOffset(cur))
-    else Some(LongOffset(math.min(cur,
-      lastBatchEnd + maxVersionsPerTrigger)))
+    else {
+      // overflow-safe: a huge limit saturates to cur instead of
+      // wrapping negative (which would hand out an offset behind the
+      // committed cursor and regress the log)
+      val headroom = cur - lastBatchEnd
+      Some(LongOffset(
+        if (headroom > maxVersionsPerTrigger)
+          lastBatchEnd + maxVersionsPerTrigger
+        else cur))
+    }
   }
 
   private def offsetV(o: V1Offset): Long = o match {

@@ -585,6 +585,13 @@ object SnapshotTable {
     new Path(s"$root/_commits/_ckpt-${vdir(k)}.json")
 
   private val CkptRecsRe = """"recs":"([^"]*)"""".r
+  // a FOLDED checkpoint stores its records under a different field
+  // name: a pre-cap reader binary (rolling upgrade) must FAIL to
+  // decode it and fall back to an older checkpoint or bodies, because
+  // it would otherwise read the suffix records without the summary
+  // fold base and resolve as-of timestamps wrongly. The old regex
+  // cannot match `"recsv2":"` (it requires `"recs":"` verbatim).
+  private val CkptRecsV2Re = """"recsv2":"([^"]*)"""".r
   private val SummVRe = """"summv":(-?\d+)""".r
   private val SummERe = """"summe":(-?\d+)""".r
   private val SummNRe = """"summn":(-?\d+)""".r
@@ -602,9 +609,10 @@ object SnapshotTable {
         s"${b64(r.tag.getOrElse(""))}\t${r.nEntries}\t" +
         b64(r.pcol.getOrElse(""))
     }.mkString("\n")
+    val recsField = if (c.summV > 0L) "recsv2" else "recs"
     (s"""{"ckpt":${c.k},"summv":${c.summV}""" +
       c.summEff.map(e => s""","summe":$e""").getOrElse("") +
-      s""","summn":${c.summN},"recs":"${java.util.Base64.getEncoder
+      s""","summn":${c.summN},"$recsField":"${java.util.Base64.getEncoder
         .encodeToString(blob.getBytes("UTF-8"))}"}""").getBytes("UTF-8")
   }
 
@@ -614,7 +622,8 @@ object SnapshotTable {
     * Summary fields default to "nothing folded" so first-format
     * checkpoints decode unchanged. */
   private def decodeCkpt(k: Long, body: String): Option[Ckpt] =
-    CkptRecsRe.findFirstMatchIn(body).flatMap { m =>
+    CkptRecsV2Re.findFirstMatchIn(body)
+      .orElse(CkptRecsRe.findFirstMatchIn(body)).flatMap { m =>
       try {
         def un64(v: String) =
           new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
@@ -710,14 +719,18 @@ object SnapshotTable {
           var summV = prior.map(_.summV).getOrElse(0L)
           var summEff = prior.flatMap(_.summEff)
           var summN = prior.map(_.summN).getOrElse(0L)
-          var recs = prior.map(_.recs).getOrElse(Seq.empty) ++
-            rolled.flatten
+          val all = (prior.map(_.recs).getOrElse(Seq.empty) ++
+            rolled.flatten).toIndexedSeq
           // bound the file: fold the oldest VACUUMED records into the
           // scalar summary (their fold base is all readers need; live
-          // records never fold — committedVersions counts on them)
-          while (recs.length > checkpointRecordCap &&
-                 !listedSet.contains(recs.head.version)) {
-            val r = recs.head
+          // records never fold — committedVersions counts on them).
+          // One pass: the fold count is the smaller of the overflow
+          // and the vacuumed prefix length — no per-record tail copies.
+          val overflow = math.max(0, all.length - checkpointRecordCap)
+          val foldable =
+            all.segmentLength(r => !listedSet.contains(r.version), 0)
+          val foldN = math.min(overflow, foldable)
+          all.take(foldN).foreach { r =>
             r.ts.foreach { raw =>
               summEff = Some(summEff match {
                 case None => raw
@@ -726,8 +739,8 @@ object SnapshotTable {
             }
             summV = r.version
             summN += 1
-            recs = recs.tail
           }
+          val recs = all.drop(foldN)
           // the DEFAULT per-scheme create, NOT the installed arbiter:
           // the arbiter seam arbitrates COMMITS (who owns a version);
           // a checkpoint is an advisory rollup whose content is a pure
@@ -1533,12 +1546,26 @@ object SnapshotTable {
     val fragmented = byPart.collect {
       case (pv, n) if n > maxFiles => pv }.toSeq.sorted
     if (fragmented.isEmpty) None
-    else Some(compact(spark, root, -1L, pcol,
-      parts = fragmented.map(pv =>
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(pv)),
-      filesPerPart = filesPerPart, tag = tag,
-      rebaseRetries = rebaseRetries))
+    else
+      // daemon semantics for the decide→commit window: a concurrent
+      // writer that drops or replaces a selected partition makes the
+      // compact conflict (or its existence require fail) — for an
+      // unattended maintenance loop that is a benign race, not a
+      // crash: skip this cycle, the next one re-decides from the new
+      // current version. Everything else (bad arguments, wrong pcol)
+      // stays loud — those requires already fired above.
+      try Some(compact(spark, root, -1L, pcol,
+        parts = fragmented.map(pv =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(pv)),
+        filesPerPart = filesPerPart, tag = tag,
+        rebaseRetries = rebaseRetries))
+      catch {
+        case _: java.util.ConcurrentModificationException => None
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+               e.getMessage.contains("match no entry") => None
+      }
   }
 
   /** APPEND `batch` into the partitioned snapshot — the micro-batch
@@ -2275,13 +2302,22 @@ object SnapshotTable {
     // preserves the effective-clock fold prefix ([[versionAsOf]] /
     // [[history]] fold checkpoint records where bodies no longer
     // exist) and the tag record (replay idempotence outlives
-    // retention). If the rollup cannot be written (a torn manifest
-    // mid-window), the drop still proceeds — exactly the
-    // pre-checkpointing semantics, where the fold restarts at the
-    // first survivor.
-    if (checkpointInterval > 0 && drop.nonEmpty) {
-      writeCheckpoint(fs, root, drop.last); ()
-    }
+    // retention). The result is ENFORCED, not advisory: if the rollup
+    // cannot be written (torn manifest in the roll range, I/O
+    // failure), the drop REFUSES loudly — proceeding would silently
+    // destroy the fold prefix and the vacuumed ingest tags, making
+    // retention and as-of resolution disagree with no error anywhere.
+    // Nothing is deleted before this point, so a refused vacuum is
+    // simply retried after the cause clears.
+    if (checkpointInterval > 0 && drop.nonEmpty &&
+        !writeCheckpoint(fs, root, drop.last))
+      throw new IllegalStateException(
+        s"snapshot vacuum at $root: could not extend the metadata " +
+        s"checkpoint through version ${drop.last} before dropping " +
+        "manifests — refusing to delete committed history whose " +
+        "effective-clock and tag records would be lost (a torn " +
+        "manifest in the roll range or a transient I/O failure; " +
+        "retry after it clears)")
     drop.foreach(v => fs.delete(manifest(root, v), false))
     val dropped = drop.toSet
     val survivors = versions.filterNot(dropped)

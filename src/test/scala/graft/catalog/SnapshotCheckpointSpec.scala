@@ -202,7 +202,41 @@ class SnapshotCheckpointSpec extends SparkSpec {
       assert(ck.summEff.contains(50012L), s"fold base wrong: $ck")
       assert(SnapshotTable.versionAsOf(spark, root, 50013L) == 23L,
         "summary folding changed as-of resolution")
+      // forward compat: a FOLDED checkpoint stores its records under
+      // "recsv2", which a pre-cap reader's `"recs":"` regex cannot
+      // match — that binary degrades to an older checkpoint / bodies
+      // instead of silently reading the records without the fold base
+      val body = {
+        val in = fs(root).open(new Path(
+          s"$root/_commits/_ckpt-v00000031.json"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      assert(body.contains("\"recsv2\":\"") && !body.contains("\"recs\":\""),
+        s"folded checkpoint must rename the records field: $body")
     } finally SnapshotTable.checkpointRecordCap = prevCap
+  }
+
+  test("vacuum REFUSES to drop manifests it cannot checkpoint first " +
+       "(a torn manifest in the roll range): committed history whose " +
+       "clock/tag records would be lost is never deleted silently") {
+    val root = freshRoot()
+    (1L to 9L).foreach(v =>
+      fakeManifest(root, v, ts = 1000L + v, tag = Some(s"t$v")))
+    // corrupt v5 in place: file exists, body torn (no closing brace)
+    val f = fs(root)
+    val p = new Path(s"$root/_commits/v00000005.json")
+    f.delete(p, false)
+    val out = f.create(p, true)
+    try out.write("""{"version":5,"base":4,"entries":["x""".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.vacuum(spark, root, keepLast = 3, minAgeMs = 0L)
+    }
+    assert(e.getMessage.contains("refusing to delete"))
+    // nothing was dropped — the refusal precedes any deletion
+    assert(SnapshotTable.committedVersions(spark, root) ==
+      Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L))
   }
 
   test("pre-checkpointing vacuumed history (a PERMANENT head gap) " +

@@ -211,7 +211,8 @@ class SnapshotChangeSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("refusals: missing keys option; a non-table key column") {
+  test("refusals: missing keys option; a non-table key column; a " +
+       "non-positive rate limit (which would silently wedge the stream)") {
     val root = freshRoot()
     SnapshotTable.commitPartitioned(df((1L, 0L, 10L)), root, 0L, "p")
     intercept[IllegalArgumentException] {
@@ -221,6 +222,11 @@ class SnapshotChangeSourceSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       spark.readStream.format("graft-snapshot")
         .option("path", root).option("keys", "nope").load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-snapshot")
+        .option("path", root).option("keys", "id")
+        .option("maxVersionsPerTrigger", "0").load()
     }
   }
 }
