@@ -168,6 +168,18 @@ object SnapshotTable {
   }
 
   private val EntriesRe = """"entries":\[([^\]]*)\]""".r
+  // a dels-bearing manifest stores its entry list under a DIFFERENT
+  // field name: a pre-dels reader binary (rolling upgrade, mixed-
+  // version cluster) parses the legacy field fine — its regexes simply
+  // never match the unknown dels blob — and would scan the entries
+  // WITHOUT the anti-joins, silently resurrecting deleted rows. The
+  // old `"entries":` regex cannot match `"entriesv2":` (no quote
+  // precedes `entries` there), so that binary fails the required-field
+  // parse and treats the version as uncommitted: its reads resolve to
+  // the newest pre-dels version (a consistent older snapshot) and its
+  // writes conflict loudly on the existing manifest — never a read
+  // that drops deletions. Same technique as the checkpoint's recsv2.
+  private val EntriesV2Re = """"entriesv2":\[([^\]]*)\]""".r
   private val EntryRe = """"([^"]*)"""".r
   private val PcolRe = """"pcol":"([^"]*)"""".r
   private val SchemaRe = """"schema":"([^"]*)"""".r
@@ -302,7 +314,8 @@ object SnapshotTable {
   private def parseManifest(v: Long, body: String): Option[Manifest] =
     for {
       _ <- Option.when(body.endsWith("}"))(())
-      em <- EntriesRe.findFirstMatchIn(body)
+      em <- EntriesV2Re.findFirstMatchIn(body)
+        .orElse(EntriesRe.findFirstMatchIn(body))
       sm <- SchemaRe.findFirstMatchIn(body)
       base <- BaseRe.findFirstMatchIn(body).map(_.group(1).toLong)
     } yield {
@@ -750,19 +763,34 @@ object SnapshotTable {
           // a custom arbiter would also let commit-arbitration faults
           // (or a race spec's deliberately blocked writer) wedge
           // vacuum's metadata pass.
-          try {
-            perSchemeArbiter.createExclusive(fs, ckptPath(root, throughV),
-              encodeCkpt(Ckpt(throughV, summV, summEff, summN, recs)))
-            true
-          } catch {
-            // success ONLY if the file actually exists (a twin wrote
-            // the identical rollup); any other I/O failure reports
-            // false — vacuum's coverage extension must never proceed
-            // on a phantom checkpoint
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.io.IOException =>
-              try fs.exists(ckptPath(root, throughV))
-              catch { case _: java.io.IOException => false }
+          locally {
+            val p = ckptPath(root, throughV)
+            val bytes = encodeCkpt(Ckpt(throughV, summV, summEff, summN,
+              recs))
+            def attempt(): Boolean =
+              try { perSchemeArbiter.createExclusive(fs, p, bytes); true }
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.io.IOException => false
+              }
+            def existsParseable(): Boolean =
+              try decodeCkpt(throughV, readFileBody(fs, p)).isDefined
+              catch { case scala.util.control.NonFatal(_) => false }
+            // success ONLY if the file exists AND DECODES (a twin wrote
+            // the identical rollup): a twin that crashed in the
+            // create→write window leaves a torn file whose mere
+            // existence must not report coverage — vacuum would then
+            // drop manifests whose records exist nowhere parseable. A
+            // permanently torn file is garbage (checkpoint content is a
+            // pure function of the immutable manifests; no reader uses
+            // an undecodable one), so clear it and re-create once; a
+            // torn file that STAYS torn after that reports false and
+            // the caller refuses/retries.
+            attempt() || existsParseable() || {
+              try fs.delete(p, false)
+              catch { case _: java.io.IOException => () }
+              attempt() || existsParseable()
+            }
           }
         }
       }
@@ -872,8 +900,14 @@ object SnapshotTable {
     // through the semantic dels — stays brace-free until the final
     // closing brace. Parsing is regex-based and order-independent, so
     // pre-reorder manifests read identically.
+    // READER-PROTOCOL GUARD: a dels-bearing manifest renames the entry
+    // list to `entriesv2` (see [[EntriesV2Re]]) so a pre-dels reader
+    // binary fails the required-field parse instead of scanning the
+    // entries without their delete chains; dels-free manifests keep
+    // the legacy field, so old binaries read them unchanged.
+    val entriesKey = if (delsField.isEmpty) "entries" else "entriesv2"
     (s"""{"version":$next,"base":$base$tsField$tagField,""" +
-      s""""entries":[$entriesJson]""" +
+      s""""$entriesKey":[$entriesJson]""" +
       s"""$pcolField,"schema":"$schemaB64"$statsField$delsField}""")
       .getBytes("UTF-8")
   }
@@ -1645,11 +1679,20 @@ object SnapshotTable {
     * SCOPING: when the parent is partitioned and `delKeys` carries the
     * partition column (it need not be part of `keyCols`), only the
     * partitions `delKeys` names pay the read-side anti-join — the
-    * others' entries stay chain-free. Without it, the ref attaches to
-    * every entry (sound, but prices every read).
+    * others' entries stay chain-free — and the partition column JOINS
+    * the match key: the deleted tuple is the per-row (keyCols, pcol)
+    * pair, so a key aimed at partition B never deletes its twin in
+    * partition A (the Iceberg partition-scoped equality-delete
+    * semantics, expressed with one pooled file). Without the partition
+    * column, the ref attaches to every entry and matches on `keyCols`
+    * alone (sound, but prices every read).
     *
-    * Semantics: a row of the table is deleted iff its `keyCols` tuple
-    * (null-safe) appears in `delKeys` AND its entry is in scope.
+    * Semantics: a row of the table is deleted iff its match tuple
+    * (`keyCols`, plus the partition column when `delKeys` carries it;
+    * null-safe) appears in `delKeys` AND its entry is in scope.
+    * Every `delKeys` column must exist in the table with EXACTLY its
+    * recorded type — a mistyped key would otherwise anti-join through
+    * an implicit cast and silently delete nothing (or the wrong rows).
     * Stats stay inherited — deletion only removes rows, so recorded
     * min/max remain sound over-approximations for skipping.
     * Concurrency: plain optimistic CAS on `expectedBase` (no rebase
@@ -1680,6 +1723,21 @@ object SnapshotTable {
     delKeys.columns.foreach(c => require(parentNames.contains(c),
       s"snapshot commitDelete: delKeys column '$c' is not a table " +
       "column — a typo here would silently delete nothing"))
+    // TYPES are validated like names: the read-side anti-join would
+    // otherwise resolve a mismatched key column through implicit
+    // casts, and a string-vs-bigint or float-vs-decimal key can
+    // silently match nothing (or the wrong rows) — the same failure
+    // the name check guards against. Exact match after nullability
+    // normalization; the caller casts explicitly when it means to.
+    val parentFields = StructType.fromDDL(parent.schemaDdl)
+    delKeys.schema.fields.foreach { f =>
+      val want = parentFields(parentFields.fieldIndex(f.name)).dataType
+      require(asNullable(f.dataType) == asNullable(want),
+        s"snapshot commitDelete: delKeys column '${f.name}' is " +
+        s"${f.dataType.sql} but the table records ${want.sql} — cast " +
+        "the keys explicitly (an implicit cast here can silently " +
+        "delete nothing, or the wrong rows)")
+    }
     import org.apache.spark.sql.functions.col
     // partition scoping from the delKeys' pcol values, when present
     val touched: Option[Set[String]] =
@@ -1691,11 +1749,29 @@ object SnapshotTable {
               .ExternalCatalogUtils.escapePathName(v)
           }).toSet
       }
+    // when delKeys carries the partition column beyond keyCols, the
+    // partition column JOINS the match key: one pooled keys file is
+    // attached to every touched partition, so without it a key
+    // intended for partition B would also delete matching rows in
+    // partition A (delKeys [(id=1,p=A),(id=2,p=B)] with keyCols=[id]
+    // must not delete id=2 from A). Iceberg scopes equality-delete
+    // files per partition for the same reason; here the per-row
+    // (key, partition) tuple expresses the same intent with one file.
+    val matchCols = parent.pcol match {
+      case Some(pc) if delKeys.columns.contains(pc) &&
+          !keyCols.contains(pc) =>
+        require(!pc.contains(',') && !pc.contains('\t') &&
+          !pc.contains('\n'),
+          s"snapshot commitDelete: partition column '$pc' carries " +
+          "codec-breaking characters")
+        keyCols :+ pc
+      case _ => keyCols
+    }
     val delDir = s"del-${java.util.UUID.randomUUID()}"
     val delPath = new Path(s"$root/$delDir")
-    delKeys.select(keyCols.map(col): _*).distinct()
+    delKeys.select(matchCols.map(col): _*).distinct()
       .write.mode("overwrite").parquet(delPath.toString)
-    val ref = DelRef(delDir, keyCols)
+    val ref = DelRef(delDir, matchCols)
     val parentDels: Seq[Seq[DelRef]] =
       if (parent.dels.length == parent.entries.length) parent.dels
       else parent.entries.map(_ => Seq.empty[DelRef])
@@ -2347,12 +2423,20 @@ object SnapshotTable {
           }
       }
     }
-    // retire superseded checkpoints, keeping exactly the newest:
-    // every consumer takes the newest parseable one, and
+    // retire superseded checkpoints, keeping the newest PARSEABLE one
+    // (and anything newer): the newest FILE may be a torn leftover of
+    // a concurrent rollup that crashed in its create→write window —
+    // deleting the older good rollups it supersedes by name alone
+    // would leave readers nothing parseable and permanently lose the
+    // vacuumed versions' effective-clock and tag records. Every
+    // consumer takes the newest parseable checkpoint, and
     // [[latestCheckpoint]] tolerates a file vanishing mid-read by
-    // falling back, so deleting older rollups never strands a reader
-    listedCheckpoints(fs, root).dropRight(1)
-      .foreach(k => fs.delete(ckptPath(root, k), false))
+    // falling back, so deleting strictly-older rollups never strands
+    // a reader.
+    latestCheckpoint(fs, root).map(_.k).foreach { good =>
+      listedCheckpoints(fs, root).filter(_ < good)
+        .foreach(k => fs.delete(ckptPath(root, k), false))
+    }
     drop
   }
 }

@@ -267,6 +267,59 @@ class SnapshotCheckpointSpec extends SparkSpec {
     assert(SnapshotTable.committedVersions(spark, root) == (1L to 30L))
   }
 
+  test("checkpoint retirement keeps the newest PARSEABLE rollup: a " +
+       "torn newer checkpoint file (a crashed concurrent rollup) must " +
+       "not cause vacuum to delete the good one it depends on") {
+    val root = freshRoot()
+    (1L to 12L).foreach(v => fakeManifest(root, v, ts = 1000L + v,
+      tag = Some(s"t$v")))
+    assert(SnapshotTable.writeCheckpoint(fs(root), root, 12L))
+    // a torn checkpoint NEWER than the good one, at a version no drop
+    // boundary will reach — exists-only retirement would keep just it
+    // and delete the good v12 rollup under it
+    val f = fs(root)
+    val torn = new Path(s"$root/_commits/_ckpt-v00000099.json")
+    val out = f.create(torn, true)
+    try out.write("{\"ckpt\":99,\"recsv2\":\"!!torn".getBytes("UTF-8"))
+    finally out.close()
+    SnapshotTable.vacuum(spark, root, keepLast = 3, minAgeMs = 0L)
+    // the newest PARSEABLE checkpoint survived retirement, so the
+    // vacuumed versions' clock and tag records still answer
+    assert(SnapshotTable.latestCheckpoint(f, root).exists(_.k >= 9L),
+      "vacuum retired the good rollup under a torn newer file")
+    val tags = SnapshotTable.committedTags(spark, root)
+    assert((1L to 9L).forall(v => tags.get(s"t$v").contains(v)),
+      s"vacuumed tag records lost: ${tags.size}")
+    assert(SnapshotTable.versionAsOf(spark, root, 1011L) == 11L)
+  }
+
+  test("a torn checkpoint AT the drop boundary (crashed twin in the " +
+       "create→write window) is cleared and re-written, not counted " +
+       "as coverage by its mere existence") {
+    val root = freshRoot()
+    (1L to 9L).foreach(v => fakeManifest(root, v, ts = 1000L + v,
+      tag = Some(s"t$v")))
+    // the torn file sits exactly where vacuum's coverage extension
+    // wants to write (drop boundary = v6 for keepLast 3): exists-only
+    // success would report coverage through v6 with no parseable
+    // records anywhere, then delete v1..v6's manifests
+    val f = fs(root)
+    val p = new Path(s"$root/_commits/_ckpt-v00000006.json")
+    val out = f.create(p, true)
+    try out.write("{\"ckpt\":6,\"recs\":\"!!torn".getBytes("UTF-8"))
+    finally out.close()
+    val dropped = SnapshotTable.vacuum(spark, root, keepLast = 3,
+      minAgeMs = 0L)
+    assert(dropped == (1L to 6L))
+    val ck = SnapshotTable.latestCheckpoint(f, root)
+    assert(ck.exists(c => c.k == 6L && c.recs.nonEmpty),
+      s"torn boundary checkpoint not replaced by a real rollup: $ck")
+    val tags = SnapshotTable.committedTags(spark, root)
+    assert((1L to 6L).forall(v => tags.get(s"t$v").contains(v)),
+      "dropped versions' tag records exist nowhere parseable")
+    assert(SnapshotTable.versionAsOf(spark, root, 1008L) == 8L)
+  }
+
   test("writeCheckpoint refuses to record a gap: an unparseable " +
        "manifest in the roll range aborts the rollup (retried at the " +
        "next interval), it never writes a checkpoint missing a version") {

@@ -235,6 +235,84 @@ class SnapshotDeleteSpec extends SparkSpec {
     assert(left == Set(10L, 30L), s"null-key delete missed: $left")
   }
 
+  test("no cross-partition key bleed: when delKeys carries the " +
+       "partition column beyond keyCols, the partition JOINS the match " +
+       "key — a key aimed at partition B never deletes its twin in A") {
+    val root = freshRoot()
+    import spark.implicits._
+    // ids 1 and 2 exist in BOTH partitions; the delete names (1, A)
+    // and (2, B) — the pooled keys file attaches to both partitions,
+    // and without the partition column in the join it would delete
+    // id 2 from A and id 1 from B too
+    val df = Seq((1L, 0L, 10L), (2L, 0L, 20L), (1L, 1L, 30L),
+      (2L, 1L, 40L)).toDF("id", "bkt", "v")
+    val v1 = SnapshotTable.commitPartitioned(df, root, 0L, "bkt")
+    val v2 = SnapshotTable.commitDelete(
+      Seq((1L, 0L), (2L, 1L)).toDF("id", "bkt"), root, v1, Seq("id"))
+    val left = SnapshotTable.read(spark, root, v2)
+      .select("id", "bkt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(left == Set((2L, 0L), (1L, 1L)),
+      s"cross-partition key bleed: $left")
+    // the recorded match key carries the partition column
+    val m2 = SnapshotTable.manifestAt(spark, root, v2)
+    assert(m2.dels.flatten.forall(_.keyCols == Seq("id", "bkt")),
+      s"match key must include the partition column: ${m2.dels}")
+  }
+
+  test("key TYPES are validated like names: a delKeys column whose " +
+       "type differs from the table's recorded type refuses loudly " +
+       "instead of anti-joining through an implicit cast") {
+    val root = freshRoot()
+    val v1 = seed(root)
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commitDelete(Seq(21).toDF("id"), root, v1, Seq("id"))
+    }
+    assert(e.getMessage.contains("INT") &&
+      e.getMessage.contains("BIGINT") &&
+      e.getMessage.contains("cast"), e.getMessage)
+    // a string key against a bigint column is the classic silent miss
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitDelete(Seq("21").toDF("id"), root, v1,
+        Seq("id"))
+    }
+    // an explicit cast to the recorded type passes
+    val v2 = SnapshotTable.commitDelete(
+      Seq(21).toDF("id").select(col("id").cast("long").as("id")),
+      root, v1, Seq("id"))
+    assert(!ids(SnapshotTable.read(spark, root, v2)).contains(21L))
+  }
+
+  test("reader-protocol guard: a dels-bearing manifest renames its " +
+       "entry list to entriesv2, so a pre-dels binary's required-field " +
+       "parse fails (loud/stale, never a scan without the chains); " +
+       "dels-free manifests keep the legacy field") {
+    val root = freshRoot()
+    val v1 = seed(root)
+    import spark.implicits._
+    val v2 = SnapshotTable.commitDelete(
+      Seq((21L, 1L)).toDF("id", "bkt"), root, v1, Seq("id"))
+    def body(v: Long): String = {
+      val in = fs(root).open(
+        new Path(f"$root/_commits/v$v%08d.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val legacyRe = """"entries":\[""".r // the pre-dels reader's regex
+    assert(legacyRe.findFirstIn(body(v1)).isDefined,
+      "dels-free manifests must keep the legacy entries field")
+    val delBody = body(v2)
+    assert(delBody.contains("\"entriesv2\":[") &&
+      legacyRe.findFirstIn(delBody).isEmpty,
+      s"a pre-dels binary would read this without its chains: $delBody")
+    // and a rewrite that materializes every chain returns to the
+    // legacy field — old binaries resume reading at the next compact
+    val v3 = SnapshotTable.compact(spark, root, v2, "bkt")
+    assert(legacyRe.findFirstIn(body(v3)).isDefined,
+      "materialized manifests should stay old-reader-compatible")
+  }
+
   test("refusals: unknown delKeys column, missing key column, empty " +
        "keyCols, delete against an empty table") {
     val root = freshRoot()
