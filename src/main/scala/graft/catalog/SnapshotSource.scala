@@ -101,7 +101,11 @@ class SnapshotSource extends RelationProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
-    new SnapshotChangeSource(sqlContext, parameters)
+    // metadataPath is the engine's per-source checkpoint dir — the V1
+    // hook FileStreamSource uses for exactly this: state that must
+    // survive a restart but precedes the first committed offset (here:
+    // the resolved start-at-current default, see resolveDefaultStart)
+    new SnapshotChangeSource(sqlContext, parameters, Some(metadataPath))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -234,7 +238,8 @@ private[catalog] object SnapshotChangeSource {
   * two adjacent snapshot reads (partition-pruned on partition-keyed
   * tables, per the changes() scale contract). */
 private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
-    parameters: Map[String, String])
+    parameters: Map[String, String],
+    metadataPath: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
@@ -246,15 +251,65 @@ private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
   private val preimages =
     parameters.get("preimages").exists(_.toBoolean)
   // absent startingVersion = start AT the current version: history is
-  // not replayed, only commits after stream start feed batches. NOTE:
-  // this default re-evaluates at every (re)start — it may only govern
-  // a FRESH stream (no engine cursor); once the engine has a
-  // checkpointed offset, that cursor wins, or commits made while the
-  // stream was down would be silently withheld.
+  // not replayed, only commits after stream start feed batches. The
+  // default resolves ONCE PER STREAM, not once per restart: the first
+  // creation persists the resolved version under the engine's
+  // metadataPath and every re-creation reads it back. Without that, a
+  // stream that WALs its first offset E and crashes before committing
+  // re-evaluates the default to the restart-time current version
+  // (>= E), the replayed batch 0 computes an empty range, and the
+  // versions in (originalStart, E] are silently never delivered — an
+  // exactly-once violation. (The engine cursor still wins over this
+  // floor once an offset has been committed — see getBatch.)
   private val explicitStartV: Option[Long] =
     parameters.get("startingVersion").map(_.toLong)
   private val startV: Long = explicitStartV
-    .getOrElse(SnapshotTable.currentVersion(spark, root))
+    .getOrElse(resolveDefaultStart())
+
+  /** The start-at-current default, made restart-stable: read the
+    * persisted resolution if one exists, else resolve against the
+    * table and persist via write-temp-then-rename (atomic on the
+    * filesystems the engine checkpoints on; a lost rename race means
+    * a concurrent creation won — read the winner, so every creation
+    * agrees on one floor). A source constructed WITHOUT a
+    * metadataPath (direct API use, specs) keeps the plain re-resolve:
+    * it has no engine checkpoint to be consistent with. */
+  private def resolveDefaultStart(): Long = metadataPath match {
+    case None => SnapshotTable.currentVersion(spark, root)
+    case Some(dir) =>
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val f = new org.apache.hadoop.fs.Path(hp, "graft-start-version")
+      def readBack(): Long = {
+        val in = fs.open(f)
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        try body.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"graft-snapshot stream: persisted start marker $f is " +
+            s"unreadable ('$body') — the source checkpoint is damaged; " +
+            "delete the stream's checkpointLocation to start a fresh " +
+            "stream (at the then-current version), or set an explicit " +
+            "startingVersion")
+        }
+      }
+      if (fs.exists(f)) readBack()
+      else {
+        val v = SnapshotTable.currentVersion(spark, root)
+        fs.mkdirs(hp)
+        val tmp = new org.apache.hadoop.fs.Path(hp,
+          s"graft-start-version.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        if (fs.rename(tmp, f)) v
+        else { // concurrent creation won the rename — defer to it
+          fs.delete(tmp, false)
+          readBack()
+        }
+      }
+  }
   // rate limit: at most this many commits per micro-batch (Delta's
   // maxFilesPerTrigger analogue at version grain) for commits that
   // accumulate while the stream RUNS. Scope honestly stated: the first

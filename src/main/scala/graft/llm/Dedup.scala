@@ -295,6 +295,13 @@ object Dedup {
     // exists to sidestep. The groupBy gets map-side partial aggregation
     // (its shuffle carries ~distinct shingles, not all rows) and the join
     // streams hot keys without group buffering.
+    // (r12 audit: a shared repartition(sh) feeding both the df aggregate
+    // and the join — one shingle derivation instead of two — was tried
+    // and REVERTED: the planner broadcasts the df side, so the branches
+    // never canonicalize equal, ReuseExchange cannot fire, and the
+    // explicit repartition only ADDED a full-shingle exchange. The
+    // double derivation is the optimizer's cost-based outcome and the
+    // right trade at both bench and 100 TB scale.)
     val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // per-doc shingle list sorted rare-first, cut to the prefix. The
     // (df, sh) struct sorts lexicographically — exactly the global order.
@@ -402,56 +409,75 @@ object Dedup {
     val p = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       und.count() / 100000L + 1L)).toInt
-    val nodes = und.select(col("src").as("id"))
-      .union(und.select(col("dst").as("id"))).distinct()
-    val sym = und
-      .union(und.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(p, col("src"))
-      .localCheckpoint()
-    // stats reset (see scaladoc): rebuild from materialized rows so the
-    // LogicalRDD does not inherit the round plan's multiplied estimates.
-    // The RDD round-trip also DROPS the argument's outputPartitioning,
-    // so callers must hash-repartition AFTER fresh() (not inside the
-    // argument) for the layout to survive into the next round's joins.
-    def freshById(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
-        .repartition(p, col("id")).localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
-      .repartition(p, col("id"))
-      .localCheckpoint()
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // (1) hook: edges in label space; every supernode adopts its
-      // minimum neighboring supernode — one keyed aggregate over the
-      // lifted edges, merging whole components per round
-      val le = sym
-        .join(labels.select(col("id").as("src"), col("lbl").as("ls")), "src")
-        .join(labels.select(col("id").as("dst"), col("lbl").as("ld")), "dst")
-        .filter(col("ls") =!= col("ld"))
-      val upd = le.groupBy(col("ls")).agg(min(col("ld")).as("cand"))
-      val hooked = freshById(labels
-        .join(upd, col("lbl") === col("ls"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"),
-          col("lbl").as("prev")))
-      // (2) compress twice: lbl <- lbl(lbl); hooked is checkpointed so
-      // the double self-reference re-reads rows, not the hook plan
-      def jump(df: DataFrame): DataFrame = df
-        .join(df.select(col("id").as("jid"), col("lbl").as("jl")),
-          col("lbl") === col("jid"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("jl"), col("lbl"))).as("lbl"),
-          col("prev"))
-      val next = freshById(jump(jump(hooked)))
-      changed = next.filter(col("lbl") =!= col("prev")).count()
-      labels = next.select(col("id"), col("lbl"))
-      iter += 1
+    // LOOP-SCOPED CONFS (the raster relaxations' measured discipline,
+    // graft.ops.WroQueries relaxConfs): inside the loop every frame is
+    // pair-graph-sized — p partitions BY CONSTRUCTION (p derives from
+    // the measured edge count above, so this stays scale-adaptive, it
+    // is not a local[32] constant) — yet each round's exchanges would
+    // otherwise run at the session's data-scale partition count, and
+    // under AQE every one of the round's shuffle stages is submitted
+    // as its OWN job (~100-200 ms scheduling each) with nothing to
+    // adapt. AQE off + partitions=p turns each round's three
+    // materializations into three single-job lineages. Everything
+    // inside MATERIALIZES (localCheckpoint/count), so the save/restore
+    // contract of withConfs holds; the returned `labels` is
+    // checkpointed, so the caller's plan-on-top runs under restored
+    // session confs.
+    val labels = graft.withConfs(spark, Map(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> p.toString)) {
+      val nodes = und.select(col("src").as("id"))
+        .union(und.select(col("dst").as("id"))).distinct()
+      val sym = und
+        .union(und.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(p, col("src"))
+        .localCheckpoint()
+      // stats reset (see scaladoc): rebuild from materialized rows so the
+      // LogicalRDD does not inherit the round plan's multiplied estimates.
+      // The RDD round-trip also DROPS the argument's outputPartitioning,
+      // so callers must hash-repartition AFTER fresh() (not inside the
+      // argument) for the layout to survive into the next round's joins.
+      def freshById(df: DataFrame): DataFrame =
+        spark.createDataFrame(df.rdd, df.schema)
+          .repartition(p, col("id")).localCheckpoint()
+      var labels = nodes.select(col("id"), col("id").as("lbl"))
+        .repartition(p, col("id"))
+        .localCheckpoint()
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < maxIter) {
+        // (1) hook: edges in label space; every supernode adopts its
+        // minimum neighboring supernode — one keyed aggregate over the
+        // lifted edges, merging whole components per round
+        val le = sym
+          .join(labels.select(col("id").as("src"), col("lbl").as("ls")), "src")
+          .join(labels.select(col("id").as("dst"), col("lbl").as("ld")), "dst")
+          .filter(col("ls") =!= col("ld"))
+        val upd = le.groupBy(col("ls")).agg(min(col("ld")).as("cand"))
+        val hooked = freshById(labels
+          .join(upd, col("lbl") === col("ls"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"),
+            col("lbl").as("prev")))
+        // (2) compress twice: lbl <- lbl(lbl); hooked is checkpointed so
+        // the double self-reference re-reads rows, not the hook plan
+        def jump(df: DataFrame): DataFrame = df
+          .join(df.select(col("id").as("jid"), col("lbl").as("jl")),
+            col("lbl") === col("jid"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("jl"), col("lbl"))).as("lbl"),
+            col("prev"))
+        val next = freshById(jump(jump(hooked)))
+        changed = next.filter(col("lbl") =!= col("prev")).count()
+        labels = next.select(col("id"), col("lbl"))
+        iter += 1
+      }
+      require(changed == 0,
+        s"dedupClusters did not converge in $maxIter rounds of quotient " +
+        "hooking + compression, which indicates a pathological edge set; " +
+        "raise maxIter or pre-partition the graph")
+      labels
     }
-    require(changed == 0,
-      s"dedupClusters did not converge in $maxIter rounds of quotient " +
-      "hooking + compression, which indicates a pathological edge set; " +
-      "raise maxIter or pre-partition the graph")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -70,10 +70,26 @@ object Graph {
       col("x") === col("a") && col("y") === col("b"), "left_semi")
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
-    closed.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(broadcast(nNodes))
-      .crossJoin(broadcast(nEdges))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    // the wedge self-join is the SUPER-LINEAR leg: its input is
+    // edge-sized BYTES but its output fans out quadratically in the
+    // oriented out-degree, so AQE's byte-based coalescing folds the
+    // join's exchanges into ONE partition and serializes the whole
+    // enumeration onto one task (measured: a 1.6 s single-task stage
+    // holding ~65% of d24 at sf0.1 — ~15M wedges built and probed on
+    // one core; the classic small-input/high-compute AQE blind spot).
+    // The count materializes here with partition COALESCING scoped off:
+    // the join keeps the session's shuffle-partition parallelism (the
+    // scale-adaptive setting), the enumeration spreads, and degree
+    // orientation bounds any one u's fan-out at ~sqrt|E| so no task is
+    // hot. Output is ONE row — safe to materialize at construction.
+    graft.withConfs(edges.sparkSession, Map(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")) {
+      closed.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(broadcast(nNodes))
+        .crossJoin(broadcast(nEdges))
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+        .localCheckpoint()
+    }
   }
 
   /** D43: single-source SHORTEST PATHS over a general weighted digraph
@@ -108,17 +124,32 @@ object Graph {
     require(!minW.isNullAt(0) && minW.getLong(0) >= 0L,
       "sssp: edge weights must be non-negative (empty edge set or " +
       "negative weight found)")
-    var dist = e.sparkSession.range(1)
-      .select(lit(source).as("node"), lit(0L).as("dist"))
-      .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val relaxed = dist
-        .join(e, dist("node") === e("src"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionByName(relaxed)
-        .groupBy("node").agg(min("dist").as("dist"))
+    val spark = e.sparkSession
+    // loop-scoped confs, partition count derived from the MEASURED edge
+    // count (the dedupClusters discipline): every loop frame is
+    // node/edge-graph-sized, so the per-round exchanges run at
+    // graph-appropriate parallelism as ONE job per round instead of
+    // AQE submitting each tiny stage separately at the session's
+    // data-scale partition count. Scale-adaptive by construction —
+    // p grows with the graph and clamps to the session default.
+    val p = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      e.count() / 100000L + 1L)).toInt
+    graft.withConfs(spark, Map(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> p.toString)) {
+      var dist = spark.range(1)
+        .select(lit(source).as("node"), lit(0L).as("dist"))
         .localCheckpoint()
+      for (_ <- 1 to rounds) {
+        val relaxed = dist
+          .join(e, dist("node") === e("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
+      dist
     }
-    dist
   }
 }

@@ -228,18 +228,12 @@ object WroQueries {
     obsManyMappers.join(cellMax.hint("merge"), Seq("cell_id", "layer"))
   }
 
-  /** Run `body` with `confs` applied, restoring the previous session
-    * values afterwards — safe only when `body` EXECUTES the plan it
-    * builds (lazy plans would otherwise run after the restore). */
+  /** Forwarder to [[graft.withConfs]] (moved to the package object so the
+    * llm closure loop can share it); see that scaladoc for the
+    * must-materialize-inside contract. */
   private[ops] def withConfs[T](spark: SparkSession,
-                                confs: Map[String, String])(body: => T): T = {
-    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
+                                confs: Map[String, String])(body: => T): T =
+    graft.withConfs(spark, confs)(body)
 
   /** J13 under ADAPTIVE skew handling — the same planted-skew overlay as
     * [[overlaySkewed]] with the manual salt DISABLED: the hot cell is
@@ -565,11 +559,23 @@ object WroQueries {
     val step = edges.select(col("u").as("su"), col("v").as("sv"))
     var cur = edges
     var all = edges
-    for (_ <- 2 to k) {
-      cur = cur.join(step, col("v") === col("su"))
-        .select(col("u"), col("sv").as("v"))
-        .localCheckpoint()
-      all = all.unionByName(cur)
+    // loop under relaxConfs: every per-round frame is raster-domain
+    // bounded (≤GridW² rows), so the k−1 extension checkpoints run as
+    // k−1 single jobs at domain-sized partitions instead of paying
+    // AQE's per-stage job submission at the session's data-scale
+    // partition count (the costDistanceFrom discipline applied to the
+    // one D8 loop that still paid it). The edges checkpoint above
+    // stays OUTSIDE — its plan aggregates the fact table at data
+    // scale. The final countDistinct below is lazy (materializes after
+    // the restore), so it correctly runs at session confs.
+    withConfs(spark, relaxConfs) {
+      for (_ <- 2 to k) {
+        cur = cur.join(step, col("v") === col("su"))
+          .select(col("u"), col("sv").as("v"))
+          .localCheckpoint()
+        all = all.unionByName(cur)
+      }
+      cur
     }
     all.groupBy("v")
       .agg(countDistinct(col("u")).as("n_upstream"))
@@ -852,13 +858,46 @@ object WroQueries {
     * + one co-partitioned join; at 100 TB each field is the GIS11
     * frontier relaxation and the join inherits their layout. */
   def corridor(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    // no checkpoint here: costDistanceFrom checkpoints its input per
-    // call, and classedGrid caches its per-cell aggregate internally —
-    // an outer checkpoint would materialize the same frame a third time
     val classed = classedGrid(spark, dir)
-    costDistanceFrom(classed, k).withColumnRenamed("cost34", "cost_a")
-      .join(costDistanceFrom(classed, k, seedCls = 0)
-        .withColumnRenamed("cost34", "cost_b"), Seq("r", "c"))
+    // ONE FUSED relaxation for BOTH source sets (r12): the two per-seed
+    // recurrences never interact, so carrying the seed class in the
+    // aggregation key computes both cost fields in a single k-round
+    // lineage — one materialization job instead of two, one broadcast
+    // of the present-cell domain instead of two, and the final
+    // co-partitioned join collapses into a pivot aggregate (2
+    // checkpointed inputs + join exchange → 1 groupBy). Per-round row
+    // count is |frontier_4| + |frontier_0| — the same total rows the
+    // two separate lineages carried. Result-identical by construction:
+    // min-fold per (cell, seed) is exactly costDistanceFrom's
+    // recurrence per seed, and the non-null filter reproduces the
+    // inner join's both-reachable semantics (oracle unchanged,
+    // re-verified exact).
+    val offs = for { dr <- -1L to 1L; dc <- -1L to 1L }
+      yield (dr, dc, if (dr == 0L && dc == 0L) 0L
+                     else if (dr == 0L || dc == 0L) 3L else 4L)
+    val cells = classed.localCheckpoint()
+    val present = cells.select("r", "c")
+    var best = cells.filter(col("cls") === 4 || col("cls") === 0)
+      .select(col("r"), col("c"), col("cls").as("seed"), lit(0L).as("d"))
+    for (_ <- 1 to k) {
+      best = best
+        .select(col("r"), col("c"), col("seed"), col("d"),
+          explode(typedLit(offs)).as("o"))
+        .select((col("r") + col("o._1")).as("r"),
+          (col("c") + col("o._2")).as("c"), col("seed"),
+          (col("d") + col("o._3")).as("d"))
+        .filter(col("r").between(0, GridW - 1) &&
+          col("c").between(0, GridW - 1))
+        .join(broadcast(present), Seq("r", "c"), "left_semi")
+        .groupBy("r", "c", "seed").agg(min("d").as("d"))
+    }
+    val both = withConfs(spark, relaxConfs) {
+      best.localCheckpoint()
+    }
+    both.groupBy("r", "c")
+      .agg(min(when(col("seed") === 4, col("d"))).as("cost_a"),
+           min(when(col("seed") === 0, col("d"))).as("cost_b"))
+      .filter(col("cost_a").isNotNull && col("cost_b").isNotNull)
       .select(col("r"), col("c"), col("cost_a"), col("cost_b"),
         (col("cost_a") + col("cost_b")).as("total34"))
   }
@@ -986,11 +1025,18 @@ object WroQueries {
       .localCheckpoint()
     val sinks = p.filter(col("u") === col("v")).select(col("u").as("s"))
       .localCheckpoint()
-    for (_ <- 1 to doublings) {
-      p = p.join(p.select(col("u").as("m"), col("v").as("w")),
-          col("v") === col("m"))
-        .select(col("u"), col("w").as("v"))
-        .localCheckpoint()
+    // doubling loop under relaxConfs (raster-domain bounded, the
+    // costDistanceFrom discipline): each squaring checkpoint becomes
+    // one job at domain-sized partitions. The initial pointer-table
+    // checkpoint above stays outside — it joins the fact-scale scan.
+    withConfs(spark, relaxConfs) {
+      for (_ <- 1 to doublings) {
+        p = p.join(p.select(col("u").as("m"), col("v").as("w")),
+            col("v") === col("m"))
+          .select(col("u"), col("w").as("v"))
+          .localCheckpoint()
+      }
+      p
     }
     // the sink set is boundary-sized (≤ the raster frontier) —
     // broadcast it so the final label filter never exchanges
@@ -1036,11 +1082,15 @@ object WroQueries {
       .localCheckpoint()
     val sinks = p.filter(col("u") === col("v")).select(col("u").as("s"))
       .localCheckpoint()
-    for (_ <- 1 to doublings) {
-      p = p.join(p.select(col("u").as("m"), col("v").as("w"),
-          col("d").as("d2")), col("v") === col("m"))
-        .select(col("u"), col("w").as("v"), (col("d") + col("d2")).as("d"))
-        .localCheckpoint()
+    // doubling loop under relaxConfs — same rationale as [[watershed]].
+    withConfs(spark, relaxConfs) {
+      for (_ <- 1 to doublings) {
+        p = p.join(p.select(col("u").as("m"), col("v").as("w"),
+            col("d").as("d2")), col("v") === col("m"))
+          .select(col("u"), col("w").as("v"), (col("d") + col("d2")).as("d"))
+          .localCheckpoint()
+      }
+      p
     }
     p.join(broadcast(sinks), col("v") === col("s"), "left_semi")
       .select(expr("u div 100").as("r"), (col("u") % 100).as("c"),

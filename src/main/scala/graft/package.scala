@@ -31,6 +31,21 @@ package object graft {
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Run `body` with `confs` applied, restoring the previous session
+    * values afterwards — safe only when `body` EXECUTES the plan it
+    * builds (lazy plans would otherwise run after the restore). Shared
+    * by the raster relaxations (ops.WroQueries), the dedup closure loop
+    * (llm.Dedup) and layout maintenance (ops.Layout). */
+  private[graft] def withConfs[T](spark: SparkSession,
+                                  confs: Map[String, String])(body: => T): T = {
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Normalize the `ts` column to microsecond TimestampType — shared by
     * the batch reader above and streaming file sources (the rebuild must
     * be identical or batch-equivalence checks drift). Long = legacy

@@ -19,4 +19,5 @@ object GraftBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
 }

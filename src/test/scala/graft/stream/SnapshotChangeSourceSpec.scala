@@ -159,6 +159,48 @@ class SnapshotChangeSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("batch-0 crash recovery: the start-at-current default resolves " +
+       "ONCE per stream (persisted under the engine's metadataPath) — " +
+       "a replayed first batch delivers versions after the ORIGINAL " +
+       "start, not after the restart-time current version") {
+    val root = freshRoot()
+    val meta = java.nio.file.Files
+      .createTempDirectory("snapcdc_meta").toString
+    SnapshotTable.commitPartitioned(df((1L, 0L, 10L)), root, 0L, "p")
+    val provider = new graft.catalog.SnapshotSource()
+    val params = Map("path" -> root, "keys" -> "id")
+    // stream creation at current version 1 — resolves AND persists the
+    // start-at-current default under metadataPath
+    provider.createSource(spark.sqlContext, meta, None,
+      "graft-snapshot", params)
+    // two commits land; the engine WALs offset 3 and crashes BEFORE
+    // committing batch 0. On restart the source is re-created; a
+    // per-restart re-evaluation of the default (current = 3) would
+    // make the replayed batch 0 compute an empty range and lose v2/v3
+    // forever — the exactly-once violation this marker closes.
+    SnapshotTable.appendInto(df((2L, 0L, 20L)), root, "p")
+    SnapshotTable.appendInto(df((3L, 1L, 30L)), root, "p")
+    val s2 = provider.createSource(spark.sqlContext, meta, None,
+      "graft-snapshot", params)
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val replayed = s2.getBatch(None, LongOffset(3L))
+    // getBatch hands back a STREAMING-flagged frame (the engine
+    // contract); collecting it outside the engine needs the batch-
+    // execution check off, exactly as Spark's own Source test suites do
+    val checkKey = "spark.sql.streaming.unsupportedOperationCheck"
+    val saved = spark.conf.getOption(checkKey)
+    val got =
+      try {
+        spark.conf.set(checkKey, "false")
+        replayed.collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+      } finally saved match {
+        case Some(v) => spark.conf.set(checkKey, v)
+        case None    => spark.conf.unset(checkKey)
+      }
+    assert(got == Set((2L, 2L), (3L, 3L)),
+      s"replayed batch 0 lost or re-delivered versions: $got")
+  }
+
   test("preimages=true emits the update_preimage/update_postimage " +
        "pair (retraction-based MV maintenance shape)") {
     val root = freshRoot()
