@@ -240,8 +240,19 @@ object Dedup {
     // ReuseExchange cannot dedupe the subtree). Candidates are few by
     // construction, so materializing their arrays is tiny — unlike the
     // full corpus's shingles, which stay recompute-only.
+    // Repartitioned BEFORE the shingling projection (r12): the semi-join
+    // inherits the corpus scan's file-split partitioning, so the
+    // CPU-heavy shingleArray of the surviving candidates ran at
+    // input-split parallelism (measured: a ~2 s 3-task stage at sf0.1).
+    // The exchange moves only the CANDIDATE docs' text — candidate-
+    // bounded at any scale, exactly the set this function exists to
+    // keep small — and the explicit partition count (the session's
+    // scale-adaptive setting) keeps AQE from re-coalescing the
+    // tiny-bytes/heavy-compute exchange to one task (the d24 lesson).
     val candArr = docs
       .join(broadcast(candIds), id === col("cid"), "left_semi")
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        id)
       .select(id.as("did"), shingleArray(text, n).as("shs"))
       .cache()
     val out = cand
