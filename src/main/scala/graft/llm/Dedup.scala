@@ -517,41 +517,51 @@ object Dedup {
     val p = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       und.count() / 100000L + 1L)).toInt
-    val nodes = und.select(col("src").as("id"))
-      .union(und.select(col("dst").as("id"))).distinct()
-    val sym = und
-      .union(und.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(p, col("src"))
-      .localCheckpoint()
-    def freshById(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
-        .repartition(p, col("id")).localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
-      .repartition(p, col("id"))
-      .localCheckpoint()
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // neighbor minimum per node: one join edge→label on the source
-      // side, one min-aggregate keyed by destination — no label-space
-      // lift, no jumps; the recurrence is the textbook propagation
-      val nbrMin = sym
-        .join(labels.select(col("id").as("src"), col("lbl").as("ls")),
-          "src")
-        .groupBy(col("dst").as("id")).agg(min(col("ls")).as("nm"))
-      val next = freshById(labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"),
-          col("lbl").as("prev")))
-      changed = next.filter(col("lbl") =!= col("prev")).count()
-      labels = next.select(col("id"), col("lbl"))
-      iter += 1
+    // same loop-scoped confs as [[dedupClusters]] (r12): the audit
+    // formulation runs O(diameter) rounds, so the per-round AQE job
+    // tax it shared with the production loop multiplied hundreds of
+    // times on a long-diameter graph — the differential sf3 audit gets
+    // the same single-job rounds.
+    val labels = graft.withConfs(spark, Map(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> p.toString)) {
+      val nodes = und.select(col("src").as("id"))
+        .union(und.select(col("dst").as("id"))).distinct()
+      val sym = und
+        .union(und.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(p, col("src"))
+        .localCheckpoint()
+      def freshById(df: DataFrame): DataFrame =
+        spark.createDataFrame(df.rdd, df.schema)
+          .repartition(p, col("id")).localCheckpoint()
+      var labels = nodes.select(col("id"), col("id").as("lbl"))
+        .repartition(p, col("id"))
+        .localCheckpoint()
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < maxIter) {
+        // neighbor minimum per node: one join edge→label on the source
+        // side, one min-aggregate keyed by destination — no label-space
+        // lift, no jumps; the recurrence is the textbook propagation
+        val nbrMin = sym
+          .join(labels.select(col("id").as("src"), col("lbl").as("ls")),
+            "src")
+          .groupBy(col("dst").as("id")).agg(min(col("ls")).as("nm"))
+        val next = freshById(labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"),
+            col("lbl").as("prev")))
+        changed = next.filter(col("lbl") =!= col("prev")).count()
+        labels = next.select(col("id"), col("lbl"))
+        iter += 1
+      }
+      require(changed == 0,
+        s"ccByLabelProp did not converge in $maxIter rounds — the graph's " +
+        "diameter exceeds the bound; raise maxIter (this is the audit " +
+        "formulation, not the production path)")
+      labels
     }
-    require(changed == 0,
-      s"ccByLabelProp did not converge in $maxIter rounds — the graph's " +
-      "diameter exceeds the bound; raise maxIter (this is the audit " +
-      "formulation, not the production path)")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
