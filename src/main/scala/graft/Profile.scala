@@ -62,6 +62,9 @@ object Profile {
       // warm-up rep: page cache + codegen, untimed
       SparkEntry.queries(n)(spark, sfDir).count()
       spark.catalog.clearCache()
+      // drain the async listener bus before clearing, or late warm-up
+      // job events re-insert themselves into the timed rep's map
+      Thread.sleep(500)
       jobs.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()

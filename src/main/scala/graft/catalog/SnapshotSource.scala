@@ -281,6 +281,11 @@ private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val f = new org.apache.hadoop.fs.Path(hp, "graft-start-version")
       def readBack(): Long = {
+        if (!fs.exists(f)) throw new IllegalStateException(
+          s"graft-snapshot stream: could not persist the start marker " +
+          s"$f (rename failed and no concurrent creation left one) — " +
+          "check checkpointLocation permissions, or set an explicit " +
+          "startingVersion to bypass the marker")
         val in = fs.open(f)
         val body =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -303,11 +308,15 @@ private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
           s"graft-start-version.tmp-${java.util.UUID.randomUUID()}")
         val out = fs.create(tmp, true)
         try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-        if (fs.rename(tmp, f)) v
-        else { // concurrent creation won the rename — defer to it
-          fs.delete(tmp, false)
-          readBack()
-        }
+        if (!fs.rename(tmp, f)) fs.delete(tmp, false)
+        // THE FILE is authoritative, not the local resolution: on
+        // filesystems where rename silently overwrites (POSIX local),
+        // two racing creations could otherwise each keep a different
+        // in-memory floor while the file holds one of them — reading
+        // back after the rename makes every creation agree with
+        // whatever the marker settled on (rename-failed readers defer
+        // to the winner the same way).
+        readBack()
       }
   }
   // rate limit: at most this many commits per micro-batch (Delta's
@@ -333,12 +342,12 @@ private[catalog] class SnapshotChangeSource(val sqlContext: SQLContext,
 
   /** The latest available offset is simply the current version — the
     * ENGINE compares it against its checkpointed committed offset, so
-    * this must NOT be gated on `startV`: startV re-initializes to the
-    * current version at every restart (absent an explicit
-    * startingVersion), and a gate like `cur > startV` would silently
-    * withhold commits made while the stream was down until some later
-    * unrelated commit arrived. Start-position semantics live entirely
-    * in [[getBatch]]'s from-floor instead. */
+    * this must NOT be gated on `startV`: even with the start-at-current
+    * default now persisted once per stream (resolveDefaultStart), a
+    * gate like `cur > startV` would silently withhold commits made
+    * while the stream was down until some later unrelated commit
+    * arrived. Start-position semantics live entirely in [[getBatch]]'s
+    * from-floor instead. */
   override def getOffset: Option[V1Offset] = {
     val cur = SnapshotTable.currentVersion(spark, root)
     if (cur <= 0) None

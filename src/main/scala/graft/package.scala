@@ -35,7 +35,16 @@ package object graft {
     * values afterwards — safe only when `body` EXECUTES the plan it
     * builds (lazy plans would otherwise run after the restore). Shared
     * by the raster relaxations (ops.WroQueries), the dedup closure loop
-    * (llm.Dedup) and layout maintenance (ops.Layout). */
+    * (llm.Dedup) and layout maintenance (ops.Layout).
+    *
+    * Confs are SESSION-GLOBAL: a plan materialized CONCURRENTLY on the
+    * same SparkSession while `body` runs (another driver thread, a
+    * streaming micro-batch) would be planned under these confs too —
+    * results stay correct, but a data-scale job could plan at the
+    * loop's tiny parallelism. The declared-query and harness paths
+    * materialize sequentially, so this is a documented boundary, not a
+    * live hazard; a caller mixing an iterative loop with concurrent
+    * same-session jobs should clone a session for the loop instead. */
   private[graft] def withConfs[T](spark: SparkSession,
                                   confs: Map[String, String])(body: => T): T = {
     val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
