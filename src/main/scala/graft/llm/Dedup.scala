@@ -601,15 +601,38 @@ object Dedup {
       .select(col("doc_id").as("a_id"), col("n_sh").as("n_a"),
               explode(slice(col("ordered"), lit(1), prefixLen)).as("o"))
       .select(col("a_id"), col("n_a"), col("o.sh").as("sh"))
+    // cached: the pair list feeds the candidate-id semi-join AND the
+    // output join (the ngramJaccard discipline)
     val cand = prefixes
       .join(sh.select(col("doc_id").as("b_id"), col("sh")), "sh")
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id", "n_a").distinct()
+      .cache()
+    // verification on CANDIDATE SHINGLE ARRAYS (r12, the
+    // verifyExactJaccard shape): the former form re-derived the FULL
+    // corpus's exploded shingles twice more (one leg per pair side) and
+    // paid a two-key (b_id, sh) join at corpus-gram grain to count the
+    // intersection. Candidates are few by construction, so shingling
+    // only them — one array row per candidate doc, repartitioned off
+    // the scan's split count before the CPU-heavy derivation (the
+    // verifyExactJaccard note) — and counting via array_intersect is
+    // candidate-bounded at any scale. n_inter is identical:
+    // shingleArray is array_distinct'd, so |intersect| counts distinct
+    // shared shingles exactly as the distinct-gram join did.
+    val candIds = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as("cid"))
+      .distinct()
+    val candArr = docs
+      .join(broadcast(candIds), id === col("cid"), "left_semi")
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        id)
+      .select(id.as("did"), shingleArray(text, n).as("shs"))
+      .cache()
     cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
-      .groupBy("a_id", "b_id", "n_a")
-      .agg(count(lit(1)).as("n_inter"))
+      .join(candArr.select(col("did").as("a_id"), col("shs").as("sa")), "a_id")
+      .join(candArr.select(col("did").as("b_id"), col("shs").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_a"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_inter"))
       .filter(col("n_inter") * 100 >= col("n_a") * thresholdPct)
       .select(col("a_id"), col("b_id"), col("n_a"), col("n_inter"))
   }
