@@ -199,19 +199,27 @@ object Dedup {
     pairs
   }
 
-  /** Distinct (a_id, na, b_id, nb) candidate pairs from a bucket table's
-    * sorted (doc_id, n_sh)-struct list column `ds`: in-bucket pair
-    * explosion — element i pairs with every LATER element (1-based slice
-    * from i+2), so each unordered pair appears once per bucket with
-    * a_id < b_id, and `distinct` collapses cross-bucket repeats. */
-  private def bucketPairs(buckets: DataFrame): DataFrame =
+  /** Raw (a_id, na, b_id, nb) candidate pairs from a bucket table's
+    * sorted (doc_id, n_sh)-struct list column `ds`, WITH cross-bucket
+    * repeats: in-bucket pair explosion — element i pairs with every
+    * LATER element (1-based slice from i+2), so each unordered pair
+    * appears once per bucket with a_id < b_id. Callers with a
+    * per-pair pruning predicate apply it HERE, before the dedup
+    * exchange (the ngramJaccard size filter — guide-§2.3 shuffle
+    * fewer bytes: repeats multiply the distinct's input by the shared
+    * prefix count, so pre-filtering cuts the exchange, never the
+    * result). */
+  private def bucketPairsRaw(buckets: DataFrame): DataFrame =
     buckets.select(
         explode(flatten(transform(col("ds"), (a, i) =>
           transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
             struct(a.as("a"), b.as("b")))))).as("p"))
       .select(col("p.a.doc_id").as("a_id"), col("p.a.n_sh").as("na"),
               col("p.b.doc_id").as("b_id"), col("p.b.n_sh").as("nb"))
-      .distinct()
+
+  /** [[bucketPairsRaw]] deduplicated — each unordered pair once. */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    bucketPairsRaw(buckets).distinct()
 
   /** Exact-Jaccard verification of a candidate-pair table
     * (a_id, na, b_id, nb). Shingles ONLY the candidate docs — a
@@ -328,9 +336,15 @@ object Dedup {
     val posting = prefixes.groupBy("sh")
       .agg(sort_array(collect_set(col("d"))).as("ds"))
       .filter(size(col("ds")) > 1)
-    val cand = bucketPairs(posting)
+    // size filter BEFORE the pair dedup (r12): a qualifying pair
+    // re-emerges once per shared prefix shingle, so the raw pair
+    // stream is a multiple of the distinct set — filtering first cuts
+    // the dedup exchange's input without touching the result (the
+    // predicate reads only columns that ride each raw pair)
+    val cand = bucketPairsRaw(posting)
       .filter(col("na") >= lit(threshold) * col("nb") &&
               col("nb") >= lit(threshold) * col("na"))
+      .distinct()
       .cache()
     verifyExactJaccard(cand, docs, id, text, n, threshold)
   }
