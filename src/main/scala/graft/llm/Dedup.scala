@@ -82,7 +82,12 @@ object Dedup {
       s"bands ($bands) must be >= 1 and divide k ($k) — r = k/bands rows " +
       "per band; r = 0 would put the whole corpus in one bucket (all-pairs)")
     val r = k / bands
-    val sh = shingles(docs, id, text, n)
+    // spread the CPU-heavy shingle+k-minhash derivation off the scan's
+    // split count (r13, guide §2.5 unsplittable-input repartition —
+    // structural no-op at scale, see [[graft.spreadScan]]); the k=32
+    // hash computations per shingle otherwise run on the fixture's 2-6
+    // single-row-group splits regardless of cores
+    val sh = shingles(graft.spreadScan(docs, id), id, text, n)
     val h1 = xxhash64(col("sh"))
     val h2 = xxhash64(lit(7), col("sh"))
     def rot(c: Column, i: Int): Column =
@@ -306,7 +311,29 @@ object Dedup {
       s"threshold ($threshold) must be in (0, 1] — the prefix length " +
       "|d| - ceil(t*|d|) + 1 goes negative past 1, and 0 would demand " +
       "indexing every shingle (the all-postings explosion)")
-    val sh = shingles(docs, id, text, n)
+    // shingles travel the index as 8-byte xxhash64 KEYS, not n-word
+    // strings (r13, guide §2.3 "shuffle keys and metadata instead of
+    // payloads"): every exchange downstream of the derivation — the
+    // df aggregate, the per-doc rare-first collect, the posting build —
+    // carries (df, h) instead of (df, "w1 w2 w3"), and the per-doc
+    // sort_array compares longs instead of strings. Correctness: the
+    // prefix-filter completeness proof holds for ANY global total order
+    // on shingle space, including the (df(h), h) quotient order — take
+    // the MINIMUM shared key k₁; if no k₁-keyed entry were in A's
+    // prefix, upward-closure would force every shared entry into A's
+    // ceil(t·|A|)−1 suffix, contradicting shared ≥ t·|A| — and a hash
+    // collision only MERGES postings (extra candidates, verified away
+    // exactly), never drops one. n_sh stays the EXACT per-doc distinct
+    // shingle count (one sh row per distinct shingle; hashing is a
+    // projection, not a dedup), and the output jaccard is computed in
+    // verifyExactJaccard from the true shingle ARRAYS — so the declared
+    // result is bit-identical. The derivation itself is spread off the
+    // scan's split count before the explode (spreadScan — the fixture's
+    // single-row-group files otherwise serialize the CPU-heavy
+    // shingling onto 2-6 tasks; structural no-op at scale).
+    val src = graft.spreadScan(docs, id)
+    val sh = shingles(src, id, text, n)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     // document frequency via groupBy + join back, NOT a count-over-window
     // on the shingle partition: the window form buffers every row of a
     // hot shingle in one task (ExternalAppendOnlyUnsafeRowArray, spilling
@@ -321,19 +348,19 @@ object Dedup {
     // explicit repartition only ADDED a full-shingle exchange. The
     // double derivation is the optimizer's cost-based outcome and the
     // right trade at both bench and 100 TB scale.)
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
     // per-doc shingle list sorted rare-first, cut to the prefix. The
-    // (df, sh) struct sorts lexicographically — exactly the global order.
+    // (df, h) struct sorts lexicographically — exactly the global order.
     val prefixLen = (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .cast("int")
-    val prefixes = sh.join(df, "sh")
+    val prefixes = sh.join(df, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
-           sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
+           sort_array(collect_list(struct(col("df"), col("h")))).as("ordered"))
       .select(struct(col("doc_id"), col("n_sh")).as("d"),
               explode(slice(col("ordered"), lit(1), prefixLen)).as("o"))
-      .select(col("d"), col("o.sh").as("sh"))
-    val posting = prefixes.groupBy("sh")
+      .select(col("d"), col("o.h").as("h"))
+    val posting = prefixes.groupBy("h")
       .agg(sort_array(collect_set(col("d"))).as("ds"))
       .filter(size(col("ds")) > 1)
     // size filter BEFORE the pair dedup (r12): a qualifying pair
@@ -363,7 +390,9 @@ object Dedup {
                     n: Int = 3): DataFrame = {
     val bsh = benchmark
       .select(explode(shingleArray(benchText, n)).as("sh")).distinct()
-    val contaminated = shingles(docs, id, text, n)
+    // corpus shingle derivation spread off the scan splits (r13, §2.5);
+    // the anti-join below still reads the original docs frame
+    val contaminated = shingles(graft.spreadScan(docs, id), id, text, n)
       .join(broadcast(bsh), "sh")
       .select(col("doc_id").as("contaminated_id")).distinct()
     docs.join(contaminated, id === col("contaminated_id"), "left_anti")
@@ -603,22 +632,39 @@ object Dedup {
                        n: Int = 3, thresholdPct: Int = 90): DataFrame = {
     require(thresholdPct > 0 && thresholdPct <= 100,
       s"thresholdPct ($thresholdPct) must be in (0, 100]")
-    val sh = shingles(docs, id, text, n)
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // 8-byte hash keys + scan spread, exactly as [[ngramJaccard]] (r13,
+    // guide §2.3/§2.5): the probe prefix, the FULL build-side index and
+    // the df aggregate all shuffle (df, h) longs instead of n-word
+    // strings — the build side has no prefix cut (asymmetry), so it is
+    // the biggest byte win in the family — and the derivation runs off
+    // the scan's split count. Completeness: the containment pigeonhole
+    // (miss all of A's prefix keys ⇒ intersection ≤ ceil(t·|A|)−1)
+    // holds under the quotient order like the symmetric proof; a
+    // collision only merges postings (extra candidates, verified away
+    // on the true shingle arrays below). n_a stays the exact per-doc
+    // distinct shingle count and n_inter is counted on true arrays, so
+    // the declared output is bit-identical.
+    val src = graft.spreadScan(docs, id)
+    val sh = shingles(src, id, text, n)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
     // ceil(pct·n/100) = (pct·n + 99) div 100, integer-exact
     val prefixLen = (col("n_sh") - expr(
       s"(n_sh * $thresholdPct + 99) div 100") + 1).cast("int")
-    val prefixes = sh.join(df, "sh")
+    val prefixes = sh.join(df, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
-           sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
+           sort_array(collect_list(struct(col("df"), col("h")))).as("ordered"))
       .select(col("doc_id").as("a_id"), col("n_sh").as("n_a"),
               explode(slice(col("ordered"), lit(1), prefixLen)).as("o"))
-      .select(col("a_id"), col("n_a"), col("o.sh").as("sh"))
+      .select(col("a_id"), col("n_a"), col("o.h").as("h"))
     // cached: the pair list feeds the candidate-id semi-join AND the
-    // output join (the ngramJaccard discipline)
+    // output join (the ngramJaccard discipline); callers/harnesses
+    // release it via clearCache once the result is consumed (the
+    // Bench/Verify convention — see probeLshTracked for the loop-safe
+    // tracked variant)
     val cand = prefixes
-      .join(sh.select(col("doc_id").as("b_id"), col("sh")), "sh")
+      .join(sh.select(col("doc_id").as("b_id"), col("h")), "h")
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id", "n_a").distinct()
       .cache()
@@ -694,7 +740,13 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, id: Column, text: Column,
                      k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    // spread the positional-gram derivation off the scan's split count
+    // (r13, guide §2.5 — see [[graft.spreadScan]]; no-op at scale).
+    // Both legs below re-derive grams from this frame (the d2 recompute
+    // policy), and the two spread exchanges are canonically identical,
+    // so ReuseExchange shares ONE shuffle write between them.
+    val src = graft.spreadScan(docs, id)
+    val grams = src
       .select(id.as("doc_id"), posexplode(gramArray(text, k)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"),
               xxhash64(col("g")).as("h"), md5(col("g")).as("fp"))
@@ -741,7 +793,9 @@ object Dedup {
     * crosses one join, zero explodes. */
   def removeDuplicateSpans(docs: DataFrame, id: Column, text: Column,
                            k: Int = 8): DataFrame = {
-    val grams = docs
+    // scan spread, as [[duplicateSpans]] (r13, guide §2.5)
+    val src = graft.spreadScan(docs, id)
+    val grams = src
       .select(id.as("doc_id"), posexplode(gramArray(text, k)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"),
               xxhash64(col("g")).as("h"), md5(col("g")).as("fp"))
@@ -786,7 +840,10 @@ object Dedup {
     * and the removal join are both on that pair. The rewrite joins
     * removed positions back to the doc — only affected docs pay it. */
   def lineDedup(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val lines = docs
+    // scan spread, as [[duplicateSpans]] (r13, guide §2.5): the
+    // line explode + 2×hash-per-line derivation feeds both legs
+    val src = graft.spreadScan(docs, id)
+    val lines = src
       .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("p0", "line")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"),
               xxhash64(col("line")).as("h"), md5(col("line")).as("fp"))
@@ -829,8 +886,12 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, source: Column, text: Column,
                     n: Int = 8): DataFrame = {
     // materialized once: both join legs read the deduplicated index
-    // (the d16 double-derivation lesson — the distinct dominates cost)
-    val sh = docs
+    // (the d16 double-derivation lesson — the distinct dominates cost).
+    // The derivation is spread off the scan's split count (r13, guide
+    // §2.5); keyed by the text column since source is low-cardinality
+    // (hashing 3 sources onto 32 partitions would leave 29 empty —
+    // guide §2.5 synthetic-key pitfall)
+    val sh = graft.spreadScan(docs, text)
       .select(source.as("src"), explode(shingleArray(text, n)).as("s"))
       .select(col("src"), md5(col("s")).as("h"))
       .distinct()

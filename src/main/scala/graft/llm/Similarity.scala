@@ -370,7 +370,15 @@ object Similarity {
   def batchTopK(corpus: DataFrame, id: Column, emb: Column,
                 queries: DataFrame, qid: Column, queryEmb: Column,
                 k: Int, shards: Int = 32): DataFrame = {
-    val c = corpus.select(id.as("vec_id"), asDouble(emb).as("v"))
+    // r13 (guide §2.5 / the KMeans.byId lesson): the ×|batch| scoring
+    // fan-out below multiplies per-input-byte work by the query count,
+    // while file-scan splitting sizes partitions for ~1× work per byte
+    // — at sf1 the whole |corpus|·|batch| cosine kernel ran on ONE task
+    // (measured 16.2 s, 1-task stages in the profile). Conditional
+    // spread by vec_id restores kernel-proportional parallelism; no-op
+    // once the scan has more splits than cores.
+    val c = graft.spreadScan(
+      corpus.select(id.as("vec_id"), asDouble(emb).as("v")), col("vec_id"))
     val q = queries.select(qid.as("q_id"), asDouble(queryEmb).as("q"))
     val w1 = Window.partitionBy("q_id", "_shard")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)

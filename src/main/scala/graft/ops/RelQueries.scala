@@ -2396,7 +2396,19 @@ object RelQueries {
     val audited =
       Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
         "l_shipdate")
-    val li = table(s, dir, "lineitem")
+    // r13 (guide §2.5 + VERDICT item 2): the 5-column count(DISTINCT)
+    // suite plans as Expand ×6 BEFORE the partial aggregate, and that
+    // map-side work ran at the SCAN's split count — 3 tasks on the
+    // single-row-group fixture at every SF (measured: 26.9 s at sf1,
+    // 8-vs-32-core scaling ratio ≈ 1, i.e. serial). The conditional
+    // spreadScan hash-repartitions the PROJECTED audited columns (5
+    // narrow cols — project-before-exchange, §2.3) to the session's
+    // parallelism only when the scan is under it; at 100 TB the scan
+    // has orders of magnitude more splits than cores and no shuffle
+    // happens. Keyed by l_orderkey (high-cardinality, deterministic).
+    val li = graft.spreadScan(
+      table(s, dir, "lineitem").select(audited.map(col): _*),
+      col("l_orderkey"))
     val aggs = count(lit(1)).as("n_rows") +: audited.flatMap { c => Seq(
       sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
       countDistinct(col(c)).as(s"${c}__distinct"),

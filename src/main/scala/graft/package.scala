@@ -55,6 +55,49 @@ package object graft {
     }
   }
 
+  /** Conditional scan-spread (optimization guide §2.5: "input skew — one
+    * huge unsplittable file … repartition immediately after the read"):
+    * hash-repartition `df` by `key` to the session's default parallelism
+    * IFF its planned parallelism is below that. Compute-heavy per-row
+    * derivations (shingling, gram explosion, hashed-feature folds,
+    * multi-distinct Expand) otherwise run at the SCAN's split count —
+    * the fixture tables are single-row-group parquet, so that is 2-6
+    * tasks regardless of cores, and any production table arriving as a
+    * few unsplittable files hits the same wall. At scale the condition
+    * is a structural no-op (a large table has orders of magnitude more
+    * splits than cores), so this is data-adaptive, never a local[32]
+    * constant. The exchange moves the scan projection once, BEFORE the
+    * k-times-larger derived stream exists; the EXPLICIT partition count
+    * keeps AQE from byte-coalescing the small-bytes/heavy-compute stage
+    * back to one task (the d24_triangles lesson), and hashing on a real
+    * key keeps the assignment deterministic under task retry (guide
+    * §2.5 rand-repartition caveat).
+    *
+    * SAFE ON ANY FRAME: the parallelism probe plans the frame, and on a
+    * frame containing its own shuffle that planning would materialize
+    * query stages under AQE — running the upstream jobs once EXTRA just
+    * to be counted (stage reuse is per-QueryExecution, so the probe's
+    * work would NOT be shared with the real run). Frames that are not
+    * scan-level (anything beyond scans / local or checkpointed
+    * relations / projections / filters / unions / aliases) are
+    * therefore returned unchanged: their parallelism already comes
+    * from an exchange, the very thing this helper substitutes for. */
+  private[graft] def spreadScan(df: DataFrame, key: org.apache.spark.sql.Column)
+      : DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def scanLevel(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: Filter | _: Union | _: SubqueryAlias =>
+        p.children.forall(scanLevel)
+      case leaf if leaf.children.isEmpty => true
+      case _ => false
+    }
+    if (!scanLevel(df.queryExecution.analyzed)) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+    }
+  }
+
   /** Normalize the `ts` column to microsecond TimestampType — shared by
     * the batch reader above and streaming file sources (the rebuild must
     * be identical or batch-equivalence checks drift). Long = legacy
