@@ -32,6 +32,11 @@ object Profile {
                    var stages: Int = 0, var tasks: Int = 0,
                    desc: String)
     val jobs = new ConcurrentHashMap[Int, Job]()
+    // stage → owning job, from SparkListenerJobStart.stageIds (r13,
+    // ADVICE r12 #4): the former latest-live-job heuristic misattributed
+    // stages when a single query ran concurrent jobs (broadcast-exchange
+    // jobs race the main job under AQE)
+    val stageOwner = new ConcurrentHashMap[Integer, Integer]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
@@ -40,21 +45,16 @@ object Profile {
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
         jobs.put(e.jobId, Job(e.jobId, e.time, desc = d))
+        e.stageIds.foreach(sid =>
+          stageOwner.put(Integer.valueOf(sid), Integer.valueOf(e.jobId)))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val j = jobs.get(e.jobId); if (j != null) j.end = e.time
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
-        // attribute the stage to the most recent live job (good enough
-        // for sequential query execution)
-        val sid = e.stageInfo.stageId
-        val owner = jobs.values().toArray(Array.empty[Job])
-          .filter(j => j.end < 0 || j.end >= e.stageInfo.submissionTime.getOrElse(0L))
-        if (owner.nonEmpty) {
-          val j = owner.maxBy(_.start)
-          j.stages += 1; j.tasks += e.stageInfo.numTasks
-        }
-        val _ = sid
+        val owner = stageOwner.get(Integer.valueOf(e.stageInfo.stageId))
+        val j = if (owner != null) jobs.get(owner.intValue()) else null
+        if (j != null) { j.stages += 1; j.tasks += e.stageInfo.numTasks }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -66,6 +66,7 @@ object Profile {
       // job events re-insert themselves into the timed rep's map
       Thread.sleep(500)
       jobs.clear()
+      stageOwner.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9

@@ -205,7 +205,8 @@ object Bpe {
     * pattern). */
   def encode(docs: DataFrame, docId: Column, text: Column,
              merges: DataFrame): DataFrame =
-    docs.select(docId.as("doc_id"), text.as("_text"))
+    graft.spreadScan(docs, docId) // r13, guide §2.5: per-doc BPE kernel
+      .select(docId.as("doc_id"), text.as("_text"))
       .crossJoin(broadcast(mergeArrays(merges)))
       .select(col("doc_id"),
         graft.functions.BpeDocTokens(col("_text"), col("ms_a"), col("ms_b"))
@@ -256,7 +257,8 @@ object Bpe {
       .agg(array_sort(collect_list(struct(col("vocab_id"), col("sym"))))
         .as("v"))
       .select(transform(col("v"), _.getField("sym")).as("v_syms"))
-    docs.select(docId.as("doc_id"), text.as("_text"))
+    graft.spreadScan(docs, docId) // r13, guide §2.5: per-doc BPE kernel
+      .select(docId.as("doc_id"), text.as("_text"))
       .crossJoin(broadcast(mergeArrays(merges)))
       .crossJoin(broadcast(vs))
       .select(col("doc_id"),

@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens, exploded: (doc_id, tok). */
+  // NOT spread (r13, measured): a plain split+explode is too light per
+  // byte for the §2.5 scan-spread to pay — d4_top_tokens 0.21→0.58 s and
+  // d32_bm25 0.62→1.15 s medians WITH a spread here (the exchange plus
+  // 32-task scheduling outweigh the parallelized split), so the token
+  // stream keeps the scan's partitioning and its map-side partial
+  // aggregation. The spread stays where the per-row kernel is heavy
+  // (shingling, minhash, gram hashing, BPE encode, cosine).
   def tokens(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(id.as("doc_id"), explode(split(text, " ")).as("tok"))
 
@@ -155,7 +162,8 @@ object TextAnalysis {
     * SF; every flag except the structural r_wlen is non-vacuous). */
   def gopherRules(docs: DataFrame, id: Column, text: Column,
                   stopwords: Seq[String]): DataFrame = {
-    val d = docs.select(id.as("doc_id"), text.as("text"))
+    val d = graft.spreadScan(docs, id) // r13, guide §2.5
+      .select(id.as("doc_id"), text.as("text"))
     val perDoc = d.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_words"),
       (length(col("text")) - size(split(col("text"), " ")) + 1)
@@ -281,7 +289,10 @@ object TextAnalysis {
     val packed = weights.agg(
       transform(sort_array(collect_list(struct(col("bucket"), col("wt")))),
         x => x("wt")).as("wts"))
-    docs.select(id.as("doc_id"), split(text, " ").as("toks"))
+    // r13, guide §2.5: the per-doc md5-per-token score fold is the whole
+    // cost of this operator and otherwise runs at scan-split parallelism
+    graft.spreadScan(docs, id)
+      .select(id.as("doc_id"), split(text, " ").as("toks"))
       .crossJoin(broadcast(packed))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
         aggregate(col("toks"), lit(0L), (acc, t) =>
@@ -388,6 +399,9 @@ object TextAnalysis {
   /** The shared 256-bucket token hash (md5 2-hex prefix — the
     * cross-engine contract d28/d39/d41 and their oracles all agree
     * on): one exploded (doc_id, extra, b) row per token. */
+  // NOT spread (r13, measured): every consumer aggregates straight into
+  // a keyed groupBy whose own exchange already restores parallelism, so
+  // a pre-explode spread only added its exchange (d41 2.24→2.84 s med5)
   private def tokenBuckets(docs: DataFrame, id: Column, text: Column,
                            extra: Column, extraName: String): DataFrame =
     docs
@@ -442,7 +456,15 @@ object TextAnalysis {
     * model never exceeds 256 rows. Emits the final weight table plus
     * the per-epoch misclassification counts (the training curve) as
     * (b, w, epoch_errs csv). Bounds: cnt ≤ doc tokens, |w| grows ≤
-    * epochs · Σcnt — int64-trivial at any SF with fixed epochs. */
+    * epochs · Σcnt — int64-trivial at any SF with fixed epochs.
+    *
+    * (r13 audit: a driver-side-model rewrite — w as 256 driver longs,
+    * score via a literal-array element_at, gradient as a bounded
+    * collect — was tried and REVERTED: the literal-array fold measured
+    * ~5x slower PER EPOCH JOB than the broadcast-hash-join probe
+    * (0.5-0.8 s vs 0.1 s per mis materialization at sf0.1; d41 median
+    * 2.24→3.43 s), so the broadcast join IS the fast form of a
+    * model-sized lookup here.) */
   def perceptron(docs: DataFrame, id: Column, text: Column,
                  isTarget: Column, epochs: Int = 3): DataFrame = {
     val spark = docs.sparkSession

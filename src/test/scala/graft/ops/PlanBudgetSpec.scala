@@ -9,7 +9,17 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   * pinned Spark version). A failure here means an edit silently added an
   * exchange to a plan that SCALE.md documents as already minimal —
   * tighten the code, not the budget. Budgets are exact current counts,
-  * not aspirations; `<=` keeps the guard stable if AQE ever removes one. */
+  * not aspirations; `<=` keeps the guard stable if AQE ever removes one.
+  *
+  * r13 exception, priced in below: [[graft.spreadScan]] deliberately
+  * ADDS one conditional repartition per compute-heavy scan derivation
+  * (guide §2.5 unsplittable-input fix). At this spec's sf0.01 the
+  * condition fires (single-row-group fixtures), so the affected budgets
+  * rose by the spread count (+1 per derivation; +2 where two legs
+  * re-derive, e.g. d13/d39); at production split counts the exchange
+  * does not plan at all. The spread exchanges carry the pre-explosion
+  * scan projection — strictly fewer bytes than the derived stream they
+  * parallelize. */
 class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   private val dir = "/root/testdata/sf0.01"
@@ -132,7 +142,7 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "f14_explode_outer" -> 1,
     // ONE visible exchange (the word histogram) — training rounds are
     // checkpoint-truncated and the merge table broadcasts
-    "d15_bpe_encode" -> 1,
+    "d15_bpe_encode" -> 2,
     // train hides behind the codebook cache boundary; the probe is
     // assignment reduce + probes cut + scored top-k + fallback anti
     "d3_ivf_trained" -> 4,
@@ -200,11 +210,11 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "f21_collation_join" -> 3,
     // gram index agg + the one doc_id exchange both window and final
     // agg ride; AQE broadcasts the duplicated-key side of the mark join
-    "d27_substring_dedup" -> 2,
+    "d27_substring_dedup" -> 3,
     // the single exchange is the 256-row weight-pack aggregate (model
     // side); the document side is a pure codegen fold — no corpus
     // explode, no corpus shuffle
-    "d28_quality_classifier" -> 1,
+    "d28_quality_classifier" -> 2,
     // both windows and the group-by ride one l_returnflag exchange
     // (the a14 one-shuffle shape, weighted)
     "a20_weighted_percentile" -> 1,
@@ -215,7 +225,7 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // keeper-index agg + the covered-position per-doc set agg; AQE
     // broadcasts keepers into the mark join and the doc-sized cov
     // table into the rebuild join
-    "d29_span_removal" -> 2,
+    "d29_span_removal" -> 3,
     // span removal hides behind the stage checkpoint; the visible
     // exchanges are all doc-grain or smaller: model pack, gate join
     // sides, threshold agg + broadcast-side prep, and the pack window
@@ -227,7 +237,7 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d30_containment" -> 2,
     // (xxhash64, md5) keeper agg + the per-doc removed-position agg;
     // keepers and the rm sets broadcast into their joins
-    "d31_line_dedup" -> 2,
+    "d31_line_dedup" -> 3,
     // the argmax is two cascaded hash aggregates (no window sort);
     // the customer-orders join broadcasts at gate SF
     "a22_mode" -> 2,
@@ -280,7 +290,7 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "a23_theta_overlap" -> 6,
     // one Expand-carrying aggregate: distinct partials + final merge —
     // the profile scans the fact table exactly once
-    "v6_dq_profile" -> 2,
+    "v6_dq_profile" -> 3,
     // past the checkpointed kept corpus: lexicon build + votes + the
     // gopher token aggregates + the final accounting; all doc-keyed
     "pipe_fineweb_corpus" -> 7,
@@ -357,7 +367,7 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // two-stage top-k (round 10): the (q_id, shard) stage-1 exchange +
     // the tiny stage-2 re-rank exchange — bought |batch|·shards sort
     // parallelism (the q_id-only window measured 28x at the sf1 soak)
-    "d38_batch_topk" -> 2,
+    "d38_batch_topk" -> 3,
     // visible past the checkpointed family table: the split/audit
     // aggregates; the closure's rounds hide behind their checkpoints
     "pipe_split_assign" -> 5,
@@ -421,7 +431,7 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "wro_zonal_geometry" -> 3,
     // the encode fold's doc aggregate + the per-language aggregate;
     // training rounds hide behind their own jobs
-    "d40_fertility" -> 2,
+    "d40_fertility" -> 3,
     // the co-partitioned field join past the two checkpointed cost
     // relaxations
     "wro_corridor" -> 2,
@@ -430,7 +440,7 @@ class PlanBudgetSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     "d41_perceptron" -> 0,
     // the decile window's single-partition exchange + the decile agg;
     // training hides behind its checkpoints, the weight pack broadcasts
-    "d42_calibration" -> 2,
+    "d42_calibration" -> 3,
     // the doubling rounds hide behind their checkpoints; the visible
     // plan is the broadcast sink semi-join over the final frame
     "wro_flow_length" -> 0,
