@@ -166,13 +166,23 @@ object KMeans {
     * (the 10× point improved 10.5→4.2, 41→4.8, 20.8→4.6), and the
     * 10×→30× ratios fell to 1.7× / 3.6× / 2.3× for 3× data — the
     * kernel-linear regime. Hashing on the id restores kernel-proportional
-    * parallelism at any corpus size (`spark.sql.shuffle.partitions` /
-    * AQE pick the count) and pre-aligns the per-vector argmin groupBy
+    * parallelism at any corpus size (`spark.sql.shuffle.partitions`
+    * picks the count) and pre-aligns the per-vector argmin groupBy
     * — hash(vec_id) satisfies its clustering, so the expansion's
     * reduce needs no further exchange. The shuffle moved is the n-row
-    * corpus itself, ≥64× smaller than the expansion it parallelizes. */
+    * corpus itself, ≥64× smaller than the expansion it parallelizes.
+    *
+    * The partition count is EXPLICIT (r13): a bare `repartition(col)`
+    * is advisory and AQE byte-coalesces it — the corpus is byte-SMALL
+    * precisely because the ×k expansion hasn't happened yet, so AQE
+    * folded the sf1 PQ code assignment onto 5 tasks (one 5.4 s job on
+    * a 32-core box, measured in plans/r13). Same blind spot and fix as
+    * d24_triangles (r12) and verifyExactJaccard's candidate exchange:
+    * explicit N at the session's shuffle-partition setting, which is
+    * the scale-adaptive knob a cluster deployment already sizes. */
   def byId(df: DataFrame, idCol: String = "vec_id"): DataFrame =
-    df.repartition(col(idCol))
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
 
   def codebook2Q(q: DataFrame, k: Int): DataFrame =
     reduceToCodebook(

@@ -2268,7 +2268,20 @@ object RelQueries {
     // SubquerySpec).
     s.conf.set("spark.sql.cteRecursionLevelLimit", 100)
     s.conf.set("spark.sql.cteRecursionRowLimit", 1000000)
-    s.sql(q23Sql)
+    // r13 (guide §2.2 / the dedupClusters loop-conf discipline): the
+    // recursion executes as one driver-scheduled UnionLoop step per
+    // level, and under AQE every level's stages are submitted as their
+    // OWN jobs — measured 76 single-task jobs with 7+ s of scheduling
+    // gaps (job-sum 5.0 s of a 12.3 s wall) at sf0.1. AQE has nothing
+    // to adapt per level (the per-level join is frontier × bounded
+    // edges), so the materialization runs with it off; shuffle
+    // partitions stay at the session's data-scale setting — the
+    // frontier is the growing side at scale. localCheckpoint inside
+    // the scope so the executed plan, not a lazy one, sees the confs
+    // (the withConfs contract).
+    graft.withConfs(s, Map("spark.sql.adaptive.enabled" -> "false")) {
+      s.sql(q23Sql).localCheckpoint()
+    }
   }
 
   /** A23: KMV theta-style distinct sketches with SET INTERSECTION — the
