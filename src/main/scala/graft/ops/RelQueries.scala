@@ -2274,12 +2274,20 @@ object RelQueries {
     // OWN jobs — measured 76 single-task jobs with 7+ s of scheduling
     // gaps (job-sum 5.0 s of a 12.3 s wall) at sf0.1. AQE has nothing
     // to adapt per level (the per-level join is frontier × bounded
-    // edges), so the materialization runs with it off; shuffle
-    // partitions stay at the session's data-scale setting — the
-    // frontier is the growing side at scale. localCheckpoint inside
-    // the scope so the executed plan, not a lazy one, sees the confs
-    // (the withConfs contract).
-    graft.withConfs(s, Map("spark.sql.adaptive.enabled" -> "false")) {
+    // edges), so the materialization runs with it off, at a partition
+    // count derived from the MEASURED corpus size (~100k rows per
+    // partition, clamped to the session default — the dedupClusters
+    // rule: the frontier is ≤ one row per document per level, so this
+    // stays scale-adaptive, not a local[32] constant; without it the
+    // 20 levels would each launch session-width near-empty stages).
+    // localCheckpoint inside the scope so the executed plan, not a
+    // lazy one, sees the confs (the withConfs contract).
+    val p = math.max(1L, math.min(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      table(s, dir, "documents").count() / 100000L + 1L)).toInt
+    graft.withConfs(s, Map(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> p.toString)) {
       s.sql(q23Sql).localCheckpoint()
     }
   }
